@@ -1,0 +1,42 @@
+"""Star-schema join builder (fact ⟕ dimensions) with broadcast policy.
+
+Reference parity: f_loan_contract joins loans LEFT JOIN 4 dimensions on
+natural keys (reference/dbt/models/marts/core/f_loan_contract.sql:36-44);
+f_default_event date join (:28-29); f_dealer_performance_daily join+agg
+(:23-30).
+
+Scale notes: dimensions are orders of magnitude smaller than facts (the
+reference's biggest dim is ~thousands of rows). Broadcasting every dim
+turns the whole star join into a single map-side stage: zero shuffle of the
+fact table, one pass, fully pipelined in whole-stage codegen. At 100 TB of
+fact data that is the difference between a map-only job and five full
+shuffles. Dims too large to broadcast (rare) fall back automatically —
+pass broadcast=False for that dim and AQE picks sort-merge/shuffled-hash,
+or pre-bucket both sides on the key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# (dim_df, join_on, how, broadcast) — join_on is a column name, list of
+# names, or a Column condition.
+DimSpec = tuple[DataFrame, object, str, bool]
+
+
+def star_join(fact: DataFrame, dims: Sequence[DimSpec]) -> DataFrame:
+    out = fact
+    for dim, on, how, do_broadcast in dims:
+        right = F.broadcast(dim) if do_broadcast else dim
+        out = out.join(right, on=on, how=how)
+    return out
+
+
+def conditional_sum(cond: Column, value: Column | None = None) -> Column:
+    """A3: ``sum(case when cond then v else 0 end)`` pivot-style measure
+    (f_dealer_performance_daily.sql:18-19)."""
+    v = F.lit(1) if value is None else value
+    return F.sum(F.when(cond, v).otherwise(F.lit(0)))

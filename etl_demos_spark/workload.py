@@ -1,0 +1,586 @@
+"""Workload registry: every operator from SURVEY.md §2 as a named query.
+
+Each entry pairs a Spark DataFrame builder ``(spark, sf_dir) -> DataFrame``
+with an equivalent ANSI/DuckDB oracle SQL string over the same parquet
+tables. The driver compares both results (row count + schema +
+order-insensitive value hash), so results must be *bit-identical* across
+engines under any sane normalization. Conventions that guarantee that:
+
+- every computed column is aliased IDENTICALLY in both formulations;
+- floating-point aggregation is never used directly: raw doubles are cast
+  to pinned DECIMAL types per row (all money columns in the testdata carry
+  exactly 2 decimals, so the cast is exact in both engines), and every
+  arithmetic step is pinned with an explicit CAST so engine-specific
+  decimal type promotion can't change scales — sums are therefore exact;
+- monetary outputs leave as DOUBLE via ``CAST(exact_decimal AS DOUBLE)``
+  with the scaled integer < 2^53, where decimal→double is a single
+  correctly-rounded operation in both engines (DuckDB's hugeint→double is
+  exact below 2^53; the ÷10^s is then one IEEE op — same as Java's
+  BigDecimal.doubleValue). Ties in any scale-down re-round are impossible
+  or round away-from-zero in both engines (Spark HALF_UP == DuckDB's
+  half-away for the values involved);
+- averages divide that exact double by the count — one more deterministic
+  IEEE op;
+- temporal outputs leave as ISO strings (pandas/arrow conversions of
+  DATE differ *between* engines; strings are normalization-proof). The
+  session timezone is pinned UTC and testdata timestamps read as
+  timestamp_ntz, matching DuckDB's naive timestamps.
+
+Reference parity citations are on each query (SURVEY.md §2 operator ids).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from etl_demos_spark.data import load_table
+from etl_demos_spark.functions.bqcompat import (
+    bq_week,
+    date_key,
+    safe_parse_date,
+    weekend_flag,
+)
+from etl_demos_spark.operators import staging
+from etl_demos_spark.operators.datespine import date_spine
+from etl_demos_spark.operators.keys import dedup_first, distinct_dim, surrogate_key
+from etl_demos_spark.operators.starjoin import conditional_sum, star_join
+from etl_demos_spark.session import configure_runtime
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# Pinned decimal types (see module docstring). DEC2 holds any testdata
+# money value exactly; rates (discount/tax) fit DEC42.
+DEC2 = "decimal(12,2)"
+DEC42 = "decimal(4,2)"
+
+
+def money(c: Column | str) -> Column:
+    """Exact per-row money term."""
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast(DEC2)
+
+
+def money_sum(term: Column) -> Column:
+    """Exact decimal SUM surfaced as a deterministic DOUBLE.
+
+    No intermediate re-rounding: a scale-down re-round can land on a .xx50
+    tie where Spark (HALF_UP) and DuckDB (half-to-even) disagree. The
+    direct decimal→double conversion is a single correctly-rounded op in
+    both engines as long as the scaled integer stays below 2^53 — true for
+    every sum in this workload (scale ≤ 4, magnitudes ≤ ~1e12).
+
+    Oracle spelling: CAST(SUM(term) AS DOUBLE).
+    """
+    return F.sum(term).cast("double")
+
+
+def iso_date(c: Column | str) -> Column:
+    """DATE/TIMESTAMP → 'yyyy-MM-dd' string (oracle: strftime '%Y-%m-%d')."""
+    return F.date_format(F.col(c) if isinstance(c, str) else c, "yyyy-MM-dd")
+
+
+@dataclass
+class WorkloadEntry:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # None → driver does rows-only check
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, WorkloadEntry] = {}
+
+
+def workload(name: str, oracle: str | None, tags: tuple[str, ...] = ()):
+    def deco(fn: QueryFn) -> QueryFn:
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            configure_runtime(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        REGISTRY[name] = WorkloadEntry(name, wrapped, oracle, tags)
+        return wrapped
+
+    return deco
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# §2.2 Projections / filters / predicates
+# ---------------------------------------------------------------------------
+
+
+@workload(
+    "q_project_cast",
+    oracle="""
+    SELECT CAST(l_orderkey AS VARCHAR) AS order_id,
+           CAST(l_linenumber AS BIGINT) AS line_number,
+           CAST(CAST(l_quantity AS decimal(12,2)) AS DOUBLE) AS qty,
+           CAST(CAST(l_extendedprice AS decimal(12,2)) AS DOUBLE) AS extended_price,
+           strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+           l_returnflag AS return_flag
+    FROM lineitem
+    """,
+    tags=("P1", "F7", "P7"),
+)
+def q_project_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/F7: the staging cast-and-rename contract (stg_corebank_loans.sql:7-70)
+    expressed via operators.staging.cast_project — and P7's synonym mapping
+    resolves the same spec from candidate raw names (auto_data_adapter.py:70-82).
+    """
+    li = T(spark, sf_dir, "lineitem")
+    mapped = staging.map_columns(
+        li.columns,
+        [
+            ("order_id", "string", ["order_key", "l_orderkey"]),
+            ("line_number", "bigint", ["line_no", "l_linenumber"]),
+            ("qty", DEC2, ["quantity", "l_quantity"]),
+            ("extended_price", DEC2, ["l_extendedprice"]),
+            ("ship_date", "date", ["shipped_on", "l_shipdate"]),
+            ("return_flag", "string", ["l_returnflag"]),
+        ],
+    )
+    staged = staging.cast_project(li, mapped)
+    return staged.select(
+        "order_id",
+        "line_number",
+        F.col("qty").cast("double").alias("qty"),
+        F.col("extended_price").cast("double").alias("extended_price"),
+        iso_date("ship_date").alias("ship_date"),
+        "return_flag",
+    )
+
+
+@workload(
+    "q_filter_notnull",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT c_nationkey) AS n_nations
+    FROM customer
+    WHERE c_acctbal IS NOT NULL AND c_name IS NOT NULL
+    """,
+    tags=("P2",),
+)
+def q_filter_notnull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: null-safe key filter (stg_corebank_customers.sql:18)."""
+    c = T(spark, sf_dir, "customer")
+    return c.filter(F.col("c_acctbal").isNotNull() & F.col("c_name").isNotNull()).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+    )
+
+
+@workload(
+    "q_filter_eq",
+    oracle="""
+    SELECT COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS decimal(12,2))) AS DOUBLE) AS total_value
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    """,
+    tags=("P3",),
+)
+def q_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: equality predicate (f_default_event.sql:11 `loan_default = 1`)."""
+    o = T(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderstatus") == "F").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money_sum(money("o_totalprice")).alias("total_value"),
+    )
+
+
+@workload(
+    "q_case_banding",
+    oracle="""
+    SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal >= 0 AND c_acctbal <= 2999.99 THEN 'low'
+                WHEN c_acctbal >= 3000 AND c_acctbal <= 6999.99 THEN 'mid'
+                ELSE 'high' END AS balance_band,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS decimal(12,2))) AS DOUBLE) AS total_balance
+    FROM customer
+    GROUP BY balance_band
+    """,
+    tags=("P6", "P4", "P5"),
+)
+def q_case_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: CASE WHEN banding (dim_customer.sql:20-26 age bands)."""
+    c = T(spark, sf_dir, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when((F.col("c_acctbal") >= 0) & (F.col("c_acctbal") <= 2999.99), "low")
+        .when((F.col("c_acctbal") >= 3000) & (F.col("c_acctbal") <= 6999.99), "mid")
+        .otherwise("high")
+    )
+    return (
+        c.select(band.alias("balance_band"), "c_acctbal")
+        .groupBy("balance_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            money_sum(money("c_acctbal")).alias("total_balance"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 / §2.5 Aggregations & windows
+# ---------------------------------------------------------------------------
+
+
+@workload(
+    "q_group_agg",
+    oracle="""
+    SELECT l_returnflag AS return_flag,
+           l_linestatus AS line_status,
+           COUNT(*) AS count_order,
+           CAST(SUM(CAST(l_quantity AS decimal(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS decimal(12,2))) AS DOUBLE)
+               AS sum_base_price,
+           CAST(SUM(CAST(CAST(l_extendedprice AS decimal(12,2))
+                    * CAST(1 - l_discount AS decimal(4,2)) AS decimal(16,4)))
+                AS DOUBLE) AS sum_disc_price,
+           SUM(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END) AS n_undiscounted,
+           CAST(SUM(CAST(l_quantity AS decimal(12,2))) AS DOUBLE) / COUNT(*)
+               AS avg_qty
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("A1", "A2", "A3", "A4"),
+)
+def q_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-A4: multi-key hash agg with count/sum/avg and a conditional sum
+    (f_dealer_performance_daily.sql:13-31) — TPC-H Q1 shape on the testdata.
+    """
+    li = T(spark, sf_dir, "lineitem")
+    qty = money("l_quantity")
+    ep = money("l_extendedprice")
+    disc_price = (ep * (F.lit(1) - F.col("l_discount")).cast(DEC42)).cast(
+        "decimal(16,4)"
+    )
+    return (
+        li.filter(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date"))
+        .groupBy(
+            F.col("l_returnflag").alias("return_flag"),
+            F.col("l_linestatus").alias("line_status"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("count_order"),
+            money_sum(qty).alias("sum_qty"),
+            money_sum(ep).alias("sum_base_price"),
+            money_sum(disc_price).alias("sum_disc_price"),
+            conditional_sum(F.col("l_discount") == 0).alias("n_undiscounted"),
+            (money_sum(qty) / F.count(F.lit(1))).alias("avg_qty"),
+        )
+    )
+
+
+@workload(
+    "q_distinct",
+    oracle="SELECT DISTINCT c_mktsegment AS mktsegment FROM customer",
+    tags=("A5",),
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: DISTINCT dimension seed (dim_product.sql:4-6)."""
+    c = T(spark, sf_dir, "customer")
+    return distinct_dim(c.withColumnRenamed("c_mktsegment", "mktsegment"), ["mktsegment"])
+
+
+@workload(
+    "q_window_dedup",
+    oracle="""
+    SELECT o_custkey AS custkey,
+           o_orderkey AS first_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS first_orderdate
+    FROM (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn = 1
+    """,
+    tags=("W1",),
+)
+def q_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: row_number dedup keeping first row per key
+    (stg_corebank_customers.sql:16,30), with a deterministic tiebreak.
+    """
+    o = T(spark, sf_dir, "orders")
+    return dedup_first(o, ["o_custkey"], ["o_orderdate", "o_orderkey"]).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("first_orderkey"),
+        iso_date("o_orderdate").alias("first_orderdate"),
+    )
+
+
+@workload(
+    "q_surrogate_key",
+    oracle="""
+    SELECT mktsegment,
+           ROW_NUMBER() OVER (ORDER BY mktsegment) AS segment_key
+    FROM (SELECT DISTINCT c_mktsegment AS mktsegment FROM customer)
+    """,
+    tags=("W2",),
+)
+def q_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: global row_number surrogate key (dim_customer.sql:32). Exact
+    reference semantics — dimension-sized input only; operators.keys.dense_ids
+    is the 100 TB path (verified equivalent in tests).
+    """
+    c = T(spark, sf_dir, "customer")
+    dim = distinct_dim(c.withColumnRenamed("c_mktsegment", "mktsegment"), ["mktsegment"])
+    return surrogate_key(dim, ["mktsegment"], "segment_key")
+
+
+# ---------------------------------------------------------------------------
+# §2.6 Set ops / generators
+# ---------------------------------------------------------------------------
+
+_STATUS_ROWS = [
+    (1, "ACTIVE", "Loan is active and payments are current"),
+    (2, "CLOSED", "Loan fully repaid"),
+    (3, "DEFAULTED", "Loan in default"),
+    (4, "RESTRUCTURED", "Loan terms modified"),
+]
+
+
+@workload(
+    "q_union_literal",
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), 'ACTIVE', 'Loan is active and payments are current'),
+        (CAST(2 AS BIGINT), 'CLOSED', 'Loan fully repaid'),
+        (CAST(3 AS BIGINT), 'DEFAULTED', 'Loan in default'),
+        (CAST(4 AS BIGINT), 'RESTRUCTURED', 'Loan terms modified')
+    ) t(status_key, status_code, status_desc)
+    """,
+    tags=("O2",),
+)
+def q_union_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: literal seed table via UNION ALL of VALUES rows
+    (dim_contract_status.sql:10-15)."""
+    schema = "status_key long, status_code string, status_desc string"
+    rows = [spark.createDataFrame([r], schema) for r in _STATUS_ROWS]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+@workload(
+    "q_date_spine",
+    oracle="""
+    SELECT CAST(strftime(d, '%Y%m%d') AS BIGINT) AS date_key,
+           strftime(d, '%Y-%m-%d') AS full_date,
+           CAST(year(d) AS BIGINT) AS year,
+           CAST(quarter(d) AS BIGINT) AS quarter,
+           CAST(month(d) AS BIGINT) AS month,
+           CAST(floor((datediff('day', date_trunc('year', d), d)
+                       + dayofweek(date_trunc('year', d))) / 7) AS BIGINT) AS week,
+           CAST(dayofweek(d) + 1 AS BIGINT) AS day_of_week,
+           dayofweek(d) IN (0, 6) AS is_weekend
+    FROM (SELECT unnest(generate_series(DATE '2020-01-01', DATE '2021-12-31',
+                                        INTERVAL 1 DAY)) AS d)
+    """,
+    tags=("O3", "F4", "F5", "F6"),
+)
+def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 + F4/F5/F6: generated date spine with calendar parts
+    (dim_date.sql:3-16). Week uses BigQuery semantics (Sunday-start, week 0)
+    via functions.bqcompat.bq_week; the DuckDB oracle spells out the same
+    arithmetic (its dayofweek is 0=Sunday, hence the +1 to match Spark's
+    1=Sunday).
+    """
+    spine = date_spine(spark, "2020-01-01", "2021-12-31")
+    d = F.col("d")
+    return spine.select(
+        date_key(d).alias("date_key"),
+        iso_date(d).alias("full_date"),
+        F.year(d).cast("long").alias("year"),
+        F.quarter(d).cast("long").alias("quarter"),
+        F.month(d).cast("long").alias("month"),
+        bq_week(d).alias("week"),
+        F.dayofweek(d).cast("long").alias("day_of_week"),
+        weekend_flag(d).alias("is_weekend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 Scalar functions
+# ---------------------------------------------------------------------------
+
+
+@workload(
+    "q_safe_parse_date",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           strftime(try_strptime(date_str, '%d-%m-%Y'), '%Y-%m-%d') AS parsed_date
+    FROM (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 10 = 0 THEN 'not-a-date'
+                    ELSE strftime(o_orderdate, '%d-%m-%Y') END AS date_str
+        FROM orders
+    )
+    """,
+    tags=("F1",),
+)
+def q_safe_parse_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: SAFE.PARSE_DATE — NULL (not error) on malformed input
+    (stg_corebank_loans.sql:15-16). Every 10th key gets a poisoned string.
+    """
+    o = T(spark, sf_dir, "orders")
+    date_str = F.when(F.col("o_orderkey") % 10 == 0, F.lit("not-a-date")).otherwise(
+        F.date_format("o_orderdate", "dd-MM-yyyy")
+    )
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        iso_date(safe_parse_date(date_str, "dd-MM-yyyy")).alias("parsed_date"),
+    )
+
+
+@workload(
+    "q_date_key",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           CAST(strftime(o_orderdate, '%Y%m%d') AS BIGINT) AS order_date_key
+    FROM orders
+    """,
+    tags=("F4",),
+)
+def q_date_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: format_date('%Y%m%d') cast int64 date key (dim_date.sql:9)."""
+    o = T(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        date_key("o_orderdate").alias("order_date_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 Joins
+# ---------------------------------------------------------------------------
+
+
+@workload(
+    "q_star_join",
+    oracle="""
+    SELECT r_name AS region_name,
+           n_name AS nation_name,
+           COUNT(*) AS n_lineitems,
+           CAST(SUM(CAST(CAST(l_extendedprice AS decimal(12,2))
+                    * CAST(1 - l_discount AS decimal(4,2)) AS decimal(16,4)))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    LEFT JOIN orders   ON l_orderkey = o_orderkey
+    LEFT JOIN customer ON o_custkey = c_custkey
+    LEFT JOIN nation   ON c_nationkey = n_nationkey
+    LEFT JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+    tags=("J1",),
+)
+def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: multi-way left star join, fact ⟕ 4 dims (f_loan_contract.sql:36-44).
+
+    All dimension sides are broadcast → zero shuffle of the fact table; the
+    whole join tree is one map-side stage feeding a partial aggregation.
+    """
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = T(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey", "n_name")
+    r = T(spark, sf_dir, "region")
+    joined = star_join(
+        li,
+        [
+            (o, li["l_orderkey"] == o["o_orderkey"], "left", True),
+            (c, o["o_custkey"] == c["c_custkey"], "left", True),
+            (n, c["c_nationkey"] == n["n_nationkey"], "left", True),
+            (r, n["n_regionkey"] == r["r_regionkey"], "left", True),
+        ],
+    )
+    revenue_term = (
+        money("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast(DEC42)
+    ).cast("decimal(16,4)")
+    return joined.groupBy(
+        F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name")
+    ).agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        money_sum(revenue_term).alias("revenue"),
+    )
+
+
+@workload(
+    "q_date_join",
+    oracle="""
+    SELECT CAST(year(d) AS BIGINT) AS order_year,
+           COUNT(o_orderkey) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS decimal(12,2))) AS DOUBLE) AS total_value
+    FROM (SELECT unnest(generate_series(DATE '1992-01-01', DATE '1998-12-31',
+                                        INTERVAL 1 DAY)) AS d) spine
+    LEFT JOIN orders ON CAST(o_orderdate AS DATE) = CAST(d AS DATE)
+    GROUP BY order_year
+    """,
+    tags=("J2",),
+)
+def q_date_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: fact ⟕ date dimension on date equality (f_default_event.sql:28-29),
+    here spine-side to also exercise the generated dimension. The spine is
+    tiny → broadcast; the fact side never shuffles before aggregation.
+    """
+    o = T(spark, sf_dir, "orders")
+    spine = date_spine(spark, "1992-01-01", "1998-12-31")
+    joined = spine.join(o, o["o_orderdate"].cast("date") == F.col("d"), "left")
+    return joined.groupBy(F.year("d").cast("long").alias("order_year")).agg(
+        F.count("o_orderkey").alias("n_orders"),
+        money_sum(money("o_totalprice")).alias("total_value"),
+    )
+
+
+@workload(
+    "q_join_agg",
+    oracle="""
+    SELECT n_name AS nation_name,
+           COUNT(*) AS n_lineitems,
+           CAST(SUM(CAST(l_quantity AS decimal(12,2))) AS DOUBLE) AS sum_qty,
+           SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned
+    FROM lineitem
+    LEFT JOIN supplier ON l_suppkey = s_suppkey
+    LEFT JOIN nation   ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    tags=("J3", "A3"),
+)
+def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: join inside aggregation (f_dealer_performance_daily.sql:23-30)
+    with an A3 conditional count."""
+    li = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = star_join(
+        li,
+        [
+            (s, li["l_suppkey"] == s["s_suppkey"], "left", True),
+            (n, s["s_nationkey"] == n["n_nationkey"], "left", True),
+        ],
+    )
+    return joined.groupBy(F.col("n_name").alias("nation_name")).agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        money_sum(money("l_quantity")).alias("sum_qty"),
+        conditional_sum(F.col("l_returnflag") == "R").alias("n_returned"),
+    )
+
+
+def get_queries() -> dict[str, QueryFn]:
+    return {name: e.fn for name, e in REGISTRY.items()}
+
+
+def get_oracles() -> dict[str, str]:
+    return {name: e.oracle for name, e in REGISTRY.items() if e.oracle is not None}

@@ -1,0 +1,49 @@
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from etl_demos_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.001"
+SF_DIR_MED = "/root/testdata/sf0.01"
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = get_spark("etl-demos-spark-tests", cpus=8, shuffle_partitions=8)
+    yield spark
+    spark.stop()
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """Mirror the driver's oracle setup: each table registered as a view."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+@pytest.fixture(scope="session")
+def duck():
+    return duck_con(SF_DIR)
+
+
+@pytest.fixture(scope="session")
+def duck_med():
+    return duck_con(SF_DIR_MED)

@@ -1,0 +1,46 @@
+"""Every workload query vs its DuckDB oracle — the driver's t2 gate,
+run at sf0.001 (fast, per-test) and sf0.01 (the driver's actual scale).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_demos_spark.workload import REGISTRY
+from tests.conftest import SF_DIR, SF_DIR_MED
+from tests.parity import compare
+
+ORACLE_QUERIES = sorted(n for n, e in REGISTRY.items() if e.oracle is not None)
+ROWS_ONLY_QUERIES = sorted(n for n, e in REGISTRY.items() if e.oracle is None)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_parity_small(spark, duck, name):
+    e = REGISTRY[name]
+    ok, msg = compare(e.fn(spark, SF_DIR), duck.sql(e.oracle))
+    assert ok, f"{name}: {msg}"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_parity_medium(spark, duck_med, name):
+    e = REGISTRY[name]
+    ok, msg = compare(e.fn(spark, SF_DIR_MED), duck_med.sql(e.oracle))
+    assert ok, f"{name}: {msg}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_runs(spark, name):
+    """Queries without SQL-expressible oracles must still run and return a
+    stable schema (the driver's weaker rows-only check)."""
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as ent
+
+    df = ent.entry(spark)
+    assert df.count() > 0
+    assert set(ent.oracle_sql()) <= set(ent.queries())
