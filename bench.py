@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced with the noop sink (full execution, no driver
+collect) after a warm-up pass of the session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from etl_demos_spark.session import get_spark
+    from etl_demos_spark.workload import REGISTRY
+
+    spark = get_spark("etl-demos-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    headline = [
+        "q_star_join",
+        "q_group_agg",
+        "q_join_agg",
+        "q_window_dedup",
+        "q_project_cast",
+        "q_date_join",
+    ]
+    headline = [q for q in headline if q in REGISTRY]
+
+    # Warm the JVM + parquet footers with one cheap pass.
+    force(REGISTRY["q_group_agg"].fn(spark, sf_dir).limit(1))
+
+    timings: dict[str, float] = {}
+    for name in headline:
+        t0 = time.perf_counter()
+        force(REGISTRY[name].fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "headline query wall time (noop sink, warm session)",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
