@@ -16,20 +16,22 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _registry():
+    # Importing both modules populates the shared REGISTRY.
+    import etl_demos_spark.workload as w
+    import etl_demos_spark.workload_ext  # noqa: F401
+
+    return w
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (star join: revenue by region/nation) at sf0.001."""
-    from etl_demos_spark.workload import REGISTRY
-
-    return REGISTRY["q_star_join"].fn(spark, "/root/testdata/sf0.001")
+    return _registry().REGISTRY["q_star_join"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from etl_demos_spark.workload import get_queries
-
-    return get_queries()
+    return _registry().get_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    from etl_demos_spark.workload import get_oracles
-
-    return get_oracles()
+    return _registry().get_oracles()

@@ -47,11 +47,10 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_runtime(spark)  # ensures nanosAsLong before schema inference
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(df.dtypes)["ts"] in ("bigint", "long"):
+        # Integer `div`, not `/`: epoch-nanos (~1.7e18) exceed 2^53, so a
+        # double division would round and shift some values by 1 µs.
         df = df.withColumn(
-            "ts",
-            F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long")).cast(
-                "timestamp_ntz"
-            ),
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
         )
     return df
 

@@ -1,0 +1,175 @@
+"""Similarity search over embedding columns (array<float>).
+
+Paths:
+- **Brute-force top-k** (the correctness baseline): broadcast the query
+  vector(s), compute cosine with built-in higher-order functions
+  (zip_with + aggregate — JVM-side, strictly sequential summation →
+  deterministic), window top-k. One pass over the corpus, no shuffle
+  except the final top-k (which AQE collapses for small k).
+- **LSH-bucketed ANN** (the scale path): random-hyperplane signatures
+  (SimHash for cosine) → candidates share a band bucket → exact cosine
+  only on candidates. Probe multiplicity trades recall for cost.
+- **IVF (inverted file)**: k-means-style coarse centroids → search only
+  the nprobe nearest cells. Centroids come from a sampled fit (driver-side
+  numpy on ≤100k sampled vectors — the classic FAISS recipe); assignment
+  and search are pure DataFrame joins.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right double dot product (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k neighbors per query vector.
+
+    ``queries`` is expected to be small (it is broadcast); the corpus is
+    scanned once regardless of query count. Ties broken by corpus id for
+    determinism.
+    """
+    joined = corpus.crossJoin(F.broadcast(queries))
+    scored = joined.select(
+        F.col(q_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(q_vec_col)).alias("cos_sim"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
+def rp_lsh_buckets(
+    planes: Sequence[Sequence[float]],
+    vec_col: str = "embedding",
+) -> Column:
+    """Random-hyperplane signature: bit i = sign(v · plane_i). ``planes``
+    are driver-provided constants (seeded numpy), broadcast in the plan as
+    literals — no shuffle, one pass."""
+    bits = [
+        F.when(
+            dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in p])) >= 0,
+            F.lit(1 << i),
+        ).otherwise(F.lit(0))
+        for i, p in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def ann_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: Sequence[Sequence[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: exact cosine only within matching LSH buckets.
+    Recall < 1 by construction; raise the plane count / band count for
+    precision, or multi-probe by flipping signature bits on the query side.
+    """
+    c = corpus.withColumn("bucket", rp_lsh_buckets(planes, vec_col))
+    q = queries.withColumn("bucket", rp_lsh_buckets(planes, q_vec_col))
+    cand = c.join(F.broadcast(q), "bucket")
+    scored = cand.select(
+        F.col(q_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(q_vec_col)).alias("cos_sim"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
+def ivf_build_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    sample: int = 100_000,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    iters: int = 5,
+):
+    """Sampled k-means (driver-side numpy — the FAISS coarse-quantizer
+    recipe; the sample is bounded, never the corpus). Returns a list of
+    centroid vectors."""
+    import numpy as np
+
+    frac_rows = corpus.select(vec_col).limit(sample).collect()
+    X = np.array([r[0] for r in frac_rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cents = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
+    for _ in range(iters):
+        d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for j in range(len(cents)):
+            members = X[assign == j]
+            if len(members):
+                cents[j] = members.mean(0)
+    return [list(map(float, c)) for c in cents]
+
+
+def ivf_assign(df: DataFrame, centroids, vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector to its nearest centroid cell (argmin over literal
+    centroid arrays — one narrow pass). At scale, write the corpus
+    partitioned by cell so probes prune partitions."""
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(x) for x in c]),
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for c in centroids
+        ]
+    )
+    return df.withColumn("cell", F.array_position(dists, F.array_min(dists)).cast("int") - 1)

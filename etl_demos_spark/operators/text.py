@@ -1,0 +1,116 @@
+"""Text analysis operators for training-data pipelines.
+
+All hot-path expressions are Spark built-ins (JVM, whole-stage codegen) —
+no Python UDFs: at 100 TB a row-at-a-time Python tokenizer is the
+difference between hours and weeks. Regex patterns are kept to constructs
+with identical semantics in Java regex and RE2 so the DuckDB oracle can
+mirror them.
+
+Operators:
+- token stats (whitespace + word-regex counting, char classes)
+- quality scoring (length / punctuation / stopword / uniqueness ratios)
+- language ID (stopword-profile heuristic)
+- document fingerprinting (normalized md5; rolling/winnowing in dedup.py)
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+WORD_RE = "[A-Za-z0-9]+"
+
+# Minimal per-language stopword profiles for the heuristic language ID.
+# Real pipelines plug in fastText/CLD3 via a pandas_udf (see multimodal.py
+# for the UDF plumbing pattern); the heuristic keeps the operator fully
+# JVM-side and oracle-checkable.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "y", "que"),
+    "fr": ("le", "la", "de", "et", "que"),
+    "de": ("der", "die", "das", "und", "zu"),
+}
+
+
+def token_count(text: Column | str) -> Column:
+    """Number of word tokens (letters/digits runs) — robust to repeated
+    whitespace and punctuation, identical in Spark and DuckDB/RE2."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(WORD_RE), F.lit(0))).cast("long")
+
+
+def char_stats(text: Column | str) -> dict[str, Column]:
+    c = F.col(text) if isinstance(text, str) else text
+    n = F.length(c)
+    return {
+        "n_chars": n.cast("long"),
+        "n_alpha": F.size(F.regexp_extract_all(c, F.lit("[A-Za-z]"), F.lit(0))).cast("long"),
+        "n_digit": F.size(F.regexp_extract_all(c, F.lit("[0-9]"), F.lit(0))).cast("long"),
+        "n_space": F.size(F.regexp_extract_all(c, F.lit(" "), F.lit(0))).cast("long"),
+    }
+
+
+def stopword_hits(text: Column | str, stopwords: tuple[str, ...]) -> Column:
+    """Count of stopword occurrences (word-boundary safe: tokens compared
+    exactly, not substring matches)."""
+    c = F.col(text) if isinstance(text, str) else text
+    tokens = F.regexp_extract_all(F.lower(c), F.lit(WORD_RE), F.lit(0))
+    return F.size(
+        F.filter(tokens, lambda t: t.isin(*stopwords))
+    ).cast("long")
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length band + alpha ratio +
+    stopword presence + token diversity. Deterministic, built-ins only.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    tokens = F.regexp_extract_all(F.lower(c), F.lit(WORD_RE), F.lit(0))
+    n_tok = F.size(tokens).cast("double")
+    n_chars = F.length(c).cast("double")
+    len_ok = F.when((n_chars >= 100) & (n_chars <= 20000), 1.0).otherwise(0.0)
+    alpha_ratio = (
+        F.size(F.regexp_extract_all(c, F.lit("[A-Za-z]"), F.lit(0))) / F.greatest(n_chars, F.lit(1.0))
+    )
+    stop_ok = F.when(
+        stopword_hits(c, LANG_STOPWORDS["en"]) > 0, 1.0
+    ).otherwise(0.0)
+    diversity = F.size(F.array_distinct(tokens)) / F.greatest(n_tok, F.lit(1.0))
+    return (len_ok + alpha_ratio + stop_ok + diversity) / F.lit(4.0)
+
+
+def lang_guess(text: Column | str) -> Column:
+    """Stopword-profile language ID: the language whose stopword profile
+    hits the most tokens wins; ties and zero-hit rows → 'und'. Evaluation
+    order is the fixed LANG_STOPWORDS order, making ties deterministic.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    scores = [(lang, stopword_hits(c, sw)) for lang, sw in LANG_STOPWORDS.items()]
+    best = F.greatest(*[s for _, s in scores])
+    expr = F.when(best <= 0, F.lit("und"))
+    for lang, s in scores:
+        expr = expr.when(s == best, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Normalized document fingerprint: md5 of lowercased,
+    whitespace-collapsed text. Stable across engines (md5 is md5)."""
+    c = F.col(text) if isinstance(text, str) else text
+    normalized = F.regexp_replace(F.trim(F.lower(c)), "\\s+", " ")
+    return F.md5(normalized)
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One row per document with the full feature set — the building block
+    for corpus-quality dashboards and filter thresholds."""
+    stats = char_stats(text_col)
+    return df.select(
+        "*",
+        token_count(text_col).alias("n_tokens"),
+        stats["n_alpha"].alias("n_alpha"),
+        stats["n_digit"].alias("n_digit"),
+        quality_score(text_col).alias("quality"),
+        lang_guess(text_col).alias("lang_pred"),
+        fingerprint(text_col).alias("fp"),
+    )

@@ -1,0 +1,155 @@
+"""Event-time windowing: tumbling / sliding / session, batch + streaming.
+
+The reference is batch-only (SURVEY.md §2.8), so this is the engine's
+north-star streaming surface. Each window shape has:
+- a *batch analog* on a static DataFrame (oracle-checkable — the driver's
+  DuckDB gate can verify exact semantics), and
+- the same transformation applied to a ``readStream`` DataFrame with a
+  watermark for late data (demonstrated in tests via the rate/memory
+  sources; the transformation code is shared, which is the point of
+  Structured Streaming).
+
+Scale notes: windowed aggregation shuffles on (window, keys); state store
+size is bounded by watermark horizon × key cardinality. Session windows
+use Spark's native session_window (state-merging implementation) — the
+batch analog uses the classic lag/cumsum formulation, which is also the
+cross-engine-checkable one.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def tumbling_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    width: str = "1 hour",
+    keys: tuple[str, ...] = ("event_type",),
+    aggs: tuple = None,
+) -> DataFrame:
+    """Tumbling event-time windows via native F.window (works identically
+    on batch and streaming input)."""
+    aggs = aggs or (F.count(F.lit(1)).alias("n_events"),)
+    out = df.groupBy(F.window(ts_col, width).alias("w"), *keys).agg(*aggs)
+    agg_cols = [c for c in out.columns if c not in ("w", *keys)]
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *keys,
+        *agg_cols,
+    )
+
+
+def sliding_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+    keys: tuple[str, ...] = ("event_type",),
+    aggs: tuple = None,
+) -> DataFrame:
+    aggs = aggs or (F.count(F.lit(1)).alias("n_events"),)
+    out = df.groupBy(F.window(ts_col, width, slide).alias("w"), *keys).agg(*aggs)
+    agg_cols = [c for c in out.columns if c not in ("w", *keys)]
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *keys,
+        *agg_cols,
+    )
+
+
+def sessionize_batch(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap: str = "30 minutes",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Batch sessionization (lag → gap flag → cumulative sum = session id).
+
+    This is the ANSI-SQL-expressible formulation (identical semantics in
+    DuckDB → oracle-checkable); the streaming path uses
+    ``F.session_window`` below which merges to the same sessions.
+    """
+    gap_expr = F.expr(f"interval {gap}")
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+    flagged = df.withColumn(
+        "__new_session",
+        F.when(
+            F.col(ts_col)
+            > F.lag(ts_col).over(w) + gap_expr,
+            1,
+        )
+        .when(F.lag(ts_col).over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    return flagged.withColumn(
+        "session_seq",
+        F.sum("__new_session")
+        .over(
+            Window.partitionBy(user_col)
+            .orderBy(ts_col, order_tiebreak)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .cast("long"),
+    ).drop("__new_session")
+
+
+def session_agg_batch(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Per-session aggregates from the batch sessionization."""
+    s = sessionize_batch(df, ts_col, user_col, gap)
+    return s.groupBy(user_col, "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+    )
+
+
+def session_agg_native(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Native session_window formulation — the one to use under
+    readStream (stateful session merging with watermark eviction)."""
+    return (
+        df.groupBy(F.session_window(ts_col, gap).alias("w"), user_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            user_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stream_tumbling_counts(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    width: str = "1 hour",
+    watermark: str = "2 hours",
+    keys: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """The streaming form: watermark bounds state; late rows beyond the
+    horizon are dropped (documented policy, matching the reference's
+    'full refresh daily' determinism as closely as a stream can)."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, width).alias("w"), *keys)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            *keys,
+            "n_events",
+        )
+    )

@@ -1,0 +1,552 @@
+"""Extension workload: training-data-pipeline operators beyond the
+reference surface (BASELINE.json north star) — text analysis, dedup
+families, similarity search, multimodal plumbing, event-time windows.
+
+Same oracle-parity conventions as workload.py (see its module docstring).
+Queries whose Spark implementation uses hashes DuckDB lacks (xxhash64 for
+MinHash/SimHash) or Python UDF plumbing (multimodal decode) register with
+``oracle=None`` → the driver records the weaker rows-only check; their
+semantics are instead property-tested against exact formulations in
+tests/test_dedup.py and tests/test_multimodal.py.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from etl_demos_spark.functions.bqcompat import year_diff
+from etl_demos_spark.operators import dedup, multimodal, similarity, text
+from etl_demos_spark.streaming import windows as win
+from etl_demos_spark.workload import DEC2, T, money, money_sum, workload
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_TOKS = "regexp_extract_all(lower(text), '[a-za-z0-9]+')"
+
+
+@workload(
+    "q_text_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+           CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+           CAST(length(text) AS BIGINT) AS n_chars_obs
+    FROM documents
+    """,
+    tags=("ext-text",),
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting via word-regex extraction — whitespace-robust, BPE-ish
+    granularity comes from the char-class split; all JVM built-ins."""
+    d = T(spark, sf_dir, "documents")
+    stats = text.char_stats("text")
+    return d.select(
+        "doc_id",
+        text.token_count("text").alias("n_tokens"),
+        stats["n_alpha"].alias("n_alpha"),
+        stats["n_digit"].alias("n_digit"),
+        stats["n_chars"].alias("n_chars_obs"),
+    )
+
+
+@workload(
+    "q_text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           (CASE WHEN length(text) >= 100 AND length(text) <= 20000
+                 THEN 1.0 ELSE 0.0 END
+            + len(regexp_extract_all(text, '[A-Za-z]'))
+              / greatest(CAST(length(text) AS DOUBLE), 1.0)
+            + CASE WHEN len(list_filter({_TOKS},
+                     t -> t IN ('the','a','of','and','to'))) > 0
+                 THEN 1.0 ELSE 0.0 END
+            + len(list_distinct({_TOKS}))
+              / greatest(CAST(len({_TOKS}) AS DOUBLE), 1.0)
+           ) / 4.0 AS quality
+    FROM documents
+    """,
+    tags=("ext-text",),
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality score (length band, alpha ratio, stopword
+    presence, token diversity) — the standard pre-training corpus filter
+    features, computed fully JVM-side."""
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", text.quality_score("text").alias("quality"))
+
+
+@workload(
+    "q_lang_id",
+    oracle=f"""
+    WITH scored AS (
+        SELECT lang,
+               len(list_filter({_TOKS}, t -> t IN ('the','a','of','and','to'))) AS s_en,
+               len(list_filter({_TOKS}, t -> t IN ('el','la','de','y','que'))) AS s_es,
+               len(list_filter({_TOKS}, t -> t IN ('le','la','de','et','que'))) AS s_fr,
+               len(list_filter({_TOKS}, t -> t IN ('der','die','das','und','zu'))) AS s_de
+        FROM documents
+    )
+    SELECT lang,
+           CASE WHEN greatest(s_en, s_es, s_fr, s_de) <= 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+                WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+                WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+                WHEN s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
+                ELSE 'und' END AS lang_pred,
+           COUNT(*) AS n_docs
+    FROM scored
+    GROUP BY lang, lang_pred
+    """,
+    tags=("ext-text",),
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (stopword profiles) — confusion matrix vs the
+    labeled lang column. Plug a real classifier in via pandas_udf when the
+    model library exists; the pipeline shape is identical."""
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.select("lang", text.lang_guess("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@workload(
+    "q_fingerprint",
+    oracle="""
+    SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS canonical_id
+    FROM documents
+    GROUP BY fp
+    """,
+    tags=("ext-text", "ext-dedup"),
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized md5 document fingerprinting with canonical-doc election —
+    the exact-dedup primitive."""
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.select(text.fingerprint("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("canonical_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+
+@workload(
+    "q_dedup_exact",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')))
+               AS n_unique
+    FROM documents
+    GROUP BY source
+    """,
+    tags=("ext-dedup",),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup accounting per source: hash-groupBy on the normalized
+    fingerprint (one uniform-key shuffle — no skew, combiner-friendly)."""
+    d = T(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(text.fingerprint("text")).alias("n_unique"),
+    )
+
+
+@workload(
+    "q_dedup_ngram",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(
+                   range(greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 2, 0)),
+                   i -> concat_ws(' ',
+                        regexp_extract_all(lower(text), '[a-z0-9]+')[i+1],
+                        regexp_extract_all(lower(text), '[a-z0-9]+')[i+2],
+                        regexp_extract_all(lower(text), '[a-z0-9]+')[i+3])
+               )) AS sh
+        FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, lang, len(sh) AS n_sh, unnest(sh) AS g FROM docs
+        WHERE len(sh) > 0
+    ),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS n_inter
+        FROM idx a JOIN idx b
+          ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b,
+           CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) AS jaccard
+    FROM inter
+    WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.4
+    """,
+    tags=("ext-dedup",),
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index self-join
+    (shuffle on shingle key, language blocking) — the ground truth the
+    MinHash/SimHash approximations are property-tested against."""
+    d = T(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.4, block_col="lang"
+    )
+
+
+@workload("q_dedup_minhash", oracle=None, tags=("ext-dedup",))
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(128)+LSH(32 bands) near-dup candidates — the 100 TB dedup
+    path (bucket-join, never n²). xxhash64 has no DuckDB twin → rows-only
+    here; recall/precision vs exact Jaccard asserted in tests/test_dedup.py.
+    """
+    d = T(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, "doc_id", "text", n=3, threshold=0.4)
+
+
+@workload("q_dedup_simhash", oracle=None, tags=("ext-dedup",))
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 Hamming-ball pairs via pigeonhole chunk join."""
+    d = T(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(d, "doc_id", "text", n=3, max_hamming=8)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@workload(
+    "q_ann_cosine",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               list_cosine_similarity(
+                   list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv
+               ) AS cs
+        FROM embeddings e CROSS JOIN q
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, cs,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cs DESC, vec_id) AS rn
+        FROM scored
+    )
+    SELECT query_id, vec_id, round(cs, 6) AS cos_sim
+    FROM ranked WHERE rn <= 10
+    """,
+    tags=("ext-sim",),
+)
+def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (k=10, 5 query vectors): broadcast queries,
+    one corpus pass, JVM higher-order-function dot products, window top-k.
+    Output similarity rounded to 1e-6 (both engines compute the exact same
+    double expression; rounding guards the final-ulp edge).
+    """
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    topk = similarity.brute_force_topk(e, q, k=10)
+    return topk.select(
+        "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim")
+    )
+
+
+@workload("q_ann_lsh", oracle=None, tags=("ext-sim",))
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH buckets (the scale
+    path: exact cosine only within candidate buckets). Recall vs the
+    brute-force baseline asserted in tests/test_similarity.py."""
+    import numpy as np
+
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    rng = np.random.default_rng(7)
+    planes = rng.standard_normal((6, 64)).tolist()
+    return similarity.ann_topk_lsh(e, q, planes, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary columns
+# ---------------------------------------------------------------------------
+
+
+@workload(
+    "q_binary_meta",
+    oracle="""
+    SELECT doc_id AS id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha
+    FROM documents
+    """,
+    tags=("ext-multimodal",),
+)
+def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing, SQL-checkable half: text → binary payload →
+    typed metadata (byte length, content hash). The decode half is
+    q_multimodal_decode."""
+    d = T(spark, sf_dir, "documents")
+    bt = multimodal.make_binary_table(d, "doc_id", "text", "text")
+    return bt.select(
+        "id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.sha").alias("sha"),
+    )
+
+
+@workload("q_multimodal_decode", oracle=None, tags=("ext-multimodal",))
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode over binary payloads (deterministic
+    stub decoder — real codecs are deployment-time; the schema, batch shape
+    and partition behavior are the real thing being exercised)."""
+    d = T(spark, sf_dir, "documents")
+    bt = multimodal.make_binary_table(d, "doc_id", "text", "image")
+    return multimodal.extract_image_meta(bt, fake=True)
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows (streaming surface, batch-checkable analogs)
+# ---------------------------------------------------------------------------
+
+
+@workload(
+    "q_event_tumbling",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS decimal(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("ext-stream",),
+)
+def q_event_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h event-time windows via native F.window — the identical
+    transformation runs under readStream with a watermark
+    (streaming.windows.stream_tumbling_counts)."""
+    ev = T(spark, sf_dir, "events")
+    out = win.tumbling_agg(
+        ev,
+        "ts",
+        "1 hour",
+        ("event_type",),
+        (
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum(money("value")).alias("total_value"),
+        ),
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+@workload(
+    "q_event_sliding",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '30 minutes', ts)
+                    - k * INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+    GROUP BY 1, 2
+    """,
+    tags=("ext-stream",),
+)
+def q_event_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1h width, 30m slide): every event lands in exactly
+    two windows; the oracle spells that out with the bucket arithmetic."""
+    ev = T(spark, sf_dir, "events")
+    out = win.sliding_agg(
+        ev, "ts", "1 hour", "30 minutes", ("event_type",),
+        (F.count(F.lit(1)).alias("n_events"),),
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+    )
+
+
+@workload(
+    "q_event_sessions",
+    oracle="""
+    WITH ev AS (
+        SELECT event_id, user_id, make_timestamp(epoch_us(ts)) AS ts
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                    WHEN ts > lag(ts) OVER w + INTERVAL '30 minutes' THEN 1
+                    ELSE 0 END AS new_session
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           COUNT(*) AS n_events,
+           epoch_us(MIN(ts)) AS start_us,
+           epoch_us(MAX(ts)) AS end_us
+    FROM sessions
+    GROUP BY user_id, session_seq
+    """,
+    tags=("ext-stream",),
+)
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30 min gap), batch formulation (lag → cumsum) —
+    ANSI-expressible, hence oracle-checked; the native session_window
+    streaming form is equivalence-tested in tests/test_streaming.py."""
+    ev = T(spark, sf_dir, "events")
+    agg = win.session_agg_batch(ev, "ts", "user_id", "30 minutes")
+    return agg.select(
+        "user_id",
+        "session_seq",
+        "n_events",
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias("start_us"),
+        F.unix_micros(F.col("session_end").cast("timestamp")).alias("end_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Misc relational ops the reference lacks but the engine exposes
+# ---------------------------------------------------------------------------
+
+
+@workload(
+    "q_topk",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           CAST(CAST(o_totalprice AS decimal(12,2)) AS DOUBLE) AS total_price
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    tags=("ext-rel",),
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k with deterministic tie-break (TakeOrderedAndProject — no full
+    sort at scale)."""
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            money("o_totalprice").cast("double").alias("total_price"),
+        )
+    )
+
+
+@workload(
+    "q_count_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("ext-rel",),
+)
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact count-distinct (expand+two-phase agg under the hood);
+    approx_count_distinct is the scale alternative (rows-only twin below)."""
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@workload("q_approx_distinct", oracle=None, tags=("ext-rel",))
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct users per event type — the
+    fixed-memory path for 100 TB cardinality estimation (no exact twin:
+    HLL sketches differ across engines by construction)."""
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("n_users_approx")
+    )
+
+
+@workload(
+    "q_json_extract",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum
+    FROM events
+    GROUP BY k_mod
+    """,
+    tags=("ext-rel",),
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction from the events props JSON column."""
+    ev = T(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select((k % 10).alias("k_mod"), k.alias("k")).groupBy("k_mod").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("k").alias("k_sum")
+    )
+
+
+@workload(
+    "q_age_band",
+    oracle="""
+    SELECT (1998 - year(o_orderdate)) AS order_age,
+           CASE WHEN (1998 - year(o_orderdate)) <= 1 THEN 'recent'
+                WHEN (1998 - year(o_orderdate)) <= 4 THEN 'mid'
+                ELSE 'old' END AS age_band,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    tags=("F2", "F3"),
+)
+def q_age_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: BigQuery date_diff(..., year) = calendar-year subtraction
+    (dim_customer.sql:22-24), banded — against a fixed reference date so
+    the oracle is reproducible."""
+    o = T(spark, sf_dir, "orders")
+    age = year_diff(F.lit("1998-06-30").cast("date"), "o_orderdate")
+    band = (
+        F.when(age <= 1, "recent").when(age <= 4, "mid").otherwise("old")
+    )
+    return (
+        o.select(age.alias("order_age"), band.alias("age_band"))
+        .groupBy("order_age", "age_band")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )

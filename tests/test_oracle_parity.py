@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import pytest
 
+import etl_demos_spark.workload_ext  # noqa: F401  (populates REGISTRY)
 from etl_demos_spark.workload import REGISTRY
 from tests.conftest import SF_DIR, SF_DIR_MED
 from tests.parity import compare
