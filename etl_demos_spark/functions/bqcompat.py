@@ -56,13 +56,19 @@ def bq_week(c: Column | str) -> Column:
 
     Spark's ``weekofyear`` is ISO-8601 (Monday start, 1..53, year-crossing)
     — different function entirely. Implemented from first principles:
-    days since Jan 1 adjusted by Jan 1's weekday, floor-div 7.
+    week 1 starts at the first Sunday of the year; days before it are
+    week 0 (empty when Jan 1 itself is a Sunday).
     """
     d = _col(c)
     jan1 = F.trunc(d, "year")
-    # dayofweek: 1=Sunday..7=Saturday → days after the preceding Sunday.
-    offset = F.dayofweek(jan1) - F.lit(1)
-    return (F.floor((F.datediff(d, jan1) + offset) / F.lit(7))).cast("long")
+    doy0 = F.datediff(d, jan1)
+    # days before the first Sunday: (7 - dow0(jan1)) % 7, dow0: 0=Sunday.
+    dbfs = (F.lit(7) - (F.dayofweek(jan1) - F.lit(1))) % F.lit(7)
+    return (
+        F.when(doy0 < dbfs, F.lit(0))
+        .otherwise(F.lit(1) + F.floor((doy0 - dbfs) / F.lit(7)))
+        .cast("long")
+    )
 
 
 def weekend_flag(c: Column | str) -> Column:

@@ -1,0 +1,116 @@
+"""Model registry with ref()-style dependencies and toposort execution.
+
+Semantic port of the reference's dbt model graph (D1/D2:
+dags/bank_etl_dag.py:75 `load_tasks >> dbt_run >> dbt_test`; every model's
+`{{ ref(...) }}` edge) — but where dbt compiles Jinja-SQL text and ships it
+to BigQuery, here a model is a plain Python function taking upstream
+DataFrames and returning a DataFrame; the "manifest" is this registry and
+the IR is DataFrame lineage (Catalyst sees the WHOLE pipeline, so filters
+push across model boundaries — something dbt's materialization walls
+prevent).
+
+Materialization (reference `{{ config(materialized=...) }}`,
+dbt_project.yml:7): ``view`` keeps the model lazy (temp view; downstream
+queries re-derive, Catalyst fuses), ``table`` writes Parquet and re-reads
+(pipeline breaker — cuts lineage, caches the result, enables partitioned
+layout). Same trade-off the reference makes, exposed per model.
+"""
+
+from __future__ import annotations
+
+import graphlib
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+ModelFn = Callable[..., DataFrame]  # (spark, **upstream DataFrames)
+
+
+@dataclass
+class Model:
+    name: str
+    fn: ModelFn
+    refs: tuple[str, ...] = ()
+    sources: tuple[str, ...] = ()
+    materialized: str = "view"  # view | table
+    partition_by: tuple[str, ...] = ()
+
+
+@dataclass
+class Pipeline:
+    """A source registry + model graph + assertion set, runnable in
+    dependency order."""
+
+    warehouse_dir: str | None = None
+    models: dict[str, Model] = field(default_factory=dict)
+    assertions: list = field(default_factory=list)
+
+    def model(
+        self,
+        name: str,
+        refs: Sequence[str] = (),
+        sources: Sequence[str] = (),
+        materialized: str = "view",
+        partition_by: Sequence[str] = (),
+    ):
+        """Decorator: register a model function. ``refs`` name upstream
+        models, ``sources`` name raw inputs provided at run()."""
+
+        def deco(fn: ModelFn) -> ModelFn:
+            self.models[name] = Model(
+                name, fn, tuple(refs), tuple(sources), materialized, tuple(partition_by)
+            )
+            return fn
+
+        return deco
+
+    def order(self) -> list[str]:
+        ts = graphlib.TopologicalSorter(
+            {name: set(m.refs) for name, m in self.models.items()}
+        )
+        return list(ts.static_order())
+
+    def run(
+        self,
+        spark: SparkSession,
+        sources: dict[str, DataFrame],
+        check: bool = True,
+    ) -> dict[str, DataFrame]:
+        """Build every model in toposort order. Returns name → DataFrame.
+
+        ``table`` models are written to the warehouse dir (partitioned if
+        declared) and re-read, so downstream plans start from a fresh scan
+        with statistics; ``view`` models stay lazy lineage.
+        """
+        built: dict[str, DataFrame] = {}
+        for name in self.order():
+            m = self.models[name]
+            missing = [s for s in m.sources if s not in sources]
+            if missing:
+                raise KeyError(f"model {name}: missing sources {missing}")
+            kwargs = {s: sources[s] for s in m.sources}
+            kwargs.update({r: built[r] for r in m.refs})
+            df = m.fn(spark, **kwargs)
+            if m.materialized == "table":
+                if not self.warehouse_dir:
+                    raise ValueError(f"model {name}: table materialization needs warehouse_dir")
+                path = f"{self.warehouse_dir}/{name}"
+                writer = df.write.mode("overwrite")
+                if m.partition_by:
+                    writer = writer.partitionBy(*m.partition_by)
+                writer.parquet(path)
+                df = spark.read.parquet(path)
+            built[name] = df
+        if check:
+            from etl_demos_spark.plans.quality import run_assertions
+
+            failures = run_assertions(built, self.assertions)
+            if failures:
+                raise AssertionError(f"data-quality failures: {failures}")
+        return built
+
+    def add_assertion(self, model: str, kind: str, columns: Sequence[str]) -> None:
+        """dbt-style declarative test: kind in {'unique', 'not_null'}
+        (staging.yml:12-28, marts_core.yml:3-16)."""
+        self.assertions.append((model, kind, tuple(columns)))

@@ -1,0 +1,65 @@
+"""Data-quality assertions — first-class port of dbt schema tests.
+
+Reference: not_null/unique on keys (dbt/models/staging/staging.yml:12-28,
+marts_core.yml:3-16), executed by `dbt test` as count-of-violations
+queries (bank_etl_dag.py:66-72). Same semantics here, as aggregations:
+
+- not_null: COUNT(rows where any key column IS NULL) == 0
+- unique:   COUNT(groups with >1 row) == 0
+
+Scale: both are single-shuffle aggregations; `unique` piggybacks the
+groupBy on the key (map-side partial counts). Violations are *returned*,
+not just counted, capped, so failures are debuggable without a re-run.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def not_null_violations(df: DataFrame, columns: Sequence[str]) -> int:
+    cond = None
+    for c in columns:
+        cur = F.col(c).isNull()
+        cond = cur if cond is None else (cond | cur)
+    return df.filter(cond).count()
+
+
+def unique_violations(df: DataFrame, columns: Sequence[str]) -> int:
+    return (
+        df.groupBy(*columns)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+
+
+def assert_not_null(df: DataFrame, columns: Sequence[str]) -> None:
+    n = not_null_violations(df, columns)
+    if n:
+        raise AssertionError(f"not_null{tuple(columns)}: {n} violating rows")
+
+
+def assert_unique(df: DataFrame, columns: Sequence[str]) -> None:
+    n = unique_violations(df, columns)
+    if n:
+        raise AssertionError(f"unique{tuple(columns)}: {n} duplicated keys")
+
+
+CHECKS = {"not_null": not_null_violations, "unique": unique_violations}
+
+
+def run_assertions(built: dict[str, DataFrame], assertions) -> list[str]:
+    """Run (model, kind, columns) triples; return failure descriptions."""
+    failures = []
+    for model, kind, columns in assertions:
+        if model not in built:
+            failures.append(f"{model}.{kind}{columns}: model not built")
+            continue
+        n = CHECKS[kind](built[model], columns)
+        if n:
+            failures.append(f"{model}.{kind}{columns}: {n} violations")
+    return failures

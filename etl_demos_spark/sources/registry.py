@@ -1,0 +1,142 @@
+"""Metadata-driven source registry + auto-adapter.
+
+Reference parity:
+- S3: YAML source registry (config/raw_sources.yml:1-22), loaded by
+  dags/bank_etl_dag.py:17-30, one load task per entry. Here: the same
+  YAML shape drives ``spark.read`` calls; views are registered per source.
+- S1/S2: CSV ingest with header + inferred schema + truncate semantics and
+  '.'→'_' header sanitization (include/load_raw_to_bq.py:33-78).
+- EP3 auto-adapter: sniff a sample, classify the dataset, synonym-map
+  columns, emit a staging projection + default not_null assertions
+  (include/auto_data_adapter.py:55-172, integrate_new_dataset.py:34-107).
+  The reference emits SQL text + YAML edits; here the "generated model"
+  is a closure over a cast_project spec — no codegen, same semantics.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_demos_spark.operators.staging import (
+    ColumnSpec,
+    cast_project,
+    map_columns,
+    sanitize_headers,
+)
+
+# Semantic port of COLUMN_MAPPINGS (auto_data_adapter.py:16-47): standard
+# column ← candidate raw spellings, with the staging cast type.
+DEFAULT_COLUMN_MAPPINGS: tuple[ColumnSpec, ...] = (
+    ("loan_id", "string", ("UniqueID", "SK_ID_CURR", "loan_id", "id")),
+    ("customer_id", "string", ("Customer_ID", "SK_ID_CURR", "customer_id")),
+    ("loan_amount", "decimal(38,9)", ("disbursed_amount", "AMT_CREDIT", "loan_amount", "amount")),
+    ("asset_cost", "decimal(38,9)", ("asset_cost", "AMT_GOODS_PRICE")),
+    ("ltv", "decimal(38,9)", ("ltv", "LTV")),
+    ("branch_id", "string", ("branch_id", "Branch_ID")),
+    ("dealer_id", "string", ("supplier_id", "dealer_id", "Dealer_ID")),
+    ("manufacturer_id", "string", ("manufacturer_id",)),
+    ("date_of_birth", "string", ("Date_of_Birth", "Date.of.Birth", "DOB", "date_of_birth")),
+    ("employment_type", "string", ("Employment_Type", "Employment.Type", "NAME_INCOME_TYPE")),
+    ("disbursal_date", "string", ("DisbursalDate", "disbursal_date")),
+    ("default_flag", "bigint", ("loan_default", "TARGET", "default", "default_flag")),
+)
+
+
+@dataclass
+class Source:
+    name: str
+    path: str
+    fmt: str = "csv"
+    options: dict = field(default_factory=dict)
+    sanitize: bool = True
+
+
+@dataclass
+class SourceRegistry:
+    sources: dict[str, Source] = field(default_factory=dict)
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "SourceRegistry":
+        """Accepts the reference's raw_sources.yml shape:
+        ``sources: [{name, csv_path, ...}, ...]`` (extra keys like
+        project/dataset/table are BigQuery-isms and ignored)."""
+        import yaml
+
+        doc = yaml.safe_load(Path(path).read_text())
+        reg = cls()
+        for item in doc.get("sources", []):
+            reg.add(
+                Source(
+                    name=item["name"],
+                    path=item.get("csv_path") or item.get("path"),
+                    fmt=item.get("format", "csv"),
+                )
+            )
+        return reg
+
+    def add(self, source: Source) -> None:
+        self.sources[source.name] = source
+
+    def load(self, spark: SparkSession, name: str) -> DataFrame:
+        """S1: header + schema inference for CSV; vectorized native readers
+        for parquet/json. Overwrite-on-write (WRITE_TRUNCATE) is the sink's
+        job: df.write.mode('overwrite')."""
+        s = self.sources[name]
+        if s.fmt == "csv":
+            df = (
+                spark.read.option("header", True)
+                .option("inferSchema", True)
+                .options(**s.options)
+                .csv(s.path)
+            )
+        elif s.fmt == "parquet":
+            df = spark.read.options(**s.options).parquet(s.path)
+        elif s.fmt == "json":
+            df = spark.read.options(**s.options).json(s.path)
+        else:
+            raise ValueError(f"unsupported format: {s.fmt}")
+        return sanitize_headers(df) if s.sanitize else df
+
+    def load_all(self, spark: SparkSession, register_views: bool = True) -> dict[str, DataFrame]:
+        out = {}
+        for name in self.sources:
+            out[name] = self.load(spark, name)
+            if register_views:
+                out[name].createOrReplaceTempView(name)
+        return out
+
+
+def detect_dataset_type(columns: list[str]) -> str:
+    """Marker-column classification (auto_data_adapter.py:63-68)."""
+    cols = set(columns)
+    if "SK_ID_CURR" in cols or "TARGET" in cols and "AMT_CREDIT" in cols:
+        return "home_credit"
+    if "UniqueID" in cols or "disbursed_amount" in cols:
+        return "vehicle_loan"
+    return "generic"
+
+
+def auto_adapt(
+    df: DataFrame,
+    mappings: tuple[ColumnSpec, ...] = DEFAULT_COLUMN_MAPPINGS,
+) -> tuple[DataFrame, list[tuple[str, str, tuple[str, ...]]]]:
+    """EP3: synonym-map raw columns to the standard staging contract and
+    return (staged_df, default_assertions). Assertions mirror the
+    auto-generated not_null tests (integrate_new_dataset.py:222-233)."""
+    spec = map_columns(df.columns, mappings)
+    staged = cast_project(df, spec)
+    key_cols = [c for c in ("loan_id", "customer_id") if c in spec]
+    assertions = [("staged", "not_null", tuple(key_cols))] if key_cols else []
+    return staged, assertions
+
+
+_IDENT_RE = re.compile(r"[^A-Za-z0-9_]")
+
+
+def safe_identifier(name: str) -> str:
+    """BigQuery-compatible identifier sanitization ('.'→'_' and friends)."""
+    return _IDENT_RE.sub("_", name)

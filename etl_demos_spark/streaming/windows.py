@@ -143,6 +143,10 @@ def stream_tumbling_counts(
     """The streaming form: watermark bounds state; late rows beyond the
     horizon are dropped (documented policy, matching the reference's
     'full refresh daily' determinism as closely as a stream can)."""
+    if dict(stream_df.dtypes).get(ts_col) == "timestamp_ntz":
+        # Watermarks require TIMESTAMP; with the session pinned to UTC the
+        # cast is a no-op on the wall-clock values.
+        stream_df = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return (
         stream_df.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, width).alias("w"), *keys)

@@ -382,8 +382,12 @@ def q_union_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(year(d) AS BIGINT) AS year,
            CAST(quarter(d) AS BIGINT) AS quarter,
            CAST(month(d) AS BIGINT) AS month,
-           CAST(floor((datediff('day', date_trunc('year', d), d)
-                       + dayofweek(date_trunc('year', d))) / 7) AS BIGINT) AS week,
+           CAST(CASE WHEN datediff('day', date_trunc('year', d), d)
+                          < (7 - dayofweek(date_trunc('year', d))) % 7
+                     THEN 0
+                     ELSE 1 + floor((datediff('day', date_trunc('year', d), d)
+                                     - (7 - dayofweek(date_trunc('year', d))) % 7) / 7)
+                END AS BIGINT) AS week,
            CAST(dayofweek(d) + 1 AS BIGINT) AS day_of_week,
            dayofweek(d) IN (0, 6) AS is_weekend
     FROM (SELECT unnest(generate_series(DATE '2020-01-01', DATE '2021-12-31',

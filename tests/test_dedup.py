@@ -1,0 +1,100 @@
+"""Dedup family: exactness of the exact path; recall/precision of the
+approximate paths against the exact n-gram Jaccard ground truth."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from etl_demos_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog and runs far away today",
+        "a completely different document about spark query engines and shuffles",
+        "rain in spain falls mainly on the plain said the linguist professor",
+    ]
+    rows = []
+    doc_id = 0
+    for b in base:
+        # exact copies (different whitespace/case → same normalized form)
+        rows += [(doc_id, b), (doc_id + 1, b.upper() + "  "), (doc_id + 2, b)]
+        # near-dup: one word changed
+        words = b.split()
+        words[3] = "XYZ"
+        rows.append((doc_id + 3, " ".join(words)))
+        doc_id += 10
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_normalizes(spark, corpus):
+    out = dedup.exact_dedup(corpus)
+    # 3 copies of each base collapse to 1; near-dups survive
+    assert out.count() == 6
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert {0, 3, 10, 13, 20, 23} == kept  # min doc_id wins
+
+
+def test_duplicate_stats(spark, corpus):
+    stats = dedup.duplicate_stats(corpus)
+    assert stats.filter(F.col("n_copies") == 3).count() == 3
+
+
+def test_jaccard_pairs_finds_neardups(spark, corpus):
+    pairs = dedup.jaccard_pairs(corpus, threshold=0.3).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # each near-dup (base+3) pairs with all 3 copies of its base
+    for b in (0, 10, 20):
+        assert (b, b + 3) in got
+    # no cross-base pairs at this threshold
+    assert not any(abs(a - b) >= 10 for a, b in got)
+
+
+def test_minhash_recall_vs_exact(spark, corpus):
+    # Recall is measured on pairs with clear margin above the cutoff: the
+    # 128-hash estimator has ~0.04 stderr, so pairs sitting AT the
+    # threshold legitimately flicker — that's estimator variance, not a
+    # recall failure.
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.jaccard_pairs(corpus, threshold=0.7).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(corpus, threshold=0.5).collect()
+    }
+    assert exact, "ground truth should be non-empty"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"minhash recall {recall}: exact={exact}, approx={approx}"
+
+
+def test_minhash_estimates_track_jaccard(spark, corpus):
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(corpus, threshold=0.3).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in dedup.minhash_lsh_pairs(corpus, threshold=0.3).collect()
+    }
+    both = set(exact) & set(approx)
+    assert both
+    for k in both:
+        assert abs(exact[k] - approx[k]) < 0.2, (k, exact[k], approx[k])
+
+
+def test_simhash_finds_neardups_and_exact_copies(spark, corpus):
+    # Ball of 16: these docs have only ~9-11 shingle features, so a single
+    # changed word flips several majority votes — short docs sit farther
+    # out in Hamming space than long near-dups would.
+    pairs = dedup.simhash_pairs(corpus, max_hamming=16).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    # identical normalized docs → identical signatures (distance 0)
+    assert got.get((0, 2)) == 0
+    assert got.get((10, 12)) == 0
+    # near-dups within the ball, exact copies of other bases far outside it
+    for b in (0, 10, 20):
+        assert (b, b + 3) in got
+    assert all(a // 10 == b // 10 for a, b in got)

@@ -1,0 +1,75 @@
+"""BigQuery-compat expression semantics on fixed dates, incl. the
+documented deltas (year_diff = calendar-year subtraction; bq_week =
+Sunday-start week 0..53)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from etl_demos_spark.functions.bqcompat import (
+    age_band,
+    bq_week,
+    date_key,
+    safe_parse_date,
+    weekend_flag,
+    year_diff,
+)
+from etl_demos_spark.operators.keys import dense_ids, surrogate_key
+
+
+def _one(spark, expr):
+    return spark.range(1).select(expr.alias("v")).collect()[0]["v"]
+
+
+def test_safe_parse_date_null_on_garbage(spark):
+    df = spark.createDataFrame([("15-03-21",), ("not-a-date",), (None,)], "s string")
+    out = df.select(safe_parse_date("s", "dd-MM-yy").alias("d")).collect()
+    assert out[0]["d"] == dt.date(2021, 3, 15)
+    assert out[1]["d"] is None
+    assert out[2]["d"] is None
+
+
+def test_date_key(spark):
+    assert _one(spark, date_key(F.lit("2024-02-29").cast("date"))) == 20240229
+
+
+def test_year_diff_is_calendar_year_subtraction(spark):
+    # BigQuery date_diff(..., year) counts year boundaries, NOT whole years:
+    # 2020-01-01 minus 2019-12-31 → 1 even though it's one day.
+    d1, d2 = F.lit("2020-01-01").cast("date"), F.lit("2019-12-31").cast("date")
+    assert _one(spark, year_diff(d1, d2)) == 1
+    # and a nearly-full year within the same calendar year → 0
+    d3, d4 = F.lit("2019-12-31").cast("date"), F.lit("2019-01-01").cast("date")
+    assert _one(spark, year_diff(d3, d4)) == 0
+
+
+def test_bq_week_sunday_start_week0(spark):
+    # BigQuery extract(week): 2023-01-01 is a Sunday → week 1 starts there;
+    # 2022-01-01 (Saturday) is in week 0.
+    assert _one(spark, bq_week(F.lit("2023-01-01").cast("date"))) == 1
+    assert _one(spark, bq_week(F.lit("2022-01-01").cast("date"))) == 0
+    assert _one(spark, bq_week(F.lit("2022-01-02").cast("date"))) == 1  # Sunday
+    assert _one(spark, bq_week(F.lit("2020-12-31").cast("date"))) == 52
+
+
+def test_weekend_flag(spark):
+    assert _one(spark, weekend_flag(F.lit("2024-01-06").cast("date"))) is True  # Sat
+    assert _one(spark, weekend_flag(F.lit("2024-01-08").cast("date"))) is False  # Mon
+
+
+def test_age_band(spark):
+    df = spark.createDataFrame([(25,), (35,), (45,), (70,), (None,)], "age int")
+    out = [r["b"] for r in df.select(age_band("age").alias("b")).collect()]
+    assert out == ["18-29", "30-39", "40-49", "50+", "unknown"]
+
+
+def test_dense_ids_matches_surrogate_key(spark):
+    # The scalable key path must produce byte-identical keys to the
+    # reference's global row_number.
+    df = spark.createDataFrame([(f"k{i:04d}",) for i in range(777)], "k string")
+    a = {r["k"]: r["key"] for r in surrogate_key(df, ["k"]).collect()}
+    b = {r["k"]: r["key"] for r in dense_ids(df, ["k"]).collect()}
+    assert a == b
+    assert sorted(b.values()) == list(range(1, 778))

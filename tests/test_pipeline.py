@@ -1,0 +1,122 @@
+"""Bank pipeline graph: toposort build, materialization, quality gates."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+import pyspark.sql.functions as F
+
+from etl_demos_spark.plans.bank_pipeline import build_bank_pipeline
+from etl_demos_spark.plans.model import Pipeline
+from etl_demos_spark.plans.quality import assert_not_null, assert_unique
+
+
+@pytest.fixture(scope="module")
+def bank_sources(spark):
+    customers = spark.createDataFrame(
+        [
+            (f"C{i:06d}", 20 + (i * 7) % 60, "MF"[i % 2], ["NORTH", "SOUTH", "EAST", "WEST"][i % 4],
+             30000.0 + i * 13.5, i % 20)
+            for i in range(1, 51)
+        ]
+        # one duplicate + one null-id row to exercise dedup/filter
+        + [("C000001", 25, "M", "NORTH", 1.0, 1), (None, 30, "F", "SOUTH", 2.0, 2)],
+        "customer_id string, age long, gender string, region string, income double, employment_years long",
+    )
+    loans = spark.createDataFrame(
+        [
+            (
+                f"L{i:06d}",
+                f"C{1 + i % 50:06d}",
+                dt.date(2018, 1 + i % 12, 1 + i % 28),
+                5000.0 + i * 97.0,
+                7.5 + (i % 10) / 10,
+                12 * (1 + i % 5),
+                ["BIKE_LOAN", "CAR_LOAN", "PERSONAL_LOAN"][i % 3],
+                f"D{i % 7:03d}",
+                1 if i % 20 == 0 else 0,
+            )
+            for i in range(1, 201)
+        ],
+        "loan_id string, customer_id string, application_date date, loan_amount double, "
+        "interest_rate double, term_months long, product_type string, dealer_id string, default_flag long",
+    )
+    payments = spark.createDataFrame(
+        [
+            (
+                f"L{1 + i % 200:06d}",
+                dt.date(2018 + i % 3, 1 + i % 12, 15),
+                500.0 + i,
+                450.0 + i,
+                45.0,
+                5.0 if i % 10 == 0 else 0.0,
+                0.0,
+                1 + i % 3,
+            )
+            for i in range(1, 1001)
+        ],
+        "loan_id string, payment_date date, amount double, principal_amt double, "
+        "interest_amt double, fee_amt double, late_fee_amt double, channel_id long",
+    )
+    return {"customers": customers, "loan_applications": loans, "payments": payments}
+
+
+def test_bank_pipeline_builds(spark, bank_sources, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    p = build_bank_pipeline(warehouse_dir=wh)
+    built = p.run(spark, bank_sources, check=True)
+    assert set(built) == {
+        "stg_corebank_loans", "stg_corebank_customers", "stg_payments",
+        "dim_customer", "dim_product", "dim_dealer", "dim_date",
+        "dim_contract_status", "f_loan_contract", "f_default_event",
+        "f_payment_transaction", "f_dealer_performance_daily",
+        "f_loan_balance_monthly",
+    }
+    # staging contracts
+    assert built["stg_corebank_customers"].count() == 50  # dedup + null filter
+    assert built["f_loan_contract"].count() == 200
+    # star join resolved every dim key
+    assert built["f_loan_contract"].filter(F.col("customer_key").isNull()).count() == 0
+    assert built["f_loan_contract"].filter(F.col("application_date_key").isNull()).count() == 0
+    # dim_date spans 2015..2030 = 5844 days (FIXTURES.md §5)
+    assert built["dim_date"].count() == 5844
+    # default events match flagged loans
+    assert built["f_default_event"].count() == 10
+    # monthly balance: remaining decreases within a loan
+    bal = built["f_loan_balance_monthly"].filter(F.col("loan_id") == "L000001")
+    rows = bal.orderBy("month").collect()
+    assert all(
+        rows[i]["remaining_balance"] >= rows[i + 1]["remaining_balance"]
+        for i in range(len(rows) - 1)
+    )
+
+
+def test_quality_gate_catches_violations(spark):
+    p = Pipeline()
+
+    @p.model("bad")
+    def bad(s):
+        return spark.createDataFrame([(1,), (1,), (None,)], "k long")
+
+    p.add_assertion("bad", "unique", ["k"])
+    p.add_assertion("bad", "not_null", ["k"])
+    with pytest.raises(AssertionError, match="unique"):
+        p.run(spark, {}, check=True)
+
+
+def test_assert_helpers(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    assert_unique(df, ["k"])
+    assert_not_null(df, ["k", "v"])
+    dup = spark.createDataFrame([(1,), (1,)], "k long")
+    with pytest.raises(AssertionError):
+        assert_unique(dup, ["k"])
+
+
+def test_toposort_order_respects_refs(spark):
+    p = build_bank_pipeline()
+    order = p.order()
+    assert order.index("stg_corebank_loans") < order.index("dim_product")
+    assert order.index("dim_customer") < order.index("f_loan_contract")
+    assert order.index("dim_date") < order.index("f_default_event")

@@ -1,0 +1,62 @@
+"""Similarity search: brute-force exactness vs numpy; ANN recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from etl_demos_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(11)
+    X = rng.standard_normal((200, 16)).astype(np.float32)
+    rows = [(i, [float(x) for x in X[i]]) for i in range(len(X))]
+    return X, spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_matches_numpy(spark, vectors):
+    X, df = vectors
+    q = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = similarity.brute_force_topk(df, q, k=5).orderBy(F.desc("cos_sim")).collect()
+    Xd = X.astype(np.float64)
+    sims = (Xd @ Xd[0]) / (np.linalg.norm(Xd, axis=1) * np.linalg.norm(Xd[0]))
+    expect = np.argsort(-sims)[:5]
+    assert [r["vec_id"] for r in got] == list(expect)
+    for r in got:
+        assert abs(r["cos_sim"] - sims[r["vec_id"]]) < 1e-9
+
+
+def test_ann_lsh_recall(spark, vectors):
+    X, df = vectors
+    q = df.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = similarity.brute_force_topk(df, q, k=5).collect()
+    rng = np.random.default_rng(3)
+    planes = rng.standard_normal((4, 16)).tolist()
+    approx = similarity.ann_topk_lsh(df, q, planes, k=5).collect()
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["vec_id"]) for r in approx}
+    # self-match must always be found (a vector shares its own bucket)
+    for i in range(10):
+        assert (i, i) in approx_set
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.3, f"suspiciously low ANN recall: {recall}"
+
+
+def test_ivf_assignment_partitions_corpus(spark, vectors):
+    X, df = vectors
+    cents = similarity.ivf_build_centroids(df, n_cells=4, sample=200)
+    assigned = similarity.ivf_assign(df, cents)
+    counts = {r["cell"]: r["n"] for r in assigned.groupBy("cell").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 200
+    assert len(counts) == 4  # every cell non-empty for random data
+    # assignment is the true argmin
+    row = assigned.filter(F.col("vec_id") == 7).collect()[0]
+    d = ((np.array(cents) - X[7].astype(np.float64)) ** 2).sum(1)
+    assert row["cell"] == int(d.argmin())

@@ -1,0 +1,80 @@
+"""Streaming surface: batch/native session equivalence + a real
+Structured Streaming run (memory source → watermarked tumbling agg)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from etl_demos_spark.data import load_events
+from etl_demos_spark.streaming import windows as win
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_session_native_equals_batch(spark):
+    ev = load_events(spark, SF_DIR)
+    batch = win.session_agg_batch(ev, gap="30 minutes")
+    native = win.session_agg_native(ev, gap="30 minutes")
+    # same multiset of (user, start, end, n) sessions
+    a = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in batch.collect()
+    )
+    # native session_window end = last_event + gap → compare starts/counts
+    b = sorted(
+        (r["user_id"], r["session_start"], r["n_events"]) for r in native.collect()
+    )
+    assert len(a) == len(b)
+    assert [(u, s, n) for u, s, _, n in a] == b
+
+
+def test_tumbling_counts_match_manual(spark):
+    ev = load_events(spark, SF_DIR)
+    out = win.tumbling_agg(ev, "ts", "1 hour", ("event_type",))
+    manual = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a = {(r["window_start"], r["event_type"]): r["n_events"] for r in out.collect()}
+    b = {(r["h"], r["event_type"]): r["n"] for r in manual.collect()}
+    assert a == b
+
+
+def test_streaming_tumbling_runs(spark, tmp_path):
+    """Real readStream → watermark → window agg → memory sink."""
+    src = str(tmp_path / "stream_src")
+    load_events(spark, SF_DIR).coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    assert stream.isStreaming
+    agg = win.stream_tumbling_counts(stream, watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode emits only watermark-closed windows; at least the early
+    # windows must have been finalized
+    n = spark.sql("select count(*) as n from tumbling_test").collect()[0]["n"]
+    assert n > 0
+    q.stop()
+
+
+def test_sessionize_gap_semantics(spark):
+    rows = [
+        (1, 100, dt.datetime(2024, 1, 1, 10, 0, 0)),
+        (2, 100, dt.datetime(2024, 1, 1, 10, 20, 0)),   # same session (20m)
+        (3, 100, dt.datetime(2024, 1, 1, 11, 0, 0)),    # new session (40m)
+        (4, 200, dt.datetime(2024, 1, 1, 10, 0, 0)),    # other user
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = win.sessionize_batch(df)
+    by_event = {r["event_id"]: r["session_seq"] for r in out.collect()}
+    assert by_event[1] == 1 and by_event[2] == 1
+    assert by_event[3] == 2
+    assert by_event[4] == 1
