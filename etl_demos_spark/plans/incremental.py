@@ -1,0 +1,68 @@
+"""Incremental materialization: append + key-merge upsert over Parquet.
+
+The reference is always full-refresh (bank_etl_dag.py:62 --full-refresh;
+LOADING_NEW_DATA.md:272 names incremental as future work) — this module is
+that future work, Spark-native. Without a transactional table format the
+merge is read-union-rewrite; at 100 TB you'd put Delta/Iceberg under the
+same API (the merge semantics below are exactly MERGE WHEN MATCHED UPDATE
+WHEN NOT MATCHED INSERT), and partition pruning limits the rewrite to
+touched partitions when ``partition_by`` covers the update keyspace.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def table_exists(path: str) -> bool:
+    p = Path(path)
+    return p.exists() and any(p.glob("**/*.parquet"))
+
+
+def append(df: DataFrame, path: str, partition_by: Sequence[str] = ()) -> None:
+    writer = df.write.mode("append")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    partition_by: Sequence[str] = (),
+) -> DataFrame:
+    """Upsert ``updates`` into the Parquet table at ``path`` by ``keys``:
+    existing rows with matching keys are replaced, new keys inserted.
+
+    Rewrite goes through a staging location then swaps, so a failed job
+    never leaves the target half-written.
+    """
+    if not table_exists(path):
+        writer = updates.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+        return spark.read.parquet(path)
+
+    current = spark.read.parquet(path)
+    keep = current.join(updates.select(*keys).distinct(), list(keys), "left_anti")
+    merged = keep.unionByName(updates.select(*current.columns))
+
+    staging = f"{path}__staging"
+    writer = merged.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+
+    import shutil
+
+    final_tmp = f"{path}__old"
+    shutil.move(path, final_tmp)
+    shutil.move(staging, path)
+    shutil.rmtree(final_tmp)
+    return spark.read.parquet(path)

@@ -550,3 +550,138 @@ def q_age_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("order_age", "age_band")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Sources / sinks / pipeline utilities (§2.1 S1-S6, incremental, skew)
+# ---------------------------------------------------------------------------
+
+_SCRATCH = "/root/repo/.scratch"
+
+
+@workload(
+    "q_csv_roundtrip",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           SUM(n_nationkey) AS key_sum,
+           COUNT(DISTINCT n_regionkey) AS n_regions
+    FROM nation
+    """,
+    tags=("S1", "S2", "S4"),
+)
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S4: CSV sink + scan round-trip (load_raw_to_bq.py:33-78 semantics:
+    header, inferred schema, truncate-on-write) — parquet → csv → read back
+    with inference → aggregate; the oracle sees the original table, so the
+    round-trip must be lossless."""
+    import uuid
+
+    n = T(spark, sf_dir, "nation")
+    path = f"{_SCRATCH}/csv_roundtrip_{uuid.uuid4().hex[:8]}"
+    n.write.mode("overwrite").option("header", True).csv(path)
+    back = spark.read.option("header", True).option("inferSchema", True).csv(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+        F.countDistinct("n_regionkey").alias("n_regions"),
+    )
+
+
+@workload("q_rest_json", oracle=None, tags=("S5",))
+def q_rest_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: REST/JSON source (exampledag.py:49-75). No network in this
+    environment → the reference's own hardcoded-fallback path (:60-66) is
+    exercised: payload list → createDataFrame → standard projection."""
+    fallback = [
+        {"craft": "ISS", "name": "Oleg Kononenko"},
+        {"craft": "ISS", "name": "Nikolai Chub"},
+        {"craft": "ISS", "name": "Tracy Caldwell Dyson"},
+    ]
+    df = spark.createDataFrame(fallback)
+    return df.select("craft", "name").orderBy("name")
+
+
+@workload(
+    "q_schema_report",
+    oracle="""
+    SELECT 'customer' AS table_name, COUNT(*) AS n_rows, 5 AS n_cols FROM customer
+    UNION ALL
+    SELECT 'documents', COUNT(*), 5 FROM documents
+    UNION ALL
+    SELECT 'lineitem', COUNT(*), 11 FROM lineitem
+    """,
+    tags=("S6",),
+)
+def q_schema_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: schema sniff + row/col report (auto_data_adapter.py:60,187-203).
+    Spark computes n_cols from the actual schema; the oracle pins the
+    expected values."""
+    rows = []
+    for t in ("customer", "documents", "lineitem"):
+        df = T(spark, sf_dir, t)
+        rows.append((t, df.count(), len(df.columns)))
+    return spark.createDataFrame(rows, "table_name string, n_rows long, n_cols int")
+
+
+@workload(
+    "q_salted_agg",
+    oracle="""
+    SELECT l_returnflag AS return_flag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS decimal(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("ext-skew",),
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-phase aggregation (operators.skew.salted_sum) must be
+    value-identical to the plain groupBy the oracle runs — decimal sums
+    make the salted partial/final split exact."""
+    from etl_demos_spark.operators.skew import salted_sum
+
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("return_flag"), money("l_quantity").alias("qty")
+    )
+    out = salted_sum(li, ["return_flag"], {"sum_qty": F.sum("qty")}, buckets=16)
+    return out.select(
+        "return_flag", "n_rows", F.col("sum_qty").cast("double").alias("sum_qty")
+    )
+
+
+@workload(
+    "q_incremental_merge",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           SUM(CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END) AS n_updated,
+           CAST(SUM(CAST(CASE WHEN o_orderkey % 5 = 0
+                              THEN o_totalprice + 1000
+                              ELSE o_totalprice END AS decimal(12,2)))
+                AS DOUBLE) AS total_value
+    FROM orders
+    """,
+    tags=("ext-incremental",),
+)
+def q_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental key-merge upsert (plans.incremental.merge_upsert): write
+    the base table, upsert a modified subset (+1000 on every 5th key), and
+    verify the merged state against the closed-form oracle."""
+    import uuid
+
+    from etl_demos_spark.plans.incremental import merge_upsert
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", money("o_totalprice").alias("price")
+    )
+    path = f"{_SCRATCH}/inc_merge_{uuid.uuid4().hex[:8]}"
+    merge_upsert(spark, o, path, ["o_orderkey"])
+    updates = o.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+        "price", (F.col("price") + F.lit(1000)).cast("decimal(12,2)")
+    )
+    merged = merge_upsert(spark, updates, path, ["o_orderkey"])
+    base = T(spark, sf_dir, "orders").select("o_orderkey")
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_orderkey") % 5 == 0, 1).otherwise(0)).alias("n_updated"),
+        F.sum("price").cast("double").alias("total_value"),
+    )

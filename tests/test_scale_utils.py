@@ -1,0 +1,88 @@
+"""Skew utilities, incremental merge, stateful streaming operator."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from etl_demos_spark.data import load_events
+from etl_demos_spark.operators.skew import salted_join_left, salted_sum
+from etl_demos_spark.plans.incremental import append, merge_upsert, table_exists
+from etl_demos_spark.streaming.stateful import user_running_counts
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_salted_sum_matches_plain(spark):
+    # heavily skewed: 90% of rows share one key
+    rows = [(("hot" if i % 10 else f"k{i}"), float(i % 7)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    plain = {
+        r["k"]: (r["n"], r["s"])
+        for r in df.groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum(F.col("v").cast("decimal(12,2)")).alias("s"))
+        .collect()
+    }
+    salted = {
+        r["k"]: (r["n_rows"], r["sum_v"])
+        for r in salted_sum(
+            df, ["k"], {"sum_v": F.sum(F.col("v").cast("decimal(12,2)"))}, buckets=8
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_join_matches_plain(spark):
+    big = spark.createDataFrame(
+        [(("hot" if i % 5 else f"k{i}"), i) for i in range(1000)], "k string, v long"
+    )
+    small = spark.createDataFrame(
+        [("hot", "H"), ("k5", "A"), ("k10", "B")], "k string, tag string"
+    )
+    plain = sorted(
+        (r["k"], r["v"], r["tag"]) for r in big.join(small, "k", "left").collect()
+    )
+    salted = sorted(
+        (r["k"], r["v"], r["tag"]) for r in salted_join_left(big, small, "k", 4).collect()
+    )
+    assert plain == salted
+
+
+def test_merge_upsert(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    merge_upsert(spark, base, path, ["k"])
+    assert table_exists(path)
+    updates = spark.createDataFrame([(2, "B"), (4, "d")], "k long, v string")
+    out = merge_upsert(spark, updates, path, ["k"])
+    got = {r["k"]: r["v"] for r in out.collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "d"}
+    # append mode just adds rows
+    append(spark.createDataFrame([(5, "e")], "k long, v string"), path)
+    assert spark.read.parquet(path).count() == 5
+
+
+def test_stateful_user_counts_stream(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ev = load_events(spark, SF_DIR).select("user_id", "ts", "event_type")
+    ev.coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = user_running_counts(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful_counts")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["user_id"]: r["n_events"]
+        for r in spark.sql("select * from stateful_counts").collect()
+    }
+    expect = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    q.stop()
+    assert got == expect
