@@ -26,18 +26,27 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
 
     from etl_demos_spark.session import get_spark
+    import etl_demos_spark.workload_ext  # noqa: F401  (populates REGISTRY)
     from etl_demos_spark.workload import REGISTRY
 
     spark = get_spark("etl-demos-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
     headline = [
+        # relational core (scales with sf)
         "q_star_join",
         "q_group_agg",
         "q_join_agg",
         "q_window_dedup",
         "q_project_cast",
         "q_date_join",
+        # training-data extensions
+        "q_dedup_exact",
+        "q_dedup_minhash",
+        "q_ann_cosine",
+        "q_text_quality",
+        "q_event_sessions",
+        "q_event_sliding",
     ]
     headline = [q for q in headline if q in REGISTRY]
 

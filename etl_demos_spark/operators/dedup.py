@@ -61,11 +61,19 @@ def duplicate_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def word_shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-grams as an array<string> (built-ins only:
-    tokenize → transform over sliding offsets → distinct)."""
+def tokenize(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
-    tokens = F.regexp_extract_all(F.lower(c), F.lit(WORD_RE), F.lit(0))
+    return F.regexp_extract_all(F.lower(c), F.lit(WORD_RE), F.lit(0))
+
+
+def shingles_from_tokens(tokens: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams from a *materialized* token array column.
+
+    Keep tokenization in a separate projection: an expression (rather than
+    a column reference) used inside the transform lambda is re-evaluated
+    per element — with regexp_extract_all that meant ~50 regex scans per
+    document (measured 8.8s for 5k docs; <1s after splitting)."""
+    tokens = F.col(tokens) if isinstance(tokens, str) else tokens
     count = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(0))
     grams = F.transform(
         F.sequence(F.lit(0), count - 1),
@@ -74,6 +82,33 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     return F.when(count > 0, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def shingled_docs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, extra: tuple[str, ...] = ()
+) -> DataFrame:
+    """(id, sh) with non-empty shingle arrays — the two-projection shape
+    every dedup path starts from.
+
+    The emptiness filter runs on the TOKEN count, not on size(sh):
+    filtering on an aliased expression lets predicate pushdown substitute
+    the alias and re-evaluate the full shingling (with per-element
+    re-tokenization) inside the filter — measured 7s of the 7.4s total.
+    ``size(__toks) >= n ⇔ size(sh) > 0`` and costs one regex per row."""
+    toked = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in extra],
+        tokenize(text_col).alias("__toks"),
+    ).filter(F.size("__toks") >= n)
+    return toked.select(
+        "id", *extra, shingles_from_tokens("__toks", n).alias("sh")
+    )
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Single-expression form (tokenize inlined) — convenience for tiny
+    inputs; hot paths use shingled_docs to avoid per-element re-tokenize."""
+    return shingles_from_tokens(tokenize(text), n)
 
 
 def jaccard_pairs(
@@ -91,12 +126,15 @@ def jaccard_pairs(
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     """
     block = [block_col] if block_col else []
-    docs = df.select(
-        F.col(id_col).alias("id"),
-        *[F.col(b) for b in block],
-        word_shingles(text_col, n).alias("sh"),
-    ).withColumn("n_sh", F.size("sh"))
-    index = docs.select("id", *block, "n_sh", F.explode("sh").alias("g"))
+    docs = shingled_docs(df, id_col, text_col, n, extra=tuple(block)).withColumn(
+        "n_sh", F.size("sh")
+    )
+    index = docs.select(
+        "id", *block, "n_sh", F.explode_outer("sh").alias("g")
+    ).filter(F.col("g").isNotNull())
+    # Both join sides read the index; persist the (small) inverted index so
+    # the scan→tokenize→shingle→explode pipeline runs once, not twice.
+    index = index.persist()
     left = index
     right = index.select(
         F.col("id").alias("id2"),
@@ -128,16 +166,56 @@ def jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 128) -> Column:
-    """k min-hashes in one expression: min(xxhash64(shingle, seed_i)).
-    Empty shingle sets get a sentinel signature (never collides)."""
-    sig = F.array(
-        *[
-            F.array_min(F.transform(shingles, lambda g: F.xxhash64(g, F.lit(i))))
-            for i in range(num_hashes)
-        ]
+MERSENNE31 = (1 << 31) - 1
+
+
+def _affine_params(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic universal-hash family h_i(x) = (a_i·x + b_i) mod p."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MERSENNE31), rng.randrange(0, MERSENNE31))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "id",
+    shingles_col: str = "sh",
+    num_hashes: int = 128,
+) -> DataFrame:
+    """Per-doc MinHash signature as array<long>, the scalable way.
+
+    Performance note (measured at 5k docs × 52 shingles): evaluating the
+    k-hash family inside higher-order lambdas is *interpreted* per element
+    in Spark — 33M lambda evals took ~13s. Instead: ONE exploded pass
+    computes a base xxhash64 per (doc, shingle) — codegen'd — and the k
+    hashes become k ``min()`` aggregate expressions over affine transforms
+    of the base hash (universal hashing) — also codegen'd, with map-side
+    partial aggregation. Same asymptotics, ~50× constant factor.
+
+    The mod-p arithmetic keeps every product < 2^62: safe under ANSI
+    overflow checking.
+    """
+    p = F.lit(MERSENNE31).cast("long")
+    # explode_outer, not explode: for plain explode the optimizer infers a
+    # size(sh)>0 filter and pushes it down, substituting the whole
+    # shingling expression into an interpreted per-row filter (measured as
+    # the dominant cost of this operator). Inputs are pre-filtered
+    # non-empty, so the outer variant is semantically identical.
+    base = df.select(
+        F.col(id_col).alias("id"), F.explode_outer(shingles_col).alias("g")
+    ).filter(F.col("g").isNotNull()).select("id", F.pmod(F.xxhash64("g"), p).alias("h"))
+    aggs = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % p).alias(f"__m{i}")
+        for i, (a, b) in enumerate(_affine_params(num_hashes))
+    ]
+    wide = base.groupBy("id").agg(*aggs)
+    return wide.select(
+        "id", F.array(*[f"__m{i}" for i in range(num_hashes)]).alias("sig")
     )
-    return F.when(F.size(shingles) > 0, sig)
 
 
 def minhash_lsh_pairs(
@@ -156,26 +234,19 @@ def minhash_lsh_pairs(
     candidates. Never materializes n² pairs.
     """
     rows = num_hashes // bands
-    docs = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
-    ).filter(F.size("sh") > 0)
-    sigs = docs.select("id", minhash_signature(F.col("sh"), num_hashes).alias("sig"))
+    docs = shingled_docs(df, id_col, text_col, n)
+    sigs = minhash_signatures(docs, "id", "sh", num_hashes)
+    sigs = sigs.persist()  # reused by both bucket-join sides + verification
     banded = sigs.select(
         "id",
         "sig",
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",", *[F.element_at("sig", b * rows + r + 1) for r in range(rows)]
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.slice("sig", b * rows + 1, F.lit(rows))).alias("bucket"),
+                ),
             )
         ).alias("bk"),
     ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
@@ -208,27 +279,41 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash64(shingles: Column) -> Column:
-    """64-bit SimHash: sign of per-bit vote sums over feature hashes.
-    Built-ins only: for each bit, count features with that bit set; bit in
-    signature iff count > n/2 (strict majority; deterministic)."""
-    hashes = F.transform(shingles, lambda g: F.xxhash64(g))
-    n = F.size(shingles)
-    bits = [
-        F.when(
-            F.size(
-                F.filter(hashes, lambda h: h.bitwiseAND(F.lit(1 << i)) != 0)
-            )
-            * 2
-            > n,
-            F.lit(1 << i),
-        ).otherwise(F.lit(0))
-        for i in range(63)  # stay within signed long; bit 63 unused
+def simhash_signatures(
+    df: DataFrame, id_col: str = "id", shingles_col: str = "sh"
+) -> DataFrame:
+    """Per-doc 64-bit SimHash as ``sig`` long: sign of per-bit vote sums
+    over feature hashes (bit set iff strictly more features have it than
+    not; deterministic). Bit 63 unused to stay within signed long.
+
+    Same explode+aggregate design as minhash_signatures (codegen'd vote
+    sums, map-side combine) — per-bit voting inside higher-order lambdas
+    is interpreted and ~50× slower (measured)."""
+    base = df.select(
+        F.col(id_col).alias("id"), F.explode_outer(shingles_col).alias("g")
+    ).filter(F.col("g").isNotNull()).select("id", F.xxhash64("g").alias("h"))  # see minhash_signatures
+
+    aggs = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << i).cast("long")) != 0, 1).otherwise(-1)
+        ).alias(f"__v{i}")
+        for i in range(63)
     ]
-    out = bits[0]
-    for b in bits[1:]:
-        out = out.bitwiseOR(b)
-    return out
+    votes = base.groupBy("id").agg(*aggs)
+    bit_terms = F.array(
+        *[
+            F.when(F.col(f"__v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            for i in range(63)
+        ]
+    )
+    return votes.select(
+        "id",
+        F.aggregate(bit_terms, F.lit(0).cast("long"), lambda acc, b: acc.bitwiseOR(b)).alias(
+            "sig"
+        ),
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -248,10 +333,9 @@ def simhash_pairs(
     """
     k = max_hamming + 1
     chunk_bits = 64 // k
-    docs = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
-    ).filter(F.size("sh") > 0)
-    sigs = docs.select("id", simhash64(F.col("sh")).alias("sig"))
+    docs = shingled_docs(df, id_col, text_col, n)
+    sigs = simhash_signatures(docs, "id", "sh")
+    sigs = sigs.persist()  # reused by both chunk-join sides
     chunked = sigs.select(
         "id",
         "sig",
