@@ -685,3 +685,169 @@ def q_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("o_orderkey") % 5 == 0, 1).otherwise(0)).alias("n_updated"),
         F.sum("price").cast("double").alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Relational surface beyond the reference (SURVEY §2.3/§2.4/§2.5/§2.6 notes:
+# joins beyond left-equi, grouping sets, set ops, analytic windows — Spark
+# built-ins the engine exposes as first-class operators)
+# ---------------------------------------------------------------------------
+
+
+@workload(
+    "q_semi_anti_join",
+    oracle="""
+    SELECT
+        (SELECT COUNT(*) FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+            AS n_with_orders,
+        (SELECT COUNT(*) FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+            AS n_without_orders
+    """,
+    tags=("ext-rel",),
+)
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi and left-anti joins (EXISTS / NOT EXISTS) — customers with
+    and without orders; the two counts must partition the customer table."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").select("o_custkey")
+    semi = c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").count()
+    anti = c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").count()
+    return spark.createDataFrame(
+        [(semi, anti)], "n_with_orders long, n_without_orders long"
+    )
+
+
+@workload(
+    "q_rollup",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS decimal(12,2))) AS DOUBLE) AS total_value
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("ext-rel",),
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical grouping sets (rollup) with NULL-marker normalization
+    so the subtotal rows compare across engines."""
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum(money("o_totalprice")).alias("total_value"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_value",
+        )
+    )
+
+
+@workload(
+    "q_set_ops",
+    oracle="""
+    SELECT 'both' AS which, COUNT(*) AS n FROM (
+        SELECT c_nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'customer_only', COUNT(*) FROM (
+        SELECT c_nationkey FROM customer
+        EXCEPT
+        SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'union_distinct', COUNT(*) FROM (
+        SELECT c_nationkey FROM customer
+        UNION
+        SELECT s_nationkey FROM supplier)
+    """,
+    tags=("ext-rel",),
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION DISTINCT over nation keys."""
+    c = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    rows = [
+        ("both", c.intersect(s).count()),
+        ("customer_only", c.subtract(s).count()),  # EXCEPT (distinct)
+        ("union_distinct", c.union(s).distinct().count()),
+    ]
+    return spark.createDataFrame(rows, "which string, n long")
+
+
+@workload(
+    "q_window_analytics",
+    oracle="""
+    SELECT o_custkey AS custkey,
+           o_orderkey AS orderkey,
+           ROW_NUMBER() OVER w AS order_seq,
+           RANK() OVER (PARTITION BY o_custkey
+                        ORDER BY CAST(o_totalprice AS decimal(12,2)) DESC,
+                                 o_orderkey) AS price_rank,
+           strftime(lag(o_orderdate) OVER w, '%Y-%m-%d') AS prev_orderdate,
+           CAST(SUM(CAST(o_totalprice AS decimal(12,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend,
+           CAST(SUM(CAST(o_totalprice AS decimal(12,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS moving_spend_3
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("ext-rel", "W-extra"),
+)
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic windows beyond the reference's row_number: rank, lag,
+    running and moving frame aggregates — decimal-exact frames so the
+    running sums hash identically."""
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    price = money("o_totalprice")
+    wrank = Window.partitionBy("o_custkey").orderBy(price.desc(), F.col("o_orderkey"))
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.row_number().over(w).cast("long").alias("order_seq"),
+        F.rank().over(wrank).cast("long").alias("price_rank"),
+        F.date_format(F.lag("o_orderdate").over(w), "yyyy-MM-dd").alias("prev_orderdate"),
+        F.sum(price).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double").alias("running_spend"),
+        F.sum(price).over(w.rowsBetween(-2, 0)).cast("double").alias("moving_spend_3"),
+    )
+
+
+@workload(
+    "q_pivot",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("ext-rel",),
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide conditional aggregation) — the general form of the
+    reference's A3 conditional sums, via the native pivot operator with
+    pinned pivot values (no extra discovery pass over the data)."""
+    o = T(spark, sf_dir, "orders")
+    out = (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "priority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+    )
