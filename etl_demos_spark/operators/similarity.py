@@ -154,10 +154,48 @@ def ivf_build_centroids(
     return [list(map(float, c)) for c in cents]
 
 
-def ivf_assign(df: DataFrame, centroids, vec_col: str = "embedding") -> DataFrame:
-    """Assign each vector to its nearest centroid cell (argmin over literal
-    centroid arrays — one narrow pass). At scale, write the corpus
-    partitioned by cell so probes prune partitions."""
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF search: score only the corpus cells whose centroids are among
+    the query's ``nprobe`` nearest. At scale the corpus is *written
+    partitioned by cell*, so the probe is partition pruning — the scan
+    itself skips (1 - nprobe/n_cells) of the data."""
+    c = ivf_assign(corpus, centroids, vec_col)
+    q = ivf_assign(
+        queries.withColumnRenamed(q_vec_col, vec_col), centroids, vec_col, n_cells=nprobe
+    ).withColumnRenamed(vec_col, q_vec_col)
+    q = q.select(q_id_col, q_vec_col, F.explode("cells").alias("cell"))
+    cand = c.join(F.broadcast(q), "cell")
+    scored = cand.select(
+        F.col(q_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(q_vec_col)).alias("cos_sim"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
+def ivf_assign(
+    df: DataFrame, centroids, vec_col: str = "embedding", n_cells: int = 1
+) -> DataFrame:
+    """Assign each vector to its nearest centroid cell(s) (argmin over
+    literal centroid arrays — one narrow pass). ``n_cells=1`` adds an int
+    ``cell`` column; ``n_cells>1`` adds a ``cells`` array (multi-probe).
+    At scale, write the corpus partitioned by ``cell`` so probes become
+    partition pruning."""
     dists = F.array(
         *[
             F.aggregate(
@@ -172,4 +210,19 @@ def ivf_assign(df: DataFrame, centroids, vec_col: str = "embedding") -> DataFram
             for c in centroids
         ]
     )
-    return df.withColumn("cell", F.array_position(dists, F.array_min(dists)).cast("int") - 1)
+    if n_cells == 1:
+        return df.withColumn(
+            "cell", F.array_position(dists, F.array_min(dists)).cast("int") - 1
+        )
+    ranked = F.array_sort(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+            lambda i: F.struct(
+                F.element_at(dists, i + 1).alias("d"), i.cast("int").alias("idx")
+            ),
+        )
+    )
+    return df.withColumn(
+        "cells",
+        F.transform(F.slice(ranked, 1, n_cells), lambda s: s["idx"]),
+    )

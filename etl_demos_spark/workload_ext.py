@@ -851,3 +851,16 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
         F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
     )
+
+
+@workload("q_ann_ivf", oracle=None, tags=("ext-sim",))
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: sampled k-means coarse quantizer, nprobe=4
+    of 8 cells scored — the partition-pruning ANN path. Recall vs
+    brute-force asserted in tests/test_similarity.py."""
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cents = similarity.ivf_build_centroids(e, n_cells=8, sample=2000)
+    return similarity.ivf_topk(e, q, cents, k=10, nprobe=4)

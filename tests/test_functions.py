@@ -73,3 +73,31 @@ def test_dense_ids_matches_surrogate_key(spark):
     b = {r["k"]: r["key"] for r in dense_ids(df, ["k"]).collect()}
     assert a == b
     assert sorted(b.values()) == list(range(1, 778))
+
+
+def test_bq_week_exhaustive_1990_2035(spark):
+    """Exhaustive check of the BigQuery week implementation over 46 years
+    against a first-principles Python reference (week 1 starts at the
+    first Sunday of the year; earlier days are week 0)."""
+    import datetime as dt
+
+    from etl_demos_spark.operators.datespine import date_spine
+
+    spine = date_spine(spark, "1990-01-01", "2035-12-31")
+    got = {
+        r["d"]: r["w"]
+        for r in spine.select("d", bq_week("d").alias("w")).collect()
+    }
+
+    def ref_week(d: dt.date) -> int:
+        jan1 = dt.date(d.year, 1, 1)
+        dow0 = (jan1.weekday() + 1) % 7  # 0 = Sunday
+        days_before_first_sunday = (7 - dow0) % 7
+        doy0 = (d - jan1).days
+        if doy0 < days_before_first_sunday:
+            return 0
+        return 1 + (doy0 - days_before_first_sunday) // 7
+
+    assert len(got) == (dt.date(2035, 12, 31) - dt.date(1990, 1, 1)).days + 1
+    bad = {d: (w, ref_week(d)) for d, w in got.items() if w != ref_week(d)}
+    assert not bad, f"{len(bad)} mismatches, first: {sorted(bad.items())[:3]}"

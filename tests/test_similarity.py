@@ -60,3 +60,21 @@ def test_ivf_assignment_partitions_corpus(spark, vectors):
     row = assigned.filter(F.col("vec_id") == 7).collect()[0]
     d = ((np.array(cents) - X[7].astype(np.float64)) ** 2).sum(1)
     assert row["cell"] == int(d.argmin())
+
+
+def test_ivf_topk_recall(spark, vectors):
+    X, df = vectors
+    q = df.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cents = similarity.ivf_build_centroids(df, n_cells=6, sample=200)
+    exact = {(r["query_id"], r["vec_id"]) for r in similarity.brute_force_topk(df, q, k=5).collect()}
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.ivf_topk(df, q, cents, k=5, nprobe=3).collect()
+    }
+    # self-match always present (own cell is probed first)
+    for i in range(10):
+        assert (i, i) in approx
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
