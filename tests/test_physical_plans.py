@@ -1,0 +1,109 @@
+"""Physical-plan invariants — the scale properties the engine promises,
+asserted against actual Catalyst output so regressions are caught:
+
+- star joins broadcast every dim (no fact shuffle before aggregation)
+- filters and column pruning reach the parquet scan
+- bucketed co-located joins run with zero Exchange
+- partitioned writes give partition-pruned scans
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+import etl_demos_spark.workload_ext  # noqa: F401
+from etl_demos_spark.workload import REGISTRY
+from tests.conftest import SF_DIR
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    df = REGISTRY["q_star_join"].fn(spark, SF_DIR)
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in plan
+    # the only exchange is the final aggregation's (plus broadcasts)
+    non_broadcast_exchanges = [
+        line for line in plan.splitlines()
+        if "Exchange" in line and "BroadcastExchange" not in line
+    ]
+    assert len(non_broadcast_exchanges) <= 1, non_broadcast_exchanges
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    df = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_quantity")
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]" in plan
+    # column pruning: scan reads only the 3 needed columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double,l_returnflag:string>" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path_factory):
+    """Pre-bucketing both sides on the join key co-locates matching rows:
+    the sort-merge join needs neither shuffle nor (with matching bucket
+    counts) any Exchange at all — at 100 TB this is the difference between
+    a join that moves the whole fact table and one that moves nothing."""
+    wh = str(tmp_path_factory.mktemp("bucketed"))
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bktdb LOCATION '{wh}'")
+    (o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+     .saveAsTable("bktdb.orders_b"))
+    (li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+     .saveAsTable("bktdb.lineitem_b"))
+    ob = spark.table("bktdb.orders_b")
+    lb = spark.table("bktdb.lineitem_b")
+    # disable broadcast so the co-location is what's being tested
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = lb.join(ob, lb["l_orderkey"] == ob["o_orderkey"]).groupBy(
+            "o_orderstatus"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        join_section = plan.split("HashAggregate")[-1]
+        assert "Exchange hashpartitioning" not in join_section.split("BroadcastExchange")[0]
+        # and the result is right
+        n = joined.agg(F.sum("n")).collect()[0][0]
+        assert n == spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS bktdb.orders_b")
+        spark.sql("DROP TABLE IF EXISTS bktdb.lineitem_b")
+        spark.sql("DROP DATABASE IF EXISTS bktdb")
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    path = str(tmp_path / "orders_by_year")
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    (o.withColumn("order_year", F.year("o_orderdate"))
+     .write.mode("overwrite").partitionBy("order_year").parquet(path))
+    back = spark.read.parquet(path).filter(F.col("order_year") == 1995)
+    plan = plan_of(back)
+    assert "PartitionFilters: [isnotnull(order_year" in plan
+    # only one year-directory is scanned
+    assert back.select("order_year").distinct().count() == 1
+
+
+def test_window_dedup_uses_group_limit_pushdown(spark):
+    """rn=1 dedup must hit Spark's WindowGroupLimit (top-1 per key pushed
+    below the shuffle) rather than materializing full windows."""
+    df = REGISTRY["q_window_dedup"].fn(spark, SF_DIR)
+    assert "WindowGroupLimit" in plan_of(df)
+
+
+def test_group_agg_partial_aggregation(spark):
+    """Map-side partial aggregation present (two HashAggregate levels)."""
+    df = REGISTRY["q_group_agg"].fn(spark, SF_DIR)
+    plan = plan_of(df)
+    assert plan.count("HashAggregate") >= 2
