@@ -864,3 +864,36 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = similarity.ivf_build_centroids(e, n_cells=8, sample=2000)
     return similarity.ivf_topk(e, q, cents, k=10, nprobe=4)
+
+
+@workload(
+    "q_extract_parts",
+    oracle="""
+    SELECT DISTINCT
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(year(o_orderdate) AS BIGINT) AS year,
+           CAST(quarter(o_orderdate) AS BIGINT) AS quarter,
+           CAST(month(o_orderdate) AS BIGINT) AS month,
+           CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS day_of_week,
+           dayofweek(o_orderdate) IN (0, 6) AS is_weekend
+    FROM orders
+    """,
+    tags=("F5", "F6"),
+)
+def q_extract_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5/F6: extract(year/quarter/month/dayofweek) + weekend flag over
+    real data dates (dim_date.sql:11-16); week numbering is covered by
+    q_date_spine's bq_week."""
+    from etl_demos_spark.functions.bqcompat import weekend_flag
+    from etl_demos_spark.workload import iso_date
+
+    o = T(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        iso_date(d).alias("order_date"),
+        F.year(d).cast("long").alias("year"),
+        F.quarter(d).cast("long").alias("quarter"),
+        F.month(d).cast("long").alias("month"),
+        F.dayofweek(d).cast("long").alias("day_of_week"),
+        weekend_flag(d).alias("is_weekend"),
+    ).distinct()

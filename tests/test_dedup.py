@@ -98,3 +98,33 @@ def test_simhash_finds_neardups_and_exact_copies(spark, corpus):
     for b in (0, 10, 20):
         assert (b, b + 3) in got
     assert all(a // 10 == b // 10 for a, b in got)
+
+
+@pytest.mark.slow
+def test_minhash_scales_with_planted_neardups(spark):
+    """Scale behavior: 20k docs (sf0.1 corpus x4 with planted mutations).
+    The LSH path must (a) find the planted near-duplicate pairs and
+    (b) complete via bucket joins — candidate count stays O(near-dups),
+    not O(n^2)."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    n = base.count()
+    variants = [base.select((F.col("doc_id") + F.lit(i * n)).alias("doc_id"),
+                            F.concat("text", F.lit(f" mutated{i}")).alias("text"))
+                for i in range(1, 4)]
+    corpus = base.select("doc_id", "text")
+    for v in variants:
+        corpus = corpus.unionByName(v)
+    t0 = time.perf_counter()
+    pairs = dedup.minhash_lsh_pairs(corpus, threshold=0.7)
+    planted_found = pairs.filter(
+        (F.col("id_b") - F.col("id_a")) % n == 0
+    ).count()
+    wall = time.perf_counter() - t0
+    # every doc has 3 planted near-identical variants -> 3n planted pairs
+    # at jaccard ~> 0.9; LSH at threshold 0.7 must recover nearly all
+    assert planted_found >= 3 * n * 0.95, planted_found
+    assert wall < 120, f"LSH path too slow at 20k docs: {wall}s"

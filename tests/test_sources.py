@@ -83,3 +83,37 @@ def test_multimodal_decode_plumbing(spark):
     again = {r["id"]: r for r in multimodal.extract_image_meta(bt, fake=True).collect()}
     assert byid[1]["width"] == again[1]["width"]
     assert 64 <= byid[1]["width"] < 256
+
+
+def test_sql_api_surface(spark):
+    """The engine is equally usable through spark.sql over registered
+    views — same results as the DataFrame formulation."""
+    from etl_demos_spark.data import register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    via_sql = spark.sql(
+        """
+        SELECT l_returnflag AS flag, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS decimal(12,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )
+    import pyspark.sql.functions as F
+
+    li = spark.table("lineitem")
+    via_df = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
+    )
+    a = {r["flag"]: (r["n"], r["sum_qty"]) for r in via_sql.collect()}
+    b = {r["flag"]: (r["n"], r["sum_qty"]) for r in via_df.collect()}
+    assert a == b
+
+
+def test_json_source(spark, tmp_path):
+    p = tmp_path / "data.json"
+    p.write_text('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')
+    reg = SourceRegistry()
+    reg.add(Source(name="js", path=str(p), fmt="json"))
+    df = reg.load(spark, "js")
+    assert df.count() == 2 and set(df.columns) == {"a", "b"}
