@@ -25,13 +25,18 @@ def build_bank_pipeline(warehouse_dir: str | None = None) -> Pipeline:
 
     @p.model("stg_corebank_loans", sources=("loan_applications",))
     def stg_corebank_loans(spark: SparkSession, loan_applications: DataFrame) -> DataFrame:
-        """stg_corebank_loans.sql:7-70 — explicit cast contract."""
+        """stg_corebank_loans.sql:7-70 — explicit cast contract. A missing
+        dealer column gets the reference's typed-stub treatment
+        (f_loan_contract.sql:29-32 pattern): cast(null as string)."""
         la = loan_applications
+        dealer = (
+            F.col("dealer_id") if "dealer_id" in la.columns else F.lit(None)
+        )
         return la.select(
             F.col("loan_id").cast("string").alias("loan_id"),
             F.col("customer_id").cast("string").alias("customer_id"),
             F.col("product_type").cast("string").alias("product_id"),
-            F.col("dealer_id").cast("string").alias("dealer_id"),
+            dealer.cast("string").alias("dealer_id"),
             F.col("application_date").cast("date").alias("application_date"),
             F.col("loan_amount").cast("decimal(38,9)").alias("loan_amount"),
             F.col("interest_rate").cast("decimal(38,9)").alias("interest_rate"),
