@@ -897,3 +897,43 @@ def q_extract_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofweek(d).cast("long").alias("day_of_week"),
         weekend_flag(d).alias("is_weekend"),
     ).distinct()
+
+
+@workload(
+    "q_asof_join",
+    oracle="""
+    WITH ev AS (
+        SELECT event_id, user_id, make_timestamp(epoch_us(ts)) AS ts, event_type
+        FROM events
+    )
+    SELECT c.event_id AS click_id,
+           c.user_id AS user_id,
+           v.event_id AS view_id,
+           CASE WHEN v.ts IS NULL THEN NULL
+                ELSE epoch_us(c.ts) - epoch_us(v.ts) END AS lag_us
+    FROM (SELECT * FROM ev WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM ev WHERE event_type = 'view') v
+      ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+    tags=("ext-asof",),
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (operators/asof.py): each click matched to the
+    user's most recent view at-or-before it — one keyed shuffle via the
+    union-and-carry formulation; the oracle is DuckDB's native ASOF JOIN.
+    """
+    from etl_demos_spark.operators.asof import asof_join_backward
+
+    ev = T(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    clicks = ev.filter(F.col("event_type") == "click").drop("event_type")
+    views = ev.filter(F.col("event_type") == "view").drop("event_type")
+    out = asof_join_backward(clicks, views, on=["user_id"], ts_col="ts", carry=["event_id"])
+    return out.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("event_id_asof").alias("view_id"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("ts_asof").cast("timestamp"))
+        ).alias("lag_us"),
+    )

@@ -86,3 +86,27 @@ def test_stateful_user_counts_stream(spark, tmp_path):
     }
     q.stop()
     assert got == expect
+
+
+def test_asof_join_semantics(spark):
+    import datetime as dt
+
+    from etl_demos_spark.operators.asof import asof_join_backward
+
+    T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    s = lambda sec: T0 + dt.timedelta(seconds=sec)
+    left = spark.createDataFrame(
+        [(1, 100, s(10)), (2, 100, s(20)), (3, 100, s(5)), (4, 200, s(10))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(901, 100, s(10)), (902, 100, s(15)), (903, 300, s(1))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = asof_join_backward(left, right, on=["user_id"], carry=["event_id"])
+    got = {r["event_id"]: r["event_id_asof"] for r in out.collect()}
+    assert got[1] == 901      # tie at equal ts matches (inclusive bound)
+    assert got[2] == 902      # latest at-or-before
+    assert got[3] is None     # no prior right row
+    assert got[4] is None     # key with no right rows at all
+    assert len(got) == 4      # left-join: all left rows kept
