@@ -937,3 +937,31 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.unix_micros(F.col("ts_asof").cast("timestamp"))
         ).alias("lag_us"),
     )
+
+
+@workload(
+    "q_dedup_embedding",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(
+               list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6)
+               AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(
+               list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.8
+    """,
+    tags=("ext-dedup", "ext-sim"),
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact, via blocked GEMM
+    (operators/embedding_dedup.py) — numpy matmul per Arrow batch against
+    the broadcast corpus matrix; oracle is DuckDB's pairwise cross join.
+    Threshold 0.8 keeps the oracle's n^2 scan honest while the testdata's
+    random embeddings still yield matches."""
+    from etl_demos_spark.operators.embedding_dedup import cosine_pairs_gemm
+
+    e = T(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs_gemm(e, threshold=0.8)
+    return pairs.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))

@@ -128,3 +128,35 @@ def test_minhash_scales_with_planted_neardups(spark):
     # at jaccard ~> 0.9; LSH at threshold 0.7 must recover nearly all
     assert planted_found >= 3 * n * 0.95, planted_found
     assert wall < 120, f"LSH path too slow at 20k docs: {wall}s"
+
+
+def test_embedding_dedup_clusters(spark):
+    import numpy as np
+
+    from etl_demos_spark.operators.embedding_dedup import (
+        connected_components,
+        dedup_by_embedding,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((20, 8))
+    rows = []
+    # 20 base vectors; ids 100+i are near-copies of i (tiny perturbation)
+    for i in range(20):
+        rows.append((i, [float(x) for x in base[i]]))
+        rows.append((100 + i, [float(x) for x in base[i] + 0.001 * rng.standard_normal(8)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept = dedup_by_embedding(df, threshold=0.99)
+    kept_ids = sorted(r["vec_id"] for r in kept.collect())
+    assert kept_ids == list(range(20))  # min-id canonical per cluster
+
+
+def test_connected_components_chain(spark):
+    from etl_demos_spark.operators.embedding_dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 20)], "id_a long, id_b long"
+    )
+    comps = {r["node"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert comps[1] == comps[2] == comps[3] == comps[4] == 1
+    assert comps[10] == comps[11] == 10
