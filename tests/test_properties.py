@@ -1,0 +1,101 @@
+"""Property-based tests (hypothesis): engine operators vs first-principles
+Python references on arbitrary inputs. Few examples per property — each
+example is a Spark job — but unconstrained shapes catch what fixed
+fixtures don't."""
+
+from __future__ import annotations
+
+import datetime as dt
+from decimal import Decimal
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from etl_demos_spark.operators.keys import dedup_first
+from etl_demos_spark.operators.skew import salted_sum
+from etl_demos_spark.streaming.windows import sessionize_batch
+
+SET = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+keys = st.integers(min_value=0, max_value=5)
+cents = st.integers(min_value=-10_000, max_value=10_000)
+
+
+@given(rows=st.lists(st.tuples(keys, cents), min_size=1, max_size=60))
+@SET
+def test_salted_sum_equals_plain_sum(spark, rows):
+    df = spark.createDataFrame(
+        [(k, Decimal(c) / 100) for k, c in rows], "k long, v decimal(12,2)"
+    )
+    got = {
+        r["k"]: (r["n_rows"], r["sum_v"])
+        for r in salted_sum(df, ["k"], {"sum_v": F.sum("v")}, buckets=4).collect()
+    }
+    expect: dict[int, list] = {}
+    for k, c in rows:
+        e = expect.setdefault(k, [0, Decimal(0)])
+        e[0] += 1
+        e[1] += Decimal(c) / 100
+    assert got == {k: (n, s) for k, (n, s) in expect.items()}
+
+
+@given(rows=st.lists(st.tuples(keys, st.integers(0, 10**6)), min_size=1, max_size=50))
+@SET
+def test_dedup_first_keeps_min_per_key(spark, rows):
+    uniq = list({(k, v) for k, v in rows})
+    df = spark.createDataFrame(uniq, "k long, v long")
+    out = dedup_first(df, ["k"], ["v"]).collect()
+    got = {r["k"]: r["v"] for r in out}
+    expect = {}
+    for k, v in uniq:
+        expect[k] = min(v, expect.get(k, v))
+    assert got == expect
+    assert len(out) == len(expect)  # exactly one row per key
+
+
+@given(
+    offsets=st.lists(st.integers(min_value=0, max_value=7200), min_size=1, max_size=40)
+)
+@SET
+def test_sessionize_matches_python_reference(spark, offsets):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, 1, t0 + dt.timedelta(seconds=s)) for i, s in enumerate(sorted(set(offsets)))
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = sessionize_batch(df, gap="30 minutes")
+    got = {r["event_id"]: r["session_seq"] for r in out.collect()}
+
+    seq, prev = 0, None
+    expect = {}
+    for i, (eid, _, ts) in enumerate(rows):
+        if prev is None or (ts - prev) > dt.timedelta(minutes=30):
+            seq += 1
+        expect[eid] = seq
+        prev = ts
+    assert got == expect
+
+
+@given(rows=st.lists(st.tuples(keys, cents), min_size=1, max_size=40))
+@SET
+def test_decimal_sum_is_exact(spark, rows):
+    """The money_sum convention: decimal aggregation must equal exact
+    Decimal arithmetic regardless of partitioning/order."""
+    df = spark.createDataFrame(
+        [(k, c / 100.0) for k, c in rows], "k long, v double"
+    ).repartition(7)
+    got = {
+        r["k"]: r["s"]
+        for r in df.groupBy("k")
+        .agg(F.sum(F.col("v").cast("decimal(12,2)")).cast("double").alias("s"))
+        .collect()
+    }
+    expect: dict[int, Decimal] = {}
+    for k, c in rows:
+        expect[k] = expect.get(k, Decimal(0)) + Decimal(c) / 100
+    assert got == {k: float(v) for k, v in expect.items()}
