@@ -493,8 +493,12 @@ def q_date_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1: multi-way left star join, fact ⟕ 4 dims (f_loan_contract.sql:36-44).
 
-    All dimension sides are broadcast → zero shuffle of the fact table; the
-    whole join tree is one map-side stage feeding a partial aggregation.
+    Broadcast policy by GROWTH, not current size: nation/region are
+    fixed-cardinality dims → always broadcast (hint). orders/customer scale
+    WITH the fact data, so they get no hint — AQE picks broadcast while
+    they fit (it does at every test sf; measured equal-or-faster than
+    forcing it) and degrades to shuffle joins at cluster scale instead of
+    OOMing the driver with a 600 GB "broadcast".
     """
     li = T(spark, sf_dir, "lineitem")
     o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -504,8 +508,8 @@ def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = star_join(
         li,
         [
-            (o, li["l_orderkey"] == o["o_orderkey"], "left", True),
-            (c, o["o_custkey"] == c["c_custkey"], "left", True),
+            (o, li["l_orderkey"] == o["o_orderkey"], "left", False),
+            (c, o["o_custkey"] == c["c_custkey"], "left", False),
             (n, c["c_nationkey"] == n["n_nationkey"], "left", True),
             (r, n["n_regionkey"] == r["r_regionkey"], "left", True),
         ],

@@ -574,10 +574,9 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     header, inferred schema, truncate-on-write) — parquet → csv → read back
     with inference → aggregate; the oracle sees the original table, so the
     round-trip must be lossless."""
-    import uuid
-
     n = T(spark, sf_dir, "nation")
-    path = f"{_SCRATCH}/csv_roundtrip_{uuid.uuid4().hex[:8]}"
+    # fixed per-sf path, overwritten each run (bounded scratch growth)
+    path = f"{_SCRATCH}/csv_roundtrip_{sf_dir.strip('/').split('/')[-1]}"
     n.write.mode("overwrite").option("header", True).csv(path)
     back = spark.read.option("header", True).option("inferSchema", True).csv(path)
     return back.agg(
@@ -666,14 +665,15 @@ def q_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental key-merge upsert (plans.incremental.merge_upsert): write
     the base table, upsert a modified subset (+1000 on every 5th key), and
     verify the merged state against the closed-form oracle."""
-    import uuid
+    import shutil
 
     from etl_demos_spark.plans.incremental import merge_upsert
 
     o = T(spark, sf_dir, "orders").select(
         "o_orderkey", money("o_totalprice").alias("price")
     )
-    path = f"{_SCRATCH}/inc_merge_{uuid.uuid4().hex[:8]}"
+    path = f"{_SCRATCH}/inc_merge_{sf_dir.strip('/').split('/')[-1]}"
+    shutil.rmtree(path, ignore_errors=True)
     merge_upsert(spark, o, path, ["o_orderkey"])
     updates = o.filter(F.col("o_orderkey") % 5 == 0).withColumn(
         "price", (F.col("price") + F.lit(1000)).cast("decimal(12,2)")
