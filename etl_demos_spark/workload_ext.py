@@ -965,3 +965,29 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "embeddings")
     pairs = cosine_pairs_gemm(e, threshold=0.8)
     return pairs.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+@workload(
+    "q_stats_agg",
+    oracle="""
+    SELECT l_returnflag AS return_flag,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(quantile_cont(l_quantity, 0.5), 4) AS median_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("ext-rel", "A-extra"),
+)
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: sample stddev, Pearson correlation, exact
+    interpolated median (Spark `percentile` == DuckDB `quantile_cont`).
+    Both engines use numerically-stable merge formulas; outputs are
+    rounded well above the accumulated-ulp noise floor (~1e-11) so the
+    hash is partition-order-proof."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("return_flag")).agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("median_qty"),
+    )

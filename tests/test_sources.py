@@ -117,3 +117,18 @@ def test_json_source(spark, tmp_path):
     reg.add(Source(name="js", path=str(p), fmt="json"))
     df = reg.load(spark, "js")
     assert df.count() == 2 and set(df.columns) == {"a", "b"}
+
+
+def test_engine_facade(spark, tmp_path):
+    from etl_demos_spark.engine import Engine
+
+    csv = tmp_path / "auto.csv"
+    csv.write_text(
+        "UniqueID,disbursed_amount,loan_default\n1,1000.5,0\n2,2000.0,1\n"
+    )
+    eng = Engine(spark)
+    staged = eng.add_source_auto("new_loans", str(csv))
+    assert {"loan_id", "loan_amount", "default_flag"} <= set(staged.columns)
+    # SQL works over the auto-registered view
+    n = eng.sql("SELECT COUNT(*) AS n FROM new_loans WHERE default_flag = 1").collect()
+    assert n[0]["n"] == 1
