@@ -114,3 +114,30 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_guess(text_col).alias("lang_pred"),
         fingerprint(text_col).alias("fp"),
     )
+
+
+def char_ngram_hashes(text: Column | str, k: int = 7) -> Column:
+    """Rolling k-gram hash sequence over the normalized text (the
+    content-defined fingerprint primitive). xxhash64 per k-gram via one
+    materialized substring pass — positions come from sequence(), so the
+    expression stays a single narrow projection."""
+    c = F.col(text) if isinstance(text, str) else text
+    norm = F.regexp_replace(F.trim(F.lower(c)), "\\s+", " ")
+    n = F.length(norm) - F.lit(k - 1)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(0))),
+        lambda i: F.xxhash64(F.substring(norm, 1, 0x7FFFFFFF).substr(i, F.lit(k))),
+    )
+
+
+def winnow_fingerprints(hashes: Column, window: int = 8) -> Column:
+    """Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03): keep the minimum
+    hash of every sliding window of ``window`` consecutive k-gram hashes —
+    guarantees any match of length ≥ window+k-1 shares a fingerprint.
+    Output: distinct selected hashes (the document's fingerprint set)."""
+    m = F.size(hashes) - F.lit(window - 1)
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(m, F.lit(0))),
+        lambda i: F.array_min(F.slice(hashes, i, window)),
+    )
+    return F.array_distinct(mins)

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from etl_demos_spark.functions.bqcompat import year_diff
 from etl_demos_spark.operators import dedup, multimodal, similarity, text
+from etl_demos_spark.operators.dedup import tokenize as text_tokenize
 from etl_demos_spark.streaming import windows as win
 from etl_demos_spark.workload import DEC2, T, money, money_sum, workload
 
@@ -990,4 +991,55 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
         F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("median_qty"),
+    )
+
+
+@workload("q_winnow_fingerprint", oracle=None, tags=("ext-text", "ext-dedup"))
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (SIGMOD'03): per-doc selected
+    k-gram minima — the plagiarism/near-dup fingerprint that localizes
+    matches (unlike whole-doc md5). Properties (copies share all
+    fingerprints; overlap detection) tested in tests/test_text_extra.py;
+    xxhash64 has no DuckDB twin → rows-only here."""
+    d = T(spark, sf_dir, "documents")
+    toked = d.select("doc_id", text.char_ngram_hashes("text", 7).alias("__h"))
+    return toked.select(
+        "doc_id",
+        F.size("__h").alias("n_grams"),
+        F.size(text.winnow_fingerprints(F.col("__h"), 8).alias("x")).alias("n_fingerprints"),
+    )
+
+
+@workload(
+    "q_top_terms",
+    oracle="""
+    WITH toks AS (
+        SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        FROM documents
+    ),
+    counted AS (
+        SELECT lang, tok, COUNT(*) AS n FROM toks GROUP BY lang, tok
+    ),
+    ranked AS (
+        SELECT lang, tok, n,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rk
+        FROM counted
+    )
+    SELECT lang, tok, n, CAST(rk AS BIGINT) AS rk FROM ranked WHERE rk <= 5
+    """,
+    tags=("ext-text",),
+)
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary statistics: top-5 terms per language — explode tokens,
+    count, windowed top-k (WindowGroupLimit keeps it from materializing
+    full per-language rankings)."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode_outer(text_tokenize("text")).alias("tok")
+    ).filter(F.col("tok").isNotNull())
+    counted = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("tok"))
+    return (
+        counted.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
     )
