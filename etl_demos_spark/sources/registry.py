@@ -39,7 +39,7 @@ DEFAULT_COLUMN_MAPPINGS: tuple[ColumnSpec, ...] = (
     ("branch_id", "string", ("branch_id", "Branch_ID")),
     ("dealer_id", "string", ("supplier_id", "dealer_id", "Dealer_ID")),
     ("manufacturer_id", "string", ("manufacturer_id",)),
-    ("date_of_birth", "string", ("Date_of_Birth", "Date.of.Birth", "DOB", "date_of_birth")),
+    ("date_of_birth", "string", ("Date_of_Birth", "Date.of.Birth", "DOB", "DAYS_BIRTH", "date_of_birth")),
     ("employment_type", "string", ("Employment_Type", "Employment.Type", "NAME_INCOME_TYPE")),
     ("disbursal_date", "string", ("DisbursalDate", "disbursal_date")),
     ("default_flag", "bigint", ("loan_default", "TARGET", "default", "default_flag")),
@@ -126,9 +126,29 @@ def auto_adapt(
 ) -> tuple[DataFrame, list[tuple[str, str, tuple[str, ...]]]]:
     """EP3: synonym-map raw columns to the standard staging contract and
     return (staged_df, default_assertions). Assertions mirror the
-    auto-generated not_null tests (integrate_new_dataset.py:222-233)."""
+    auto-generated not_null tests (integrate_new_dataset.py:222-233).
+
+    Date strategy heuristic (auto_data_adapter.py:113-135): a raw column
+    whose name contains 'days' holds a day *offset* (Home Credit's
+    DAYS_BIRTH = days relative to application, negative) and becomes
+    ``date_add(current_date(), n)``; other date-ish strings parse
+    null-safely with the reference's '%d-%m-%y' format.
+    """
+    import pyspark.sql.functions as F
+
+    from etl_demos_spark.functions.bqcompat import safe_parse_date
+
     spec = map_columns(df.columns, mappings)
     staged = cast_project(df, spec)
+    for out_name, (raw, _t) in spec.items():
+        if out_name == "date_of_birth":
+            if "days" in raw.lower():
+                staged = staged.withColumn(
+                    out_name,
+                    F.date_add(F.current_date(), F.col(out_name).cast("int")),
+                )
+            else:
+                staged = staged.withColumn(out_name, safe_parse_date(out_name, "dd-MM-yy"))
     key_cols = [c for c in ("loan_id", "customer_id") if c in spec]
     assertions = [("staged", "not_null", tuple(key_cols))] if key_cols else []
     return staged, assertions

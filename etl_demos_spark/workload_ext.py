@@ -1043,3 +1043,111 @@ def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         counted.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 5)
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function families (string / date / null-handling) — the everyday
+# surface a reference user expects from any engine
+# ---------------------------------------------------------------------------
+
+
+@workload(
+    "q_string_funcs",
+    oracle="""
+    SELECT c_custkey AS custkey,
+           upper(c_name) AS name_upper,
+           lower(c_mktsegment) AS segment_lower,
+           concat_ws('|', c_name, c_mktsegment) AS joined,
+           substring(c_name, 1, 8) AS name_prefix,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+           replace(c_name, '#', '-') AS name_dashed,
+           CAST(length(c_name) AS BIGINT) AS name_len,
+           contains(c_mktsegment, 'AUTO') AS is_auto
+    FROM customer
+    """,
+    tags=("ext-func",),
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function family: upper/lower/concat_ws/substring/lpad/
+    replace/length/contains — all codegen'd built-ins with identical
+    semantics in DuckDB."""
+    c = T(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("segment_lower"),
+        F.concat_ws("|", "c_name", "c_mktsegment").alias("joined"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("name_dashed"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.contains(F.col("c_mktsegment"), F.lit("AUTO")).alias("is_auto"),
+    )
+
+
+@workload(
+    "q_date_arithmetic",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d')
+               AS due_date,
+           strftime(CAST(o_orderdate AS DATE) - INTERVAL 7 DAY, '%Y-%m-%d')
+               AS week_before,
+           datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')
+               AS days_to_ref,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+               AS month_end,
+           strftime(date_trunc('month', CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+               AS month_start
+    FROM orders
+    """,
+    tags=("ext-func", "F3"),
+)
+def q_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic family: date_add/date_sub/datediff/last_day/trunc
+    (F3's date_add among them), ISO-string outputs per the parity
+    conventions."""
+    from etl_demos_spark.workload import iso_date
+
+    o = T(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        iso_date(F.date_add(d, 30)).alias("due_date"),
+        iso_date(F.date_sub(d, 7)).alias("week_before"),
+        F.datediff(F.lit("1998-12-31").cast("date"), d).cast("long").alias("days_to_ref"),
+        iso_date(F.last_day(d)).alias("month_end"),
+        iso_date(F.trunc(d, "month")).alias("month_start"),
+    )
+
+
+@workload(
+    "q_null_funcs",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_display,
+           CASE WHEN o_totalprice > 300000 THEN NULL
+                ELSE CAST(CAST(o_totalprice AS decimal(12,2)) AS DOUBLE)
+           END AS capped_price,
+           ifnull(CASE WHEN o_totalprice > 300000 THEN NULL
+                       ELSE CAST(CAST(o_totalprice AS decimal(12,2)) AS DOUBLE)
+                  END, -1.0) AS capped_or_default
+    FROM orders
+    """,
+    tags=("ext-func",),
+)
+def q_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling family: nullif/coalesce/ifnull over a derived
+    nullable column."""
+    o = T(spark, sf_dir, "orders")
+    capped = F.when(
+        F.col("o_totalprice") > 300000, F.lit(None)
+    ).otherwise(money("o_totalprice").cast("double"))
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status_display"
+        ),
+        capped.alias("capped_price"),
+        F.ifnull(capped, F.lit(-1.0)).alias("capped_or_default"),
+    )

@@ -132,3 +132,20 @@ def test_engine_facade(spark, tmp_path):
     # SQL works over the auto-registered view
     n = eng.sql("SELECT COUNT(*) AS n FROM new_loans WHERE default_flag = 1").collect()
     assert n[0]["n"] == 1
+
+
+def test_auto_adapt_days_birth_strategy(spark):
+    """Home Credit path: DAYS_BIRTH (negative day offset) becomes a date
+    via date_add(current_date(), n) — auto_data_adapter.py:113-135."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [("1", 50000.0, -10000, 1)],
+        "SK_ID_CURR string, AMT_CREDIT double, DAYS_BIRTH int, TARGET int",
+    )
+    staged, _ = auto_adapt(df)
+    row = staged.collect()[0]
+    assert row["loan_id"] == "1"
+    expected = dt.date.today() + dt.timedelta(days=-10000)
+    assert abs((row["date_of_birth"] - expected).days) <= 1  # midnight-race tolerant
+    assert row["default_flag"] == 1
