@@ -149,3 +149,42 @@ def test_auto_adapt_days_birth_strategy(spark):
     expected = dt.date.today() + dt.timedelta(days=-10000)
     assert abs((row["date_of_birth"] - expected).days) <= 1  # midnight-race tolerant
     assert row["default_flag"] == 1
+
+
+def test_csv_quarantine_splits_bad_rows(spark, tmp_path):
+    from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+    from etl_demos_spark.sources.quarantine import read_csv_quarantine
+
+    csv = tmp_path / "mixed.csv"
+    csv.write_text(
+        "id,amount,name\n"
+        "1,10.5,alice\n"
+        "2,notanumber,bob\n"     # bad: amount unparseable
+        "3,30.25,carol\n"
+    )
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("amount", DoubleType()),
+            StructField("name", StringType()),
+        ]
+    )
+    clean, bad = read_csv_quarantine(spark, str(csv), schema)
+    assert {r["id"] for r in clean.collect()} == {1, 3}
+    bad_rows = [r["raw_line"] for r in bad.collect()]
+    assert len(bad_rows) == 1 and "notanumber" in bad_rows[0]
+
+
+def test_parquet_schema_evolution(spark, tmp_path):
+    from etl_demos_spark.sources.quarantine import read_parquet_evolving
+
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(p)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.mode("append").parquet(p)
+    df = read_parquet_evolving(spark, p)
+    assert set(df.columns) == {"id", "v", "score"}
+    got = {r["id"]: r["score"] for r in df.collect()}
+    assert got[1] is None and got[2] == 9.5
