@@ -157,3 +157,34 @@ def stream_tumbling_counts(
             "n_events",
         )
     )
+
+
+def stream_stream_join(
+    left_stream: DataFrame,
+    right_stream: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition —
+    right rows match left rows with ts in [left_ts - within, left_ts].
+    Watermarks on BOTH sides bound the join state; rows outside the
+    horizon are evicted (Spark's state cleanup needs the interval bound +
+    both watermarks, else state grows forever)."""
+    import pyspark.sql.functions as F
+
+    def tsfix(df, col):
+        if dict(df.dtypes).get(col) == "timestamp_ntz":
+            return df.withColumn(col, F.col(col).cast("timestamp"))
+        return df
+
+    l = tsfix(left_stream, left_ts).withWatermark(left_ts, watermark).alias("l")
+    r = tsfix(right_stream, right_ts).withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") - F.expr(f"interval {within}"))
+    )
+    return l.join(r, cond, "inner")

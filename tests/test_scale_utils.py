@@ -110,3 +110,20 @@ def test_asof_join_semantics(spark):
     assert got[3] is None     # no prior right row
     assert got[4] is None     # key with no right rows at all
     assert len(got) == 4      # left-join: all left rows kept
+
+
+def test_backfill_partitions_touches_only_named_partitions(spark, tmp_path):
+    from etl_demos_spark.plans.incremental import backfill_partitions
+
+    path = str(tmp_path / "fact")
+    base = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0), (2, "2024-01-02", 20.0), (3, "2024-01-03", 30.0)],
+        "id long, day string, v double",
+    )
+    base.write.partitionBy("day").parquet(path)
+    # backfill ONLY day 2 with corrected data
+    fix = spark.createDataFrame([(9, "2024-01-02", 99.0)], "id long, day string, v double")
+    backfill_partitions(spark, fix, path, ["day"])
+    # partition-column values are type-inferred (string → date) on read
+    got = {(r["id"], str(r["day"]), r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "2024-01-01", 10.0), (9, "2024-01-02", 99.0), (3, "2024-01-03", 30.0)}
