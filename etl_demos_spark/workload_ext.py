@@ -19,7 +19,7 @@ from etl_demos_spark.functions.bqcompat import year_diff
 from etl_demos_spark.operators import dedup, multimodal, similarity, text
 from etl_demos_spark.operators.dedup import tokenize as text_tokenize
 from etl_demos_spark.streaming import windows as win
-from etl_demos_spark.workload import DEC2, T, money, money_sum, workload
+from etl_demos_spark.workload import DEC2, DEC42, T, money, money_sum, workload
 
 # ---------------------------------------------------------------------------
 # Text analysis
@@ -1150,4 +1150,106 @@ def q_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         capped.alias("capped_price"),
         F.ifnull(capped, F.lit(-1.0)).alias("capped_or_default"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytical query shapes (TPC-H-style) — multi-join + agg + top-k plans
+# ---------------------------------------------------------------------------
+
+
+@workload(
+    "q_top_unshipped",
+    oracle="""
+    SELECT l_orderkey AS orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(SUM(CAST(CAST(l_extendedprice AS decimal(12,2))
+                    * CAST(1 - l_discount AS decimal(4,2)) AS decimal(16,4)))
+                AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE CAST(o_orderdate AS DATE) < DATE '1995-03-15'
+      AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY SUM(CAST(CAST(l_extendedprice AS decimal(12,2))
+                 * CAST(1 - l_discount AS decimal(4,2)) AS decimal(16,4))) DESC,
+             l_orderkey
+    LIMIT 10
+    """,
+    tags=("ext-analytics",),
+)
+def q_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: orders placed before a date with lines shipped after
+    it, ranked by outstanding revenue — join + decimal-exact agg + top-k
+    (TakeOrderedAndProject; ties broken on the key)."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    cutoff = F.lit("1995-03-15").cast("date")
+    rev = (
+        money("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast(DEC42)
+    ).cast("decimal(16,4)")
+    joined = li.join(o, li["l_orderkey"] == o["o_orderkey"]).filter(
+        (F.col("o_orderdate").cast("date") < cutoff)
+        & (F.col("l_shipdate").cast("date") > cutoff)
+    )
+    agg = joined.groupBy(
+        F.col("l_orderkey").alias("orderkey"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+    ).agg(F.sum(rev).alias("__rev"))
+    return (
+        agg.orderBy(F.col("__rev").desc(), F.col("orderkey"))
+        .limit(10)
+        .select("orderkey", "order_date", F.col("__rev").cast("double").alias("revenue"))
+    )
+
+
+@workload(
+    "q_returned_revenue",
+    oracle="""
+    SELECT c_custkey AS custkey,
+           n_name AS nation_name,
+           COUNT(*) AS n_returned_items,
+           CAST(SUM(CAST(CAST(l_extendedprice AS decimal(12,2))
+                    * CAST(1 - l_discount AS decimal(4,2)) AS decimal(16,4)))
+                AS DOUBLE) AS lost_revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, n_name
+    ORDER BY SUM(CAST(CAST(l_extendedprice AS decimal(12,2))
+                 * CAST(1 - l_discount AS decimal(4,2)) AS decimal(16,4))) DESC,
+             c_custkey
+    LIMIT 20
+    """,
+    tags=("ext-analytics",),
+)
+def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer —
+    selective filter pushed to the fact scan, three joins (scaling sides
+    left to AQE, nation broadcast), decimal-exact agg, top-20."""
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        money("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast(DEC42)
+    ).cast("decimal(16,4)")
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+    )
+    agg = joined.groupBy(
+        F.col("c_custkey").alias("custkey"), F.col("n_name").alias("nation_name")
+    ).agg(F.count(F.lit(1)).alias("n_returned_items"), F.sum(rev).alias("__rev"))
+    return (
+        agg.orderBy(F.col("__rev").desc(), F.col("custkey"))
+        .limit(20)
+        .select(
+            "custkey",
+            "nation_name",
+            "n_returned_items",
+            F.col("__rev").cast("double").alias("lost_revenue"),
+        )
     )
