@@ -95,3 +95,33 @@ class _partition_overwrite_dynamic:
 
     def __exit__(self, *exc):
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", self.prev)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    partition_by: Sequence[str] = (),
+) -> int:
+    """Small-files compaction: rewrite a parquet table into
+    ~target-file-size outputs. Streaming sinks and incremental appends
+    accumulate small files; at scale, scan cost is dominated by file-open
+    overhead once files ≪ the 128 MiB split size. Returns the new file
+    count. Same staging-swap discipline as merge_upsert."""
+    import shutil
+
+    df = spark.read.parquet(path)
+    total_bytes = sum(
+        f.stat().st_size for f in Path(path).glob("**/*.parquet")
+    )
+    n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+    staging = f"{path}__compacting"
+    writer = df.repartition(n_files).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+    old = f"{path}__old"
+    shutil.move(path, old)
+    shutil.move(staging, path)
+    shutil.rmtree(old)
+    return len(list(Path(path).glob("**/*.parquet")))

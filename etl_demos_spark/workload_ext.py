@@ -587,7 +587,17 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@workload("q_rest_json", oracle=None, tags=("S5",))
+@workload(
+    "q_rest_json",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('ISS', 'Nikolai Chub'),
+        ('ISS', 'Oleg Kononenko'),
+        ('ISS', 'Tracy Caldwell Dyson')
+    ) t(craft, name)
+    """,
+    tags=("S5",),
+)
 def q_rest_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5: REST/JSON source (exampledag.py:49-75). No network in this
     environment → the reference's own hardcoded-fallback path (:60-66) is

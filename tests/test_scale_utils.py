@@ -127,3 +127,19 @@ def test_backfill_partitions_touches_only_named_partitions(spark, tmp_path):
     # partition-column values are type-inferred (string → date) on read
     got = {(r["id"], str(r["day"]), r["v"]) for r in spark.read.parquet(path).collect()}
     assert got == {(1, "2024-01-01", 10.0), (9, "2024-01-02", 99.0), (3, "2024-01-03", 30.0)}
+
+
+def test_compact_small_files(spark, tmp_path):
+    from etl_demos_spark.plans.incremental import compact
+
+    path = str(tmp_path / "smallfiles")
+    df = spark.range(10000).withColumn("v", F.col("id") * 2)
+    df.repartition(64).write.parquet(path)  # 64 tiny files
+    from pathlib import Path as P
+
+    assert len(list(P(path).glob("*.parquet"))) == 64
+    n = compact(spark, path, target_file_mb=128)
+    assert n <= 2
+    back = spark.read.parquet(path)
+    assert back.count() == 10000
+    assert back.agg(F.sum("v")).collect()[0][0] == 2 * sum(range(10000))
