@@ -103,13 +103,37 @@ def extract_image_meta(df: DataFrame, fake: bool = True) -> DataFrame:
     return df.select("id", "content").mapInPandas(run, IMAGE_META_SCHEMA)
 
 
+def make_video_table(df: DataFrame, id_col: str, payload_col: str, n_frames_col: str) -> DataFrame:
+    """Video layout: opaque binary + frame-count metadata (the container
+    header would supply n_frames in a real decode; here it's a column)."""
+    base = make_binary_table(df, id_col, payload_col, "video")
+    frames = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(n_frames_col).cast("int").alias("__nf"),
+    )
+    return base.join(frames, "id").withColumn(
+        "meta",
+        F.struct(
+            F.col("meta.n_bytes").alias("n_bytes"),
+            F.col("meta.sha").alias("sha"),
+            F.col("__nf").alias("n_frames"),
+        ),
+    ).drop("__nf")
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame-sampling *plan*: expands (id, n_frames) → one row per
-    sampled frame index, ready for a decode UDF. Pure built-ins (sequence/
-    explode) — the expansion happens on executors."""
+    """Video frame-sampling *plan*: (id, meta.n_frames) → one row per
+    sampled frame index (0, every_n, 2·every_n, … < n_frames), ready for a
+    per-frame decode UDF. Pure built-ins (sequence/explode) — expansion
+    happens on executors, and the content column is NOT duplicated per
+    frame (join back by id only where the decoder actually needs bytes)."""
     return df.select(
         "id",
         F.explode(
-            F.sequence(F.lit(0), F.col("meta.n_bytes") % 100, F.lit(every_n))
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("meta.n_frames") - 1, F.lit(0)),
+                F.lit(every_n),
+            )
         ).alias("frame_idx"),
     )

@@ -188,3 +188,17 @@ def test_parquet_schema_evolution(spark, tmp_path):
     assert set(df.columns) == {"id", "v", "score"}
     got = {r["id"]: r["score"] for r in df.collect()}
     assert got[1] is None and got[2] == 9.5
+
+
+def test_video_frame_sampling(spark):
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "videobytes-a", 25), (2, "videobytes-b", 3), (3, "x", 0)],
+        "doc_id long, text string, n_frames int",
+    )
+    vt = multimodal.make_video_table(docs, "doc_id", "text", "n_frames")
+    assert dict(vt.dtypes)["content"] == "binary"
+    plan = multimodal.frame_sample_plan(vt, every_n=10)
+    got = sorted((r["id"], r["frame_idx"]) for r in plan.collect())
+    assert got == [(1, 0), (1, 10), (1, 20), (2, 0), (3, 0)]
