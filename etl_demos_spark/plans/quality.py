@@ -63,3 +63,31 @@ def run_assertions(built: dict[str, DataFrame], assertions) -> list[str]:
         if n:
             failures.append(f"{model}.{kind}{columns}: {n} violations")
     return failures
+
+
+def profile_table(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """Per-column profile (non-null count, distinct count, min/max as
+    strings) in ONE aggregation pass — at 100 TB a per-column loop of
+    scans is the difference between one job and |columns| jobs."""
+    aggs = []
+    for c in columns:
+        aggs += [
+            F.count(c).alias(f"__nn_{c}"),
+            F.countDistinct(c).alias(f"__nd_{c}"),
+            F.min(c).cast("string").alias(f"__mn_{c}"),
+            F.max(c).cast("string").alias(f"__mx_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col(f"__nn_{c}").alias("n_non_null"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                F.col(f"__mn_{c}").alias("min_val"),
+                F.col(f"__mx_{c}").alias("max_val"),
+            )
+            for c in columns
+        ]
+    )
+    return wide.select(F.explode(rows).alias("p")).select("p.*")

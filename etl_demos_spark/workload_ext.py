@@ -1263,3 +1263,98 @@ def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__rev").cast("double").alias("lost_revenue"),
         )
     )
+
+
+@workload(
+    "q_math_funcs",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           abs(CAST(o_totalprice AS decimal(12,2))
+               - CAST(200000 AS decimal(12,2))) AS abs_dev,
+           CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_kband,
+           CAST(ceil(o_totalprice / 1000) AS BIGINT) AS price_kband_hi,
+           round(sqrt(o_totalprice), 6) AS sqrt_price,
+           round(ln(o_totalprice), 10) AS ln_price,
+           o_orderkey % 7 AS key_mod,
+           CAST(sign(o_totalprice - 200000) AS BIGINT) AS over_under
+    FROM orders
+    """,
+    tags=("ext-func",),
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math-function family. sqrt is IEEE-correctly-rounded (exact parity);
+    ln is library-dependent by ±1 ulp → rounded at 1e-10, far above the
+    noise floor; decimal abs is exact."""
+    o = T(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.abs(money(p) - F.lit(200000).cast(DEC2)).alias("abs_dev"),
+        F.floor(p / 1000).cast("long").alias("price_kband"),
+        F.ceil(p / 1000).cast("long").alias("price_kband_hi"),
+        F.round(F.sqrt(p), 6).alias("sqrt_price"),
+        F.round(F.log(p), 10).alias("ln_price"),
+        (F.col("o_orderkey") % 7).alias("key_mod"),
+        F.signum(p - 200000).cast("long").alias("over_under"),
+    )
+
+
+@workload(
+    "q_cube",
+    oracle="""
+    SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+           coalesce(CAST(c_nationkey AS VARCHAR), 'ALL') AS nation,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS decimal(12,2))) AS DOUBLE) AS total_balance
+    FROM customer
+    GROUP BY CUBE (c_mktsegment, c_nationkey)
+    """,
+    tags=("ext-rel",),
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full grouping-sets cube (all 4 combinations of the two dims) with
+    NULL-marker normalization — complements q_rollup's hierarchy."""
+    c = T(spark, sf_dir, "customer")
+    return (
+        c.cube("c_mktsegment", "c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            money_sum(money("c_acctbal")).alias("total_balance"),
+        )
+        .select(
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            F.coalesce(F.col("c_nationkey").cast("string"), F.lit("ALL")).alias("nation"),
+            "n_customers",
+            "total_balance",
+        )
+    )
+
+
+@workload(
+    "q_profile_table",
+    oracle="""
+    SELECT 'c_custkey' AS col, COUNT(c_custkey) AS n_non_null,
+           COUNT(DISTINCT c_custkey) AS n_distinct,
+           CAST(MIN(c_custkey) AS VARCHAR) AS min_val,
+           CAST(MAX(c_custkey) AS VARCHAR) AS max_val
+    FROM customer
+    UNION ALL
+    SELECT 'c_mktsegment', COUNT(c_mktsegment), COUNT(DISTINCT c_mktsegment),
+           MIN(c_mktsegment), MAX(c_mktsegment)
+    FROM customer
+    UNION ALL
+    SELECT 'c_nationkey', COUNT(c_nationkey), COUNT(DISTINCT c_nationkey),
+           CAST(MIN(c_nationkey) AS VARCHAR), CAST(MAX(c_nationkey) AS VARCHAR)
+    FROM customer
+    """,
+    tags=("ext-quality", "S6"),
+)
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the data-quality report behind auto-adaptation):
+    non-null/distinct counts and min/max per column, computed in ONE pass
+    over the table (single aggregate, no per-column scans) and unpivoted.
+    """
+    from etl_demos_spark.plans.quality import profile_table
+
+    c = T(spark, sf_dir, "customer")
+    return profile_table(c, ["c_custkey", "c_mktsegment", "c_nationkey"])
