@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Runnable example: the training-data cleaning pipeline end to end.
+
+    python examples/corpus_cleaning.py [sf_dir]
+
+documents → quality filter → exact dedup → MinHash near-dup clustering →
+canonical selection → per-language corpus stats. This is the LLM-data
+path the engine's extension operators exist for.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import pyspark.sql.functions as F
+
+from etl_demos_spark.operators import dedup, text
+from etl_demos_spark.operators.embedding_dedup import connected_components
+from etl_demos_spark.session import get_spark
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("corpus-cleaning")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n0 = docs.count()
+
+    # 1. quality gate
+    profiled = docs.withColumn("quality", text.quality_score("text"))
+    kept = profiled.filter(F.col("quality") >= 0.5)
+    n1 = kept.count()
+
+    # 2. exact dedup (normalized fingerprint, min-id canonical)
+    exact = dedup.exact_dedup(kept, "text", "doc_id")
+    n2 = exact.count()
+
+    # 3. near-dup clustering: MinHash-LSH pairs → connected components →
+    #    keep the min-id doc per cluster
+    pairs = dedup.minhash_lsh_pairs(exact, "doc_id", "text", threshold=0.6)
+    comps = connected_components(pairs)
+    losers = comps.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias("doc_id")
+    )
+    clean = exact.join(losers, "doc_id", "left_anti")
+    n3 = clean.count()
+
+    print(f"documents: {n0} → quality≥0.5: {n1} → exact-dedup: {n2} → near-dedup: {n3}")
+
+    print("\nPer-language corpus stats after cleaning:")
+    clean.withColumn("n_tokens", text.token_count("text")).groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 1).alias("avg_tokens"),
+    ).orderBy(F.desc("n_docs")).show()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

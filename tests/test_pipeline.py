@@ -120,3 +120,20 @@ def test_toposort_order_respects_refs(spark):
     assert order.index("stg_corebank_loans") < order.index("dim_product")
     assert order.index("dim_customer") < order.index("f_loan_contract")
     assert order.index("dim_date") < order.index("f_default_event")
+
+
+def test_parallel_run_matches_sequential(spark, bank_sources, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("wh_par"))
+    p = build_bank_pipeline(warehouse_dir=wh)
+    seq = p.run(spark, bank_sources, check=False)
+    wh2 = str(tmp_path_factory.mktemp("wh_par2"))
+    p2 = build_bank_pipeline(warehouse_dir=wh2)
+    par = p2.run(spark, bank_sources, check=True, parallelism=4)
+    for name in seq:
+        assert seq[name].count() == par[name].count(), name
+    # levels respect dependencies
+    lv = p.levels()
+    pos = {n: i for i, level in enumerate(lv) for n in level}
+    for name, m in p.models.items():
+        for r in m.refs:
+            assert pos[r] < pos[name]
