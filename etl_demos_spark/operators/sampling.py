@@ -1,0 +1,64 @@
+"""Sampling and splitting for training-data pipelines.
+
+- ``split_by_hash``: deterministic train/val/test assignment from a
+  content-stable hash of the key — the only split that survives
+  re-runs, backfills, and engine changes (md5 hex-range comparison is
+  bit-identical everywhere; row-position or RNG splits are not). This is
+  the standard leakage-safe split: a document's assignment never changes
+  when the corpus around it does.
+- ``stratified_sample``: per-stratum Bernoulli sampling (sampleBy) for
+  rebalancing corpora by language/source; seeded → reproducible within
+  an engine.
+- ``deterministic_sample``: keyed-hash Bernoulli sample — like
+  split_by_hash, stable across runs AND engines (no RNG state).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def hash_bucket(key: Column | str, buckets: int = 100) -> Column:
+    """Stable bucket in [0, buckets) from the md5 of the key's string form.
+
+    Uses the first 8 hex chars as an integer (via conv) — engine-portable
+    (md5 is md5; hex parsing is exact) and uniform."""
+    c = F.col(key) if isinstance(key, str) else key
+    return (F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long") % buckets)
+
+
+def split_by_hash(
+    df: DataFrame,
+    key: str,
+    splits: Sequence[tuple[str, int]] = (("train", 90), ("val", 5), ("test", 5)),
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split by hash-bucket ranges (percents
+    must sum to 100). Deterministic per key forever."""
+    total = sum(p for _, p in splits)
+    if total != 100:
+        raise ValueError(f"split percents must sum to 100, got {total}")
+    b = hash_bucket(key, 100)
+    expr = None
+    lo = 0
+    for name, pct in splits:
+        cond = (b >= lo) & (b < lo + pct)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo += pct
+    return df.withColumn(split_col, expr)
+
+
+def deterministic_sample(df: DataFrame, key: str, fraction: float, buckets: int = 10_000) -> DataFrame:
+    """Keep rows whose key-hash bucket falls under fraction — reproducible
+    across runs/engines, unlike df.sample's RNG."""
+    return df.filter(hash_bucket(key, buckets) < int(round(fraction * buckets)))
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, fractions: Mapping, seed: int = 42
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (corpus rebalancing)."""
+    return df.sampleBy(strata_col, dict(fractions), seed)

@@ -1358,3 +1358,50 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = T(spark, sf_dir, "customer")
     return profile_table(c, ["c_custkey", "c_mktsegment", "c_nationkey"])
+
+
+@workload(
+    "q_hash_split",
+    oracle="""
+    WITH assigned AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                   % 100 AS bucket
+        FROM documents
+    )
+    SELECT CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_id
+    FROM assigned
+    GROUP BY split
+    """,
+    tags=("ext-sampling",),
+)
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by content-stable hash buckets
+    (operators/sampling.py) — a document's assignment never changes across
+    re-runs, backfills, or engines (md5 hex parsed identically both sides).
+    """
+    from etl_demos_spark.operators.sampling import split_by_hash
+
+    d = T(spark, sf_dir, "documents")
+    out = split_by_hash(d, "doc_id")
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_id")
+    )
+
+
+@workload("q_stratified_sample", oracle=None, tags=("ext-sampling",))
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rebalancing: downsample English to ~30%, keep other
+    languages whole (seeded Bernoulli per stratum — reproducible within an
+    engine; no RNG twin in SQL → rows-only)."""
+    from etl_demos_spark.operators.sampling import stratified_sample
+
+    d = T(spark, sf_dir, "documents")
+    langs = [r["lang"] for r in d.select("lang").distinct().collect()]
+    fractions = {lang: (0.3 if lang == "en" else 1.0) for lang in langs}
+    sampled = stratified_sample(d, "lang", fractions, seed=42)
+    return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))

@@ -143,3 +143,27 @@ def test_compact_small_files(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 10000
     assert back.agg(F.sum("v")).collect()[0][0] == 2 * sum(range(10000))
+
+
+def test_split_by_hash_deterministic_and_stable(spark):
+    from etl_demos_spark.operators.sampling import deterministic_sample, split_by_hash
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in split_by_hash(df, "doc_id").collect()}
+    b = {r["doc_id"]: r["split"] for r in split_by_hash(df, "doc_id").collect()}
+    assert a == b  # run-to-run stable
+    # assignment survives corpus growth: subset rows keep their split
+    sub = df.filter(F.col("doc_id") < 500)
+    c = {r["doc_id"]: r["split"] for r in split_by_hash(sub, "doc_id").collect()}
+    assert all(a[k] == v for k, v in c.items())
+    # fractions roughly honored
+    from collections import Counter
+
+    counts = Counter(a.values())
+    assert 0.85 <= counts["train"] / 2000 <= 0.95
+    assert counts["train"] + counts["val"] + counts["test"] == 2000
+    # deterministic sample is a stable subset
+    s1 = {r["doc_id"] for r in deterministic_sample(df, "doc_id", 0.25).collect()}
+    s2 = {r["doc_id"] for r in deterministic_sample(df, "doc_id", 0.25).collect()}
+    assert s1 == s2
+    assert 0.2 <= len(s1) / 2000 <= 0.3
