@@ -47,6 +47,9 @@ def main() -> None:
         "q_text_quality",
         "q_event_sessions",
         "q_event_sliding",
+        "q_asof_join",
+        "q_top_unshipped",
+        "q_hash_split",
     ]
     headline = [q for q in headline if q in REGISTRY]
 

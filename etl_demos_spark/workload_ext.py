@@ -1405,3 +1405,45 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     fractions = {lang: (0.3 if lang == "en" else 1.0) for lang in langs}
     sampled = stratified_sample(d, "lang", fractions, seed=42)
     return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@workload(
+    "q_pandas_udf",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+                AS BIGINT) AS norm_len,
+           CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+               AS n_tokens_udf
+    FROM documents
+    """,
+    tags=("ext-udf",),
+)
+def q_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 surface: Arrow-vectorized pandas_udf (batch pandas.Series in/
+    out — the sanctioned Python escape hatch, ~10-100x row-at-a-time
+    Python UDFs). Deterministic string ops so the DuckDB oracle can verify
+    the UDF output exactly. Built-ins are still preferred for THESE
+    particular ops (see operators/text.py) — this query exists to prove
+    the UDF plumbing against the correctness gate."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: `from __future__ import annotations` stringifies them
+    # and the UDF type-hint resolver rejects unresolvable strings
+    @pandas_udf("long")
+    def norm_len(s):
+        return (
+            s.str.lower().str.strip().str.replace(r"\s+", " ", regex=True).str.len()
+        ).astype("int64")
+
+    @pandas_udf("long")
+    def n_tokens_udf(s):
+        return s.str.lower().str.count(r"[a-z0-9]+").astype("int64")
+
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        norm_len("text").alias("norm_len"),
+        n_tokens_udf("text").alias("n_tokens_udf"),
+    )
