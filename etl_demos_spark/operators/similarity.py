@@ -106,13 +106,26 @@ def ann_topk_lsh(
     vec_col: str = "embedding",
     q_id_col: str = "query_id",
     q_vec_col: str = "query_vec",
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: exact cosine only within matching LSH buckets.
-    Recall < 1 by construction; raise the plane count / band count for
-    precision, or multi-probe by flipping signature bits on the query side.
-    """
+    Recall < 1 by construction; raise the plane count for precision, or
+    ``multiprobe=m`` to also probe every bucket within Hamming distance 1
+    on the first m signature bits (query-side fan-out only — the corpus is
+    never re-bucketed, so cost grows with queries, not corpus)."""
     c = corpus.withColumn("bucket", rp_lsh_buckets(planes, vec_col))
     q = queries.withColumn("bucket", rp_lsh_buckets(planes, q_vec_col))
+    if multiprobe > 0:
+        probes = F.array_distinct(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                    for i in range(min(multiprobe, len(planes)))
+                ],
+            )
+        )
+        q = q.withColumn("bucket", F.explode(probes))
     cand = c.join(F.broadcast(q), "bucket")
     scored = cand.select(
         F.col(q_id_col),

@@ -78,3 +78,24 @@ def test_ivf_topk_recall(spark, vectors):
         assert (i, i) in approx
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_ann_lsh_multiprobe_improves_recall(spark, vectors):
+    X, df = vectors
+    q = df.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {(r["query_id"], r["vec_id"]) for r in similarity.brute_force_topk(df, q, k=5).collect()}
+    rng = np.random.default_rng(3)
+    planes = rng.standard_normal((5, 16)).tolist()
+
+    def recall(mp):
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in similarity.ann_topk_lsh(df, q, planes, k=5, multiprobe=mp).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r0, r3 = recall(0), recall(5)
+    assert r3 >= r0  # probing neighbors can only add candidates
+    assert r3 > 0.4
