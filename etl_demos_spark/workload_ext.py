@@ -1447,3 +1447,49 @@ def q_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm_len("text").alias("norm_len"),
         n_tokens_udf("text").alias("n_tokens_udf"),
     )
+
+
+@workload(
+    "q_event_funnel",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_type, make_timestamp(epoch_us(ts)) AS ts
+        FROM events
+    ),
+    firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        FROM ev GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           SUM(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS n_viewed,
+           SUM(CASE WHEN first_view IS NOT NULL AND first_click > first_view
+                    THEN 1 ELSE 0 END) AS n_clicked_after_view,
+           SUM(CASE WHEN first_view IS NOT NULL AND first_click > first_view
+                         AND first_purchase > first_click
+                    THEN 1 ELSE 0 END) AS n_converted
+    FROM firsts
+    """,
+    tags=("ext-analytics", "ext-stream"),
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel (view → click → purchase conversion): one
+    conditional-min aggregation pass per user, then stage predicates —
+    no joins, no windows, scales as a single keyed shuffle."""
+    ev = T(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    viewed = F.col("first_view").isNotNull()
+    clicked = viewed & (F.col("first_click") > F.col("first_view"))
+    converted = clicked & (F.col("first_purchase") > F.col("first_click"))
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(viewed, 1).otherwise(0)).alias("n_viewed"),
+        F.sum(F.when(clicked, 1).otherwise(0)).alias("n_clicked_after_view"),
+        F.sum(F.when(converted, 1).otherwise(0)).alias("n_converted"),
+    )
