@@ -24,7 +24,14 @@ engines under any sane normalization. Conventions that guarantee that:
 - temporal outputs leave as ISO strings (pandas/arrow conversions of
   DATE differ *between* engines; strings are normalization-proof). The
   session timezone is pinned UTC and testdata timestamps read as
-  timestamp_ntz, matching DuckDB's naive timestamps.
+  timestamp_ntz, matching DuckDB's naive timestamps;
+- every integer aggregate in the oracle SQL is ``CAST(... AS BIGINT)``:
+  DuckDB ``SUM(integer)`` returns HUGEINT, which pandas materializes as
+  float64 while Spark returns int64 — the driver's type-sensitive hash
+  then sees ``123.0`` vs ``123`` (the round-1 failure mode). Conversely
+  no DECIMAL column may reach the output un-cast (Spark decimals land in
+  pandas as ``object``/Decimal, DuckDB's as float64) — surface as DOUBLE.
+  ``tests/parity.py`` compares pandas dtype kinds to catch both locally.
 
 Reference parity citations are on each query (SURVEY.md §2 operator ids).
 """
@@ -246,7 +253,8 @@ def q_case_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(CAST(l_extendedprice AS decimal(12,2))
                     * CAST(1 - l_discount AS decimal(4,2)) AS decimal(16,4)))
                 AS DOUBLE) AS sum_disc_price,
-           SUM(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END) AS n_undiscounted,
+           CAST(SUM(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_undiscounted,
            CAST(SUM(CAST(l_quantity AS decimal(12,2))) AS DOUBLE) / COUNT(*)
                AS avg_qty
     FROM lineitem
@@ -558,7 +566,8 @@ def q_date_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n_name AS nation_name,
            COUNT(*) AS n_lineitems,
            CAST(SUM(CAST(l_quantity AS decimal(12,2))) AS DOUBLE) AS sum_qty,
-           SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_returned
     FROM lineitem
     LEFT JOIN supplier ON l_suppkey = s_suppkey
     LEFT JOIN nation   ON s_nationkey = n_nationkey

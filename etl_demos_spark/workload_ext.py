@@ -509,7 +509,8 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
            COUNT(*) AS n,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_sum
     FROM events
     GROUP BY k_mod
     """,
@@ -564,7 +565,7 @@ _SCRATCH = "/root/repo/.scratch"
     "q_csv_roundtrip",
     oracle="""
     SELECT COUNT(*) AS n_rows,
-           SUM(n_nationkey) AS key_sum,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
            COUNT(DISTINCT n_regionkey) AS n_regions
     FROM nation
     """,
@@ -663,7 +664,8 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_incremental_merge",
     oracle="""
     SELECT COUNT(*) AS n_rows,
-           SUM(CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END) AS n_updated,
+           CAST(SUM(CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_updated,
            CAST(SUM(CAST(CASE WHEN o_orderkey % 5 = 0
                               THEN o_totalprice + 1000
                               ELSE o_totalprice END AS decimal(12,2)))
@@ -838,9 +840,12 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_pivot",
     oracle="""
     SELECT o_orderpriority AS priority,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_o,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_p
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -1269,8 +1274,8 @@ def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_math_funcs",
     oracle="""
     SELECT o_orderkey AS orderkey,
-           abs(CAST(o_totalprice AS decimal(12,2))
-               - CAST(200000 AS decimal(12,2))) AS abs_dev,
+           CAST(abs(CAST(o_totalprice AS decimal(12,2))
+                    - CAST(200000 AS decimal(12,2))) AS DOUBLE) AS abs_dev,
            CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_kband,
            CAST(ceil(o_totalprice / 1000) AS BIGINT) AS price_kband_hi,
            round(sqrt(o_totalprice), 6) AS sqrt_price,
@@ -1289,7 +1294,7 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = F.col("o_totalprice")
     return o.select(
         F.col("o_orderkey").alias("orderkey"),
-        F.abs(money(p) - F.lit(200000).cast(DEC2)).alias("abs_dev"),
+        F.abs(money(p) - F.lit(200000).cast(DEC2)).cast("double").alias("abs_dev"),
         F.floor(p / 1000).cast("long").alias("price_kband"),
         F.ceil(p / 1000).cast("long").alias("price_kband_hi"),
         F.round(F.sqrt(p), 6).alias("sqrt_price"),
@@ -1464,12 +1469,15 @@ def q_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ev GROUP BY user_id
     )
     SELECT COUNT(*) AS n_users,
-           SUM(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS n_viewed,
-           SUM(CASE WHEN first_view IS NOT NULL AND first_click > first_view
-                    THEN 1 ELSE 0 END) AS n_clicked_after_view,
-           SUM(CASE WHEN first_view IS NOT NULL AND first_click > first_view
-                         AND first_purchase > first_click
-                    THEN 1 ELSE 0 END) AS n_converted
+           CAST(SUM(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_viewed,
+           CAST(SUM(CASE WHEN first_view IS NOT NULL
+                              AND first_click > first_view
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after_view,
+           CAST(SUM(CASE WHEN first_view IS NOT NULL
+                              AND first_click > first_view
+                              AND first_purchase > first_click
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
     FROM firsts
     """,
     tags=("ext-analytics", "ext-stream"),

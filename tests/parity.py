@@ -1,8 +1,17 @@
 """Oracle-parity comparison mirroring the driver's t2 check, at its
-strictest plausible interpretation: row count, column-name set, and
+strictest plausible interpretation: row count, column-name set,
 order-insensitive exact value equality (columns sorted by name, rows
 sorted, numerics normalized to float64 and compared EXACTLY — no
-tolerance). If this passes, any sane hash scheme the driver uses passes.
+tolerance), AND pandas dtype-kind equality per column. If this passes,
+any sane hash scheme the driver uses passes.
+
+The dtype check exists because the driver's value hash is
+type/format-sensitive: round 1 had six queries whose values matched but
+whose hash failed because DuckDB SUM(integer) returns HUGEINT, which
+``.df()`` materializes as float64 while Spark returns int64 (``123.0``
+vs ``123``). The rule (recorded in the workload.py oracle conventions):
+every integer aggregate in DuckDB oracle SQL must be
+``CAST(... AS BIGINT)``.
 """
 
 from __future__ import annotations
@@ -43,6 +52,24 @@ def normalize(df: pd.DataFrame) -> list[tuple]:
     return out
 
 
+def _dtype_kind(series: pd.Series) -> str:
+    """Collapse a pandas dtype to the kind the driver's hash is sensitive
+    to: integer-ness vs float-ness vs bool vs datetime vs object.  An
+    all-null object/float column is indistinguishable across engines, so
+    kinds are compared as-is (both engines produce the same shape there).
+    """
+    k = series.dtype.kind  # i u f b M O ...
+    if k == "u":
+        return "i"
+    if k == "O" and len(series) and all(
+        isinstance(v, int) and not isinstance(v, bool)
+        for v in series if v is not None
+    ):
+        # DuckDB can hand back HUGEINT as python ints in an object column
+        return "i"
+    return k
+
+
 def compare(spark_df, duck_rel) -> tuple[bool, str]:
     sp = spark_df.toPandas()
     du = duck_rel.df()
@@ -50,6 +77,17 @@ def compare(spark_df, duck_rel) -> tuple[bool, str]:
         return False, f"columns differ: spark={sorted(sp.columns)} duck={sorted(du.columns)}"
     if len(sp) != len(du):
         return False, f"row counts differ: spark={len(sp)} duck={len(du)}"
+    kind_diffs = [
+        (c, sp[c].dtype.kind, du[c].dtype.kind)
+        for c in sp.columns
+        if _dtype_kind(sp[c]) != _dtype_kind(du[c])
+    ]
+    if kind_diffs:
+        return False, (
+            "dtype kinds differ (col, spark, duck): "
+            f"{kind_diffs} — integer aggregates in oracle SQL need "
+            "CAST(... AS BIGINT)"
+        )
     a, b = normalize(sp), normalize(du)
     if a != b:
         diffs = [(x, y) for x, y in zip(a, b) if x != y][:5]
