@@ -62,3 +62,26 @@ def stratified_sample(
 ) -> DataFrame:
     """Per-stratum Bernoulli sampling (corpus rebalancing)."""
     return df.sampleBy(strata_col, dict(fractions), seed)
+
+
+def stratified_sample_by_hash(
+    df: DataFrame,
+    strata_col: str,
+    key: str,
+    fractions: Mapping,
+    buckets: int = 100,
+) -> DataFrame:
+    """Per-stratum DETERMINISTIC downsampling: keep a row iff its key-hash
+    bucket falls under its stratum's fraction. Unlike ``sampleBy`` (RNG
+    state, engine-local), assignments are stable across runs, backfills,
+    and engines, and no driver-side distinct-strata pass is needed — the
+    fraction map compiles into one CASE threshold expression. Strata
+    absent from ``fractions`` are kept whole."""
+    b = hash_bucket(key, buckets)
+    thr = None
+    for stratum, f in fractions.items():
+        cond = F.col(strata_col) == stratum
+        t = int(round(f * buckets))
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    thr = thr.otherwise(buckets) if thr is not None else F.lit(buckets)
+    return df.filter(b < thr)

@@ -116,28 +116,60 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def normalize_text(text: Column | str) -> Column:
+    """Lowercase, trim, collapse whitespace — the shared normalization for
+    fingerprints and shingling. Project it ONCE (``.select(...
+    normalize_text("text").alias("t"))``) before per-gram expressions so
+    the regexp isn't re-evaluated per array element (higher-order-function
+    lambdas are interpreted; see operators/dedup.py)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(F.trim(F.lower(c)), "\\s+", " ")
+
+
 def char_ngram_hashes(text: Column | str, k: int = 7) -> Column:
     """Rolling k-gram hash sequence over the normalized text (the
     content-defined fingerprint primitive). xxhash64 per k-gram via one
     materialized substring pass — positions come from sequence(), so the
-    expression stays a single narrow projection."""
+    expression stays a single narrow projection. Spark-only hash (cheap,
+    the scale path); use md5_gram_hashes where a DuckDB oracle must
+    reproduce the values."""
     c = F.col(text) if isinstance(text, str) else text
-    norm = F.regexp_replace(F.trim(F.lower(c)), "\\s+", " ")
+    norm = normalize_text(c)
     n = F.length(norm) - F.lit(k - 1)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(n, F.lit(0))),
-        lambda i: F.xxhash64(F.substring(norm, 1, 0x7FFFFFFF).substr(i, F.lit(k))),
-    )
+    return F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.xxhash64(F.substring(norm, 1, 0x7FFFFFFF).substr(i, F.lit(k))),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+
+
+def md5_gram_hashes(norm: Column, k: int = 7) -> Column:
+    """k-gram md5-hex sequence over an ALREADY-normalized text column
+    (see normalize_text). Cross-engine deterministic: md5 is md5, and hex
+    strings order identically under binary collation in Spark and DuckDB
+    — so winnowing minima match exactly across engines, unlike xxhash64
+    (char_ngram_hashes, the cheaper Spark-only scale path)."""
+    n = F.length(norm) - F.lit(k - 1)
+    return F.when(
+        n >= 1,
+        F.transform(F.sequence(F.lit(1), n), lambda i: F.md5(norm.substr(i, F.lit(k)))),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def winnow_fingerprints(hashes: Column, window: int = 8) -> Column:
     """Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03): keep the minimum
     hash of every sliding window of ``window`` consecutive k-gram hashes —
     guarantees any match of length ≥ window+k-1 shares a fingerprint.
-    Output: distinct selected hashes (the document's fingerprint set)."""
+    Output: distinct selected hashes (the document's fingerprint set).
+    Documents with fewer than ``window`` grams yield an empty set (the
+    guard matters: sequence(1, m≤0) would count DOWN, and slice() rejects
+    a 0 start)."""
     m = F.size(hashes) - F.lit(window - 1)
     mins = F.transform(
-        F.sequence(F.lit(1), F.greatest(m, F.lit(0))),
+        F.sequence(F.lit(1), m),
         lambda i: F.array_min(F.slice(hashes, i, window)),
     )
-    return F.array_distinct(mins)
+    empty = F.filter(hashes, lambda _: F.lit(False))
+    return F.array_distinct(F.when(m >= 1, mins).otherwise(empty))

@@ -1009,19 +1009,50 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@workload("q_winnow_fingerprint", oracle=None, tags=("ext-text", "ext-dedup"))
+@workload(
+    "q_winnow_fingerprint",
+    oracle="""
+    WITH norm AS (
+        SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+        FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               CASE WHEN length(t) >= 7 THEN
+                   list_transform(range(1, length(t) - 5),
+                                  i -> md5(substring(t, i, 7)))
+               ELSE [] END AS hs
+        FROM norm
+    ), winnowed AS (
+        SELECT doc_id, hs,
+               CASE WHEN len(hs) >= 8 THEN
+                   list_distinct(list_transform(range(1, len(hs) - 6),
+                                 i -> list_aggregate(hs[i:i+7], 'min')))
+               ELSE [] END AS fps
+        FROM grams
+    )
+    SELECT doc_id,
+           CAST(len(hs) AS BIGINT) AS n_grams,
+           CAST(len(fps) AS BIGINT) AS n_fingerprints
+    FROM winnowed
+    """,
+    tags=("ext-text", "ext-dedup"),
+)
 def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash winnowing fingerprints (SIGMOD'03): per-doc selected
     k-gram minima — the plagiarism/near-dup fingerprint that localizes
-    matches (unlike whole-doc md5). Properties (copies share all
-    fingerprints; overlap detection) tested in tests/test_text_extra.py;
-    xxhash64 has no DuckDB twin → rows-only here."""
+    matches (unlike whole-doc md5). Selection is fully deterministic, so
+    the md5-hex gram variant gets an exact DuckDB twin (sliding-window
+    lexicographic minima match across engines); the xxhash64 form
+    (char_ngram_hashes) stays the cheaper scale path, property-tested in
+    tests/test_text_extra.py. Normalization is projected once before the
+    per-gram pass (two-projection shingling; see operators/dedup.py)."""
     d = T(spark, sf_dir, "documents")
-    toked = d.select("doc_id", text.char_ngram_hashes("text", 7).alias("__h"))
-    return toked.select(
+    norm = d.select("doc_id", text.normalize_text("text").alias("t"))
+    grams = norm.select("doc_id", text.md5_gram_hashes(F.col("t"), 7).alias("hs"))
+    return grams.select(
         "doc_id",
-        F.size("__h").alias("n_grams"),
-        F.size(text.winnow_fingerprints(F.col("__h"), 8).alias("x")).alias("n_fingerprints"),
+        F.size("hs").cast("long").alias("n_grams"),
+        F.size(text.winnow_fingerprints(F.col("hs"), 8)).cast("long").alias("n_fingerprints"),
     )
 
 
@@ -1398,17 +1429,32 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@workload("q_stratified_sample", oracle=None, tags=("ext-sampling",))
+@workload(
+    "q_stratified_sample",
+    oracle="""
+    WITH kept AS (
+        SELECT lang FROM documents
+        WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                  % 100
+              < CASE WHEN lang = 'en' THEN 30 ELSE 100 END
+    )
+    SELECT lang, COUNT(*) AS n_docs FROM kept GROUP BY lang
+    """,
+    tags=("ext-sampling",),
+)
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus rebalancing: downsample English to ~30%, keep other
-    languages whole (seeded Bernoulli per stratum — reproducible within an
-    engine; no RNG twin in SQL → rows-only)."""
-    from etl_demos_spark.operators.sampling import stratified_sample
+    """Corpus rebalancing: downsample English to ~30% by content-stable
+    hash bucket, keep other languages whole. Hash-based (not RNG) so the
+    kept set is identical across runs, backfills, AND engines — which is
+    both the leakage-safe production behavior and what lets DuckDB verify
+    it exactly. No driver-side distinct-langs pass: the fraction map is
+    one CASE threshold. (``stratified_sample`` keeps the seeded-Bernoulli
+    ``sampleBy`` form for when statistical, not deterministic, sampling
+    is wanted.)"""
+    from etl_demos_spark.operators.sampling import stratified_sample_by_hash
 
     d = T(spark, sf_dir, "documents")
-    langs = [r["lang"] for r in d.select("lang").distinct().collect()]
-    fractions = {lang: (0.3 if lang == "en" else 1.0) for lang in langs}
-    sampled = stratified_sample(d, "lang", fractions, seed=42)
+    sampled = stratified_sample_by_hash(d, "lang", "doc_id", {"en": 0.3})
     return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
 
 

@@ -52,21 +52,36 @@ def normalize(df: pd.DataFrame) -> list[tuple]:
     return out
 
 
+def _isnull_scalar(v) -> bool:
+    """pd.isna that treats list/array cells (Spark array columns land as
+    object cells) as non-null instead of raising on ambiguous truth."""
+    if isinstance(v, (list, tuple, dict, set)):
+        return False
+    try:
+        return bool(pd.isna(v))
+    except (TypeError, ValueError):  # ndarray and friends
+        return False
+
+
 def _dtype_kind(series: pd.Series) -> str:
     """Collapse a pandas dtype to the kind the driver's hash is sensitive
-    to: integer-ness vs float-ness vs bool vs datetime vs object.  An
-    all-null object/float column is indistinguishable across engines, so
-    kinds are compared as-is (both engines produce the same shape there).
+    to: integer-ness vs float-ness vs bool vs datetime vs object. A column
+    with NO non-null values is unclassifiable (Spark hands back all-None
+    object, DuckDB all-NaN float64, for the same data) → neutral sentinel,
+    so two all-null columns always match regardless of physical dtype.
     """
     k = series.dtype.kind  # i u f b M O ...
+    if len(series) and all(_isnull_scalar(v) for v in series):
+        return "∅"
     if k == "u":
         return "i"
-    if k == "O" and len(series) and all(
-        isinstance(v, int) and not isinstance(v, bool)
-        for v in series if v is not None
-    ):
-        # DuckDB can hand back HUGEINT as python ints in an object column
-        return "i"
+    if k == "O":
+        vals = [v for v in series if not _isnull_scalar(v)]
+        if vals and all(
+            isinstance(v, int) and not isinstance(v, bool) for v in vals
+        ):
+            # DuckDB can hand back HUGEINT as python ints in an object column
+            return "i"
     return k
 
 
