@@ -1,14 +1,20 @@
 """Embedding-cosine near-duplicate detection + dedup clustering.
 
-Exact pair scoring uses **blocked GEMM**: each Arrow batch of left-side
-vectors is multiplied against the (broadcast) right-side matrix with one
-numpy matmul — BLAS-vectorized, ~100× the throughput of per-pair
+Exact pair scoring uses **blocked GEMM**: vectors are multiplied in
+numpy matrix batches — BLAS-vectorized, ~100× the throughput of per-pair
 expression evaluation (Spark's higher-order-function dot products are
 interpreted per element; see operators/dedup.py for the same lesson).
-This is how production systems do brute-force similarity (FAISS/GPU
-brute force is the same computation); at 100 TB you tile BOTH sides:
-crossJoin of row-blocks × column-blocks, one GEMM per tile, which is
-exactly this code with the right side swapped per tile.
+Two physical strategies behind one router (``cosine_pairs_gemm``):
+
+- **broadcast** (small corpora): collect + broadcast the corpus matrix,
+  one GEMM per Arrow batch against it. Fastest when the matrix fits in
+  executor memory; driver-bound beyond ~1M×128 dims.
+- **tiled two-sided** (the 100 TB path): rows hash into √T blocks; each
+  row is replicated to the upper-triangle tiles it participates in
+  (A-side to tiles (b, j≥b), B-side to tiles (i≤b, b)); one
+  ``applyInPandas`` GEMM per tile. No driver collect anywhere — shuffle
+  volume is n·√T vectors and every tile is two bounded blocks, so block
+  size, not corpus size, caps executor memory.
 
 Cluster election: near-dup pairs form a graph; connected components via
 alternating small-star/large-star label propagation (Kiveris et al.,
@@ -19,6 +25,7 @@ min id of its component, which becomes the canonical representative.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -29,25 +36,48 @@ from pyspark.sql import DataFrame
 PAIR_SCHEMA = "id_a long, id_b long, cos_sim double"
 
 
+def _norm_rows(M: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(M, axis=1)
+    norms[norms == 0] = 1.0
+    return M / norms[:, None]
+
+
 def cosine_pairs_gemm(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    broadcast_max_rows: int = 200_000,
+    target_block_rows: int = 100_000,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with cosine ≥ threshold, exactly.
 
-    The full corpus matrix is collected and broadcast (fine up to ~1M×128
-    dims ≈ 0.5 GB; beyond that, tile as described in the module
-    docstring); each partition GEMMs its own rows against it.
+    Routes on corpus size: ≤ ``broadcast_max_rows`` → broadcast GEMM
+    (one corpus pass, no shuffle); larger → tiled two-sided GEMM (no
+    driver materialization, executor memory bounded by block size). The
+    sizing count is one columnar metadata scan, which the block-count
+    choice needs anyway.
     """
+    n = df.select(id_col).count()
+    if n <= broadcast_max_rows:
+        return cosine_pairs_broadcast(df, id_col, vec_col, threshold)
+    n_blocks = max(2, math.ceil(n / target_block_rows))
+    return cosine_pairs_tiled(df, id_col, vec_col, threshold, n_blocks)
+
+
+def cosine_pairs_broadcast(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Broadcast strategy: the corpus matrix is collected and broadcast;
+    each partition GEMMs its own rows against it. Bounded by
+    driver/executor memory — the router keeps it to small corpora."""
     spark = df.sparkSession
     rows = df.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
-    M = np.array([r[1] for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(M, axis=1)
-    norms[norms == 0] = 1.0
-    Mn = M / norms[:, None]
+    Mn = _norm_rows(np.array([r[1] for r in rows], dtype=np.float64))
     b_ids = spark.sparkContext.broadcast(ids)
     b_mat = spark.sparkContext.broadcast(Mn)
 
@@ -56,10 +86,8 @@ def cosine_pairs_gemm(
         for pdf in batches:
             if not len(pdf):
                 continue
-            L = np.array(list(pdf[vec_col]), dtype=np.float64)
-            ln = np.linalg.norm(L, axis=1)
-            ln[ln == 0] = 1.0
-            S = (L / ln[:, None]) @ R.T  # one GEMM per batch
+            L = _norm_rows(np.array(list(pdf[vec_col]), dtype=np.float64))
+            S = L @ R.T  # one GEMM per batch
             l_ids = pdf[id_col].to_numpy()
             li, ri = np.nonzero(S >= threshold)
             mask = l_ids[li] < R_ids[ri]  # each unordered pair once
@@ -72,6 +100,75 @@ def cosine_pairs_gemm(
             )
 
     return df.select(id_col, vec_col).mapInPandas(score, PAIR_SCHEMA)
+
+
+def cosine_pairs_tiled(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Tiled two-sided strategy (the scale path — no driver collect).
+
+    Rows land in ``n_blocks`` hash blocks; tile (i, j), i ≤ j, scores
+    block i × block j with one GEMM inside ``applyInPandas``. Replication
+    factor is ~n_blocks per row (the O(n·√T) all-pairs bound), and each
+    unordered pair is produced by exactly one tile: a cross-block pair
+    {x∈i, y∈j} only materializes in tile (i, j); a within-block pair
+    appears twice in its diagonal tile and is kept once by the id_a <
+    id_b mask. Off-diagonal tiles emit (min, max) so output ordering
+    never depends on block assignment.
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("_blk"),
+    )
+    # A-side of tiles (blk, j ≥ blk); B-side of tiles (i ≤ blk, blk).
+    a_side = base.select(
+        F.col("_blk").alias("_ta"),
+        F.explode(F.sequence("_blk", F.lit(n_blocks - 1))).alias("_tb"),
+        F.lit(0).alias("_side"),
+        "_id",
+        "_vec",
+    )
+    b_side = base.select(
+        F.explode(F.sequence(F.lit(0), "_blk")).alias("_ta"),
+        F.col("_blk").alias("_tb"),
+        F.lit(1).alias("_side"),
+        "_id",
+        "_vec",
+    )
+    rep = a_side.unionByName(b_side)
+
+    # no type hints: `from __future__ import annotations` stringifies them
+    # and the applyInPandas hint resolver warns on unresolvable strings
+    def tile(key, pdf):
+        ta, tb = key
+        lmask = pdf["_side"].to_numpy() == 0
+        L_pdf, R_pdf = pdf[lmask], pdf[~lmask]
+        if not len(L_pdf) or not len(R_pdf):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
+            )
+        L = _norm_rows(np.array(list(L_pdf["_vec"]), dtype=np.float64))
+        R = _norm_rows(np.array(list(R_pdf["_vec"]), dtype=np.float64))
+        S = L @ R.T  # one GEMM per tile
+        l_ids = L_pdf["_id"].to_numpy()
+        r_ids = R_pdf["_id"].to_numpy()
+        li, ri = np.nonzero(S >= threshold)
+        lid, rid, sim = l_ids[li], r_ids[ri], S[li, ri]
+        if ta == tb:  # both orientations present → keep one
+            m = lid < rid
+            lid, rid, sim = lid[m], rid[m], sim[m]
+        else:  # exactly one orientation present → normalize ordering
+            lo = np.minimum(lid, rid)
+            rid = np.maximum(lid, rid)
+            lid = lo
+        return pd.DataFrame({"id_a": lid, "id_b": rid, "cos_sim": sim})
+
+    return rep.groupBy("_ta", "_tb").applyInPandas(tile, PAIR_SCHEMA)
 
 
 def connected_components(

@@ -151,6 +151,41 @@ def test_embedding_dedup_clusters(spark):
     assert kept_ids == list(range(20))  # min-id canonical per cluster
 
 
+def test_embedding_tiled_matches_broadcast(spark):
+    """The tiled two-sided GEMM (scale path, no driver collect) must
+    produce the exact same pair set as the broadcast path, on a corpus
+    with planted near-dups — including pairs whose ids straddle tiles."""
+    import numpy as np
+
+    from etl_demos_spark.operators.embedding_dedup import (
+        cosine_pairs_broadcast,
+        cosine_pairs_gemm,
+        cosine_pairs_tiled,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((60, 16))
+    rows = []
+    for i in range(60):
+        rows.append((i, [float(x) for x in base[i]]))
+        rows.append((1000 + i, [float(x) for x in base[i] + 0.001 * rng.standard_normal(16)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def pairset(out):
+        return {(r["id_a"], r["id_b"], round(r["cos_sim"], 9)) for r in out.collect()}
+
+    bc = pairset(cosine_pairs_broadcast(df, threshold=0.99))
+    for n_blocks in (2, 5):
+        tiled = pairset(cosine_pairs_tiled(df, threshold=0.99, n_blocks=n_blocks))
+        assert tiled == bc, f"n_blocks={n_blocks}: {tiled ^ bc}"
+    assert len(bc) >= 60  # every planted near-copy pair recovered
+    # router: forcing a tiny broadcast budget must route to tiled
+    routed = pairset(
+        cosine_pairs_gemm(df, threshold=0.99, broadcast_max_rows=10, target_block_rows=40)
+    )
+    assert routed == bc
+
+
 def test_connected_components_chain(spark):
     from etl_demos_spark.operators.embedding_dedup import connected_components
 

@@ -99,3 +99,20 @@ def test_ann_lsh_multiprobe_improves_recall(spark, vectors):
     r0, r3 = recall(0), recall(5)
     assert r3 >= r0  # probing neighbors can only add candidates
     assert r3 > 0.4
+
+
+def test_brute_force_gemm_matches_hof(spark, vectors):
+    """The GEMM corpus scan (default) and the all-JVM HOF expression must
+    return the same neighbors in the same order; similarities agree to
+    well past the 1e-6 the workload rounds to."""
+    X, df = vectors
+    q = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    gemm = similarity.brute_force_topk(df, q, k=7, method="gemm").collect()
+    hof = similarity.brute_force_topk(df, q, k=7, method="hof").collect()
+    assert [(r["query_id"], r["vec_id"]) for r in gemm] == [
+        (r["query_id"], r["vec_id"]) for r in hof
+    ]
+    for a, b in zip(gemm, hof):
+        assert abs(a["cos_sim"] - b["cos_sim"]) < 1e-9
