@@ -50,6 +50,8 @@ def main() -> None:
         "q_asof_join",
         "q_top_unshipped",
         "q_hash_split",
+        "q_dedup_embedding",
+        "q_ann_lsh",
     ]
     headline = [q for q in headline if q in REGISTRY]
 
@@ -57,13 +59,18 @@ def main() -> None:
     force(REGISTRY["q_group_agg"].fn(spark, sf_dir).limit(1))
 
     # Steady-state methodology: one untimed warm-up execution per query
-    # (pays one-time codegen/classload), then the timed run.
+    # (pays one-time codegen/classload), then median of three timed runs —
+    # single-iteration timings showed ±30% run-to-run drift, which made
+    # real regressions indistinguishable from noise.
     timings: dict[str, float] = {}
     for name in headline:
         force(REGISTRY[name].fn(spark, sf_dir))
-        t0 = time.perf_counter()
-        force(REGISTRY[name].fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            force(REGISTRY[name].fn(spark, sf_dir))
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs)[1], 3)
 
     out = {
         "metric": "headline query wall time (noop sink, warm per-query)",

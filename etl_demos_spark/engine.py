@@ -58,10 +58,18 @@ class Engine:
             self._load(name)
         return dict(self._loaded)
 
-    def add_source_auto(self, name: str, path: str) -> DataFrame:
+    def add_source_auto(
+        self, name: str, path: str, persist_dir: str | None = None
+    ) -> DataFrame:
         """EP3 self-extension: ingest an unknown CSV, synonym-map it onto
         the standard staging contract, register the staged view, and keep
-        its generated not_null assertions."""
+        its generated not_null assertions.
+
+        With ``persist_dir``, the integration also survives a restart
+        (integrate_new_dataset.py:113-242): the raw source is appended
+        idempotently to ``<dir>/raw_sources.yml`` and the staged model's
+        default not_null tests are upserted into ``<dir>/staging.yml``.
+        A fresh Engine re-arms via add_sources_yaml + staging.yml."""
         raw = self.add_csv(f"{name}_raw", path)
         staged, assertions = auto_adapt(raw)
         staged.createOrReplaceTempView(name)
@@ -69,6 +77,22 @@ class Engine:
         self._auto_assertions = getattr(self, "_auto_assertions", []) + [
             (name, kind, cols) for (_m, kind, cols) in assertions
         ]
+        if persist_dir is not None:
+            from pathlib import Path
+
+            from etl_demos_spark.sources.registry import upsert_staging_yaml
+
+            d = Path(persist_dir)
+            self.registry.to_yaml(str(d / "raw_sources.yml"))
+            key_cols = tuple(
+                c for (_m, kind, cols) in assertions if kind == "not_null" for c in cols
+            )
+            upsert_staging_yaml(
+                str(d / "staging.yml"),
+                source_name=f"{name}_raw",
+                model_name=name,
+                key_columns=key_cols or ("loan_id", "customer_id"),
+            )
         return staged
 
     def _load(self, name: str) -> DataFrame:

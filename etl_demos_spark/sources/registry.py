@@ -62,13 +62,14 @@ class SourceRegistry:
     @classmethod
     def from_yaml(cls, path: str) -> "SourceRegistry":
         """Accepts the reference's raw_sources.yml shape:
-        ``sources: [{name, csv_path, ...}, ...]`` (extra keys like
-        project/dataset/table are BigQuery-isms and ignored)."""
+        ``raw_sources: [{name, csv_path, ...}, ...]`` (config/
+        raw_sources.yml:1-22; ``sources:`` also accepted). Extra keys like
+        project/dataset/table are BigQuery-isms and ignored."""
         import yaml
 
-        doc = yaml.safe_load(Path(path).read_text())
+        doc = yaml.safe_load(Path(path).read_text()) or {}
         reg = cls()
-        for item in doc.get("sources", []):
+        for item in doc.get("raw_sources", doc.get("sources", [])):
             reg.add(
                 Source(
                     name=item["name"],
@@ -77,6 +78,30 @@ class SourceRegistry:
                 )
             )
         return reg
+
+    def to_yaml(self, path: str) -> None:
+        """EP3 persistence: write-back in the reference's raw_sources.yml
+        shape, idempotent by source name (integrate_new_dataset.py:113-155).
+        Existing entries in the file are preserved verbatim (including keys
+        this engine ignores, e.g. project_id); only names not already
+        present are appended, so repeated runs converge."""
+        import yaml
+
+        p = Path(path)
+        doc = yaml.safe_load(p.read_text()) or {} if p.exists() else {}
+        if "raw_sources" not in doc and "sources" in doc:
+            doc["raw_sources"] = doc.pop("sources")
+        entries = doc.setdefault("raw_sources", [])
+        existing = {e.get("name") for e in entries}
+        for name, s in self.sources.items():
+            if name in existing:
+                continue
+            entry = {"name": name, "table_id": name, "csv_path": s.path}
+            if s.fmt != "csv":
+                entry["format"] = s.fmt
+            entries.append(entry)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(yaml.dump(doc, default_flow_style=False, sort_keys=False))
 
     def add(self, source: Source) -> None:
         self.sources[source.name] = source
@@ -152,6 +177,72 @@ def auto_adapt(
     key_cols = [c for c in ("loan_id", "customer_id") if c in spec]
     assertions = [("staged", "not_null", tuple(key_cols))] if key_cols else []
     return staged, assertions
+
+
+def upsert_staging_yaml(
+    path: str,
+    source_name: str,
+    model_name: str,
+    key_columns: tuple[str, ...] = ("loan_id", "customer_id"),
+) -> None:
+    """EP3 persistence: upsert the dbt-shaped staging.yml
+    (integrate_new_dataset.py:157-242). Idempotent:
+
+    - ensure a ``raw`` source block exists (never overwriting manually
+      tuned keys on an existing block — setdefault semantics),
+    - add ``{name: source_name}`` under raw.tables if absent,
+    - add a models entry with default not_null tests on the key columns
+      if the model is not already configured (existing entries are left
+      untouched so hand-edits survive re-integration).
+    """
+    import yaml
+
+    p = Path(path)
+    doc = yaml.safe_load(p.read_text()) or {} if p.exists() else {}
+    doc.setdefault("version", 2)
+    sources = doc.setdefault("sources", [])
+    models = doc.setdefault("models", [])
+
+    raw = next((s for s in sources if s.get("name") == "raw"), None)
+    if raw is None:
+        raw = {"name": "raw", "tables": []}
+        sources.append(raw)
+    tables = raw.setdefault("tables", [])
+    if source_name not in {t.get("name") for t in tables}:
+        tables.append({"name": source_name})
+
+    if model_name not in {m.get("name") for m in models}:
+        models.append(
+            {
+                "name": model_name,
+                "columns": [
+                    {"name": c, "tests": ["not_null"]} for c in key_columns
+                ],
+            }
+        )
+
+    p.parent.mkdir(parents=True, exist_ok=True)
+    p.write_text(yaml.dump(doc, default_flow_style=False, sort_keys=False))
+
+
+def staging_assertions_from_yaml(path: str) -> list[tuple[str, str, tuple[str, ...]]]:
+    """Read back staging.yml model tests as the engine's assertion tuples
+    ``(model, 'not_null', (cols...))`` — the round-trip inverse of
+    upsert_staging_yaml, so a persisted contract can be re-armed on a
+    fresh session."""
+    import yaml
+
+    doc = yaml.safe_load(Path(path).read_text()) or {}
+    out: list[tuple[str, str, tuple[str, ...]]] = []
+    for model in doc.get("models", []):
+        cols = tuple(
+            c["name"]
+            for c in model.get("columns", [])
+            if "not_null" in (c.get("tests") or [])
+        )
+        if cols:
+            out.append((model["name"], "not_null", cols))
+    return out
 
 
 _IDENT_RE = re.compile(r"[^A-Za-z0-9_]")

@@ -134,6 +134,77 @@ def test_engine_facade(spark, tmp_path):
     assert n[0]["n"] == 1
 
 
+def test_ep3_yaml_persistence_roundtrip(spark, tmp_path):
+    """EP3 done-criterion: auto_adapt → persist → fresh registry from
+    YAML → identical staging contract (integrate_new_dataset.py:113-242)."""
+    from etl_demos_spark.engine import Engine
+    from etl_demos_spark.sources.registry import staging_assertions_from_yaml
+
+    csv = tmp_path / "new_loans.csv"
+    csv.write_text("UniqueID,disbursed_amount,loan_default\n1,1000.5,0\n2,2000.0,1\n")
+    eng = Engine(spark)
+    staged = eng.add_source_auto("new_loans", str(csv), persist_dir=str(tmp_path))
+
+    # Restart simulation: a brand-new Engine re-arms from the persisted YAMLs.
+    eng2 = Engine(spark)
+    eng2.add_sources_yaml(str(tmp_path / "raw_sources.yml"))
+    restaged, _ = auto_adapt(eng2.table("new_loans_raw"))
+    assert restaged.columns == staged.columns
+    assert dict(restaged.dtypes) == dict(staged.dtypes)
+    assert restaged.count() == staged.count() == 2
+
+    assertions = staging_assertions_from_yaml(str(tmp_path / "staging.yml"))
+    assert ("new_loans", "not_null", ("loan_id",)) in assertions
+
+
+def test_ep3_yaml_persistence_idempotent_and_preserving(tmp_path):
+    """Re-integration converges (no duplicates) and hand-edits survive
+    (reference skips existing names, setdefault on the raw block)."""
+    import yaml
+
+    from etl_demos_spark.sources.registry import upsert_staging_yaml
+
+    raw_yml = tmp_path / "raw_sources.yml"
+    raw_yml.write_text(
+        "raw_sources:\n"
+        "  - name: customers_raw\n"
+        "    project_id: hand-tuned\n"
+        "    csv_path: data/customers.csv\n"
+    )
+    reg = SourceRegistry()
+    reg.add(Source(name="customers_raw", path="SHOULD_NOT_CLOBBER.csv"))
+    reg.add(Source(name="payments_raw", path="data/payments.csv"))
+    reg.to_yaml(str(raw_yml))
+    reg.to_yaml(str(raw_yml))  # second run: no-op
+    doc = yaml.safe_load(raw_yml.read_text())
+    names = [e["name"] for e in doc["raw_sources"]]
+    assert names == ["customers_raw", "payments_raw"]
+    assert doc["raw_sources"][0]["project_id"] == "hand-tuned"  # preserved
+    assert doc["raw_sources"][0]["csv_path"] == "data/customers.csv"
+
+    stg = tmp_path / "staging.yml"
+    stg.write_text(
+        "version: 2\n"
+        "sources:\n"
+        "  - name: raw\n"
+        "    schema: hand_tuned_schema\n"
+        "    tables: [{name: customers_raw}]\n"
+        "models:\n"
+        "  - name: stg_custom\n"
+        "    columns: [{name: loan_id, tests: [not_null, unique]}]\n"
+    )
+    upsert_staging_yaml(str(stg), "payments_raw", "stg_payments", ("loan_id",))
+    upsert_staging_yaml(str(stg), "payments_raw", "stg_payments", ("loan_id",))
+    doc = yaml.safe_load(stg.read_text())
+    raw_block = doc["sources"][0]
+    assert raw_block["schema"] == "hand_tuned_schema"  # setdefault, not overwrite
+    assert [t["name"] for t in raw_block["tables"]] == ["customers_raw", "payments_raw"]
+    model_names = [m["name"] for m in doc["models"]]
+    assert model_names == ["stg_custom", "stg_payments"]
+    # hand-edited tests untouched
+    assert doc["models"][0]["columns"][0]["tests"] == ["not_null", "unique"]
+
+
 def test_auto_adapt_days_birth_strategy(spark):
     """Home Credit path: DAYS_BIRTH (negative day offset) becomes a date
     via date_add(current_date(), n) — auto_data_adapter.py:113-135."""
