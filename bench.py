@@ -62,11 +62,17 @@ def main() -> None:
     # (pays one-time codegen/classload), then median of three timed runs —
     # single-iteration timings showed ±30% run-to-run drift, which made
     # real regressions indistinguishable from noise.
+    # Cleared cache per timed run: several operators persist() reusable
+    # intermediates (minhash/simhash signatures, LSH buckets); without the
+    # clear, timed runs hit the previous run's cache until eviction — an
+    # eviction-dependent mix that showed up as ±30% round-over-round drift.
+    # Each timed run below does the query's full work from the parquet scan.
     timings: dict[str, float] = {}
     for name in headline:
         force(REGISTRY[name].fn(spark, sf_dir))
         runs = []
         for _ in range(3):
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             force(REGISTRY[name].fn(spark, sf_dir))
             runs.append(time.perf_counter() - t0)

@@ -205,6 +205,7 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
         )
+        new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -212,7 +213,11 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels = new_labels.persist()
+        # the convergence check above materialized new_labels, so the old
+        # generation is dead — release it instead of leaking one cached
+        # copy per iteration (no-op on the unpersisted iteration-0 labels)
+        labels.unpersist()
+        labels = new_labels
         if changed == 0:
             break
     return labels

@@ -31,6 +31,11 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Arrow for any pandas interchange (UDF paths, toPandas in tests/bench).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Whole-stage codegen bails out above 100 fields by default; the MinHash
+    # signature aggregate carries 128 min-buffers (operators/dedup.py) and
+    # fell back to interpreted evaluation (measured ~25% slower). Any wide
+    # agg/projection under 256 fields now stays codegen'd.
+    "spark.sql.codegen.maxFields": "256",
 }
 
 
