@@ -368,3 +368,35 @@ def simhash_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# Canonical selection (pairs → clusters → keep one per cluster)
+# ---------------------------------------------------------------------------
+
+
+def dedup_by_minhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end near-dup dedup: MinHash-LSH pairs → connected
+    components → keep the min-id representative per cluster.
+
+    The same composition as embedding_dedup.dedup_by_embedding, with the
+    LSH candidate graph instead of the cosine graph: transitive
+    near-dup chains collapse to ONE survivor (pairwise-only filtering
+    keeps A and C when A~B~C but A≁C — clustering is what makes the
+    dedup rate match the true duplicate rate)."""
+    from etl_demos_spark.operators.embedding_dedup import connected_components
+
+    pairs = minhash_lsh_pairs(df, id_col, text_col, n, num_hashes, bands, threshold)
+    comps = connected_components(pairs)
+    losers = comps.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

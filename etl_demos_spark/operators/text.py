@@ -60,6 +60,29 @@ def stopword_hits(text: Column | str, stopwords: tuple[str, ...]) -> Column:
     ).cast("long")
 
 
+# PII patterns — constructs with identical semantics in Java regex and
+# RE2 (no lookaround, no backreferences) so the DuckDB oracle can mirror
+# the redaction bit-for-bit. Deliberately high-precision/low-recall
+# shapes: a training pipeline prefers leaving ambiguous text alone over
+# mangling prose (emails and URL/phone shapes are unambiguous).
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"https?://[^\s]+", "[URL]"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+)
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace email / URL / phone / SSN shapes with typed placeholders —
+    chained regexp_replace, all JVM-side, order matters (emails and URLs
+    are consumed before the bare-number patterns can see their digits)."""
+    c = F.col(text) if isinstance(text, str) else text
+    for pat, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, token)
+    return c
+
+
 def quality_score(text: Column | str) -> Column:
     """Composite [0,1] quality heuristic: length band + alpha ratio +
     stopword presence + token diversity. Deterministic, built-ins only.

@@ -1,0 +1,125 @@
+"""Training-data preparation: decontamination, sequence packing,
+deterministic corpus shuffling.
+
+The operations a pretraining pipeline runs AFTER dedup/quality filtering
+(operators/dedup.py, operators/text.py) and BEFORE export — extensions
+beyond the reference's relational surface, same engine conventions.
+
+Scale design:
+
+- **Decontamination** (eval-set n-gram overlap): the standard rule —
+  a training document sharing any word n-gram with an evaluation
+  document is contaminated and dropped. Implemented as an
+  inverted-index equi-join on the gram: explode both sides to
+  (gram, doc), join on gram. Work is proportional to true collisions,
+  never |train| x |test|; the join key is near-uniform (natural-language
+  grams have a long tail, and the eval side is tiny by construction), so
+  one ordinary hash-shuffle each side. At 100 TB the eval index is MBs —
+  Spark broadcasts it and the train side never shuffles at all.
+- **Sequence packing**: assign documents to fixed-token-budget training
+  sequences. Exact first-fit is inherently sequential, so the scalable
+  form packs WITHIN hash buckets: documents land in ``n_buckets``
+  independent streams (uniform content hash), each stream packs in
+  deterministic id order with one window cumsum — sequence number =
+  floor(exclusive_prefix_tokens / target). Buckets pack in parallel
+  (the window partitions by bucket — no global sort, no single-reducer
+  bottleneck); a sequence may overrun the budget by at most its last
+  document, the usual streaming-packing bound — callers chunk documents
+  longer than ``target`` first.
+- **Deterministic shuffle**: global training order as rank over a keyed
+  hash (md5 of seed||id) — reproducible across runs AND engines, unlike
+  RNG shuffles. Spark executes the global sort as a range-partitioned
+  sort (sample → balanced ranges), the same plan it uses for any
+  ORDER BY: no single-machine sort at any scale. For file export,
+  pair with repartitionByRange on the same rank.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from etl_demos_spark.operators.dedup import shingled_docs
+from etl_demos_spark.operators.sampling import hash_bucket
+
+
+def contamination_report(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(train_id, n_shared_grams): training docs sharing >= 1 word n-gram
+    with any test doc, with the count of distinct offending grams.
+
+    Gram semantics match the dedup family (lowercased word tokens,
+    distinct n-grams — operators/dedup.py:shingled_docs), so one
+    shingling pass can feed both near-dup detection and decontamination.
+    """
+    tr = shingled_docs(train, id_col, text_col, n).select(
+        F.col("id").alias("train_id"), F.explode("sh").alias("g")
+    )
+    te = (
+        shingled_docs(test, id_col, text_col, n)
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+    )
+    return tr.join(te, "g").groupBy("train_id").agg(
+        F.count_distinct(F.col("g")).alias("n_shared_grams")
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Training rows minus contaminated ones (left_anti on the report)."""
+    bad = contamination_report(train, test, id_col, text_col, n).select(
+        F.col("train_id").alias(id_col)
+    )
+    return train.join(bad, id_col, "left_anti")
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    count_col: str = "n_tokens",
+    target: int = 512,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Assign each document a (bucket, seq_id, seq_pos): greedy packing
+    into ~``target``-token sequences within each of ``n_buckets``
+    parallel streams. Deterministic (content-hash bucket, id order)."""
+    b = hash_bucket(F.col(id_col), n_buckets).alias("bucket")
+    w = Window.partitionBy("bucket").orderBy(id_col)
+    cum_excl = F.coalesce(
+        F.sum(count_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    out = df.select(F.col(id_col), F.col(count_col), b).withColumn(
+        "seq_id", F.floor(cum_excl / F.lit(target))
+    )
+    wseq = Window.partitionBy("bucket", "seq_id").orderBy(id_col)
+    return out.withColumn("seq_pos", F.row_number().over(wseq) - F.lit(1))
+
+
+def deterministic_shuffle(
+    df: DataFrame, id_col: str = "doc_id", seed: str = "s0", rank_col: str = "shuffle_rank"
+) -> DataFrame:
+    """Global pseudo-random training order, stable across runs and
+    engines: rank by md5(seed || id). Ties are impossible for distinct
+    ids (md5 collision aside), so the order is total.
+
+    Ranks come from operators/keys.py:dense_ids (range exchange +
+    per-partition numbering + broadcast offsets), NOT a global
+    Window.orderBy — that would be a single-partition sort at scale."""
+    from etl_demos_spark.operators.keys import dense_ids
+
+    key = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    return dense_ids(
+        df.withColumn("__shuffle_key", key), ["__shuffle_key"], rank_col
+    ).drop("__shuffle_key")

@@ -1547,3 +1547,163 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(clicked, 1).otherwise(0)).alias("n_clicked_after_view"),
         F.sum(F.when(converted, 1).otherwise(0)).alias("n_converted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data preparation (operators/trainprep.py)
+# ---------------------------------------------------------------------------
+
+
+@workload(
+    "q_decontaminate",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                   % 10 AS bucket,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, bucket,
+               unnest(list_distinct(list_transform(
+                   range(greatest(len(t) - 2, 0)),
+                   i -> concat_ws(' ', t[i+1], t[i+2], t[i+3])))) AS g
+        FROM toks WHERE len(t) >= 3
+    ), test_grams AS (
+        SELECT DISTINCT g FROM grams WHERE bucket >= 8
+    )
+    SELECT grams.doc_id AS train_id,
+           CAST(COUNT(DISTINCT grams.g) AS BIGINT) AS n_shared_grams
+    FROM grams JOIN test_grams USING (g)
+    WHERE grams.bucket < 8
+    GROUP BY grams.doc_id
+    """,
+    tags=("ext-trainprep",),
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (GPT-3-style n-gram overlap): hash-split
+    the corpus 80/20 into train/test, report every train doc sharing a
+    word 3-gram with the test side. Inverted-index equi-join on the gram
+    — work ∝ collisions, and the (tiny) eval gram set broadcasts at
+    scale; never |train|×|test|."""
+    from etl_demos_spark.operators.sampling import hash_bucket
+    from etl_demos_spark.operators.trainprep import contamination_report
+
+    d = T(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"), 10)
+    train = d.filter(b < 8)
+    test = d.filter(b >= 8)
+    return contamination_report(train, test, "doc_id", "text", n=3).select(
+        "train_id", F.col("n_shared_grams").cast("long").alias("n_shared_grams")
+    )
+
+
+@workload(
+    "q_pack_sequences",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                   % 8 AS bucket,
+               len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
+        FROM documents
+    ), packed AS (
+        SELECT bucket, doc_id, n_tokens,
+               CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                        PARTITION BY bucket ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    / 128) AS BIGINT) AS seq_id
+        FROM d
+    )
+    SELECT bucket, seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+    FROM packed
+    GROUP BY bucket, seq_id
+    """,
+    tags=("ext-trainprep",),
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training export: documents pack greedily into
+    ~128-token sequences inside 8 parallel hash-bucket streams (window
+    cumsum per bucket — no global sort; see operators/trainprep.py).
+    Output: per-sequence document count and token total."""
+    from etl_demos_spark.operators.trainprep import pack_sequences
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", text.token_count("text").alias("n_tokens")
+    )
+    packed = pack_sequences(d, "doc_id", "n_tokens", target=128, n_buckets=8)
+    return packed.groupBy("bucket", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("seq_tokens"),
+    )
+
+
+@workload(
+    "q_corpus_shuffle",
+    oracle="""
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+                ORDER BY md5('s0' || CAST(doc_id AS VARCHAR)), doc_id)
+            AS BIGINT) AS shuffle_rank
+    FROM documents
+    """,
+    tags=("ext-trainprep",),
+)
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training order: rank over md5(seed||id),
+    reproducible across runs AND engines (RNG shuffles are neither).
+    Ranks come from the distributed dense_ids path (range exchange +
+    broadcast offsets), not a single-partition window."""
+    from etl_demos_spark.operators.trainprep import deterministic_shuffle
+
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_shuffle(d, "doc_id", seed="s0")
+
+
+@workload(
+    "q_pii_redact",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   'contact u' || CAST(doc_id AS VARCHAR)
+                     || '@ex.com or https://ex.io/u?id=' || CAST(doc_id AS VARCHAR)
+                     || ' tel 555-123-4567 ssn 123-45-6789 :: ' || text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                 'https?://[^\\s]+', '[URL]', 'g'),
+               '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '[PHONE]', 'g'),
+             '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g') AS redacted
+    FROM documents
+    """,
+    tags=("ext-trainprep",),
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: email/URL/phone/SSN shapes → typed placeholders,
+    chained JVM regexp_replace (patterns restricted to Java-regex ∩ RE2
+    so the oracle mirrors bit-for-bit). PII is planted per row so the
+    redaction path is actually exercised."""
+    planted = F.concat(
+        F.lit("contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@ex.com or https://ex.io/u?id="),
+        F.col("doc_id").cast("string"),
+        F.lit(" tel 555-123-4567 ssn 123-45-6789 :: "),
+        F.col("text"),
+    )
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", text.redact_pii(planted).alias("redacted"))
+
+
+@workload("q_dedup_text_e2e", oracle=None, tags=("ext-dedup", "ext-trainprep"))
+def q_dedup_text_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end text near-dedup: MinHash-LSH pairs → connected
+    components → one survivor per cluster (operators/dedup.py:
+    dedup_by_minhash). Rows-only (xxhash64 signatures have no DuckDB
+    twin); cluster-collapse semantics pinned in tests/test_dedup.py."""
+    d = T(spark, sf_dir, "documents")
+    kept = dedup.dedup_by_minhash(d, "doc_id", "text", n=3, threshold=0.4)
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))

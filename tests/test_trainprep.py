@@ -1,0 +1,116 @@
+"""Training-data prep: decontamination, packing, deterministic shuffle,
+PII redaction, end-to-end minhash dedup."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from etl_demos_spark.operators import trainprep
+from etl_demos_spark.operators.dedup import dedup_by_minhash
+from etl_demos_spark.operators.text import redact_pii
+
+
+def test_decontaminate_drops_overlapping_docs(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated sentence about spark engines"),
+            (3, "another clean document with no leaked content at all"),
+        ],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [(100, "benchmark asks about the quick brown fox story")],
+        "doc_id long, text string",
+    )
+    report = {r["train_id"]: r["n_shared_grams"] for r in
+              trainprep.contamination_report(train, test, n=3).collect()}
+    # "the quick brown" and "quick brown fox" overlap; doc 2/3 are clean
+    assert set(report) == {1} and report[1] == 2
+    kept = trainprep.decontaminate(train, test, n=3)
+    assert {r["doc_id"] for r in kept.collect()} == {2, 3}
+
+
+def test_pack_sequences_budget_and_determinism(spark):
+    docs = spark.createDataFrame(
+        [(i, 60 + (i % 5) * 10) for i in range(200)], "doc_id long, n_tokens long"
+    )
+    packed = trainprep.pack_sequences(docs, "doc_id", "n_tokens", target=256, n_buckets=4)
+    rows = packed.collect()
+    assert len(rows) == 200  # every doc assigned exactly once
+    by_seq: dict[tuple, list] = {}
+    for r in rows:
+        by_seq.setdefault((r["bucket"], r["seq_id"]), []).append(r)
+    for (bucket, seq), members in by_seq.items():
+        total = sum(m["n_tokens"] for m in members)
+        largest = max(m["n_tokens"] for m in members)
+        # streaming-packing bound: budget may overrun by < the last doc
+        assert total < 256 + largest
+        # seq_pos is a contiguous 0-based order within the sequence
+        assert sorted(m["seq_pos"] for m in members) == list(range(len(members)))
+    # sequences are filled: every non-final sequence in a bucket reaches
+    # the budget (exclusive-prefix rule ⇒ next seq starts past target)
+    per_bucket_last = {b: max(s for (bb, s) in by_seq if bb == b) for (b, _s) in by_seq}
+    for (bucket, seq), members in by_seq.items():
+        if seq < per_bucket_last[bucket]:
+            assert sum(m["n_tokens"] for m in members) >= 256 - max(
+                m["n_tokens"] for m in members
+            )
+    # deterministic: re-running yields the identical assignment
+    again = trainprep.pack_sequences(docs, "doc_id", "n_tokens", target=256, n_buckets=4)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+
+
+def test_deterministic_shuffle_is_stable_permutation(spark):
+    docs = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    out = {r["doc_id"]: r["shuffle_rank"] for r in
+           trainprep.deterministic_shuffle(docs, "doc_id", seed="s0").collect()}
+    assert sorted(out.values()) == list(range(1, 501))  # dense 1-based permutation
+    again = {r["doc_id"]: r["shuffle_rank"] for r in
+             trainprep.deterministic_shuffle(docs, "doc_id", seed="s0").collect()}
+    assert out == again  # stable across runs
+    other = {r["doc_id"]: r["shuffle_rank"] for r in
+             trainprep.deterministic_shuffle(docs, "doc_id", seed="s1").collect()}
+    assert out != other  # seed actually changes the order
+    # not the identity/sorted order (it IS a shuffle)
+    assert [out[i] for i in range(500)] != list(range(1, 501))
+
+
+def test_redact_pii(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "see https://ex.io/a?b=c#d for details"),
+            (3, "call 555-123-4567 or 555.123.4567"),
+            (4, "ssn 123-45-6789 but not 1234-56-7890"),
+            (5, "plain text stays untouched"),
+        ],
+        "id long, t string",
+    )
+    got = {r["id"]: r["red"] for r in df.select("id", redact_pii("t").alias("red")).collect()}
+    assert got[1] == "mail [EMAIL] now"
+    assert got[2] == "see [URL] for details"
+    assert got[3] == "call [PHONE] or [PHONE]"
+    # 1234-56-7890 has a 4-digit run before the boundary → not an SSN shape
+    assert got[4] == "ssn [SSN] but not 1234-56-7890"
+    assert got[5] == "plain text stays untouched"
+
+
+def test_dedup_by_minhash_collapses_transitive_cluster(spark):
+    base = (
+        "spark engines shuffle data between stages using hash partitioning "
+        "and sort based exchanges while catalyst optimizes logical plans "
+        "into physical operators with whole stage code generation enabled"
+    )
+    docs = [(1, base), (2, base + " extra tail token"), (3, "x " + base)]
+    # unrelated docs
+    docs += [
+        (10, "completely different content about cooking pasta with garlic and olive oil in rome"),
+        (11, "yet another unrelated document describing mountain hiking trails in the alps region"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    kept = dedup_by_minhash(df, "doc_id", "text", n=3, threshold=0.4)
+    ids = {r["doc_id"] for r in kept.collect()}
+    # 1~2 and 1~3 are near-dups (2~3 may or may not pair directly —
+    # connected components collapses the chain either way)
+    assert ids == {1, 10, 11}
