@@ -78,3 +78,36 @@ def test_sessionize_gap_semantics(spark):
     assert by_event[1] == 1 and by_event[2] == 1
     assert by_event[3] == 2
     assert by_event[4] == 1
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Replayed records (same event_id, same event time) collapse; the
+    streaming survivors match batch dropDuplicates on the same keys."""
+    from etl_demos_spark.streaming.dedup import dedup_stream_within_watermark
+
+    ev = (
+        load_events(spark, SF_DIR)
+        .limit(300)
+        .withColumn("ts", F.col("ts").cast("timestamp"))  # watermark needs tz-aware
+    )
+    # plant replays: every event delivered twice (at-least-once source)
+    doubled = ev.unionAll(ev)
+    src = str(tmp_path / "dedup_src")
+    doubled.coalesce(1).write.parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    deduped = dedup_stream_within_watermark(stream, ["event_id"], "ts", "2 hours")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select event_id from dedup_test").collect()
+    q.stop()
+    ids = [r["event_id"] for r in got]
+    assert len(ids) == len(set(ids))  # no replay survived
+    assert set(ids) == {r["event_id"] for r in ev.collect()}  # nothing lost
