@@ -4,8 +4,9 @@
     python examples/corpus_cleaning.py [sf_dir]
 
 documents → quality filter → exact dedup → MinHash near-dup clustering →
-canonical selection → per-language corpus stats. This is the LLM-data
-path the engine's extension operators exist for.
+canonical selection → PII redaction → eval-set decontamination →
+sequence packing → deterministic shuffle → per-language corpus stats.
+This is the LLM-data path the engine's extension operators exist for.
 """
 
 from __future__ import annotations
@@ -49,10 +50,37 @@ def main() -> int:
     clean = exact.join(losers, "doc_id", "left_anti")
     n3 = clean.count()
 
-    print(f"documents: {n0} → quality≥0.5: {n1} → exact-dedup: {n2} → near-dedup: {n3}")
+    # 4. PII scrubbing (typed placeholders, all JVM regexp_replace)
+    clean = clean.withColumn("text", text.redact_pii("text"))
+
+    # 5. decontamination against a held-out eval set (hash-bucket 20%
+    #    stands in for the benchmark suite here). n=8: short grams
+    #    over-trigger on boilerplate — the standard rule is 8-13-gram
+    #    overlap, long enough that a collision means real leakage.
+    from etl_demos_spark.operators.sampling import hash_bucket
+    from etl_demos_spark.operators import trainprep
+
+    b = hash_bucket(F.col("doc_id"), 10)
+    train, evalset = clean.filter(b < 8), clean.filter(b >= 8)
+    train = trainprep.decontaminate(train, evalset, n=8)
+    n4 = train.count()
+
+    print(
+        f"documents: {n0} → quality≥0.5: {n1} → exact-dedup: {n2} "
+        f"→ near-dedup: {n3} → decontaminated train: {n4}"
+    )
+
+    # 6. pack into ~512-token sequences and fix the training order
+    packed = trainprep.pack_sequences(
+        train.withColumn("n_tokens", text.token_count("text")),
+        "doc_id", "n_tokens", target=512, n_buckets=8,
+    )
+    order = trainprep.deterministic_shuffle(packed, "doc_id", seed="epoch0")
+    n_seqs = order.select("bucket", "seq_id").distinct().count()
+    print(f"packed into {n_seqs} training sequences (≈512 tokens each)")
 
     print("\nPer-language corpus stats after cleaning:")
-    clean.withColumn("n_tokens", text.token_count("text")).groupBy("lang").agg(
+    train.withColumn("n_tokens", text.token_count("text")).groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
         F.round(F.avg("n_tokens"), 1).alias("avg_tokens"),
