@@ -1707,3 +1707,103 @@ def q_dedup_text_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents")
     kept = dedup.dedup_by_minhash(d, "doc_id", "text", n=3, threshold=0.4)
     return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding preparation (operators/embeddings.py)
+# ---------------------------------------------------------------------------
+
+
+@workload(
+    "q_embed_norms",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(
+               embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6)
+               AS l2
+    FROM embeddings
+    """,
+    tags=("ext-embed",),
+)
+def q_embed_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm (the ingest-side normalization pass): one
+    narrow projection, sequential in-array summation (deterministic —
+    no cross-row float accumulation)."""
+    from etl_demos_spark.operators import embeddings as emb
+
+    e = T(spark, sf_dir, "embeddings")
+    return e.select("vec_id", F.round(emb.l2_norm_col("embedding"), 6).alias("l2"))
+
+
+@workload(
+    "q_embed_quantize",
+    oracle="""
+    WITH scaled AS (
+        SELECT vec_id,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+                   / 127.0 AS scale,
+               embedding
+        FROM embeddings
+    ), quant AS (
+        SELECT vec_id, scale,
+               CASE WHEN scale = 0
+                    THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                    ELSE list_transform(embedding,
+                         x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))
+               END AS q
+        FROM scaled
+    )
+    SELECT vec_id,
+           CAST(list_min(q) AS BIGINT) AS q_min,
+           CAST(list_max(q) AS BIGINT) AS q_max,
+           CAST(list_sum(q) AS BIGINT) AS q_sum,
+           round(scale, 6) AS scale_r
+    FROM quant
+    """,
+    tags=("ext-embed",),
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization for embedding storage (4× smaller than
+    float32). floor(x/scale + 0.5) — identical IEEE ops in every engine,
+    no round-half ambiguity. Output: per-vector code stats + scale."""
+    from etl_demos_spark.operators import embeddings as emb
+
+    e = T(spark, sf_dir, "embeddings")
+    q, scale = emb.quantize_symmetric_int8("embedding")
+    out = e.select("vec_id", q.alias("q"), scale.alias("scale"))
+    return out.select(
+        "vec_id",
+        F.array_min("q").cast("long").alias("q_min"),
+        F.array_max("q").cast("long").alias("q_max"),
+        F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x.cast("long")).alias("q_sum"),
+        F.round("scale", 6).alias("scale_r"),
+    )
+
+
+@workload(
+    "q_embed_centroid",
+    oracle="""
+    WITH expl AS (
+        SELECT vec_id % 8 AS grp,
+               generate_subscripts(embedding, 1) - 1 AS pos,
+               unnest(embedding) AS x
+        FROM embeddings
+    )
+    SELECT grp, pos,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(CAST(x AS DOUBLE), 6) AS DECIMAL(16,6)))
+                AS DOUBLE) AS dim_sum
+    FROM expl
+    GROUP BY grp, pos
+    """,
+    tags=("ext-embed",),
+)
+def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(group, dimension) exact centroid sums (IVF coarse-quantizer /
+    corpus-statistics build): posexplode → ONE keyed partial-agg shuffle;
+    decimal sums of 1e-6-rounded elements are order-independent, so the
+    result is identical under any task scheduling."""
+    from etl_demos_spark.operators import embeddings as emb
+
+    e = T(spark, sf_dir, "embeddings")
+    return emb.centroid_sums(e, F.col("vec_id") % 8, "embedding")
