@@ -52,6 +52,9 @@ def main() -> None:
         "q_hash_split",
         "q_dedup_embedding",
         "q_ann_lsh",
+        "q_decontaminate",
+        "q_pack_sequences",
+        "q_corpus_shuffle",
     ]
     headline = [q for q in headline if q in REGISTRY]
 

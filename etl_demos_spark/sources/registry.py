@@ -122,6 +122,8 @@ class SourceRegistry:
             df = spark.read.options(**s.options).parquet(s.path)
         elif s.fmt == "json":
             df = spark.read.options(**s.options).json(s.path)
+        elif s.fmt == "orc":
+            df = spark.read.options(**s.options).orc(s.path)
         else:
             raise ValueError(f"unsupported format: {s.fmt}")
         return sanitize_headers(df) if s.sanitize else df

@@ -1566,9 +1566,10 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), grams AS (
         SELECT doc_id, bucket,
                unnest(list_distinct(list_transform(
-                   range(greatest(len(t) - 2, 0)),
-                   i -> concat_ws(' ', t[i+1], t[i+2], t[i+3])))) AS g
-        FROM toks WHERE len(t) >= 3
+                   range(greatest(len(t) - 7, 0)),
+                   i -> concat_ws(' ', t[i+1], t[i+2], t[i+3], t[i+4],
+                                       t[i+5], t[i+6], t[i+7], t[i+8])))) AS g
+        FROM toks WHERE len(t) >= 8
     ), test_grams AS (
         SELECT DISTINCT g FROM grams WHERE bucket >= 8
     )
@@ -1583,17 +1584,16 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set decontamination (GPT-3-style n-gram overlap): hash-split
     the corpus 80/20 into train/test, report every train doc sharing a
-    word 3-gram with the test side. Inverted-index equi-join on the gram
-    — work ∝ collisions, and the (tiny) eval gram set broadcasts at
+    word 8-gram with the test side (8-13 is the standard window — short
+    grams over-trigger on boilerplate). Inverted-index equi-join on the
+    gram — work ∝ collisions, and the (tiny) eval gram set broadcasts at
     scale; never |train|×|test|."""
     from etl_demos_spark.operators.sampling import hash_bucket
-    from etl_demos_spark.operators.trainprep import contamination_report
+    from etl_demos_spark.operators.trainprep import contamination_report_split
 
     d = T(spark, sf_dir, "documents")
     b = hash_bucket(F.col("doc_id"), 10)
-    train = d.filter(b < 8)
-    test = d.filter(b >= 8)
-    return contamination_report(train, test, "doc_id", "text", n=3).select(
+    return contamination_report_split(d, b >= 8, "doc_id", "text", n=8).select(
         "train_id", F.col("n_shared_grams").cast("long").alias("n_shared_grams")
     )
 

@@ -273,3 +273,12 @@ def test_video_frame_sampling(spark):
     plan = multimodal.frame_sample_plan(vt, every_n=10)
     got = sorted((r["id"], r["frame_idx"]) for r in plan.collect())
     assert got == [(1, 0), (1, 10), (1, 20), (2, 0), (3, 0)]
+
+
+def test_orc_source(spark, tmp_path):
+    p = str(tmp_path / "data_orc")
+    spark.createDataFrame([(1, "x"), (2, "y")], "a long, b string").write.orc(p)
+    reg = SourceRegistry()
+    reg.add(Source(name="oc", path=p, fmt="orc"))
+    df = reg.load(spark, "oc")
+    assert df.count() == 2 and set(df.columns) == {"a", "b"}
