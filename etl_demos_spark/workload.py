@@ -602,11 +602,12 @@ def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hold a hash-checkable query. _LATE names the entries deliberately
 # registered past the window — the rows-only queries (no SQL-expressible
 # oracle; property/recall-tested instead) and oracle-paired queries whose
-# semantics are duplicated by in-window relatives; paired queries added
-# after the window filled (the trainprep family) also land past it in
-# registration order. ALL 62 paired queries, late ones included, remain
-# hash-verified locally by tests/test_oracle_parity.py at sf0.001 and
-# (slow marker) sf0.01 — the same compare the driver runs.
+# semantics are duplicated by in-window relatives. Newly added operator
+# families (round-3 trainprep/embedding-prep) take window slots over
+# long-stable queries so every NEW op gets at least one driver hash-check.
+# ALL paired queries, late ones included, remain hash-verified locally by
+# tests/test_oracle_parity.py at sf0.001 and (slow marker) sf0.01 — the
+# same compare the driver runs.
 _LATE: tuple[str, ...] = (
     # paired, sacrificed from the window (in-window relative in parens):
     "q_count_distinct",    # distinct aggregation (q_distinct, q_group_agg)
@@ -617,6 +618,13 @@ _LATE: tuple[str, ...] = (
     "q_pivot",             # pivot (q_rollup / q_cube grouping sets)
     "q_window_analytics",  # lag/lead/running sums (q_window_dedup, q_surrogate_key)
     "q_set_ops",           # intersect/except (q_union_literal, q_semi_anti_join)
+    "q_filter_eq",         # equality filter (q_filter_notnull, q_case_banding)
+    "q_union_literal",     # UNION ALL literal seed (q_incremental_merge union path)
+    "q_date_key",          # format_date key (q_safe_parse_date, q_date_arithmetic)
+    "q_age_band",          # date_diff banding (q_date_arithmetic, q_case_banding)
+    "q_cube",              # CUBE grouping sets (q_rollup, same machinery)
+    "q_profile_table",     # profiling summary (q_schema_report)
+    "q_stratified_sample", # md5-bucket downsample (q_hash_split, same machinery)
     # rows-only (no cross-engine oracle exists):
     "q_dedup_text_e2e",
     "q_dedup_minhash",
