@@ -181,6 +181,56 @@ def md5_gram_hashes(norm: Column, k: int = 7) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def word_ngrams(text: Column | str, n: int = 2) -> Column:
+    """Array of space-joined word n-grams over the tokenized text.
+    Tokenization happens ONCE (single regexp_extract_all), then grams are
+    sliced from the materialized token array — no per-gram re-scan of the
+    source string. Documents with fewer than n tokens yield an empty
+    array."""
+    c = F.col(text) if isinstance(text, str) else text
+    tokens = F.regexp_extract_all(F.lower(c), F.lit(WORD_RE), F.lit(0))
+    m = F.size(tokens) - F.lit(n - 1)
+    return F.when(
+        m >= 1,
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Intra-document repetition metrics (the Gopher/RefinedWeb quality
+    rules family): per document, the fraction of n-grams covered by the
+    single most frequent n-gram (``top_gram_frac``) and the fraction of
+    n-gram occurrences that are repeats (``dup_gram_frac``). High values
+    flag boilerplate / template spam for corpus filtering.
+
+    Scale shape: explode grams → two hash aggregations keyed on
+    (doc, gram) then (doc). Both are partial-agg (map-side combine)
+    friendly and shuffle only the counted gram rows, never the document
+    text; work is ∝ corpus token count, the floor for any exact
+    repetition measure. Reference has no equivalent (training-data
+    extension surface)."""
+    grams = df.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram")
+    )
+    counts = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.groupBy(id_col).agg(
+        F.sum("cnt").cast("long").alias("n_grams"),
+        F.max("cnt").cast("long").alias("top_gram_count"),
+        F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top_gram_frac"),
+        F.round(F.lit(1.0) - F.count(F.lit(1)) / F.sum("cnt"), 6).alias(
+            "dup_gram_frac"
+        ),
+    )
+
+
 def winnow_fingerprints(hashes: Column, window: int = 8) -> Column:
     """Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03): keep the minimum
     hash of every sliding window of ``window`` consecutive k-gram hashes —

@@ -26,6 +26,10 @@ Scale design:
   bottleneck); a sequence may overrun the budget by at most its last
   document, the usual streaming-packing bound — callers chunk documents
   longer than ``target`` first.
+- **Mixture resampling**: per-source replication at fractional rates
+  (temperature-weighted mixing). Rates compile to a CASE expression and
+  replication to one explode — no joins, no shuffle, no RNG; output
+  volume is exactly the mixture budget.
 - **Deterministic shuffle**: global training order as rank over a keyed
   hash (md5 of seed||id) — reproducible across runs AND engines, unlike
   RNG shuffles. Spark executes the global sort as a range-partitioned
@@ -139,6 +143,78 @@ def pack_sequences(
     )
     wseq = Window.partitionBy("bucket", "seq_id").orderBy(id_col)
     return out.withColumn("seq_pos", F.row_number().over(wseq) - F.lit(1))
+
+
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    key: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    buckets: int = 10_000,
+    copy_col: str = "copy_id",
+) -> DataFrame:
+    """Source-mixture resampling for training export: each row is
+    replicated ``rate`` times, where ``rate`` comes from its source's
+    entry in ``rates`` (e.g. temperature-weighted mixing — upweight
+    high-quality sources past 1.0, downsample bulk web below it).
+
+    Fractional rates are exact in expectation and DETERMINISTIC per key:
+    a rate of 2.4 emits 2 full copies of every row plus a third copy for
+    the 40% of rows whose content-hash bucket falls under the fraction —
+    no RNG state, stable across runs, backfills, and engines. A rate of
+    0 drops the source (explode of an empty array removes the row).
+
+    Scale shape: one narrow projection (CASE rate lookup compiled into
+    the plan — no join for a literal rate map) + explode. Output size is
+    exactly the mixture budget; nothing shuffles. ``copy_col``
+    distinguishes replicas so a downstream deterministic_shuffle spreads
+    copies apart instead of deduping them."""
+    rate = None
+    for s, r in rates.items():
+        cond = F.col(source_col) == s
+        rate = F.when(cond, float(r)) if rate is None else rate.when(cond, float(r))
+    rate = rate.otherwise(float(default_rate)) if rate is not None else F.lit(float(default_rate))
+
+    n_full = F.floor(rate).cast("int")
+    n_copies = F.ceil(rate).cast("int")
+    frac_thr = F.round((rate - F.floor(rate)) * buckets).cast("long")
+    copies = F.when(
+        n_copies >= 1, F.sequence(F.lit(1), n_copies)
+    ).otherwise(F.array().cast("array<int>"))
+    out = df.withColumn("__rate", rate).withColumn(
+        copy_col, F.explode(copies)
+    )
+    keep = (F.col(copy_col) <= n_full) | (
+        hash_bucket(F.col(key), buckets) < frac_thr
+    )
+    return out.filter(keep).drop("__rate")
+
+
+def temperature_rates(
+    df: DataFrame,
+    source_col: str,
+    alpha: float = 0.7,
+    budget_rows: int | None = None,
+) -> DataFrame:
+    """Per-source replication rates for temperature-weighted mixing
+    (multilingual-LM recipe): target share ∝ count^alpha, so alpha=1 is
+    natural proportions and alpha=0 is uniform. Returns (source, n_rows,
+    rate) where rate = budget * share / n_rows; with budget_rows=None the
+    budget is the corpus size (pure re-balance). One tiny aggregate —
+    feed the collected map into mixture_sample's ``rates``."""
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    total_w = counts.agg(
+        F.sum(F.pow(F.col("n_rows"), F.lit(alpha))).alias("tw"),
+        F.sum("n_rows").alias("tn"),
+    )
+    j = counts.crossJoin(F.broadcast(total_w))
+    budget = F.lit(budget_rows) if budget_rows is not None else F.col("tn")
+    return j.select(
+        source_col,
+        "n_rows",
+        (budget * F.pow(F.col("n_rows"), F.lit(alpha)) / F.col("tw") / F.col("n_rows")).alias("rate"),
+    )
 
 
 def deterministic_shuffle(

@@ -625,6 +625,8 @@ _LATE: tuple[str, ...] = (
     "q_cube",              # CUBE grouping sets (q_rollup, same machinery)
     "q_profile_table",     # profiling summary (q_schema_report)
     "q_stratified_sample", # md5-bucket downsample (q_hash_split, same machinery)
+    "q_fingerprint",       # md5 normalized fingerprint (q_dedup_exact, same expr)
+    "q_text_stats",        # token/char stats (q_text_quality, q_repetition)
     # rows-only (no cross-engine oracle exists):
     "q_dedup_text_e2e",
     "q_dedup_minhash",

@@ -1807,3 +1807,81 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = T(spark, sf_dir, "embeddings")
     return emb.centroid_sums(e, F.col("vec_id") % 8, "embedding")
+
+
+@workload(
+    "q_repetition",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents
+    ), g AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(toks)-1),
+                                     i -> toks[i] || ' ' || toks[i+1])) AS gram
+        FROM t WHERE len(toks) >= 2
+    ), c AS (
+        SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, gram
+    )
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_grams,
+           CAST(MAX(cnt) AS BIGINT) AS top_gram_count,
+           ROUND(MAX(cnt) * 1.0 / SUM(cnt), 6) AS top_gram_frac,
+           ROUND(1.0 - COUNT(*) * 1.0 / SUM(cnt), 6) AS dup_gram_frac
+    FROM c GROUP BY doc_id
+    """,
+    tags=("ext-text",),
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition metrics (Gopher/RefinedWeb quality-rule
+    family): per-doc top-bigram coverage and duplicate-gram fraction for
+    boilerplate/template-spam filtering. Explode + two partial-agg
+    shuffles — work ∝ token count (see operators/text.py
+    repetition_stats)."""
+    d = T(spark, sf_dir, "documents")
+    return text.repetition_stats(d, "doc_id", "text", n=2)
+
+
+@workload(
+    "q_mixture_sample",
+    oracle="""
+    WITH r AS (
+        SELECT doc_id, source,
+               CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 1.25
+                           WHEN 'src2' THEN 0.4 WHEN 'src3' THEN 0.0
+                           ELSE 1.0 END AS rate
+        FROM documents
+    ), e AS (
+        SELECT doc_id, source, rate,
+               unnest(generate_series(1, CAST(ceil(rate) AS INT))) AS copy_id
+        FROM r WHERE rate > 0
+    ), k AS (
+        SELECT * FROM e
+        WHERE copy_id <= floor(rate)
+           OR (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+               % 10000) < CAST(round((rate - floor(rate)) * 10000) AS BIGINT)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM k GROUP BY source
+    """,
+    tags=("ext-trainprep",),
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-style source mixture: upsample src0 2.5x and src1
+    1.25x, downsample src2 to 0.4, drop src3, pass the rest through.
+    Deterministic fractional replication (content-hash, no RNG) — see
+    operators/trainprep.py mixture_sample. Output: per-source row and
+    distinct-doc counts of the mixed corpus."""
+    from etl_demos_spark.operators.trainprep import mixture_sample
+
+    d = T(spark, sf_dir, "documents")
+    mixed = mixture_sample(
+        d, "source", "doc_id",
+        {"src0": 2.5, "src1": 1.25, "src2": 0.4, "src3": 0.0},
+    )
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count_distinct("doc_id").cast("long").alias("n_docs"),
+    )

@@ -114,3 +114,72 @@ def test_dedup_by_minhash_collapses_transitive_cluster(spark):
     # 1~2 and 1~3 are near-dups (2~3 may or may not pair directly —
     # connected components collapses the chain either way)
     assert ids == {1, 10, 11}
+
+
+def test_mixture_sample_integer_rates_replicate_exactly(spark):
+    docs = spark.createDataFrame(
+        [(i, "a" if i < 10 else "b") for i in range(20)],
+        "doc_id long, source string",
+    )
+    mixed = trainprep.mixture_sample(docs, "source", "doc_id", {"a": 3.0, "b": 0.0})
+    rows = mixed.groupBy("source").count().collect()
+    assert {r["source"]: r["count"] for r in rows} == {"a": 30}
+    # replicas carry distinct copy ids
+    copies = mixed.filter(F.col("doc_id") == 0).select("copy_id").collect()
+    assert sorted(r["copy_id"] for r in copies) == [1, 2, 3]
+
+
+def test_mixture_sample_fractional_rate_is_deterministic_subset(spark):
+    docs = spark.createDataFrame(
+        [(i, "a") for i in range(1000)], "doc_id long, source string"
+    )
+    m1 = trainprep.mixture_sample(docs, "source", "doc_id", {"a": 0.25})
+    m2 = trainprep.mixture_sample(docs, "source", "doc_id", {"a": 0.25})
+    ids1 = sorted(r["doc_id"] for r in m1.collect())
+    assert ids1 == sorted(r["doc_id"] for r in m2.collect())  # no RNG
+    assert 150 <= len(ids1) <= 350  # ~25% of 1000, hash-uniform
+    # rate 1.25: every row once, the SAME deterministic quarter again
+    m3 = trainprep.mixture_sample(docs, "source", "doc_id", {"a": 1.25})
+    extra = sorted(
+        r["doc_id"] for r in m3.filter(F.col("copy_id") == 2).collect()
+    )
+    assert extra == ids1
+
+
+def test_temperature_rates_flatten_toward_uniform(spark):
+    docs = spark.createDataFrame(
+        [(i, "big" if i < 900 else "small") for i in range(1000)],
+        "doc_id long, source string",
+    )
+    rates = {
+        r["source"]: r["rate"]
+        for r in trainprep.temperature_rates(docs, "source", alpha=0.5).collect()
+    }
+    # alpha<1 upweights the small source relative to its natural share
+    assert rates["small"] > 1.0 > rates["big"]
+    # budget is conserved: sum(rate * n) == corpus size
+    total = 900 * rates["big"] + 100 * rates["small"]
+    assert abs(total - 1000) < 1e-6
+    # alpha=1 is a no-op (natural proportions)
+    nat = {
+        r["source"]: r["rate"]
+        for r in trainprep.temperature_rates(docs, "source", alpha=1.0).collect()
+    }
+    assert abs(nat["big"] - 1.0) < 1e-9 and abs(nat["small"] - 1.0) < 1e-9
+
+
+def test_repetition_stats_flags_boilerplate(spark):
+    from etl_demos_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "buy now " * 50),                     # one bigram dominates
+            (2, "the quick brown fox jumps over a lazy dog near town"),
+        ],
+        "doc_id long, text string",
+    )
+    stats = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert stats[1]["top_gram_frac"] > 0.4
+    assert stats[1]["dup_gram_frac"] > 0.9
+    assert stats[2]["dup_gram_frac"] == 0.0
+    assert stats[2]["n_grams"] == 10  # 11 tokens -> 10 bigrams
