@@ -1,0 +1,124 @@
+"""Slowly-changing-dimension (type 2) construction and maintenance.
+
+The reference's warehouse keeps dimensions current-state-only (dbt
+staging models overwrite; see dbt/models/staging/*.sql). SCD2 versioning
+is the standard extension every production dimension eventually needs —
+effective-dated rows with ``valid_from`` / ``valid_to`` / ``is_current``
+— so it is provided here as a first-class operator family.
+
+Scale design: building the dimension from a change log is ONE keyed
+shuffle (window partitioned by the business key, ordered by event time).
+Change detection, interval assignment, and the current-row flag are all
+expressions over lag/lead inside that single window — no self-joins, no
+driver-side state. At 100 TB the cost is the shuffle of the change log,
+which is the information-theoretic floor for per-entity ordering.
+
+Incremental maintenance (``scd2_apply``) unions the new change batch
+with the open rows only, re-runs the same window over that (much
+smaller) set, and leaves closed history untouched — the MERGE pattern
+without rewriting closed partitions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def scd2_build(
+    changes: DataFrame,
+    key: str,
+    ts_col: str,
+    attrs: Sequence[str],
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Collapse a change log into type-2 dimension rows.
+
+    ``changes``: one row per observed state (key, ts, attributes...).
+    Consecutive rows with identical ``attrs`` merge into one version;
+    each version gets ``valid_from`` (its first ts), ``valid_to`` (the
+    next version's ts, NULL while open) and ``is_current``. Ties on ts
+    are broken by ``seq_col`` (pass the event/order id) so the result is
+    deterministic when an entity changes twice in one grain.
+
+    Null-safe change detection: an attribute moving NULL→value or
+    value→NULL opens a new version (struct eqNullSafe against lag).
+    """
+    order = [F.col(ts_col)] + ([F.col(seq_col)] if seq_col else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    state = F.struct(*[F.col(a) for a in attrs])
+    changed = ~state.eqNullSafe(F.lag(state).over(w))
+    versions = (
+        changes.withColumn("__chg", F.coalesce(changed, F.lit(True)))
+        .filter(F.col("__chg"))
+        .drop("__chg")
+    )
+    wv = Window.partitionBy(key).orderBy(*order)
+    return versions.select(
+        F.col(key),
+        *[F.col(a) for a in attrs],
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(wv).alias("valid_to"),
+        F.lead(ts_col).over(wv).isNull().alias("is_current"),
+    )
+
+
+def scd2_apply(
+    dim: DataFrame,
+    batch: DataFrame,
+    key: str,
+    ts_col: str,
+    attrs: Sequence[str],
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Incremental SCD2 maintenance: apply a new change batch to an
+    existing dimension without touching closed history.
+
+    Closed rows (``valid_to`` set) pass through untouched; open rows are
+    re-expressed as change events at their ``valid_from`` and rebuilt
+    together with the batch through ``scd2_build`` — the open row closes
+    iff the batch contains a later, different state for its key. Work is
+    ∝ |open rows| + |batch|, never |history|."""
+    closed = dim.filter(F.col("valid_to").isNotNull()).select(
+        key, *attrs, "valid_from", "valid_to", "is_current"
+    )
+    open_as_changes = dim.filter(F.col("valid_to").isNull()).select(
+        F.col(key), *[F.col(a) for a in attrs], F.col("valid_from").alias(ts_col)
+    )
+    seq_sel = [F.col(seq_col)] if seq_col else []
+    batch_changes = batch.select(
+        F.col(key), *[F.col(a) for a in attrs], F.col(ts_col), *seq_sel
+    )
+    if seq_col:
+        # Open rows get a NULL seq: NULLS FIRST ordering puts the
+        # pre-existing state ahead of any same-timestamp batch change.
+        open_as_changes = open_as_changes.withColumn(
+            seq_col, F.lit(None).cast(batch.schema[seq_col].dataType)
+        )
+    rebuilt = scd2_build(
+        open_as_changes.unionByName(batch_changes), key, ts_col, attrs, seq_col
+    )
+    return closed.unionByName(rebuilt)
+
+
+def scd2_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    ts_col: str,
+) -> DataFrame:
+    """Point-in-time dimension lookup: attach to each fact row the
+    dimension version valid at its timestamp (valid_from <= ts <
+    valid_to). Expressed as the union-and-carry as-of join
+    (operators/asof.py) when the dim is large; the plain range-join form
+    here is for broadcast-size dimensions — Spark broadcasts ``dim`` and
+    the predicate evaluates map-side, no shuffle of ``facts``."""
+    d = dim.alias("__d")
+    cond = (
+        (facts[ts_col] >= F.col("__d.valid_from"))
+        & (F.col("__d.valid_to").isNull() | (facts[ts_col] < F.col("__d.valid_to")))
+        & (facts[key] == F.col(f"__d.{key}"))
+    )
+    return facts.join(F.broadcast(d), cond, "left").drop(F.col(f"__d.{key}"))

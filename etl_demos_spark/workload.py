@@ -627,6 +627,7 @@ _LATE: tuple[str, ...] = (
     "q_stratified_sample", # md5-bucket downsample (q_hash_split, same machinery)
     "q_fingerprint",       # md5 normalized fingerprint (q_dedup_exact, same expr)
     "q_text_stats",        # token/char stats (q_text_quality, q_repetition)
+    "q_safe_parse_date",   # SAFE.PARSE_DATE (q_date_arithmetic, q_extract_parts)
     # rows-only (no cross-engine oracle exists):
     "q_dedup_text_e2e",
     "q_dedup_minhash",

@@ -1885,3 +1885,42 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.count_distinct("doc_id").cast("long").alias("n_docs"),
     )
+
+
+@workload(
+    "q_scd2_dim",
+    oracle="""
+    WITH ch AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+               LAG(o_orderpriority) OVER w AS prev_p
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ), v AS (
+        SELECT * FROM ch WHERE prev_p IS NULL OR o_orderpriority <> prev_p
+    )
+    SELECT o_custkey, o_orderpriority,
+           strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+           strftime(LEAD(o_orderdate) OVER w2, '%Y-%m-%d') AS valid_to,
+           LEAD(o_orderdate) OVER w2 IS NULL AS is_current
+    FROM v
+    WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("ext-warehouse",),
+)
+def q_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing customer dimension built from the orders
+    change log (order priority as the tracked attribute): consecutive
+    identical states collapse, each version carries valid_from/valid_to/
+    is_current. One keyed window shuffle — see operators/scd.py."""
+    from etl_demos_spark.operators.scd import scd2_build
+    from etl_demos_spark.workload import iso_date
+
+    o = T(spark, sf_dir, "orders")
+    dim = scd2_build(o, "o_custkey", "o_orderdate", ["o_orderpriority"], seq_col="o_orderkey")
+    return dim.select(
+        "o_custkey",
+        "o_orderpriority",
+        iso_date("valid_from").alias("valid_from"),
+        iso_date("valid_to").alias("valid_to"),
+        "is_current",
+    )

@@ -1,0 +1,79 @@
+"""SCD2 dimension construction, incremental apply, point-in-time lookup."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from etl_demos_spark.operators.scd import scd2_apply, scd2_build, scd2_lookup
+
+
+def d(s: str) -> dt.date:
+    return dt.date.fromisoformat(s)
+
+
+def _changes(spark):
+    return spark.createDataFrame(
+        [
+            (1, d("2024-01-01"), 1, "bronze"),
+            (1, d("2024-02-01"), 2, "bronze"),   # no change -> merges
+            (1, d("2024-03-01"), 3, "gold"),
+            (2, d("2024-01-15"), 4, "silver"),
+            (2, d("2024-01-15"), 5, None),        # same-day tie, seq breaks it
+        ],
+        "cust long, ts date, seq long, tier string",
+    )
+
+
+def test_scd2_build_collapses_and_dates_versions(spark):
+    dim = scd2_build(_changes(spark), "cust", "ts", ["tier"], seq_col="seq").collect()
+    by_key = {}
+    for r in dim:
+        by_key.setdefault(r["cust"], []).append(r)
+    c1 = sorted(by_key[1], key=lambda r: r["valid_from"])
+    assert [r["tier"] for r in c1] == ["bronze", "gold"]
+    assert c1[0]["valid_from"] == d("2024-01-01")
+    assert c1[0]["valid_to"] == d("2024-03-01") and not c1[0]["is_current"]
+    assert c1[1]["valid_to"] is None and c1[1]["is_current"]
+    # null-safe change detection: silver -> NULL is a new version
+    assert len(by_key[2]) == 2
+    cur2 = [r for r in by_key[2] if r["is_current"]]
+    assert len(cur2) == 1 and cur2[0]["tier"] is None
+
+
+def test_scd2_apply_closes_open_rows_and_keeps_history(spark):
+    dim = scd2_build(_changes(spark), "cust", "ts", ["tier"], seq_col="seq")
+    batch = spark.createDataFrame(
+        [
+            (1, d("2024-06-01"), 10, "platinum"),  # closes cust1's gold row
+            (3, d("2024-06-02"), 11, "bronze"),    # brand-new entity
+            (2, d("2024-07-01"), 12, None),        # same state as open row -> no-op
+        ],
+        "cust long, ts date, seq long, tier string",
+    )
+    out = scd2_apply(dim, batch, "cust", "ts", ["tier"], seq_col="seq")
+    rows = out.collect()
+    cur = {r["cust"]: r for r in rows if r["is_current"]}
+    assert cur[1]["tier"] == "platinum" and cur[1]["valid_from"] == d("2024-06-01")
+    assert cur[3]["tier"] == "bronze"
+    # the previously-open gold row is now closed at the new version's start
+    gold = [r for r in rows if r["cust"] == 1 and r["tier"] == "gold"][0]
+    assert gold["valid_to"] == d("2024-06-01") and not gold["is_current"]
+    # closed history untouched
+    bronze = [r for r in rows if r["cust"] == 1 and r["tier"] == "bronze"][0]
+    assert bronze["valid_from"] == d("2024-01-01") and bronze["valid_to"] == d("2024-03-01")
+    # unchanged open state did not spawn a duplicate version
+    assert len([r for r in rows if r["cust"] == 2 and r["tier"] is None]) == 1
+
+
+def test_scd2_lookup_point_in_time(spark):
+    dim = scd2_build(_changes(spark), "cust", "ts", ["tier"], seq_col="seq")
+    facts = spark.createDataFrame(
+        [(100, 1, d("2024-02-10")), (101, 1, d("2024-05-01")), (102, 9, d("2024-05-01"))],
+        "fact_id long, cust long, ts date",
+    )
+    out = {r["fact_id"]: r for r in scd2_lookup(facts, dim, "cust", "ts").collect()}
+    assert out[100]["tier"] == "bronze"   # mid-first-version
+    assert out[101]["tier"] == "gold"     # open version
+    assert out[102]["tier"] is None       # unknown key -> left join null
