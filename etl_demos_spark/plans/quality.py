@@ -91,3 +91,35 @@ def profile_table(df: DataFrame, columns: Sequence[str]) -> DataFrame:
         ]
     )
     return wide.select(F.explode(rows).alias("p")).select("p.*")
+
+
+def quantile_profile(
+    df: DataFrame,
+    cols: Sequence[str],
+    group_by: str | None = None,
+    quantiles: Sequence[float] = (0.5, 0.95, 0.99),
+    exact: bool = True,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-column quantile report (p50/p95/p99 by default), optionally per
+    group — the numeric half of table profiling (profile_table covers
+    null/distinct/min/max).
+
+    ``exact=True`` uses Spark's exact ``percentile`` (sort-based
+    aggregation buffer — O(n log n) memory pressure per group, fine up to
+    ~10⁸ rows per group and bit-comparable against an external oracle).
+    At 100 TB use ``exact=False``: ``percentile_approx`` (GK sketch,
+    bounded memory, mergeable partials — the only sane choice for a
+    full-corpus profile, at the cost of engine-specific results).
+    """
+    fn = F.percentile if exact else F.percentile_approx
+    aggs = []
+    for c in cols:
+        for q in quantiles:
+            name = f"{c}_p{str(q).replace('0.', '')}"
+            aggs.append(
+                F.round(fn(F.col(c).cast("double"), F.lit(q)), round_to).alias(name)
+            )
+    if group_by is not None:
+        return df.groupBy(group_by).agg(*aggs)
+    return df.agg(*aggs)

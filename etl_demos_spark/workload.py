@@ -628,6 +628,8 @@ _LATE: tuple[str, ...] = (
     "q_fingerprint",       # md5 normalized fingerprint (q_dedup_exact, same expr)
     "q_text_stats",        # token/char stats (q_text_quality, q_repetition)
     "q_safe_parse_date",   # SAFE.PARSE_DATE (q_date_arithmetic, q_extract_parts)
+    "q_schema_report",     # schema sniff (q_rest_json source path; q_quantiles,
+                           # q_profile_table profiling family)
     # rows-only (no cross-engine oracle exists):
     "q_dedup_text_e2e",
     "q_dedup_minhash",

@@ -1924,3 +1924,37 @@ def q_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         iso_date("valid_to").alias("valid_to"),
         "is_current",
     )
+
+
+@workload(
+    "q_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 6)
+               AS l_extendedprice_p5,
+           round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95), 6)
+               AS l_extendedprice_p95,
+           round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99), 6)
+               AS l_extendedprice_p99,
+           round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 6)
+               AS l_quantity_p5,
+           round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.95), 6)
+               AS l_quantity_p95,
+           round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.99), 6)
+               AS l_quantity_p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("ext-quality",),
+)
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantile profile (linear-interpolation percentile,
+    identical definition in Spark and DuckDB). The approx/sketch variant
+    for full-corpus scale is quantile_profile(exact=False) — see
+    plans/quality.py."""
+    from etl_demos_spark.plans.quality import quantile_profile
+
+    li = T(spark, sf_dir, "lineitem")
+    return quantile_profile(
+        li, ["l_extendedprice", "l_quantity"], group_by="l_returnflag"
+    )

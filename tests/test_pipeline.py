@@ -137,3 +137,13 @@ def test_parallel_run_matches_sequential(spark, bank_sources, tmp_path_factory):
     for name, m in p.models.items():
         for r in m.refs:
             assert pos[r] < pos[name]
+
+
+def test_quantile_profile_exact_and_approx(spark):
+    from etl_demos_spark.plans.quality import quantile_profile
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(101)], "k long, v double")
+    exact = quantile_profile(df, ["v"], quantiles=(0.5,)).collect()[0]
+    assert exact["v_p5"] == 50.0
+    approx = quantile_profile(df, ["v"], quantiles=(0.5,), exact=False).collect()[0]
+    assert abs(approx["v_p5"] - 50.0) <= 1.0  # sketch answer, bounded error
