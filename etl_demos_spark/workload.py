@@ -630,6 +630,7 @@ _LATE: tuple[str, ...] = (
     "q_safe_parse_date",   # SAFE.PARSE_DATE (q_date_arithmetic, q_extract_parts)
     "q_schema_report",     # schema sniff (q_rest_json source path; q_quantiles,
                            # q_profile_table profiling family)
+    "q_date_spine",        # date generate+unnest (q_extract_parts consumes it)
     # rows-only (no cross-engine oracle exists):
     "q_dedup_text_e2e",
     "q_dedup_minhash",

@@ -1958,3 +1958,44 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_profile(
         li, ["l_extendedprice", "l_quantity"], group_by="l_returnflag"
     )
+
+
+@workload(
+    "q_grouped_agg_udf",
+    oracle="""
+    SELECT source,
+           round(exp(avg(ln(CAST(n_chars AS DOUBLE)))), 6) AS geo_mean_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY source
+    """,
+    tags=("ext-udf",),
+)
+def q_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 surface: GROUPED_AGG pandas_udf — the Arrow-vectorized UDAF
+    form (whole group in, scalar out; usable in groupBy().agg and over
+    windows). Geometric mean of document length per source. The UDF sorts
+    before summing so the result is independent of row arrival order —
+    floating-point addition is not associative, and shuffle order is not
+    deterministic; parity against the oracle needs order-free math."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG: `from __future__ import annotations` stringifies
+    # type hints, so the Series -> scalar signature can't be inferred
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def geo_mean(v):
+        logs = np.sort(np.log(v.to_numpy(dtype="float64")))
+        return float(np.exp(logs.sum() / len(logs)))
+
+    # pandas UDAFs cannot mix with JVM aggregates in one agg() —
+    # the count rides through the same Arrow path
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def n_rows(v):
+        return len(v)
+
+    d = T(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.round(geo_mean("n_chars"), 6).alias("geo_mean_chars"),
+        n_rows("n_chars").alias("n_docs"),
+    )
