@@ -217,6 +217,91 @@ def temperature_rates(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """Fixed-size overlapping character chunks — the context-window prep
+    step before embedding / packing (documents longer than a model's
+    window are cut into ``size``-char pieces every ``stride`` chars;
+    ``stride < size`` overlaps chunks so no boundary context is lost).
+
+    Scale path: pure JVM built-ins — ``sequence`` 0..last_chunk,
+    ``explode``, ``substr`` — one narrow pipeline, no shuffle, no Python.
+    Output volume is exactly ``ceil(len/stride)`` rows per doc; an empty
+    document emits one empty chunk (len 0 → last = 0). The UDTF variant
+    below (`chunk_documents_udtf`) computes the identical result through
+    Spark's Python UDTF surface and exists to prove that surface; THIS
+    form is the one to use in a 100 TB pipeline.
+    """
+    if size <= 0 or stride <= 0:
+        raise ValueError("size and stride must be positive")
+    txt = F.coalesce(F.col(text_col), F.lit(""))  # null text ≡ empty doc
+    last = F.greatest(
+        F.lit(0), F.floor((F.length(txt) - F.lit(1)) / F.lit(float(stride)))
+    ).cast("int")
+    out = df.select(
+        F.col(id_col),
+        txt.alias("__txt"),
+        F.explode(F.sequence(F.lit(0), last)).alias("chunk_idx"),
+    )
+    chunk = F.col("__txt").substr(
+        F.col("chunk_idx") * F.lit(stride) + F.lit(1), F.lit(size)
+    )
+    return out.select(
+        id_col,
+        "chunk_idx",
+        chunk.alias("chunk"),
+        F.length(chunk).alias("chunk_chars"),
+    )
+
+
+def chunk_documents_udtf(
+    spark,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """`chunk_documents` through Spark's Python UDTF surface (§2.9):
+    a table function lateral-joined per row, yielding one row per chunk.
+    Registered + invoked via SQL ``LATERAL`` — the canonical UDTF call
+    shape. Row-at-a-time Python; kept as the UDF-surface proof and pinned
+    equal to the built-in form in tests/test_trainprep.py. Use
+    `chunk_documents` for real workloads."""
+    from pyspark.sql.functions import udtf
+
+    if size <= 0 or stride <= 0:
+        raise ValueError("size and stride must be positive")
+
+    class _Chunk:
+        def eval(self, doc_id, text):
+            t = text or ""
+            last = max(0, (len(t) - 1) // stride)
+            for i in range(last + 1):
+                piece = t[i * stride : i * stride + size]
+                yield doc_id, i, piece, len(piece)
+
+    chunker = udtf(
+        _Chunk,
+        returnType=(
+            f"{id_col}: long, chunk_idx: int, chunk: string, chunk_chars: int"
+        ),
+    )
+    spark.udtf.register("chunk_doc_udtf", chunker)
+    df.select(F.col(id_col), F.col(text_col)).createOrReplaceTempView(
+        "__chunk_udtf_input"
+    )
+    return spark.sql(
+        f"SELECT c.* FROM __chunk_udtf_input d, "
+        f"LATERAL chunk_doc_udtf(d.{id_col}, d.{text_col}) c"
+    )
+
+
 def deterministic_shuffle(
     df: DataFrame, id_col: str = "doc_id", seed: str = "s0", rank_col: str = "shuffle_rank"
 ) -> DataFrame:

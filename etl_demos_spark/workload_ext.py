@@ -1999,3 +1999,43 @@ def q_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(geo_mean("n_chars"), 6).alias("geo_mean_chars"),
         n_rows("n_chars").alias("n_docs"),
     )
+
+
+_CHUNK_ORACLE = """
+    WITH idx AS (
+        SELECT doc_id, coalesce(text, '') AS t,
+               unnest(generate_series(0,
+                   greatest(0, CAST(floor((length(coalesce(text, '')) - 1)
+                                          / 96.0) AS INT)))) AS i
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_idx,
+           substr(t, CAST(i * 96 + 1 AS INT), 128) AS chunk,
+           CAST(length(substr(t, CAST(i * 96 + 1 AS INT), 128)) AS INT)
+               AS chunk_chars
+    FROM idx
+"""
+
+
+@workload("q_chunk_docs", oracle=_CHUNK_ORACLE, tags=("ext-trainprep",))
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (fixed-size overlapping character chunks),
+    the scale path: sequence+explode+substr, all JVM built-ins, zero
+    shuffle. See operators/trainprep.py:chunk_documents."""
+    from etl_demos_spark.operators.trainprep import chunk_documents
+
+    return chunk_documents(T(spark, sf_dir, "documents"), size=128, stride=96)
+
+
+@workload("q_chunk_udtf", oracle=_CHUNK_ORACLE, tags=("ext-udf",))
+def q_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 surface: Python UDTF (table function, SQL LATERAL join) —
+    identical semantics to q_chunk_docs, computed row-at-a-time through
+    the UDTF path to prove the surface against the same oracle. The
+    built-in form is the one to use at scale."""
+    from etl_demos_spark.operators.trainprep import chunk_documents_udtf
+
+    return chunk_documents_udtf(
+        spark, T(spark, sf_dir, "documents"), size=128, stride=96
+    )

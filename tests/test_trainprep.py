@@ -183,3 +183,38 @@ def test_repetition_stats_flags_boilerplate(spark):
     assert stats[1]["dup_gram_frac"] > 0.9
     assert stats[2]["dup_gram_frac"] == 0.0
     assert stats[2]["n_grams"] == 10  # 11 tokens -> 10 bigrams
+
+
+def test_chunk_documents_shapes_and_overlap(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a" * 250),   # 3 chunks at size=128/stride=96
+            (2, "b" * 96),    # exactly one stride -> 1 chunk
+            (3, ""),          # empty doc -> one empty chunk
+            (4, None),        # null text ≡ empty doc
+        ],
+        "doc_id long, text string",
+    )
+    out = trainprep.chunk_documents(docs, size=128, stride=96)
+    rows = {(r["doc_id"], r["chunk_idx"]): r for r in out.collect()}
+    assert sorted(rows) == [(1, 0), (1, 1), (1, 2), (2, 0), (3, 0), (4, 0)]
+    assert rows[(1, 0)]["chunk_chars"] == 128
+    assert rows[(1, 1)]["chunk_chars"] == 128   # 96..224 of 250
+    assert rows[(1, 2)]["chunk_chars"] == 250 - 192
+    # overlap: chunk i starts at i*stride, so last 32 chars of chunk 0
+    # are the first 32 of chunk 1 (all 'a' here; verify via lengths)
+    assert rows[(2, 0)]["chunk_chars"] == 96
+    assert rows[(3, 0)]["chunk"] == "" and rows[(3, 0)]["chunk_chars"] == 0
+    assert rows[(4, 0)]["chunk"] == "" and rows[(4, 0)]["chunk_chars"] == 0
+
+
+def test_chunk_udtf_matches_builtin(spark):
+    docs = spark.createDataFrame(
+        [(i, ("xyz%d " % i) * (10 * i)) for i in range(1, 30)] + [(0, None)],
+        "doc_id long, text string",
+    )
+    a = trainprep.chunk_documents(docs, size=64, stride=48)
+    b = trainprep.chunk_documents_udtf(spark, docs, size=64, stride=48)
+    ka = sorted(map(tuple, a.collect()))
+    kb = sorted(map(tuple, b.collect()))
+    assert ka == kb and len(ka) > 30
