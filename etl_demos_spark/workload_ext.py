@@ -2039,3 +2039,56 @@ def q_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents_udtf(
         spark, T(spark, sf_dir, "documents"), size=128, stride=96
     )
+
+
+@workload(
+    "q_range_join",
+    oracle="""
+    WITH iv AS (
+        SELECT n_nationkey,
+               n_nationkey * 90 AS promo_start,
+               n_nationkey * 90 + 365 AS promo_end
+        FROM nation
+    ),
+    pts AS (
+        SELECT date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                   AS d,
+               o_totalprice
+        FROM orders
+    )
+    SELECT iv.n_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS promo_revenue
+    FROM pts JOIN iv ON pts.d BETWEEN iv.promo_start AND iv.promo_end
+    GROUP BY iv.n_nationkey
+    """,
+    tags=("ext-join",),
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (point-in-interval) via granule bucketization — a pure
+    inequality join that would otherwise plan as BroadcastNestedLoop.
+    Each nation gets a 365-day promo window laddered 90 days apart;
+    orders land in every window containing their date (~4-5 each). The
+    interval side is tiny → broadcast: the fact side never shuffles for
+    the join itself. See operators/rangejoin.py."""
+    from etl_demos_spark.operators.rangejoin import range_join_point
+
+    o = T(spark, sf_dir, "orders").select(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+        money("o_totalprice").alias("p"),
+    )
+    n = T(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        (F.col("n_nationkey") * 90).cast("long").alias("promo_start"),
+        (F.col("n_nationkey") * 90 + 365).cast("long").alias("promo_end"),
+    )
+    j = range_join_point(
+        o, F.broadcast(n), "d", "promo_start", "promo_end", granule=256
+    )
+    return j.groupBy("n_nationkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money_sum(F.col("p")).alias("promo_revenue"),
+    )
