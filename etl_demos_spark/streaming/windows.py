@@ -188,3 +188,84 @@ def stream_stream_join(
         & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") - F.expr(f"interval {within}"))
     )
     return l.join(r, cond, "inner")
+
+
+_UNIT_SECS = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+}
+
+
+def _interval_secs(width: str) -> int:
+    qty, unit = width.strip().split()
+    if unit not in _UNIT_SECS:
+        raise ValueError(f"unsupported interval unit: {unit!r}")
+    return int(qty) * _UNIT_SECS[unit]
+
+
+def rollup_cascade(
+    df: DataFrame,
+    ts_col: str = "ts",
+    keys: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    levels: tuple[str, ...] = ("15 minutes", "1 hour", "6 hours"),
+) -> DataFrame:
+    """Multi-resolution continuous-aggregate cascade (the hypertable /
+    materialized-rollup pattern): the finest level aggregates raw events
+    ONCE; every coarser level re-aggregates the finer level's partials —
+    decomposable aggregates only (count/sum/min/max; avg derives as
+    sum/count at read time). Each level must be an integer multiple of
+    the previous, so every fine window nests in exactly one coarse
+    window and ``F.window`` on the fine ``window_start`` is the exact
+    re-bucketing.
+
+    At scale this is the difference between reading 100 TB once vs once
+    per resolution: level i processes |level i-1| rows (already reduced
+    by the fine-bucket cardinality), and the same cascade runs
+    incrementally under Structured Streaming (append the finest level
+    per micro-batch, re-aggregate downstream).
+
+    The money sum stays DECIMAL through every level — partial double
+    sums would make coarser totals shuffle-order-dependent — and is cast
+    to double only by the caller at the output boundary.
+    """
+    secs = [_interval_secs(w) for w in levels]
+    for fine, coarse in zip(secs, secs[1:]):
+        if coarse % fine:
+            raise ValueError(
+                f"levels must nest: {coarse}s not a multiple of {fine}s"
+            )
+
+    def shape(grouped: DataFrame) -> DataFrame:
+        return grouped.select(
+            F.col("w.start").alias("window_start"),
+            *keys,
+            "n_events",
+            "_total",
+            "min_value",
+            "max_value",
+        )
+
+    cur = shape(
+        df.groupBy(F.window(ts_col, levels[0]).alias("w"), *keys).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(12,2)")).alias("_total"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+    )
+    outs = [cur.withColumn("level", F.lit(levels[0]))]
+    for width in levels[1:]:
+        cur = shape(
+            cur.groupBy(F.window("window_start", width).alias("w"), *keys).agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("_total").alias("_total"),
+                F.min("min_value").alias("min_value"),
+                F.max("max_value").alias("max_value"),
+            )
+        )
+        outs.append(cur.withColumn("level", F.lit(width)))
+    out = outs[0]
+    for nxt in outs[1:]:
+        out = out.unionByName(nxt)
+    return out

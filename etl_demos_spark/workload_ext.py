@@ -2092,3 +2092,44 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         money_sum(F.col("p")).alias("promo_revenue"),
     )
+
+
+@workload(
+    "q_rollup_cascade",
+    oracle="""
+    WITH lv AS (SELECT unnest(['15 minutes', '1 hour', '6 hours']) AS level,
+                       unnest([900, 3600, 21600]) AS secs)
+    SELECT lv.level,
+           strftime(to_timestamp(CAST(floor(epoch(ts) / lv.secs) * lv.secs
+                                      AS BIGINT)),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events CROSS JOIN lv
+    GROUP BY 1, 2, 3
+    """,
+    tags=("ext-stream",),
+)
+def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate cascade: 15m -> 1h -> 6h,
+    each coarser level re-aggregating the finer level's partials (one
+    raw scan total). The oracle recomputes every level from raw events —
+    equality proves the cascade's re-aggregation is exact, including the
+    decimal money path. See streaming/windows.py:rollup_cascade."""
+    ev = T(spark, sf_dir, "events")
+    out = win.rollup_cascade(
+        ev, "ts", ("event_type",), "value",
+        ("15 minutes", "1 hour", "6 hours"),
+    )
+    return out.select(
+        "level",
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        F.col("_total").cast("double").alias("total_value"),
+        "min_value",
+        "max_value",
+    )

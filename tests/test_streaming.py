@@ -111,3 +111,42 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     ids = [r["event_id"] for r in got]
     assert len(ids) == len(set(ids))  # no replay survived
     assert set(ids) == {r["event_id"] for r in ev.collect()}  # nothing lost
+
+
+def test_rollup_cascade_levels_match_direct_agg(spark):
+    import datetime as dt
+    import pyspark.sql.functions as F
+    from etl_demos_spark.streaming import windows as win
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (base + dt.timedelta(minutes=7 * i), "a" if i % 3 else "b", float(i))
+        for i in range(200)
+    ]
+    ev = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    out = win.rollup_cascade(ev, "ts", ("event_type",), "value",
+                             ("15 minutes", "1 hour", "6 hours"))
+    # coarsest level must equal aggregating raw events directly at 6h
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], float(r["_total"]),
+                                               r["min_value"], r["max_value"])
+        for r in out.filter(F.col("level") == "6 hours").collect()
+    }
+    direct = {
+        (r["w"]["start"], r["event_type"]): (r["n"], float(r["t"]), r["mn"], r["mx"])
+        for r in ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("value").cast("decimal(12,2)")).alias("t"),
+             F.min("value").alias("mn"), F.max("value").alias("mx"))
+        .collect()
+    }
+    assert got == direct and len(got) >= 4
+
+
+def test_rollup_cascade_rejects_non_nesting_levels(spark):
+    import pytest
+    from etl_demos_spark.streaming import windows as win
+
+    ev = spark.createDataFrame([], "ts timestamp, event_type string, value double")
+    with pytest.raises(ValueError):
+        win.rollup_cascade(ev, levels=("10 minutes", "25 minutes"))
