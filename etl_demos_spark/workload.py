@@ -610,6 +610,11 @@ def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same compare the driver runs.
 _LATE: tuple[str, ...] = (
     # paired, sacrificed from the window (in-window relative in parens):
+    "q_filter_notnull",    # null-safe filter (q_case_banding, q_null_funcs)
+    "q_distinct",          # DISTINCT seed (q_group_agg, q_dedup_exact)
+    "q_extract_parts",     # date-part extraction (q_date_arithmetic)
+    "q_event_tumbling",    # tumbling windows (q_rollup_cascade's finest
+                           # level IS 15m tumbling; q_event_sliding stays)
     "q_count_distinct",    # distinct aggregation (q_distinct, q_group_agg)
     "q_topk",              # windowed top-k (q_top_terms, q_top_unshipped)
     "q_json_extract",      # JSON path extraction (q_rest_json)
