@@ -258,6 +258,68 @@ def ivf_topk(
     )
 
 
+def ivf_write(
+    corpus: DataFrame,
+    centroids,
+    path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the corpus as an on-disk IVF index: every vector is
+    assigned to its nearest coarse centroid and the table is written
+    ``partitionBy("cell")``. This is the 100 TB ANN layout — after this
+    write, an nprobe search is *partition pruning*: the scan reads only
+    nprobe/n_cells of the files and never touches the rest
+    (``PartitionFilters`` on ``cell``, asserted in
+    tests/test_physical_plans.py)."""
+    ivf_assign(corpus, centroids, vec_col).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path)
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Search a written IVF index (see :func:`ivf_write`).
+
+    The probe-cell set is computed from the (small, broadcastable-by-
+    contract) query batch and applied as a *literal* ``isin`` filter on
+    the partition column — static partition pruning that is guaranteed at
+    plan time, independent of AQE/DPP heuristics. The subsequent
+    broadcast join fans each query out to its own nprobe cells only.
+    Equality with the in-memory :func:`ivf_topk` is pinned in
+    tests/test_similarity.py."""
+    q = ivf_assign(
+        queries.withColumnRenamed(q_vec_col, vec_col), centroids, vec_col, n_cells=nprobe
+    ).withColumnRenamed(vec_col, q_vec_col)
+    q = q.select(q_id_col, q_vec_col, F.explode("cells").alias("cell"))
+    # Bounded driver work: |queries| * nprobe cell ids, same contract as
+    # the centroid fit. A literal IN list is what makes the pruning
+    # visible in PartitionFilters (a join alone would rely on DPP).
+    probe_cells = sorted({r[0] for r in q.select("cell").distinct().collect()})
+    c = spark.read.parquet(path).filter(F.col("cell").isin(probe_cells))
+    cand = c.join(F.broadcast(q), "cell")
+    scored = cand.select(
+        F.col(q_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(q_vec_col)).alias("cos_sim"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
 def ivf_assign(
     df: DataFrame, centroids, vec_col: str = "embedding", n_cells: int = 1
 ) -> DataFrame:

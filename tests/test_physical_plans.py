@@ -107,3 +107,31 @@ def test_group_agg_partial_aggregation(spark):
     df = REGISTRY["q_group_agg"].fn(spark, SF_DIR)
     plan = plan_of(df)
     assert plan.count("HashAggregate") >= 2
+
+
+def test_ivf_index_scan_prunes_partitions(spark, tmp_path):
+    """The written IVF index is partitioned by cell; an nprobe search must
+    plan a PartitionFilters on cell — i.e. the probe is partition pruning,
+    reading nprobe/n_cells of the files, not a full scan + filter."""
+    import numpy as np
+    from etl_demos_spark.operators import similarity
+
+    rng = np.random.default_rng(5)
+    X = rng.standard_normal((300, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<float>",
+    )
+    cents = similarity.ivf_build_centroids(df, n_cells=6, sample=300)
+    path = str(tmp_path / "ivf")
+    similarity.ivf_write(df, cents, path)
+    q = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = similarity.ivf_topk_indexed(spark, path, q, cents, k=5, nprobe=2)
+    plan = plan_of(out)
+    assert "PartitionFilters: [cell" in plan or "PartitionFilters: [isnotnull(cell" in plan or "PartitionFilters: [cell#" in plan, plan
+    # and the filter actually narrows the cells that are read
+    probed = {r["cell"] for r in spark.read.parquet(path).join(
+        out.select("vec_id").distinct(), "vec_id").select("cell").collect()}
+    assert len(probed) <= 6

@@ -116,3 +116,27 @@ def test_brute_force_gemm_matches_hof(spark, vectors):
     ]
     for a, b in zip(gemm, hof):
         assert abs(a["cos_sim"] - b["cos_sim"]) < 1e-9
+
+
+def test_ivf_indexed_matches_in_memory(spark, vectors, tmp_path):
+    """ivf_write + ivf_topk_indexed over the written index must return
+    exactly what the in-memory ivf_topk returns for the same centroids
+    and nprobe — the on-disk layout changes the scan, not the answer."""
+    X, df = vectors
+    q = df.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cents = similarity.ivf_build_centroids(df, n_cells=6, sample=200)
+    path = str(tmp_path / "ivf_index")
+    similarity.ivf_write(df, cents, path)
+    mem = sorted(
+        (r["query_id"], r["vec_id"], round(r["cos_sim"], 9))
+        for r in similarity.ivf_topk(df, q, cents, k=5, nprobe=3).collect()
+    )
+    idx = sorted(
+        (r["query_id"], r["vec_id"], round(r["cos_sim"], 9))
+        for r in similarity.ivf_topk_indexed(
+            spark, path, q, cents, k=5, nprobe=3
+        ).collect()
+    )
+    assert idx == mem
