@@ -55,6 +55,9 @@ def main() -> None:
         "q_decontaminate",
         "q_pack_sequences",
         "q_corpus_shuffle",
+        "q_range_join",
+        "q_rollup_cascade",
+        "q_chunk_docs",
     ]
     headline = [q for q in headline if q in REGISTRY]
 
