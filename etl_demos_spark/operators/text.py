@@ -246,3 +246,107 @@ def winnow_fingerprints(hashes: Column, window: int = 8) -> Column:
     )
     empty = F.filter(hashes, lambda _: F.lit(False))
     return F.array_distinct(F.when(m >= 1, mins).otherwise(empty))
+
+
+def bigram_lm_model(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Self-supervised word-bigram language model over the corpus (the
+    CCNet quality-scoring recipe: train an n-gram LM, score documents by
+    per-token log-probability, bucket into quality tiers).
+
+    Returns ``(gram, w1, c2, c1, logp)`` where ``logp =
+    round(ln(c2/c1), 9)`` is the conditional bigram log-probability.
+    Prefix counts come from re-aggregating the bigram counts (``c1(w1) =
+    Σ_w2 c2(w1, w2)``) — one pass over the corpus text, two
+    combiner-friendly hash aggregations; nothing reads the text twice.
+
+    Scale: model rows ∝ distinct bigrams (Heaps-law sublinear in corpus
+    size). For 100 TB scoring, prune to the top-K grams by count and
+    broadcast; unseen grams then need a smoothing floor at score time
+    (``lm_score_documents(default_logp=...)``).
+    """
+    grams = df.select(F.explode(word_ngrams(text_col, 2)).alias("gram"))
+    c2 = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c2"))
+    c2 = c2.withColumn("w1", F.split(F.col("gram"), " ").getItem(0))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
+    return c2.join(c1, "w1").select(
+        "gram",
+        "w1",
+        "c2",
+        "c1",
+        F.round(F.log(F.col("c2").cast("double") / F.col("c1")), 9).alias("logp"),
+    )
+
+
+def lm_score_documents(
+    df: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rare_max: int = 2,
+    default_logp: float | None = None,
+) -> DataFrame:
+    """Score each document against a bigram LM (see bigram_lm_model).
+
+    Output per document: ``n_bigrams``, ``sum_freq`` (Σ corpus counts of
+    its bigrams — integer-exact), ``rare_frac`` (fraction of bigrams with
+    corpus count ≤ rare_max), ``avg_logp`` (mean conditional bigram
+    log-prob). ``avg_logp`` is summed as DECIMAL(24,9) of the model's
+    pre-rounded logp so the aggregate is shuffle-order-independent and
+    hash-identical to the DuckDB oracle; the single final double division
+    is deterministic IEEE.
+
+    ``default_logp=None`` inner-joins (every gram seen — correct when the
+    model was trained on this corpus); a float value left-joins and fills
+    unseen grams (the pruned-model smoothing floor for cross-corpus
+    scoring). Documents with < 2 tokens have no bigrams and drop out.
+
+    Scale shape: explode grams → join model (broadcast when pruned) →
+    one partial-agg groupBy(doc). Work ∝ corpus token count.
+    """
+    grams = df.select(F.col(id_col), F.explode(word_ngrams(text_col, 2)).alias("gram"))
+    if default_logp is None:
+        j = grams.join(model, "gram")
+    else:
+        j = grams.join(model, "gram", "left").fillna(
+            {"c2": 0, "c1": 0, "logp": default_logp}
+        )
+    dec = F.col("logp").cast("decimal(24,9)")
+    n = F.count(F.lit(1))
+    return j.groupBy(id_col).agg(
+        n.cast("long").alias("n_bigrams"),
+        F.sum("c2").cast("long").alias("sum_freq"),
+        F.round(F.sum(F.when(F.col("c2") <= rare_max, 1).otherwise(0)) / n, 6).alias(
+            "rare_frac"
+        ),
+        F.round(F.sum(dec).cast("double") / n, 6).alias("avg_logp"),
+    )
+
+
+def lm_quality_buckets(
+    scored: DataFrame,
+    score_col: str = "avg_logp",
+    id_col: str = "doc_id",
+    n_buckets: int = 3,
+    exact: bool = True,
+) -> DataFrame:
+    """Assign CCNet-style quality tiers (1 = lowest score = tail .. n =
+    head). ``exact=True`` uses a global ntile window — deterministic and
+    oracle-pairable, but a single-partition sort: only for corpora that
+    fit one task's sort budget (dimension-sized, or post-aggregation
+    outputs). ``exact=False`` is the 100 TB path: cutoffs from
+    percentile_approx (one aggregate, driver gets n_buckets-1 doubles),
+    then a narrow when-chain — no global sort, bucket boundaries
+    approximate but stable."""
+    from pyspark.sql import Window
+
+    if exact:
+        w = Window.orderBy(F.col(score_col).asc(), F.col(id_col).asc())
+        return scored.withColumn("lm_bucket", F.ntile(n_buckets).over(w))
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = scored.agg(
+        F.percentile_approx(score_col, fracs, 10_000).alias("cuts")
+    ).collect()[0]["cuts"]
+    col = F.lit(1)
+    for i, c in enumerate(cuts):
+        col = F.when(F.col(score_col) > c, F.lit(i + 2)).otherwise(col)
+    return scored.withColumn("lm_bucket", col)

@@ -2133,3 +2133,59 @@ def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+@workload(
+    "q_lm_quality",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS tokens
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(tokens) - 1),
+                                   i -> tokens[i] || ' ' || tokens[i+1]))
+               AS gram
+      FROM toks
+    ),
+    c2 AS (SELECT gram, COUNT(*) AS c2 FROM grams GROUP BY gram),
+    c1 AS (SELECT split_part(gram, ' ', 1) AS w1,
+                  CAST(SUM(c2) AS BIGINT) AS c1
+           FROM c2 GROUP BY 1),
+    model AS (
+      SELECT c2.gram, c2.c2, c1.c1,
+             round(ln(CAST(c2.c2 AS DOUBLE) / c1.c1), 9) AS logp
+      FROM c2 JOIN c1 ON split_part(c2.gram, ' ', 1) = c1.w1
+    ),
+    scored AS (
+      SELECT g.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(m.c2) AS BIGINT) AS sum_freq,
+             round(CAST(SUM(CASE WHEN m.c2 <= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) / COUNT(*), 6) AS rare_frac,
+             round(CAST(SUM(CAST(m.logp AS DECIMAL(24,9))) AS DOUBLE)
+                   / COUNT(*), 6) AS avg_logp
+      FROM grams g JOIN model m USING (gram)
+      GROUP BY g.doc_id
+    )
+    SELECT doc_id, n_bigrams, sum_freq, rare_frac, avg_logp,
+           CAST(NTILE(3) OVER (ORDER BY avg_logp ASC, doc_id ASC)
+                AS INTEGER) AS lm_bucket
+    FROM scored
+    """,
+    tags=("ext-text",),
+)
+def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring: train a word-bigram LM on the
+    corpus itself (two combiner-friendly aggs), score every document by
+    mean conditional log-probability (decimal-exact sum, so the result is
+    shuffle-order-independent), and ntile into head/middle/tail quality
+    buckets. The 100 TB path swaps the exact ntile for percentile_approx
+    cutoffs (lm_quality_buckets(exact=False)) and prunes+broadcasts the
+    model. Reference has no equivalent (training-data extension)."""
+    d = T(spark, sf_dir, "documents")
+    model = text.bigram_lm_model(d, "text")
+    scored = text.lm_score_documents(d, model, "doc_id", "text")
+    return text.lm_quality_buckets(scored, "avg_logp", "doc_id", 3, exact=True)

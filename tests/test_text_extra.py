@@ -33,3 +33,51 @@ def test_shared_passage_shares_fingerprints(spark):
     )
     assert fps[1] & fps[2], "overlapping passage must share fingerprints"
     assert not (fps[1] & fps[3] & fps[2])
+
+
+def test_bigram_lm_hand_computed(spark):
+    """'a b a b' + 'a c': c2(a b)=2, c2(b a)=1, c2(a c)=1 -> c1(a)=3,
+    c1(b)=1. logp(a b)=ln(2/3), logp(b a)=ln(1/1)=0, logp(a c)=ln(1/3)."""
+    import math
+    from etl_demos_spark.operators.text import bigram_lm_model, lm_score_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c")], "doc_id long, text string"
+    )
+    model = {r["gram"]: r for r in bigram_lm_model(df, "text").collect()}
+    assert model["a b"]["c2"] == 2 and model["a b"]["c1"] == 3
+    assert model["b a"]["c2"] == 1 and model["b a"]["c1"] == 1
+    assert model["a c"]["c2"] == 1 and model["a c"]["c1"] == 3
+    assert abs(model["a b"]["logp"] - round(math.log(2 / 3), 9)) < 1e-12
+    scored = {
+        r["doc_id"]: r
+        for r in lm_score_documents(
+            df, bigram_lm_model(df, "text"), "doc_id", "text"
+        ).collect()
+    }
+    # doc 1: grams [a b, b a, a b] -> n=3, sum_freq=2+1+2=5
+    assert scored[1]["n_bigrams"] == 3 and scored[1]["sum_freq"] == 5
+    expect = (round(math.log(2 / 3), 9) * 2 + 0.0) / 3
+    assert abs(scored[1]["avg_logp"] - round(expect, 6)) < 1e-9
+    # doc 2: one rare gram (c2=1 <= 2) -> rare_frac 1.0
+    assert scored[2]["rare_frac"] == 1.0
+
+
+def test_lm_buckets_exact_vs_approx(spark):
+    """Approx-percentile bucketing (the no-global-sort scale path) must
+    agree with exact ntile away from the cut boundaries."""
+    from etl_demos_spark.operators.text import lm_quality_buckets
+
+    rows = [(i, float(i)) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, avg_logp double")
+    exact = {
+        r["doc_id"]: r["lm_bucket"]
+        for r in lm_quality_buckets(df, exact=True).collect()
+    }
+    approx = {
+        r["doc_id"]: r["lm_bucket"]
+        for r in lm_quality_buckets(df, exact=False).collect()
+    }
+    agree = sum(exact[i] == approx[i] for i in exact)
+    assert agree >= 85, f"approx buckets diverge too much: {agree}/90"
+    assert set(approx.values()) == {1, 2, 3}
