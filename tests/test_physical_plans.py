@@ -135,3 +135,34 @@ def test_ivf_index_scan_prunes_partitions(spark, tmp_path):
     probed = {r["cell"] for r in spark.read.parquet(path).join(
         out.select("vec_id").distinct(), "vec_id").select("cell").collect()}
     assert len(probed) <= 6
+
+
+def test_optimize_layout_enables_rowgroup_pruning(spark, tmp_path):
+    """Range-clustered rewrite must make a narrow range predicate skip
+    most row groups (footer min/max disjointness), while the same data
+    written hash-shuffled skips ~none — the measurable difference between
+    a clustered and a random layout."""
+    from etl_demos_spark.operators import layout
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    lo, hi = 1000.0, 10000.0  # narrow o_totalprice band
+    clustered = str(tmp_path / "clustered")
+    random_ = str(tmp_path / "random")
+    layout.optimize_layout(o, clustered, ("o_totalprice",), target_files=8)
+    o.repartition(8).write.mode("overwrite").parquet(random_)
+
+    good = layout.pruning_fraction(clustered, "o_totalprice", lo, hi)
+    bad = layout.pruning_fraction(random_, "o_totalprice", lo, hi)
+    assert good >= 0.6, f"clustered layout should skip most row groups, got {good}"
+    assert bad <= 0.2, f"random layout unexpectedly skippable: {bad}"
+
+    # and the predicate is pushed to the scan so the stats are usable
+    back = spark.read.parquet(clustered).filter(
+        (F.col("o_totalprice") >= lo) & (F.col("o_totalprice") <= hi)
+    )
+    plan = plan_of(back)
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(o_totalprice" in plan
+    # correctness: same rows either way
+    assert back.count() == o.filter(
+        (F.col("o_totalprice") >= lo) & (F.col("o_totalprice") <= hi)
+    ).count()
