@@ -122,3 +122,49 @@ def scd2_lookup(
         & (facts[key] == F.col(f"__d.{key}"))
     )
     return facts.join(F.broadcast(d), cond, "left").drop(F.col(f"__d.{key}"))
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: tuple[str, ...],
+    compare_cols: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Change-data-capture between two table snapshots: one row per
+    changed key with ``change_type`` in {insert, delete, update}.
+
+    Shape: ONE full outer join on the natural key — both sides shuffle
+    once on the same key (co-partitioned by the join), comparison is a
+    null-safe struct equality evaluated map-side after the join. Work is
+    ∝ |old| + |new|; at scale, snapshots bucketed/clustered on the key
+    (operators/layout.py) make this a zero-extra-shuffle merge join.
+    Unchanged keys are dropped before anything downstream sees them, so
+    the output is ∝ churn, not table size — the input to incremental
+    loads (merge_upsert) and SCD2 maintenance (scd2_apply).
+    """
+    compare_cols = tuple(
+        compare_cols
+        if compare_cols is not None
+        else [c for c in new.columns if c not in keys]
+    )
+    o = old.select(
+        *keys,
+        F.struct(*[F.col(c) for c in compare_cols]).alias("_old_vals"),
+        F.lit(True).alias("_in_old"),
+    )
+    n = new.select(
+        *keys,
+        F.struct(*[F.col(c) for c in compare_cols]).alias("_new_vals"),
+        F.lit(True).alias("_in_new"),
+    )
+    j = o.join(n, on=list(keys), how="full")
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("insert"))
+        .when(F.col("_in_new").isNull(), F.lit("delete"))
+        .when(~F.col("_old_vals").eqNullSafe(F.col("_new_vals")), F.lit("update"))
+    )
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(*keys, "change_type")
+    )

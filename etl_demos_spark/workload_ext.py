@@ -2189,3 +2189,62 @@ def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = text.bigram_lm_model(d, "text")
     scored = text.lm_score_documents(d, model, "doc_id", "text")
     return text.lm_quality_buckets(scored, "avg_logp", "doc_id", 3, exact=True)
+
+
+@workload(
+    "q_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN 'X'
+                  ELSE o_orderstatus END AS o_orderstatus,
+             o_totalprice
+      FROM orders WHERE o_orderkey % 11 <> 0
+      UNION ALL
+      SELECT -o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 13 = 0
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                WHEN (o.o_orderstatus, o.o_totalprice)
+                     IS DISTINCT FROM (n.o_orderstatus, n.o_totalprice)
+                  THEN 'update' END AS change_type
+    FROM old o FULL JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+               WHEN n.o_orderkey IS NULL THEN 'delete'
+               WHEN (o.o_orderstatus, o.o_totalprice)
+                    IS DISTINCT FROM (n.o_orderstatus, n.o_totalprice)
+                 THEN 'update' END IS NOT NULL
+    """,
+    tags=("ext-etl",),
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between snapshots: deterministic churn simulated on orders
+    (drop %11 keys = deletes, restamp status on %5 keys = updates, negate
+    %13 keys = inserts), then operators/scd.py:snapshot_diff — one full
+    outer join, null-safe struct compare, output ∝ churn. Feeds
+    merge_upsert / scd2_apply incrementally."""
+    from etl_demos_spark.operators.scd import snapshot_diff
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = (
+        o.filter(F.col("o_orderkey") % 11 != 0)
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 5 == 0, F.lit("X")).otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 13 == 0).withColumn(
+                "o_orderkey", -F.col("o_orderkey")
+            )
+        )
+    )
+    return snapshot_diff(o, new, ("o_orderkey",))

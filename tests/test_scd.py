@@ -77,3 +77,19 @@ def test_scd2_lookup_point_in_time(spark):
     assert out[100]["tier"] == "bronze"   # mid-first-version
     assert out[101]["tier"] == "gold"     # open version
     assert out[102]["tier"] is None       # unknown key -> left join null
+
+
+def test_snapshot_diff_null_safety(spark):
+    """Null handling: null->value and value->null are updates; null->null
+    is unchanged; pure inserts/deletes classified by key presence."""
+    from etl_demos_spark.operators.scd import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, "b"), (3, None), (4, "d")], "k long, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None), (5, "e")], "k long, v string"
+    )
+    got = {r["k"]: r["change_type"] for r in snapshot_diff(old, new, ("k",)).collect()}
+    assert got == {1: "update", 2: "update", 4: "delete", 5: "insert"}
+    assert 3 not in got  # null == null, unchanged
