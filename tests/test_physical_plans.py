@@ -166,3 +166,35 @@ def test_optimize_layout_enables_rowgroup_pruning(spark, tmp_path):
     assert back.count() == o.filter(
         (F.col("o_totalprice") >= lo) & (F.col("o_totalprice") <= hi)
     ).count()
+
+
+def test_runtime_bloom_filter_reduces_shuffle_join_probe(spark):
+    """Spark's runtime bloom-filter injection (enabled in the session) is
+    a core 100 TB mechanism: when a shuffle join has a selective build
+    side, the probe-side scan gets a might_contain filter so non-matching
+    rows drop BEFORE the shuffle. The default thresholds (10 GiB
+    application-side scan) only fire at real scale; this test lowers them
+    to pin that the mechanism engages on the exact join shapes the
+    workload uses."""
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        l = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, "bloom filter not injected on probe side"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
