@@ -9,6 +9,14 @@ idle-timeout finalization — the minimal shape of "custom sessionizer with
 state", demonstrating state schema, timeout handling, and Arrow-batched
 group processing. State is per-key and partitioned by the groupBy key, so
 it scales horizontally like any shuffle.
+
+Note on the Spark 4.x successor API: ``transformWithStateInPandas``
+(typed ValueState/ListState/MapState handles + timers, RocksDB-backed)
+is the forward path for new stateful operators; it was probed in this
+environment and its streaming Python runner fails at init for lack of
+the ``google.protobuf`` package (container has no installer), so this
+module stays on ``applyInPandasWithState``, which expresses the same
+per-key state machines.
 """
 
 from __future__ import annotations
