@@ -2248,3 +2248,46 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return snapshot_diff(o, new, ("o_orderkey",))
+
+
+@workload(
+    "q_sketch_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           CAST(COUNT(*) AS BIGINT) AS rows_in,
+           TRUE AS hll_within_2pct
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("ext-sketch",),
+)
+def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-(event_type, day) HLL partials of
+    user_id, re-aggregated to event_type by sketch union — the
+    pre-aggregate-once pattern (operators/sketches.py). Hash-checked
+    columns are the exact distinct count and row count; the sketch
+    estimate is surfaced as a within-2% boolean because DuckDB cannot
+    reproduce DataSketches binaries (exact mergeability — union of
+    dailies == whole-corpus sketch — is asserted in
+    tests/test_scale_utils.py)."""
+    from etl_demos_spark.operators import sketches
+
+    ev = T(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    daily = sketches.distinct_sketches(ev, ("event_type", "day"), "user_id")
+    rolled = sketches.merge_sketch_rollup(daily, ("event_type",))
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return (
+        rolled.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_distinct",
+            "rows_in",
+            (
+                F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+                <= F.col("exact_distinct") * 0.02
+            ).alias("hll_within_2pct"),
+        )
+    )

@@ -167,3 +167,37 @@ def test_split_by_hash_deterministic_and_stable(spark):
     s2 = {r["doc_id"] for r in deterministic_sample(df, "doc_id", 0.25).collect()}
     assert s1 == s2
     assert 0.2 <= len(s1) / 2000 <= 0.3
+
+
+def test_hll_sketch_mergeability_exact(spark):
+    """Union of per-day sketch partials must give the SAME estimate as a
+    single whole-corpus sketch (HLL register updates are max-ops:
+    order-independent, deterministic) — the property that makes stored
+    partials re-aggregatable forever. Estimate must also be within 2% of
+    exact at this cardinality."""
+    import pyspark.sql.functions as F
+    from etl_demos_spark.data import load_table
+    from etl_demos_spark.operators import sketches
+
+    ev = load_table(spark, SF_DIR, "events").withColumn("day", F.to_date("ts"))
+    daily = sketches.distinct_sketches(ev, ("event_type", "day"), "user_id")
+    via_union = {
+        r["event_type"]: r["approx_distinct"]
+        for r in sketches.merge_sketch_rollup(daily, ("event_type",)).collect()
+    }
+    direct = {
+        r["event_type"]: r["approx_distinct"]
+        for r in sketches.merge_sketch_rollup(
+            sketches.distinct_sketches(ev, ("event_type",), "user_id"),
+            ("event_type",),
+        ).collect()
+    }
+    assert via_union == direct
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(
+            F.count_distinct("user_id").alias("n")
+        ).collect()
+    }
+    for k, est in via_union.items():
+        assert abs(est - exact[k]) <= 0.02 * exact[k]
