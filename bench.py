@@ -58,6 +58,9 @@ def main() -> None:
         "q_range_join",
         "q_rollup_cascade",
         "q_chunk_docs",
+        "q_lm_quality",
+        "q_snapshot_diff",
+        "q_sketch_rollup",
     ]
     headline = [q for q in headline if q in REGISTRY]
 

@@ -199,6 +199,31 @@ def word_ngrams(text: Column | str, n: int = 2) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def exploded_word_ngrams(
+    df: DataFrame,
+    keep_cols: tuple[str, ...],
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """(keep_cols..., gram) rows — the HOT-PATH form of word_ngrams.
+
+    word_ngrams builds the gram array with a higher-order ``transform``
+    lambda, which Spark evaluates interpreted (no codegen): measured
+    3.4 s vs 0.43 s at sf0.1 for the same 265k grams. This form stays
+    fully codegen'd: tokenize once (regexp_extract_all), ``arrays_zip``
+    n shifted ``slice`` views (plain expressions, no lambda), explode the
+    struct array, then one row-level concat_ws. Output is row-identical
+    to ``explode(word_ngrams(...))`` (pinned in tests). Use this wherever
+    grams become rows; keep word_ngrams for array-context expressions.
+    """
+    tokens = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), F.lit(0))
+    m = F.size(tokens) - F.lit(n - 1)
+    zipped = F.arrays_zip(*[F.slice(tokens, i + 1, m).alias(f"t{i}") for i in range(n)])
+    rows = df.filter(m >= 1).select(*keep_cols, F.explode(zipped).alias("_z"))
+    gram = F.concat_ws(" ", *[F.col(f"_z.t{i}") for i in range(n)])
+    return rows.select(*keep_cols, gram.alias("gram"))
+
+
 def repetition_stats(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -217,9 +242,7 @@ def repetition_stats(
     text; work is ∝ corpus token count, the floor for any exact
     repetition measure. Reference has no equivalent (training-data
     extension surface)."""
-    grams = df.select(
-        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram")
-    )
+    grams = exploded_word_ngrams(df, (id_col,), text_col, n)
     counts = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("cnt"))
     return counts.groupBy(id_col).agg(
         F.sum("cnt").cast("long").alias("n_grams"),
@@ -264,7 +287,7 @@ def bigram_lm_model(df: DataFrame, text_col: str = "text") -> DataFrame:
     broadcast; unseen grams then need a smoothing floor at score time
     (``lm_score_documents(default_logp=...)``).
     """
-    grams = df.select(F.explode(word_ngrams(text_col, 2)).alias("gram"))
+    grams = exploded_word_ngrams(df, (), text_col, 2)
     c2 = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c2"))
     c2 = c2.withColumn("w1", F.split(F.col("gram"), " ").getItem(0))
     c1 = c2.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
@@ -303,7 +326,7 @@ def lm_score_documents(
     Scale shape: explode grams → join model (broadcast when pruned) →
     one partial-agg groupBy(doc). Work ∝ corpus token count.
     """
-    grams = df.select(F.col(id_col), F.explode(word_ngrams(text_col, 2)).alias("gram"))
+    grams = exploded_word_ngrams(df, (id_col,), text_col, 2)
     if default_logp is None:
         j = grams.join(model, "gram")
     else:

@@ -36,6 +36,16 @@ def main() -> int:
     kept = profiled.filter(F.col("quality") >= 0.5)
     n1 = kept.count()
 
+    # 1b. LM quality tiers (the CCNet recipe): train a bigram LM on the
+    #     surviving corpus, score every doc, drop the tail tier. Uses the
+    #     approx-percentile bucketing — the no-global-sort scale path.
+    model = text.bigram_lm_model(kept, "text")
+    scored = text.lm_score_documents(kept, model, "doc_id", "text")
+    tiers = text.lm_quality_buckets(scored, exact=False)
+    tail = tiers.filter(F.col("lm_bucket") == 1).select("doc_id")
+    kept = kept.join(tail, "doc_id", "left_anti")
+    n1b = kept.count()
+
     # 2. exact dedup (normalized fingerprint, min-id canonical)
     exact = dedup.exact_dedup(kept, "text", "doc_id")
     n2 = exact.count()
@@ -66,8 +76,8 @@ def main() -> int:
     n4 = train.count()
 
     print(
-        f"documents: {n0} → quality≥0.5: {n1} → exact-dedup: {n2} "
-        f"→ near-dedup: {n3} → decontaminated train: {n4}"
+        f"documents: {n0} → quality≥0.5: {n1} → LM head+middle: {n1b} "
+        f"→ exact-dedup: {n2} → near-dedup: {n3} → decontaminated train: {n4}"
     )
 
     # 6. pack into ~512-token sequences and fix the training order

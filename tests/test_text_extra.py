@@ -81,3 +81,18 @@ def test_lm_buckets_exact_vs_approx(spark):
     agree = sum(exact[i] == approx[i] for i in exact)
     assert agree >= 85, f"approx buckets diverge too much: {agree}/90"
     assert set(approx.values()) == {1, 2, 3}
+
+
+def test_exploded_word_ngrams_matches_hof_form(spark):
+    """The codegen'd zip/slice/explode gram path must be row-identical to
+    explode(word_ngrams(...)) — including short docs (no grams) and n=3."""
+    from etl_demos_spark.operators.text import exploded_word_ngrams, word_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "The quick brown-fox jumps"), (2, "one"), (3, ""), (4, "a b")],
+        "doc_id long, text string",
+    )
+    for n in (2, 3):
+        hof = df.select("doc_id", F.explode(word_ngrams("text", n)).alias("gram"))
+        fast = exploded_word_ngrams(df, ("doc_id",), "text", n)
+        assert sorted(map(tuple, hof.collect())) == sorted(map(tuple, fast.collect()))
