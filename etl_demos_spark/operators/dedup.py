@@ -105,6 +105,32 @@ def shingled_docs(
     )
 
 
+def exploded_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, g) shingle rows WITHOUT per-doc dedup — the codegen'd hot
+    path for consumers insensitive to shingle multiplicity (MinHash: the
+    min of a multiset equals the min of its set; duplicates cannot move
+    any minimum). Construction is arrays_zip of n shifted slice views of
+    the once-materialized token array + explode + one row-level
+    concat_ws — no higher-order lambdas, unlike shingles_from_tokens'
+    transform (interpreted; measured 8× slower on the bigram path, see
+    text.exploded_word_ngrams). Tokens stay a separate projection for the
+    same alias-substitution reasons as shingled_docs. NOT for exact
+    Jaccard or SimHash, where set semantics / vote weights matter."""
+    toked = df.select(F.col(id_col).alias("id"), tokenize(text_col).alias("__toks")).filter(
+        F.size("__toks") >= n
+    )
+    m = F.size(F.col("__toks")) - F.lit(n - 1)
+    zipped = F.arrays_zip(
+        *[F.slice("__toks", i + 1, m).alias(f"t{i}") for i in range(n)]
+    )
+    rows = toked.select("id", F.explode(zipped).alias("_z"))
+    return rows.select(
+        "id", F.concat_ws(" ", *[F.col(f"_z.t{i}") for i in range(n)]).alias("g")
+    )
+
+
 def word_shingles(text: Column | str, n: int = 3) -> Column:
     """Single-expression form (tokenize inlined) — convenience for tiny
     inputs; hot paths use shingled_docs to avoid per-element re-tokenize."""
@@ -208,6 +234,27 @@ def minhash_signatures(
     base = df.select(
         F.col(id_col).alias("id"), F.explode_outer(shingles_col).alias("g")
     ).filter(F.col("g").isNotNull()).select("id", F.pmod(F.xxhash64("g"), p).alias("h"))
+    return _minhash_from_base(base, num_hashes)
+
+
+def minhash_signatures_from_grams(
+    grams: DataFrame,
+    id_col: str = "id",
+    gram_col: str = "g",
+    num_hashes: int = 128,
+) -> DataFrame:
+    """minhash_signatures over already-exploded (id, gram) rows (see
+    exploded_shingles) — identical signatures, skips the array build and
+    the interpreted shingle lambda entirely."""
+    p = F.lit(MERSENNE31).cast("long")
+    base = grams.select(
+        F.col(id_col).alias("id"), F.pmod(F.xxhash64(gram_col), p).alias("h")
+    )
+    return _minhash_from_base(base, num_hashes)
+
+
+def _minhash_from_base(base: DataFrame, num_hashes: int) -> DataFrame:
+    p = F.lit(MERSENNE31).cast("long")
     aggs = [
         F.min((F.col("h") * F.lit(a) + F.lit(b)) % p).alias(f"__m{i}")
         for i, (a, b) in enumerate(_affine_params(num_hashes))
@@ -240,8 +287,8 @@ def minhash_lsh_pairs(
     k=128/32 bands), and the verify joins move only candidate-count rows.
     """
     rows = num_hashes // bands
-    docs = shingled_docs(df, id_col, text_col, n)
-    sigs = minhash_signatures(docs, "id", "sh", num_hashes)
+    grams = exploded_shingles(df, id_col, text_col, n)
+    sigs = minhash_signatures_from_grams(grams, "id", "g", num_hashes)
     sigs = sigs.persist()  # reused by banding + both verify fetches
     banded = sigs.select(
         "id",
