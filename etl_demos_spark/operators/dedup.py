@@ -106,7 +106,11 @@ def shingled_docs(
 
 
 def exploded_shingles(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    extra: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, g) shingle rows WITHOUT per-doc dedup — the codegen'd hot
     path for consumers insensitive to shingle multiplicity (MinHash: the
@@ -118,16 +122,20 @@ def exploded_shingles(
     text.exploded_word_ngrams). Tokens stay a separate projection for the
     same alias-substitution reasons as shingled_docs. NOT for exact
     Jaccard or SimHash, where set semantics / vote weights matter."""
-    toked = df.select(F.col(id_col).alias("id"), tokenize(text_col).alias("__toks")).filter(
-        F.size("__toks") >= n
-    )
+    toked = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in extra],
+        tokenize(text_col).alias("__toks"),
+    ).filter(F.size("__toks") >= n)
     m = F.size(F.col("__toks")) - F.lit(n - 1)
     zipped = F.arrays_zip(
         *[F.slice("__toks", i + 1, m).alias(f"t{i}") for i in range(n)]
     )
-    rows = toked.select("id", F.explode(zipped).alias("_z"))
+    rows = toked.select("id", *extra, F.explode(zipped).alias("_z"))
     return rows.select(
-        "id", F.concat_ws(" ", *[F.col(f"_z.t{i}") for i in range(n)]).alias("g")
+        "id",
+        *extra,
+        F.concat_ws(" ", *[F.col(f"_z.t{i}") for i in range(n)]).alias("g"),
     )
 
 

@@ -43,7 +43,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
-from etl_demos_spark.operators.dedup import shingled_docs
+from etl_demos_spark.operators.dedup import exploded_shingles
 from etl_demos_spark.operators.sampling import hash_bucket
 
 
@@ -74,16 +74,16 @@ def contamination_report(
 def _gram_hashes(
     df: DataFrame, id_col: str, text_col: str, n: int, extra: tuple[str, ...] = ()
 ) -> DataFrame:
-    """(id, *extra, gh): one shingling pass → exploded 64-bit gram hashes.
+    """(id, *extra, gh): codegen'd shingle rows → 64-bit gram hashes.
 
-    explode_outer, not explode: plain explode makes the optimizer infer a
-    pushed-down size(sh)>0 filter that re-evaluates the whole interpreted
-    shingling expression per row — the trap documented at
-    dedup.minhash_signatures (measured 3.3s vs 0.6s here at sf0.1).
-    shingled_docs already guarantees non-empty arrays."""
-    return shingled_docs(df, id_col, text_col, n, extra=extra).select(
-        "id", *extra, F.explode_outer("sh").alias("g")
-    ).filter(F.col("g").isNotNull()).select("id", *extra, F.xxhash64("g").alias("gh"))
+    Uses dedup.exploded_shingles (arrays_zip/slice/explode — no
+    interpreted lambdas, no per-doc array_distinct). Rows are NOT
+    deduped per document; every consumer here applies ``distinct()`` /
+    ``count_distinct`` downstream, so reported gram counts keep exact
+    set semantics while the hot path stays whole-stage codegen."""
+    return exploded_shingles(df, id_col, text_col, n, extra=extra).select(
+        "id", *extra, F.xxhash64("g").alias("gh")
+    )
 
 
 def contamination_report_split(
