@@ -597,7 +597,7 @@ def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The driver full-checks only the FIRST 50 entries of get_queries()
 # (row count + schema + value hash vs the DuckDB oracle); later entries
-# get no driver signal at all. 69 queries are registered and 62 carry
+# get no driver signal at all. 84 queries are registered and 77 carry
 # oracles, so ordering is an explicit policy: every window slot should
 # hold a hash-checkable query. _LATE names the entries deliberately
 # registered past the window — the rows-only queries (no SQL-expressible
@@ -636,6 +636,13 @@ _LATE: tuple[str, ...] = (
     "q_schema_report",     # schema sniff (q_rest_json source path; q_quantiles,
                            # q_profile_table profiling family)
     "q_date_spine",        # date generate+unnest (q_extract_parts consumes it)
+    "q_semi_anti_join",    # semi/anti joins (q_incremental_merge anti path,
+                           # q_snapshot_diff full-outer classification)
+    "q_returned_revenue",  # TPC-H-shaped revenue agg (q_top_unshipped,
+                           # q_star_join exercise the same join+agg shape)
+    "q_rollup",            # ROLLUP grouping sets (q_cube notes same
+                           # machinery; q_rollup_cascade covers rollup
+                           # re-aggregation end-to-end)
     # rows-only (no cross-engine oracle exists):
     "q_dedup_text_e2e",
     "q_dedup_minhash",
