@@ -444,20 +444,59 @@ def dedup_by_minhash(
     num_hashes: int = 128,
     bands: int = 32,
     threshold: float = 0.5,
+    prefer: Column | None = None,
 ) -> DataFrame:
     """End-to-end near-dup dedup: MinHash-LSH pairs → connected
-    components → keep the min-id representative per cluster.
+    components → keep one representative per cluster.
 
     The same composition as embedding_dedup.dedup_by_embedding, with the
     LSH candidate graph instead of the cosine graph: transitive
     near-dup chains collapse to ONE survivor (pairwise-only filtering
     keeps A and C when A~B~C but A≁C — clustering is what makes the
-    dedup rate match the true duplicate rate)."""
+    dedup rate match the true duplicate rate).
+
+    ``prefer=None`` keeps the min-id member (free — it IS the component
+    label). A ``prefer`` column expression (e.g. a quality score
+    evaluated against ``df``) keeps the highest-scoring member instead —
+    the survivor choice production dedup actually wants."""
     from etl_demos_spark.operators.embedding_dedup import connected_components
 
     pairs = minhash_lsh_pairs(df, id_col, text_col, n, num_hashes, bands, threshold)
     comps = connected_components(pairs)
-    losers = comps.filter(F.col("node") != F.col("comp")).select(
-        F.col("node").alias(id_col)
+    if prefer is None:
+        losers = comps.filter(F.col("node") != F.col("comp")).select(
+            F.col("node").alias(id_col)
+        )
+        return df.join(losers, id_col, "left_anti")
+    return keep_best_per_cluster(df, comps, id_col, prefer)
+
+
+def keep_best_per_cluster(
+    df: DataFrame,
+    comps: DataFrame,
+    id_col: str = "doc_id",
+    prefer: Column | None = None,
+) -> DataFrame:
+    """Survivor selection over a duplicate-cluster labeling
+    (``comps``: (node, comp) from connected_components): keep the
+    highest-``prefer`` member of each cluster, ties broken by min id;
+    rows in no cluster survive untouched.
+
+    Shape: broadcast-or-shuffle join of the (small, pairs-derived)
+    component table to the scored ids, then ONE windowed top-1 per comp —
+    Spark's WindowGroupLimit pushes the top-1 below the exchange, so
+    state per cluster is one row, never the member list."""
+    from pyspark.sql import Window
+
+    scored = df.select(F.col(id_col), prefer.alias("__score")).join(
+        comps.withColumnRenamed("node", id_col), id_col
+    )
+    w = Window.partitionBy("comp").orderBy(
+        F.col("__score").desc(), F.col(id_col).asc()
+    )
+    losers = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
+        .select(id_col)
     )
     return df.join(losers, id_col, "left_anti")

@@ -318,3 +318,31 @@ def deterministic_shuffle(
     return dense_ids(
         df.withColumn("__shuffle_key", key), ["__shuffle_key"], rank_col
     ).drop("__shuffle_key")
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: str = "epoch0",
+) -> None:
+    """Export the corpus as ``n_shards`` parquet files in deterministic
+    training order: deterministic_shuffle rank → ``repartitionByRange``
+    on the rank (each shard owns one contiguous rank slice, sampled
+    split points keep shards balanced) → in-shard sort → write with one
+    file per partition.
+
+    The dataloader contract this satisfies: reading shard files in
+    filename order and rows in file order replays the exact global
+    shuffle order, and any shard subset is a contiguous, reproducible
+    slice — resumable without coordination. No global single-machine
+    sort anywhere: the rank is dense_ids (range exchange + offsets) and
+    the range repartition samples split points."""
+    ranked = deterministic_shuffle(df, id_col, seed, "shuffle_rank")
+    (
+        ranked.repartitionByRange(n_shards, F.col("shuffle_rank"))
+        .sortWithinPartitions("shuffle_rank")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -195,3 +195,26 @@ def test_connected_components_chain(spark):
     comps = {r["node"]: r["comp"] for r in connected_components(pairs).collect()}
     assert comps[1] == comps[2] == comps[3] == comps[4] == 1
     assert comps[10] == comps[11] == 10
+
+
+def test_dedup_by_minhash_prefer_keeps_best(spark):
+    """With prefer=quality, the survivor of each near-dup cluster is the
+    highest-quality member (not the min id); unclustered docs untouched."""
+    from etl_demos_spark.operators.dedup import dedup_by_minhash
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base, 0.2),
+        (2, base + " extra", 0.9),          # same cluster, best quality
+        (3, base + " extra word", 0.5),
+        (10, "completely different text about spark shuffles and joins here", 0.1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, quality double")
+    kept_minid = {r["doc_id"] for r in dedup_by_minhash(df, threshold=0.4).collect()}
+    kept_best = {
+        r["doc_id"]
+        for r in dedup_by_minhash(df, threshold=0.4, prefer=F.col("quality")).collect()
+    }
+    assert 10 in kept_minid and 10 in kept_best
+    assert 1 in kept_minid and kept_minid == {1, 10}
+    assert kept_best == {2, 10}

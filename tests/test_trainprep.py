@@ -218,3 +218,30 @@ def test_chunk_udtf_matches_builtin(spark):
     ka = sorted(map(tuple, a.collect()))
     kb = sorted(map(tuple, b.collect()))
     assert ka == kb and len(ka) > 30
+
+
+def test_write_training_shards_replays_global_order(spark, tmp_path):
+    """Reading shard files in filename order, rows in file order, must
+    replay the deterministic_shuffle global order exactly; shards are
+    contiguous non-overlapping rank slices of roughly equal size."""
+    import glob
+    import pandas as pd
+    from etl_demos_spark.operators.trainprep import (
+        deterministic_shuffle,
+        write_training_shards,
+    )
+
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    path = str(tmp_path / "shards")
+    write_training_shards(df, path, 4, "doc_id", seed="e1")
+    files = sorted(glob.glob(f"{path}/part-*.parquet"))
+    assert len(files) == 4
+    replay = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+    expect = (
+        deterministic_shuffle(df, "doc_id", "e1")
+        .orderBy("shuffle_rank")
+        .toPandas()
+    )
+    assert list(replay["doc_id"]) == list(expect["doc_id"])
+    sizes = [len(pd.read_parquet(f)) for f in files]
+    assert min(sizes) > 0 and max(sizes) - min(sizes) < 500 * 0.5
