@@ -154,6 +154,38 @@ def rp_lsh_buckets(
     return out
 
 
+def rp_lsh_buckets_gemm(
+    df: DataFrame,
+    planes: Sequence[Sequence[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus-side bucket assignment as ONE Arrow-batch numpy GEMM:
+    bucket bit i = sign of row i of V @ P.T. The expression form
+    (rp_lsh_buckets) evaluates an interpreted higher-order dot per plane
+    per row — fine for query batches, wrong as the map pass that buckets
+    a 100 TB corpus. Output schema = input + ``bucket`` long; pinned
+    bit-identical to the expression form on seeded data (sign flips
+    require |dot| within float64 ulp of zero — measure-zero for real
+    embeddings)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    P = np.array(planes, dtype=np.float64)
+    schema = StructType(list(df.schema.fields) + [StructField("bucket", LongType())])
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            bits = (V @ P.T) >= 0  # (rows, planes)
+            weights = (1 << np.arange(P.shape[0], dtype=np.int64))
+            pdf = pdf.copy()
+            pdf["bucket"] = bits @ weights
+            yield pdf
+
+    return df.mapInPandas(assign, schema)
+
+
 def ann_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -164,13 +196,21 @@ def ann_topk_lsh(
     q_id_col: str = "query_id",
     q_vec_col: str = "query_vec",
     multiprobe: int = 0,
+    bucket_method: str = "expr",
 ) -> DataFrame:
     """Approximate top-k: exact cosine only within matching LSH buckets.
     Recall < 1 by construction; raise the plane count for precision, or
     ``multiprobe=m`` to also probe every bucket within Hamming distance 1
     on the first m signature bits (query-side fan-out only — the corpus is
-    never re-bucketed, so cost grows with queries, not corpus)."""
-    c = corpus.withColumn("bucket", rp_lsh_buckets(planes, vec_col))
+    never re-bucketed, so cost grows with queries, not corpus).
+
+    ``bucket_method="gemm"`` assigns corpus buckets with the vectorized
+    numpy pass (rp_lsh_buckets_gemm) — the corpus-scale path; queries
+    always use the expression form (tiny, broadcast)."""
+    if bucket_method == "gemm":
+        c = rp_lsh_buckets_gemm(corpus, planes, vec_col)
+    else:
+        c = corpus.withColumn("bucket", rp_lsh_buckets(planes, vec_col))
     q = queries.withColumn("bucket", rp_lsh_buckets(planes, q_vec_col))
     if multiprobe > 0:
         probes = F.array_distinct(

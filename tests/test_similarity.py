@@ -140,3 +140,24 @@ def test_ivf_indexed_matches_in_memory(spark, vectors, tmp_path):
         ).collect()
     )
     assert idx == mem
+
+
+def test_lsh_gemm_buckets_match_expression_form(spark, vectors):
+    """The numpy GEMM bucket assignment (corpus-scale path) must produce
+    bit-identical buckets to the interpreted expression form, and the
+    full ANN result must be identical under either method."""
+    X, df = vectors
+    rng = np.random.default_rng(7)
+    planes = rng.standard_normal((6, 16)).tolist()
+    expr = {r["vec_id"]: r["bucket"] for r in df.withColumn(
+        "bucket", similarity.rp_lsh_buckets(planes)).collect()}
+    gemm = {r["vec_id"]: r["bucket"] for r in similarity.rp_lsh_buckets_gemm(
+        df, planes).collect()}
+    assert expr == gemm
+    q = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    a = sorted(map(tuple, similarity.ann_topk_lsh(df, q, planes, k=5).collect()))
+    b = sorted(map(tuple, similarity.ann_topk_lsh(
+        df, q, planes, k=5, bucket_method="gemm").collect()))
+    assert a == b
