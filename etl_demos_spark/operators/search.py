@@ -1,0 +1,102 @@
+"""Full-text search over the document corpus: inverted term index +
+BM25-ranked conjunctive search.
+
+Scale shape: the index build is one tokenize pass + one (term, doc)
+hash aggregation — combiner-friendly, shuffle ∝ token count. At 100 TB
+the index is *written* partitioned/bucketed by term so a query's term
+lookups are partition-pruned point reads (same layout story as
+operators/layout.py); corpus-level statistics (N, avg doc length) are a
+one-row aggregate broadcast into the scoring plan. A search touches
+only the postings of its query terms — work ∝ Σ df(term), never corpus
+size.
+
+Determinism: BM25 per-term scores are rounded to 9 decimals and summed
+as DECIMAL(24,9) (shuffle-order-independent), then surfaced as a
+rounded double — the same convention as the bigram-LM scorer, which is
+what lets q_text_search hash-match its DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from etl_demos_spark.operators.text import WORD_RE
+
+
+def build_term_index(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(term, doc_id, tf) postings from one tokenize pass (lowercased
+    word tokens, the corpus-wide convention). Write this partitioned by
+    a term hash bucket for point-lookup search at scale."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), F.lit(0))
+        ).alias("term"),
+    )
+    return toks.groupBy("term", id_col).agg(F.count(F.lit(1)).alias("tf"))
+
+
+def doc_lengths(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, dl): token count per document."""
+    return df.select(
+        F.col(id_col),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), F.lit(0))
+        ).cast("long").alias("dl"),
+    )
+
+
+def bm25_search(
+    index: DataFrame,
+    lengths: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    require_all: bool = True,
+) -> DataFrame:
+    """Top-k documents for a bag of query terms under BM25 (Lucene-style
+    non-negative idf: ln(1 + (N - df + 0.5)/(df + 0.5))).
+
+    Plan: postings filtered to the query terms (an IN over literals —
+    partition-prunable against a written index), joined to doc lengths
+    and to the broadcast one-row corpus stats; one groupBy(doc) sums the
+    per-term scores. ``require_all=True`` keeps only docs matching every
+    term (conjunctive search) via a distinct-term count."""
+    n_docs = lengths.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avg_dl"),
+    )
+    postings = index.filter(F.col("term").isin([t.lower() for t in terms]))
+    dfreq = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    scored = (
+        postings.join(dfreq, "term")
+        .join(lengths, id_col)
+        .crossJoin(F.broadcast(n_docs))
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avg_dl"))
+    )
+    per_term = F.round(idf * tf_part, 9).cast("decimal(24,9)")
+    agg = scored.groupBy(id_col).agg(
+        F.count_distinct("term").cast("long").alias("n_terms_matched"),
+        F.round(F.sum(per_term).cast("double"), 6).alias("bm25"),
+    )
+    if require_all:
+        agg = agg.filter(F.col("n_terms_matched") == len(set(t.lower() for t in terms)))
+    w = Window.orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

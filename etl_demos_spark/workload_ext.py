@@ -2291,3 +2291,64 @@ def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hll_within_2pct"),
         )
     )
+
+
+@workload(
+    "q_text_search",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents
+    ),
+    postings AS (
+      SELECT term, doc_id, COUNT(*) AS tf
+      FROM toks WHERE term IN ('join', 'fast', 'table')
+      GROUP BY 1, 2
+    ),
+    lens AS (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avg_dl FROM lens
+    ),
+    dfreq AS (
+      SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM postings GROUP BY 1
+    ),
+    scored AS (
+      SELECT p.doc_id,
+             CAST(COUNT(DISTINCT p.term) AS BIGINT) AS n_terms_matched,
+             SUM(CAST(round(
+               ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+               (p.tf * 2.2) /
+               (p.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avg_dl)),
+             9) AS DECIMAL(24,9))) AS bsum
+      FROM postings p
+      JOIN dfreq d USING (term)
+      JOIN lens l USING (doc_id)
+      CROSS JOIN stats s
+      GROUP BY p.doc_id
+    )
+    SELECT doc_id, n_terms_matched,
+           round(CAST(bsum AS DOUBLE), 6) AS bm25,
+           CAST(ROW_NUMBER() OVER (ORDER BY round(CAST(bsum AS DOUBLE), 6) DESC,
+                                   doc_id ASC) AS BIGINT) AS rank
+    FROM scored
+    WHERE n_terms_matched = 3
+    QUALIFY rank <= 10
+    """,
+    tags=("ext-text",),
+)
+def q_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text conjunctive search: inverted term index + BM25 top-10
+    for the query {join, fast, table} (operators/search.py). Postings
+    filtered by a literal IN (partition-prunable against a written
+    index); per-term scores decimal-summed for hash stability."""
+    from etl_demos_spark.operators import search
+
+    d = T(spark, sf_dir, "documents")
+    idx = search.build_term_index(d, "doc_id", "text")
+    lens = search.doc_lengths(d, "doc_id", "text")
+    return search.bm25_search(idx, lens, ["join", "fast", "table"], k=10)

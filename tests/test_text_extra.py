@@ -96,3 +96,25 @@ def test_exploded_word_ngrams_matches_hof_form(spark):
         hof = df.select("doc_id", F.explode(word_ngrams("text", n)).alias("gram"))
         fast = exploded_word_ngrams(df, ("doc_id",), "text", n)
         assert sorted(map(tuple, hof.collect())) == sorted(map(tuple, fast.collect()))
+
+
+def test_bm25_search_semantics(spark):
+    """Conjunctive filter drops partial matches; among full matches a doc
+    with higher tf and shorter length outranks a longer one."""
+    from etl_demos_spark.operators.search import (
+        bm25_search,
+        build_term_index,
+        doc_lengths,
+    )
+
+    rows = [
+        (1, "spark join fast join"),                 # tf(join)=2, short
+        (2, "spark join is quite fast " + "x " * 40),  # long doc, tf=1 each
+        (3, "spark only here"),                      # partial match
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx, lens = build_term_index(df), doc_lengths(df)
+    got = bm25_search(idx, lens, ["spark", "join"], k=5).collect()
+    ids = [r["doc_id"] for r in sorted(got, key=lambda r: r["rank"])]
+    assert ids == [1, 2]
+    assert all(r["n_terms_matched"] == 2 for r in got)
