@@ -198,3 +198,43 @@ def test_runtime_bloom_filter_reduces_shuffle_join_probe(spark):
         spark.conf.unset(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join must split an oversized join partition at runtime
+    (SortMergeJoin(skew=true) + AQEShuffleRead skewed in the final
+    adaptive plan). Thresholds are lowered so the mechanism triggers at
+    test scale — at 100 TB the defaults (256 MiB, 5x median) engage on
+    real hot keys; operators/skew.py salting covers aggregations."""
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+        left = spark.range(400_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        right = spark.range(50_000).select(F.col("id").alias("k"), F.lit("r").alias("v"))
+        j = left.join(right, "k").select(F.sum(F.length("pad")).alias("s"))
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for key in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        ):
+            spark.conf.unset(key)
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold",
+            saved["spark.sql.autoBroadcastJoinThreshold"],
+        )
