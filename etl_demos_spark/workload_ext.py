@@ -2352,3 +2352,67 @@ def q_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = search.build_term_index(d, "doc_id", "text")
     lens = search.doc_lengths(d, "doc_id", "text")
     return search.bm25_search(idx, lens, ["join", "fast", "table"], k=10)
+
+
+@workload(
+    "q_url_curation",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id,
+             'https://Sub.' || source || '.example.com/docs/' ||
+             CAST(doc_id AS VARCHAR) || '?utm_source=ads&lang=' || lang ||
+             '&ref=feed' AS url
+      FROM documents
+    )
+    SELECT doc_id,
+           lower(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1))
+             AS host,
+           regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1)
+             AS path,
+           regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_param,
+           regexp_extract(
+             lower(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)),
+             '([^.]+\\.[^.]+)$', 1) AS domain,
+           lower(regexp_extract(
+             regexp_replace(
+               regexp_replace(url, '(utm_[a-z]+|ref)=[^&#]*&', ''),
+               '[?&](utm_[a-z]+|ref)=[^&#]*', ''),
+             '^([a-z0-9+.A-Z-]*://[^/?#]+)', 1))
+           || regexp_replace(
+             regexp_replace(
+               regexp_replace(url, '(utm_[a-z]+|ref)=[^&#]*&', ''),
+               '[?&](utm_[a-z]+|ref)=[^&#]*', ''),
+             '^[a-z0-9+.A-Z-]*://[^/?#]+', '') AS canonical
+    FROM urls
+    """,
+    tags=("ext-text",),
+)
+def q_url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-curation URL handling (functions/urls.py): component
+    extraction, domain rollup key, and tracking-param canonicalization
+    over deterministic synthesized URLs (the documents table carries no
+    real ones). Pure codegen'd regexps from the Java ∩ RE2 subset — the
+    DuckDB oracle runs the byte-identical patterns."""
+    from etl_demos_spark.functions import urls as U
+
+    d = T(spark, sf_dir, "documents")
+    with_url = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://Sub."),
+            F.col("source"),
+            F.lit(".example.com/docs/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?utm_source=ads&lang="),
+            F.col("lang"),
+            F.lit("&ref=feed"),
+        ).alias("url"),
+    )
+    return with_url.select(
+        "doc_id",
+        U.url_host("url").alias("host"),
+        U.url_path("url").alias("path"),
+        U.url_param("url", "lang").alias("lang_param"),
+        U.registered_domain("url").alias("domain"),
+        U.canonical_url("url").alias("canonical"),
+    )

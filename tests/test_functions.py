@@ -101,3 +101,22 @@ def test_bq_week_exhaustive_1990_2035(spark):
     assert len(got) == (dt.date(2035, 12, 31) - dt.date(1990, 1, 1)).days + 1
     bad = {d: (w, ref_week(d)) for d, w in got.items() if w != ref_week(d)}
     assert not bad, f"{len(bad)} mismatches, first: {sorted(bad.items())[:3]}"
+
+
+def test_strip_tracking_params_edge_cases(spark):
+    from etl_demos_spark.functions.urls import canonical_url, strip_tracking_params
+
+    cases = [
+        ("https://A.com/x?utm_a=1&lang=en", "https://a.com/x?lang=en"),
+        ("https://a.com/x?lang=en&ref=feed", "https://a.com/x?lang=en"),
+        ("https://a.com/x?utm_a=1", "https://a.com/x"),
+        ("https://a.com/x?utm_a=1&ref=y", "https://a.com/x"),
+        ("https://a.com/x", "https://a.com/x"),
+        ("https://a.com/x?a=1&utm_b=2&c=3", "https://a.com/x?a=1&c=3"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(canonical_url("url")).collect()]
+    assert got == [want for _, want in cases]
+    # strip alone keeps original case
+    one = spark.createDataFrame([("https://A.com/X?ref=1",)], "url string")
+    assert one.select(strip_tracking_params("url")).collect()[0][0] == "https://A.com/X"
