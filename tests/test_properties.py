@@ -99,3 +99,31 @@ def test_decimal_sum_is_exact(spark, rows):
     for k, c in rows:
         expect[k] = expect.get(k, Decimal(0)) + Decimal(c) / 100
     assert got == {k: float(v) for k, v in expect.items()}
+
+
+_texts = st.lists(
+    st.text(alphabet="ab C1 .-", min_size=0, max_size=40), min_size=1, max_size=12
+)
+
+
+@given(texts=_texts, n=st.integers(2, 4))
+@SET
+def test_exploded_ngrams_match_python_reference(spark, texts, n):
+    """Codegen'd gram rows == first-principles Python n-grams on
+    arbitrary text (mixed case, digits, punctuation, empty/short docs)."""
+    import re
+
+    from etl_demos_spark.operators.text import exploded_word_ngrams
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = sorted(
+        (r["doc_id"], r["gram"])
+        for r in exploded_word_ngrams(df, ("doc_id",), "text", n).collect()
+    )
+    expect = []
+    for i, t in enumerate(texts):
+        toks = re.findall("[a-z0-9]+", t.lower())
+        expect += [(i, " ".join(toks[j : j + n])) for j in range(len(toks) - n + 1)]
+    assert got == sorted(expect)
