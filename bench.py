@@ -61,6 +61,8 @@ def main() -> None:
         "q_lm_quality",
         "q_snapshot_diff",
         "q_sketch_rollup",
+        "q_text_search",
+        "q_url_curation",
     ]
     headline = [q for q in headline if q in REGISTRY]
 
