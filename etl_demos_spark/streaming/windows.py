@@ -269,3 +269,110 @@ def rollup_cascade(
     for nxt in outs[1:]:
         out = out.unionByName(nxt)
     return out
+
+
+def stream_rollup_cascade(
+    stream_df: DataFrame,
+    base_path: str,
+    ts_col: str = "ts",
+    keys: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    levels: tuple[str, ...] = ("15 minutes", "1 hour"),
+    watermark: str = "2 hours",
+    checkpoint: str | None = None,
+):
+    """Continuous-aggregate MAINTENANCE under Structured Streaming — the
+    incremental form of :func:`rollup_cascade`.
+
+    The finest level is a watermarked streaming aggregation in APPEND
+    mode, so a fine window's partial row is emitted exactly once, when
+    the watermark closes it. ``foreachBatch`` then (1) appends the
+    closed fine partials to the level-0 table and (2) maintains every
+    coarser level *incrementally*: the batch's fine rows name exactly
+    which coarse windows changed (the invalidation set — the hypertable
+    refresh policy), those windows alone are re-derived from the finer
+    table and merge-upserted. Per-batch work ∝ windows closed in the
+    batch × cascade depth — never table size, never raw history.
+
+    Values are identical to the batch cascade for every emitted window
+    (asserted in tests/test_streaming.py); windows still open at the
+    watermark are absent until closed, the standard append-mode
+    semantics. Decimal money totals cascade exactly as in the batch
+    form."""
+    from etl_demos_spark.plans.incremental import merge_upsert
+
+    secs = [_interval_secs(w) for w in levels]
+    for fine, coarse in zip(secs, secs[1:]):
+        if coarse % fine:
+            raise ValueError(f"levels must nest: {coarse}s not a multiple of {fine}s")
+
+    df = stream_df
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    fine_agg = (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, levels[0]).alias("w"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(12,2)")).alias("_total"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            *keys,
+            "n_events",
+            "_total",
+            "min_value",
+            "max_value",
+        )
+    )
+    lvl_paths = [f"{base_path}/level_{i}" for i in range(len(levels))]
+
+    def maintain(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch_df.persist()
+        batch_df.write.mode("append").parquet(lvl_paths[0])
+        cur = batch_df
+        for i, width in enumerate(levels[1:], start=1):
+            coarse_start = F.window("window_start", width).getField("start")
+            affected = cur.select(coarse_start.alias("ws")).distinct()
+            finer = spark.read.parquet(lvl_paths[i - 1])
+            finer_aff = (
+                finer.withColumn("__cs", coarse_start)
+                .join(F.broadcast(affected), F.col("__cs") == F.col("ws"))
+                .drop("ws", "__cs")
+            )
+            re_agg = (
+                finer_aff.groupBy(F.window("window_start", width).alias("w"), *keys)
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("_total").alias("_total"),
+                    F.min("min_value").alias("min_value"),
+                    F.max("max_value").alias("max_value"),
+                )
+                .select(
+                    F.col("w.start").alias("window_start"),
+                    *keys,
+                    "n_events",
+                    "_total",
+                    "min_value",
+                    "max_value",
+                )
+            )
+            merge_upsert(
+                spark, re_agg, lvl_paths[i], keys=["window_start", *keys]
+            )
+            cur = re_agg
+        batch_df.unpersist()
+
+    writer = (
+        fine_agg.writeStream.outputMode("append")
+        .foreachBatch(maintain)
+        .trigger(availableNow=True)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
