@@ -238,3 +238,34 @@ def test_aqe_splits_skewed_join_partitions(spark):
             "spark.sql.autoBroadcastJoinThreshold",
             saved["spark.sql.autoBroadcastJoinThreshold"],
         )
+
+
+def test_parquet_aggregate_pushdown_answers_from_footers(spark):
+    """Stats-only queries (count/min/max, no filter) can be answered from
+    parquet footer metadata without scanning data pages — at 100 TB the
+    difference between touching every page and reading footers. Requires
+    the V2 parquet reader; pinned here with the confs that enable it,
+    and value-checked against the normal scan path."""
+    saved_v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    try:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        agg = o.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("mn"),
+            F.max("o_totalprice").alias("mx"),
+        )
+        plan = plan_of(agg)
+        assert "PushedAggregation: [COUNT(*)" in plan, plan[:1500]
+        pushed = agg.collect()[0]
+    finally:
+        spark.conf.set("spark.sql.sources.useV1SourceList", saved_v1)
+        spark.conf.unset("spark.sql.parquet.aggregatePushdown")
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    normal = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("mn"),
+        F.max("o_totalprice").alias("mx"),
+    ).collect()[0]
+    assert tuple(pushed) == tuple(normal)
