@@ -2416,3 +2416,36 @@ def q_url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         U.registered_domain("url").alias("domain"),
         U.canonical_url("url").alias("canonical"),
     )
+
+
+@workload(
+    "q_array_funcs",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',')
+             AS statuses,
+           CAST(len(list_distinct(list(o_orderstatus))) AS BIGINT)
+             AS n_statuses,
+           list_contains(list_distinct(list(o_orderstatus)), 'F') AS has_f,
+           array_to_string(
+             list_sort(list_distinct(list(o_orderstatus)))[1:2], ',')
+             AS first_two
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("ext-rel",),
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/collection function family: collect_set -> sort_array (the
+    deterministic form of any collected array - collect order is
+    shuffle-dependent), size, membership, slice; arrays surface as
+    joined strings because the hash comparator is scalar-typed. DuckDB
+    list_* twins."""
+    o = T(spark, sf_dir, "orders")
+    statuses = F.sort_array(F.collect_set("o_orderstatus"))
+    return o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.concat_ws(",", statuses).alias("statuses"),
+        F.size(F.collect_set("o_orderstatus")).cast("long").alias("n_statuses"),
+        F.array_contains(F.collect_set("o_orderstatus"), "F").alias("has_f"),
+        F.concat_ws(",", F.slice(statuses, 1, 2)).alias("first_two"),
+    )
