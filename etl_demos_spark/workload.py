@@ -643,6 +643,16 @@ _LATE: tuple[str, ...] = (
     "q_rollup",            # ROLLUP grouping sets (q_cube notes same
                            # machinery; q_rollup_cascade covers rollup
                            # re-aggregation end-to-end)
+    "q_date_join",         # date-dim join (q_bank_mart's f_loan_contract
+                           # does a broadcast date-dim join inside the
+                           # driver gate; q_date_arithmetic in window)
+    "q_null_funcs",        # coalesce/nullif family (q_case_banding,
+                           # q_filter_notnull-late; q_string_funcs stays)
+    "q_csv_roundtrip",     # CSV sink+scan (q_bank_mart ingests the
+                           # reference CSVs through the registry
+                           # in-window; q_rest_json keeps JSON)
+    "q_top_terms",         # vocabulary counts (q_text_search's postings
+                           # are the same explode+count shape)
     # rows-only (no cross-engine oracle exists):
     "q_dedup_text_e2e",
     "q_dedup_minhash",

@@ -2449,3 +2449,67 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_contains(F.collect_set("o_orderstatus"), "F").alias("has_f"),
         F.concat_ws(",", F.slice(statuses, 1, 2)).alias("first_two"),
     )
+
+
+@workload(
+    "q_bank_mart",
+    oracle="""
+    WITH cust AS (
+      SELECT customer_id,
+             CASE WHEN age IS NULL THEN 'unknown'
+                  WHEN age BETWEEN 18 AND 29 THEN '18-29'
+                  WHEN age BETWEEN 30 AND 39 THEN '30-39'
+                  WHEN age BETWEEN 40 AND 49 THEN '40-49'
+                  WHEN age >= 50 THEN '50+'
+                  ELSE 'unknown' END AS age_band
+      FROM read_csv_auto('/root/reference/data/customers.csv')
+      WHERE customer_id IS NOT NULL
+    ),
+    loans AS (
+      SELECT customer_id, CAST(default_flag AS INT) AS d
+      FROM read_csv_auto('/root/reference/data/auto_loan_default.csv')
+    )
+    SELECT c.age_band,
+           CAST(COUNT(*) AS BIGINT) AS n_loans,
+           CAST(SUM(l.d) AS BIGINT) AS n_defaults,
+           round(CAST(SUM(l.d) AS DOUBLE) / COUNT(*), 6) AS default_rate
+    FROM loans l JOIN cust c USING (customer_id)
+    GROUP BY 1
+    """,
+    tags=("ext-warehouse",),
+)
+def q_bank_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 13-model bank warehouse (plans/bank_pipeline.py), driven END
+    TO END over the reference's own CSV fixtures and summarized as a
+    mart (default rate by age band) — the driver-gate form of the
+    'switch engines without changing your data' proof. The oracle
+    recomputes the mart independently from the same CSVs, so a hash
+    match certifies the registry ingest + staging contracts + dimension
+    banding + star join jointly. ``sf_dir`` is unused by design: this
+    query's input IS the reference fixture set (read-only)."""
+    from pathlib import Path
+
+    from etl_demos_spark.plans.bank_pipeline import build_bank_pipeline
+    from etl_demos_spark.sources.registry import Source, SourceRegistry
+
+    ref = Path("/root/reference/data")
+    reg = SourceRegistry()
+    reg.add(Source(name="customers", path=str(ref / "customers.csv")))
+    reg.add(Source(name="loan_applications", path=str(ref / "auto_loan_default.csv")))
+    reg.add(Source(name="payments", path=str(ref / "payments.csv")))
+    srcs = {n: reg.load(spark, n) for n in reg.sources}
+    built = build_bank_pipeline(warehouse_dir=f"{_SCRATCH}/bank_mart_wh").run(
+        spark, srcs, check=False
+    )
+    flc, dc = built["f_loan_contract"], built["dim_customer"]
+    return (
+        flc.join(F.broadcast(dc.select("customer_key", "age_band")), "customer_key")
+        .groupBy("age_band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_loans"),
+            F.sum("loan_default").cast("long").alias("n_defaults"),
+            F.round(F.sum("loan_default") / F.count(F.lit(1)), 6).alias(
+                "default_rate"
+            ),
+        )
+    )
