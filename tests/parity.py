@@ -24,6 +24,13 @@ import pandas as pd
 
 
 def _norm_cell(v):
+    import numpy as np
+
+    if isinstance(v, np.ndarray):
+        # DuckDB returns LIST columns as ndarrays; Spark as python lists
+        return tuple(_norm_cell(x) for x in v.tolist())
+    if isinstance(v, np.generic):
+        v = v.item()
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return None
     if isinstance(v, decimal.Decimal):
