@@ -653,6 +653,12 @@ _LATE: tuple[str, ...] = (
                            # in-window; q_rest_json keeps JSON)
     "q_top_terms",         # vocabulary counts (q_text_search's postings
                            # are the same explode+count shape)
+    "q_chunk_udtf",        # UDTF chunker, pinned row-identical to the
+                           # in-window q_chunk_docs built-in form
+    "q_embed_quantize",    # int8 quantize roundtrip (q_embed_norms keeps
+                           # the embedding-functions family in-window)
+    "q_mixture_sample",    # weighted hash-threshold sampling
+                           # (q_hash_split, same md5-bucket machinery)
     # rows-only (no cross-engine oracle exists):
     "q_dedup_text_e2e",
     "q_dedup_minhash",

@@ -2513,3 +2513,158 @@ def q_bank_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Subquery decorrelation family — EXISTS / scalar-correlated / IN+HAVING.
+# The reference never writes a subquery (its dbt models are flat SELECTs),
+# but any engine claiming its query surface must run the classic decision-
+# support shapes. Each query is expressed the way Catalyst wants it — the
+# correlation rewritten as a join — and the oracle keeps the textbook
+# correlated-subquery spelling, so the hash match certifies the rewrite.
+# ---------------------------------------------------------------------------
+
+
+@workload(
+    "q_exists_subquery",
+    oracle="""
+    SELECT o_orderpriority AS order_priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o_orderdate AS DATE) <  DATE '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+    tags=("ext-analytics", "subquery"),
+)
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders in a half-year window with at least one
+    returned line, counted per priority. EXISTS decorrelates to a LEFT
+    SEMI join — the probe (orders) is date-pruned before the join, the
+    build side carries only the join key, and semi-join semantics make
+    multiplicity-safe dedup free (no DISTINCT stage). At 100 TB the
+    date filter prunes partitions on the fact scan and AQE picks
+    broadcast vs shuffle from the post-filter sizes."""
+    o = T(spark, sf_dir, "orders")
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    lo = F.lit("1996-01-01").cast("date")
+    hi = F.lit("1996-07-01").cast("date")
+    windowed = o.filter(
+        (F.col("o_orderdate").cast("date") >= lo)
+        & (F.col("o_orderdate").cast("date") < hi)
+    )
+    return (
+        windowed.join(li, windowed["o_orderkey"] == li["l_orderkey"], "left_semi")
+        .groupBy(F.col("o_orderpriority").alias("order_priority"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+
+
+@workload(
+    "q_scalar_subquery",
+    oracle="""
+    SELECT CAST(p.p_brand AS VARCHAR) AS brand,
+           CAST(COUNT(*) AS BIGINT) AS n_small_lines,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS decimal(12,2)))
+                     AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand IN ('Brand#11', 'Brand#22', 'Brand#33')
+      AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+    GROUP BY p.p_brand
+    """,
+    tags=("ext-analytics", "subquery"),
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from 'small' orders — lines whose quantity
+    is below 20% of that part's average. The correlated scalar subquery
+    decorrelates to one per-part aggregate joined back to the fact: the
+    avg is computed ONCE per part (combiner-friendly groupBy), not once
+    per probe row as the textbook spelling implies. Determinism note:
+    testdata quantities are integral doubles, so the per-part double sum
+    is exact under any task order and the 0.2*avg threshold compares
+    identically in both engines. The brand filter reaches the part scan
+    and the part side broadcasts."""
+    li = T(spark, sf_dir, "lineitem")
+    p = (
+        T(spark, sf_dir, "part")
+        .filter(F.col("p_brand").isin("Brand#11", "Brand#22", "Brand#33"))
+        .select("p_partkey", "p_brand")
+    )
+    thresh = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("q_thresh")
+    )
+    joined = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(thresh, li["l_partkey"] == thresh["t_partkey"])
+        .filter(F.col("l_quantity") < F.col("q_thresh"))
+    )
+    return joined.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_small_lines"),
+        (F.sum(money("l_extendedprice")).cast("double") / F.lit(7.0))
+        .cast("double")
+        .alias("avg_yearly"),
+    )
+
+
+@workload(
+    "q_having_subquery",
+    oracle="""
+    SELECT o.o_custkey AS custkey,
+           o.o_orderkey AS orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(SUM(CAST(l.l_quantity AS decimal(12,2))) AS DOUBLE) AS total_qty
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                           GROUP BY l_orderkey
+                           HAVING SUM(CAST(l_quantity AS decimal(12,2))) > 200)
+    GROUP BY o.o_custkey, o.o_orderkey, o.o_orderdate
+    ORDER BY total_qty DESC, o.o_orderkey
+    LIMIT 20
+    """,
+    tags=("ext-analytics", "subquery"),
+)
+def q_having_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): IN-subquery with HAVING.
+    The IN list is itself an aggregate (orders whose total quantity
+    exceeds a threshold) — decorrelated to agg→filter→LEFT SEMI join.
+    The qualifying-keys side is deliberately NOT broadcast-hinted: its
+    size is data-dependent (a HAVING over every order — ~6% of orders
+    at this threshold, far past driver memory at 100 TB), so AQE picks
+    broadcast while small and shuffle-semi when not. Re-aggregation
+    happens only on surviving groups; decimal quantity sums keep the
+    hash shuffle-order-proof."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    qualifying = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC2)).alias("sq"))
+        .filter(F.col("sq") > 200)
+        .select(F.col("l_orderkey").alias("q_orderkey"))
+    )
+    joined = o.join(
+        qualifying, o["o_orderkey"] == F.col("q_orderkey"), "left_semi"
+    ).join(li, o["o_orderkey"] == li["l_orderkey"])
+    agg = joined.groupBy(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+    ).agg(F.sum(F.col("l_quantity").cast(DEC2)).alias("__qty"))
+    return (
+        agg.orderBy(F.col("__qty").desc(), F.col("orderkey"))
+        .limit(20)
+        .select(
+            "custkey",
+            "orderkey",
+            "order_date",
+            F.col("__qty").cast("double").alias("total_qty"),
+        )
+    )

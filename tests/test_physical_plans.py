@@ -294,3 +294,29 @@ def test_zorder_layout_prunes_on_every_dimension(spark, tmp_path):
     assert z2 > s2
     # rewrite is lossless
     assert spark.read.parquet(zpath).count() == o.count()
+
+
+def test_subquery_family_decorrelates_to_joins(spark):
+    """The EXISTS / scalar-correlated / IN+HAVING queries must plan as
+    joins (semi joins for the predicates, one per-key agg for the scalar
+    subquery) — never as a nested-loop re-execution per probe row."""
+    exists = REGISTRY["q_exists_subquery"].fn(spark, SF_DIR)
+    p = plan_of(exists)
+    assert "LeftSemi" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    # the date window reaches the orders scan as a data filter
+    assert "1996" in p
+
+    scalar = REGISTRY["q_scalar_subquery"].fn(spark, SF_DIR)
+    p = plan_of(scalar)
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    # the brand IN-filter is pushed to the part scan, and the threshold
+    # is a per-part aggregate joined back, not a per-row recompute
+    assert "Brand#11" in p
+    assert p.count("HashAggregate") >= 2
+
+    having = REGISTRY["q_having_subquery"].fn(spark, SF_DIR)
+    p = plan_of(having)
+    assert "LeftSemi" in p
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
