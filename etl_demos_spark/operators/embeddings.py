@@ -24,8 +24,12 @@ of 1e-6-rounded elements (see workload.py conventions).
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 
 def l2_normalize(vec: Column | str) -> Column:
@@ -109,3 +113,136 @@ def centroid_sums(
         F.count(F.lit(1)).alias("n"),
         F.sum("xd").cast("double").alias("dim_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# K-means: nearest-centroid assignment + distributed Lloyd iterations
+# ---------------------------------------------------------------------------
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    cvec_col: str = "cvec",
+) -> DataFrame:
+    """Nearest-centroid assignment (squared L2), expression form.
+
+    Broadcast crossJoin against the small centroid side (k rows — never
+    shuffles the corpus), distance as a sequential in-array sum (the
+    same left-to-right double adds DuckDB's list functions do, so the
+    result is oracle-twinnable bit-for-bit), winner by ``row_number``
+    with a (dist, cell) tiebreak. This is the semantic reference; the
+    corpus-scale hot path is :func:`kmeans_assign_gemm` (pinned equal in
+    tests/test_embeddings.py).
+
+    Output: (id, cell, dist) — one row per input vector.
+    """
+    pairs = df.select(id_col, vec_col).crossJoin(F.broadcast(centroids_df))
+    diff2 = F.zip_with(
+        F.col(vec_col),
+        F.col(cvec_col),
+        lambda x, c: (x.cast("double") - c.cast("double"))
+        * (x.cast("double") - c.cast("double")),
+    )
+    dist = F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)
+    w = Window.partitionBy(id_col).orderBy(F.col("dist").asc(), F.col(cell_col).asc())
+    return (
+        pairs.withColumn("dist", dist)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, cell_col, "dist")
+    )
+
+
+def kmeans_assign_gemm(
+    df: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Arrow-batch argmin assignment — the corpus-scale path.
+
+    Distances via the |x|² − 2·x·C + |c|² identity: ONE dgemm per Arrow
+    batch against the broadcast k×d centroid matrix, no per-element
+    interpreted lambdas. ``np.argmin`` takes the first minimum, which is
+    exactly the (dist, cell) tiebreak of the expression form. One narrow
+    pass over the corpus — no shuffle, no driver materialization.
+
+    ``keep_vec=True`` passes the vector through (the Lloyd update needs
+    (cell, vec) without a join back by id).
+    """
+    spark = df.sparkSession
+    C = np.asarray([list(c) for c in centroids], dtype=np.float64)
+    cn = (C * C).sum(axis=1)
+    b_c = spark.sparkContext.broadcast((C, cn))
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Cm, Cn = b_c.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(list(pdf[vec_col]), dtype=np.float64)
+            d = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ Cm.T) + Cn[None, :]
+            cell = d.argmin(axis=1)
+            dist = np.maximum(d[np.arange(len(d)), cell], 0.0)
+            out = {
+                id_col: pdf[id_col],
+                "cell": cell.astype(np.int64),
+                "dist": dist,
+            }
+            if keep_vec:
+                out[vec_col] = pdf[vec_col]
+            yield pd.DataFrame(out)
+
+    vec_field = f", {vec_col} array<double>" if keep_vec else ""
+    schema = f"{id_col} long, cell long, dist double{vec_field}"
+    return df.select(id_col, vec_col).mapInPandas(assign, schema)
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init=None,
+):
+    """Distributed Lloyd k-means: the full-corpus refinement behind an
+    IVF coarse quantizer (similarity.ivf_build_centroids fits on a
+    bounded sample; this iterates over ALL vectors when the sample is
+    not representative).
+
+    Per iteration: one Arrow argmin pass (``kmeans_assign_gemm``) + one
+    keyed decimal-exact shuffle (``centroid_sums``) — only k×d floats
+    ever reach the driver, never the corpus. Deterministic end-to-end:
+    init = first-k rows by id (unless given), element sums are
+    order-independent decimals, argmin ties break to the lowest cell.
+    Empty cells keep their previous centroid (the FAISS policy).
+
+    Returns ``(centroids, assignments)`` — a k×d list-of-lists and the
+    final (id, cell, dist) DataFrame.
+    """
+    if init is None:
+        rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
+        C = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    else:
+        C = np.asarray([list(c) for c in init], dtype=np.float64)
+    assigned = None
+    for _ in range(iters):
+        assigned = kmeans_assign_gemm(df, C, id_col, vec_col, keep_vec=True)
+        stats = centroid_sums(assigned, "cell", vec_col, group_name="cell").collect()
+        newC = C.copy()
+        sums = np.zeros_like(C)
+        counts = np.zeros(len(C), dtype=np.int64)
+        for r in stats:
+            sums[r["cell"], r["pos"]] = r["dim_sum"]
+            counts[r["cell"]] = r["n"]
+        nonempty = counts > 0
+        newC[nonempty] = sums[nonempty] / counts[nonempty, None]
+        C = newC
+    final = kmeans_assign_gemm(df, C, id_col, vec_col)
+    return [list(map(float, c)) for c in C], final

@@ -39,6 +39,37 @@ def token_count(text: Column | str) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(WORD_RE), F.lit(0))).cast("long")
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to the Java-regex ∩ RE2
+# dialect: the upstream pattern's trailing-whitespace lookahead
+# (`\s+(?!\S)`) is dropped (RE2 has no lookahead), so a whitespace run
+# before a word is one piece (" ?" prefixes still attach a single space
+# to the following word run, which is where almost all BPE piece-count
+# mass sits). `\s` is replaced by the explicit ASCII class because Java
+# includes \x0B in \s and RE2 does not. Contractions, letter runs, digit
+# runs, punctuation runs — the standard piece classes.
+BPE_PRETOKEN_RE = (
+    "'(?:s|t|re|ve|m|ll|d)"
+    "| ?\\p{L}+"
+    "| ?\\p{N}+"
+    "| ?[^ \\t\\n\\r\\f\\p{L}\\p{N}]+"
+    "|[ \\t\\n\\r\\f]+"
+)
+
+
+def pretokenize(text: Column | str) -> Column:
+    """BPE-style pre-token pieces (array<string>) — the unit a byte-pair
+    tokenizer would merge within. One JVM regex pass; the pieces cover
+    the input exactly (every char lands in exactly one piece)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(BPE_PRETOKEN_RE), F.lit(0))
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Pre-token piece count — the standard proxy for tokenizer budget
+    accounting before the (model-specific) merge table is applied."""
+    return F.size(pretokenize(text)).cast("long")
+
+
 def char_stats(text: Column | str) -> dict[str, Column]:
     c = F.col(text) if isinstance(text, str) else text
     n = F.length(c)

@@ -659,7 +659,14 @@ _LATE: tuple[str, ...] = (
                            # the embedding-functions family in-window)
     "q_mixture_sample",    # weighted hash-threshold sampling
                            # (q_hash_split, same md5-bucket machinery)
+    "q_embed_centroid",    # per-group centroid sums (q_kmeans_assign
+                           # drives the same centroid machinery through
+                           # the assignment E-step; q_embed_norms stays)
+    "q_math_funcs",        # scalar math family (q_string_funcs,
+                           # q_date_arithmetic keep the scalar-function
+                           # families in-window)
     # rows-only (no cross-engine oracle exists):
+    "q_kmeans",
     "q_dedup_text_e2e",
     "q_dedup_minhash",
     "q_dedup_simhash",

@@ -54,6 +54,52 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The same pattern literal as text.BPE_PRETOKEN_RE, with the leading
+# quote doubled for SQL. Java-regex ∩ RE2 dialect (no lookahead, explicit
+# ASCII whitespace class) — see the constant's docstring.
+_BPE_SQL_RE = (
+    "''(?:s|t|re|ve|m|ll|d)"
+    "| ?\\p{L}+"
+    "| ?\\p{N}+"
+    "| ?[^ \\t\\n\\r\\f\\p{L}\\p{N}]+"
+    "|[ \\t\\n\\r\\f]+"
+)
+
+
+@workload(
+    "q_bpe_tokens",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_SQL_RE}')) AS BIGINT)
+               AS n_pieces,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+               AS n_words,
+           round(len(regexp_extract_all(text, '{_BPE_SQL_RE}')) * 1.0
+                 / nullif(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 0), 6)
+               AS pieces_per_word
+    FROM documents
+    """,
+    tags=("ext-text",),
+)
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style tokenizer budget accounting (text.pretokenize): GPT-2
+    pre-token pieces counted by ONE codegen'd JVM regex pass — the
+    standard per-document token-cost proxy before a model-specific merge
+    table exists. No Python in the path; pieces-per-word is the
+    fertility signal quality filters threshold on."""
+    d = T(spark, sf_dir, "documents")
+    n_pieces = text.bpe_token_count("text")
+    n_words = text.token_count("text")
+    return d.select(
+        "doc_id",
+        n_pieces.alias("n_pieces"),
+        n_words.alias("n_words"),
+        F.when(n_words == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(n_pieces * F.lit(1.0) / n_words, 6))
+        .alias("pieces_per_word"),
+    )
+
+
 @workload(
     "q_text_quality",
     oracle=f"""
@@ -1807,6 +1853,66 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = T(spark, sf_dir, "embeddings")
     return emb.centroid_sums(e, F.col("vec_id") % 8, "embedding")
+
+
+@workload(
+    "q_kmeans_assign",
+    oracle="""
+    WITH cents AS (
+        SELECT vec_id AS cell, embedding AS cvec
+        FROM embeddings WHERE vec_id < 4
+    ), pairs AS (
+        SELECT e.vec_id, c.cell,
+               list_sum(list_transform(list_zip(e.embedding, c.cvec),
+                   p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                      * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS dist
+        FROM embeddings e CROSS JOIN cents c
+    ), ranked AS (
+        SELECT vec_id, cell, dist,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        FROM pairs
+    )
+    SELECT vec_id, CAST(cell AS BIGINT) AS cell, round(dist, 6) AS dist_r
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("ext-embed",),
+)
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment (embeddings.kmeans_assign) — the
+    E-step every IVF build / k-means / cell-routing pass runs. Centroids
+    here are the first-k vectors (deterministic and SQL-expressible, so
+    the oracle certifies the assignment semantics end-to-end); the
+    corpus-scale path is the Arrow GEMM form, pinned row-identical in
+    tests/test_embeddings.py. Broadcast crossJoin — the corpus never
+    shuffles; sequential in-array distance sums match DuckDB's
+    element order bit-for-bit."""
+    from etl_demos_spark.operators import embeddings as emb
+
+    e = T(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec")
+    )
+    a = emb.kmeans_assign(e, cents)
+    return a.select(
+        "vec_id",
+        F.col("cell").cast("long").alias("cell"),
+        F.round("dist", 6).alias("dist_r"),
+    )
+
+
+@workload("q_kmeans", oracle=None, tags=("ext-embed",))
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (embeddings.kmeans_lloyd, k=8, 3
+    iterations): per-iteration one Arrow argmin pass + one decimal-exact
+    keyed shuffle; only k×d floats reach the driver. Rows-only (an
+    iterative fixpoint has no single-statement SQL twin); convergence
+    and numpy-reference equivalence pinned in tests/test_embeddings.py.
+    Output: per-cell population of the final clustering."""
+    from etl_demos_spark.operators import embeddings as emb
+
+    e = T(spark, sf_dir, "embeddings")
+    _, assigned = emb.kmeans_lloyd(e, k=8, iters=3)
+    return assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_members"))
 
 
 @workload(

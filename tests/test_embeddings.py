@@ -57,3 +57,97 @@ def test_centroid_sums_exact(spark):
     got = {(r["grp"], r["pos"]): (r["n"], r["dim_sum"]) for r in out.collect()}
     assert got[(0, 0)] == (3, 7.0) and got[(0, 1)] == (3, 70.0)
     assert got[(1, 0)] == (1, 7.0) and got[(1, 1)] == (1, 70.0)
+
+
+def _clustered(spark, n_per=40, d=8, seed=7):
+    """Three well-separated planted clusters (numpy-generated, fixed seed)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    centers = np.array(
+        [[10.0] * d, [-10.0] * d, [10.0] * (d // 2) + [-10.0] * (d - d // 2)]
+    )
+    rows, truth = [], []
+    for ci, c in enumerate(centers):
+        pts = c + rng.normal(0, 0.5, size=(n_per, d))
+        for j, p in enumerate(pts):
+            vid = ci * n_per + j
+            rows.append((vid, [float(x) for x in p]))
+            truth.append((vid, ci))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df, dict(truth), centers
+
+
+def test_kmeans_assign_gemm_matches_expression_form(spark):
+    df, _, centers = _clustered(spark)
+    cents_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "cell long, cvec array<float>",
+    )
+    expr = {
+        r["vec_id"]: (r["cell"], r["dist"])
+        for r in emb.kmeans_assign(df, cents_df).collect()
+    }
+    gemm = {
+        r["vec_id"]: (r["cell"], r["dist"])
+        for r in emb.kmeans_assign_gemm(df, centers).collect()
+    }
+    assert set(expr) == set(gemm)
+    for vid, (cell, dist) in expr.items():
+        g_cell, g_dist = gemm[vid]
+        assert g_cell == cell, f"vec {vid}: gemm cell {g_cell} != expr {cell}"
+        # expression form: direct sum((x-c)^2); GEMM: |x|^2-2xc+|c|^2 identity
+        assert abs(g_dist - dist) <= 1e-9 * max(1.0, abs(dist))
+
+
+def test_kmeans_lloyd_matches_numpy_reference(spark):
+    import numpy as np
+
+    df, truth, _ = _clustered(spark)
+    pdf = df.orderBy("vec_id").toPandas()
+    X = np.array(list(pdf["embedding"]), dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy()
+
+    # deliberately bad init (first k points — all in cluster 0) to force
+    # real Lloyd movement before recovery
+    k, iters = 3, 8
+    init = X[:k].copy()
+    cents, assigned = emb.kmeans_lloyd(df, k=k, iters=iters, init=init)
+
+    # numpy reference with the same init and the same empty-cell policy
+    C = init.copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        a = d.argmin(1)
+        for j in range(k):
+            m = X[a == j]
+            if len(m):
+                C[j] = m.mean(0)
+    ref_assign = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+    ref = dict(zip(ids, ref_assign))
+
+    got = {r["vec_id"]: r["cell"] for r in assigned.collect()}
+    assert got == {int(i): int(c) for i, c in ref.items()}
+    # centroid drift vs the unrounded reference stays within the 1e-6
+    # element-rounding the decimal-exact distributed sums introduce
+    assert np.abs(np.array(cents) - C).max() < 1e-4
+
+
+def test_kmeans_lloyd_recovers_planted_clusters(spark):
+    import numpy as np
+
+    n_per = 40
+    df, truth, _ = _clustered(spark, n_per=n_per)
+    pdf = df.orderBy("vec_id").toPandas()
+    X = np.array(list(pdf["embedding"]), dtype=np.float64)
+    # one seed per planted cluster (k-means++-style spread); with a
+    # degenerate all-one-cluster init Lloyd legitimately converges to a
+    # merged local optimum — that's the algorithm, not the implementation
+    init = X[[0, n_per, 2 * n_per]]
+    _, assigned = emb.kmeans_lloyd(df, k=3, iters=6, init=init)
+    got = {r["vec_id"]: r["cell"] for r in assigned.collect()}
+    by_truth = {}
+    for vid, t in truth.items():
+        by_truth.setdefault(t, set()).add(got[vid])
+    labels = [frozenset(v) for v in by_truth.values()]
+    assert all(len(s) == 1 for s in labels) and len(set(labels)) == 3

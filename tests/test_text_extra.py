@@ -118,3 +118,32 @@ def test_bm25_search_semantics(spark):
     ids = [r["doc_id"] for r in sorted(got, key=lambda r: r["rank"])]
     assert ids == [1, 2]
     assert all(r["n_terms_matched"] == 2 for r in got)
+
+
+def test_bpe_pretokenize_known_pieces(spark):
+    from etl_demos_spark.operators.text import bpe_token_count, pretokenize
+
+    cases = [
+        ("I'll don't see 123abc  hi! there",
+         ["I", "'ll", " don", "'t", " see", " 123", "abc", "  ", "hi", "!",
+          " there"]),
+        ("hello world", ["hello", " world"]),
+        ("a1b2", ["a", "1", "b", "2"]),
+        ("...!?", ["...!?"]),
+        ("", []),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(cases)], "i long, text string"
+    )
+    got = {
+        r["i"]: (list(r["p"]), r["n"])
+        for r in df.select(
+            "i", pretokenize("text").alias("p"), bpe_token_count("text").alias("n")
+        ).collect()
+    }
+    for i, (text, want) in enumerate(cases):
+        pieces, n = got[i]
+        assert pieces == want, f"{text!r}: {pieces} != {want}"
+        assert n == len(want)
+        # pieces are a partition of the input: concatenation restores it
+        assert "".join(pieces) == text
