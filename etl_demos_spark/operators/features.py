@@ -1,0 +1,231 @@
+"""Numeric feature preparation: standardization, winsorization, binning.
+
+The tabular-feature half of training-data prep (text/embedding prep live
+in text.py / embeddings.py / trainprep.py): models want group-normalized,
+outlier-clipped, binned numeric columns, and at 100 TB each of these must
+be a one-or-two-shuffle plan, not a per-row Python loop.
+
+Shapes (all JVM built-ins, no Python in any path):
+- z-score: ONE keyed partial-agg shuffle for the group moments (tiny
+  output — one row per group), broadcast-joined back; the fact side
+  never shuffles.
+- winsorize: per-group exact interpolated percentiles (sort-based agg —
+  fine to ~10⁸ rows/group, swap in percentile_approx at full corpus
+  scale), broadcast-joined back, clip is a pure projection.
+- equi-width histogram: min/max agg (one shuffle, one row), then a
+  codegen'd bucket expression + count agg.
+- equi-depth histogram: ntile over a deterministic total order — one
+  range-partitioned sort, the same machinery as a global ORDER BY.
+
+Cross-engine determinism (oracle pairing, workload.py conventions):
+moments are DECIMAL sums of 1e-6-rounded values (order-independent under
+any task scheduling — a raw float sum is not); x² is rounded to 1e-6
+*after* the IEEE multiply so both engines square the same double; the
+final mean/variance arithmetic is a fixed sequence of double ops on
+those exact sums. Interpolated percentiles use the identical definition
+in Spark (`percentile`) and DuckDB (`quantile_cont`). ntile ties are
+broken by a total order (value, id) so bucket membership is unique.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def _rounded(col: str) -> Column:
+    return F.round(F.col(col).cast("double"), 6)
+
+
+def group_moments(
+    df: DataFrame,
+    cols: Sequence[str],
+    group_by: str,
+) -> DataFrame:
+    """Per-group (n, mean, std_pop) for each column — decimal-exact sums,
+    deterministic double finish. One keyed partial-agg shuffle; output is
+    one row per group (broadcastable by construction)."""
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        xd = _rounded(c)
+        x2 = F.round(xd * xd, 6)
+        aggs.append(F.sum(xd.cast("decimal(26,6)")).alias(f"_sum_{c}"))
+        aggs.append(F.sum(x2.cast("decimal(32,6)")).alias(f"_sumsq_{c}"))
+    g = df.groupBy(group_by).agg(*aggs)
+    out_cols = [F.col(group_by), F.col("n")]
+    for c in cols:
+        s = F.col(f"_sum_{c}").cast("double")
+        s2 = F.col(f"_sumsq_{c}").cast("double")
+        n = F.col("n").cast("double")
+        mean = s / n
+        var = F.greatest(s2 / n - mean * mean, F.lit(0.0))
+        out_cols.append(mean.alias(f"mean_{c}"))
+        out_cols.append(F.sqrt(var).alias(f"std_{c}"))
+    return g.select(*out_cols)
+
+
+def zscore(
+    df: DataFrame,
+    cols: Sequence[str],
+    group_by: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Group-standardized copies of ``cols`` (``<col>_z``): (x − μ)/σ per
+    group, σ the population std. Zero-variance groups yield NULL (no
+    signal to scale). The moments row-set is tiny → broadcast join; the
+    fact side stays un-shuffled."""
+    stats = group_moments(df, cols, group_by)
+    out = df.join(F.broadcast(stats), group_by)
+    for c in cols:
+        z = (_rounded(c) - F.col(f"mean_{c}")) / F.col(f"std_{c}")
+        out = out.withColumn(
+            f"{c}_z",
+            F.when(F.col(f"std_{c}") == 0.0, F.lit(None).cast("double")).otherwise(
+                F.round(z, round_to)
+            ),
+        )
+    return out.drop("n", *[f"mean_{c}" for c in cols], *[f"std_{c}" for c in cols])
+
+
+def winsorize(
+    df: DataFrame,
+    cols: Sequence[str],
+    group_by: str,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+    exact: bool = True,
+    round_to: int = 6,
+) -> DataFrame:
+    """Outlier-clipped copies of ``cols`` (``<col>_w``): values clamped to
+    the group's [p_lo, p_hi] interpolated percentiles. ``exact=True``
+    (sort-based aggregate, oracle-comparable) for bounded groups;
+    ``exact=False`` switches to the mergeable GK sketch for full-corpus
+    scale. Bounds join back broadcast; the clip is a projection."""
+    fn = F.percentile if exact else F.percentile_approx
+    aggs = []
+    for c in cols:
+        xd = F.col(c).cast("double")
+        aggs.append(fn(xd, F.lit(p_lo)).alias(f"_lo_{c}"))
+        aggs.append(fn(xd, F.lit(p_hi)).alias(f"_hi_{c}"))
+    bounds = df.groupBy(group_by).agg(*aggs)
+    out = df.join(F.broadcast(bounds), group_by)
+    for c in cols:
+        clipped = F.least(
+            F.greatest(F.col(c).cast("double"), F.col(f"_lo_{c}")), F.col(f"_hi_{c}")
+        )
+        out = out.withColumn(f"{c}_w", F.round(clipped, round_to))
+    drop = [f"_lo_{c}" for c in cols] + [f"_hi_{c}" for c in cols]
+    return out.drop(*drop)
+
+
+def equi_width_hist(
+    df: DataFrame,
+    col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Equi-width histogram: bucket i covers [lo + i·w, lo + (i+1)·w),
+    the max value folded into the last bucket. min/max come from one
+    aggregate (exact, order-independent); the bucket id is a codegen'd
+    floor expression, so the histogram is scan + two tiny shuffles.
+    Output: (bucket, n, bucket_lo, bucket_hi) for non-empty buckets."""
+    ext = df.agg(
+        F.min(F.col(col).cast("double")).alias("lo"),
+        F.max(F.col(col).cast("double")).alias("hi"),
+    )
+    x = F.col(col).cast("double")
+    w = (F.col("hi") - F.col("lo")) / F.lit(float(bins))
+    bucket = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(bins - 1), F.floor((x - F.col("lo")) / w).cast("int")
+        )
+    )
+    counted = (
+        df.crossJoin(F.broadcast(ext))
+        .select(bucket.cast("long").alias("bucket"), "lo", "hi")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("lo").alias("lo"),
+            F.first("hi").alias("hi"),
+        )
+    )
+    bw = (F.col("hi") - F.col("lo")) / F.lit(float(bins))
+    return counted.select(
+        "bucket",
+        "n",
+        F.round(F.col("lo") + F.col("bucket") * bw, 6).alias("bucket_lo"),
+        F.round(F.col("lo") + (F.col("bucket") + F.lit(1)) * bw, 6).alias("bucket_hi"),
+    )
+
+
+def equi_depth_hist(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Equi-depth (equal-count) histogram via ``ntile`` over the total
+    order (value, id) — ties split deterministically, so bucket
+    membership is unique and cross-engine stable. An unpartitioned
+    window is a SINGLE-PARTITION sort (the W2 hazard) — this form is the
+    oracle-comparable reference for profiling-sized inputs; at corpus
+    scale use :func:`equi_depth_hist_scale` (distributed rank via
+    ``dense_ids``, pinned bucket-identical in tests).
+    Output: (bucket, n, lo, hi)."""
+    x = F.col(col).cast("double")
+    w = Window.orderBy(x.asc(), F.col(id_col).asc())
+    return (
+        df.select(x.alias("_x"), F.ntile(bins).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("_x"), 6).alias("lo"),
+            F.round(F.max("_x"), 6).alias("hi"),
+        )
+        .select(F.col("bucket").cast("long").alias("bucket"), "n", "lo", "hi")
+    )
+
+
+def equi_depth_hist_scale(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Distributed equi-depth histogram: global rank via ``dense_ids``
+    (repartitionByRange + per-partition numbering + tiny offset join —
+    no single-task sort), then the exact ntile bucket formula applied as
+    an expression: with n rows, the first n % bins buckets take
+    ⌈n/bins⌉ rows, the rest ⌊n/bins⌋ — bucket-identical to
+    :func:`equi_depth_hist` (pinned in tests/test_features.py). The only
+    driver-side values are the row count and range boundaries."""
+    from etl_demos_spark.operators.keys import dense_ids
+
+    n = df.count()
+    q, r = divmod(n, bins)
+    x = F.col(col).cast("double")
+    ranked = dense_ids(
+        df.select(x.alias("_x"), F.col(id_col).alias("_id")),
+        order_by=["_x", "_id"],
+        key_name="_rank",
+    )
+    big = q + 1  # size of the first r buckets
+    if q == 0:
+        # fewer rows than bins: ntile gives one row per bucket
+        bucket = F.col("_rank") - 1
+    else:
+        bucket = F.when(
+            F.col("_rank") <= r * big, (F.col("_rank") - 1) / big
+        ).otherwise(r + (F.col("_rank") - 1 - r * big) / q)
+    return (
+        ranked.select(F.floor(bucket).cast("long").alias("bucket0"), "_x")
+        .groupBy("bucket0")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("_x"), 6).alias("lo"),
+            F.round(F.max("_x"), 6).alias("hi"),
+        )
+        .select((F.col("bucket0") + 1).cast("long").alias("bucket"), "n", "lo", "hi")
+    )

@@ -665,6 +665,12 @@ _LATE: tuple[str, ...] = (
     "q_math_funcs",        # scalar math family (q_string_funcs,
                            # q_date_arithmetic keep the scalar-function
                            # families in-window)
+    "q_quantiles",         # exact percentile profile (q_feature_scale
+                           # drives the same interpolated-percentile
+                           # aggregate through winsorization)
+    "q_scd2_dim",          # SCD2 versioning (q_snapshot_diff keeps the
+                           # CDC family in-window; q_incremental_merge
+                           # covers the merge-upsert machinery)
     # rows-only (no cross-engine oracle exists):
     "q_kmeans",
     "q_dedup_text_e2e",

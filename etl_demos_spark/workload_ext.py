@@ -2067,6 +2067,119 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "q_feature_scale",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(round(CAST(l_extendedprice AS DOUBLE), 6)
+                        AS DECIMAL(26,6))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(round(round(CAST(l_extendedprice AS DOUBLE), 6)
+                                   * round(CAST(l_extendedprice AS DOUBLE), 6), 6)
+                        AS DECIMAL(32,6))) AS DOUBLE) AS s2,
+               quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.05) AS lo,
+               quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95) AS hi
+        FROM lineitem GROUP BY l_returnflag
+    ), z AS (
+        SELECT l_returnflag,
+               s / CAST(n AS DOUBLE) AS mean,
+               sqrt(greatest(s2 / CAST(n AS DOUBLE)
+                    - (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE)), 0.0)) AS std,
+               lo, hi
+        FROM m
+    )
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+           CASE WHEN z.std = 0 THEN NULL
+                ELSE round((round(CAST(l.l_extendedprice AS DOUBLE), 6) - z.mean)
+                           / z.std, 6)
+           END AS price_z,
+           round(least(greatest(CAST(l.l_extendedprice AS DOUBLE), z.lo), z.hi), 6)
+               AS price_w
+    FROM lineitem l JOIN z USING (l_returnflag)
+    """,
+    tags=("ext-features",),
+)
+def q_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric feature prep (operators/features.py): per-group z-score
+    standardization (decimal-exact moments — ONE tiny-output shuffle,
+    broadcast-joined back, fact side never shuffles) + winsorization at
+    the group's exact [p5, p95] interpolated percentiles. The standard
+    normalize-and-clip pass before tabular features reach a trainer."""
+    from etl_demos_spark.operators import features as feat
+
+    li = T(spark, sf_dir, "lineitem")
+    scaled = feat.zscore(li, ["l_extendedprice"], "l_returnflag")
+    wz = feat.winsorize(scaled, ["l_extendedprice"], "l_returnflag", 0.05, 0.95)
+    return wz.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.col("l_extendedprice_z").alias("price_z"),
+        F.col("l_extendedprice_w").alias("price_w"),
+    )
+
+
+@workload(
+    "q_binning",
+    oracle="""
+    WITH ext AS (
+        SELECT min(CAST(o_totalprice AS DOUBLE)) AS lo,
+               max(CAST(o_totalprice AS DOUBLE)) AS hi
+        FROM orders
+    ), wb AS (
+        SELECT CASE WHEN e.hi = e.lo THEN 0
+                    ELSE least(9, CAST(floor((CAST(o.o_totalprice AS DOUBLE) - e.lo)
+                                             / ((e.hi - e.lo) / 10.0)) AS INT))
+               END AS bucket,
+               e.lo AS glo, e.hi AS ghi
+        FROM orders o CROSS JOIN ext e
+    ), width AS (
+        SELECT 'width' AS method,
+               CAST(bucket AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               round(any_value(glo) + bucket * (any_value(ghi) - any_value(glo)) / 10.0, 6) AS lo,
+               round(any_value(glo) + (bucket + 1) * (any_value(ghi) - any_value(glo)) / 10.0, 6) AS hi
+        FROM wb GROUP BY bucket
+    ), depth AS (
+        SELECT 'depth' AS method,
+               CAST(bucket AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               round(min(x), 6) AS lo,
+               round(max(x), 6) AS hi
+        FROM (SELECT CAST(o_totalprice AS DOUBLE) AS x,
+                     ntile(8) OVER (ORDER BY CAST(o_totalprice AS DOUBLE), o_orderkey)
+                         AS bucket
+              FROM orders)
+        GROUP BY bucket
+    )
+    SELECT * FROM width UNION ALL SELECT * FROM depth
+    """,
+    tags=("ext-features",),
+)
+def q_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histograms for feature discretization and profiling
+    (operators/features.py): equi-width (codegen'd floor-bucket
+    expression over broadcast min/max — scan plus two tiny shuffles) and
+    equi-depth (exact ntile over a deterministic total order; the
+    distributed form is equi_depth_hist_scale via dense_ids, pinned
+    bucket-identical in tests/test_features.py)."""
+    from etl_demos_spark.operators import features as feat
+
+    o = T(spark, sf_dir, "orders")
+    ew = feat.equi_width_hist(o, "o_totalprice", bins=10).select(
+        F.lit("width").alias("method"),
+        "bucket",
+        "n",
+        F.col("bucket_lo").alias("lo"),
+        F.col("bucket_hi").alias("hi"),
+    )
+    ed = feat.equi_depth_hist(o, "o_totalprice", "o_orderkey", bins=8).select(
+        F.lit("depth").alias("method"), "bucket", "n", "lo", "hi"
+    )
+    return ew.unionByName(ed)
+
+
+@workload(
     "q_grouped_agg_udf",
     oracle="""
     SELECT source,

@@ -1,0 +1,84 @@
+"""Numeric feature prep: z-score, winsorize, histograms (operators/features.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+from etl_demos_spark.operators import features as feat
+
+
+def _df(spark):
+    rows = [(i, "a" if i % 2 == 0 else "b", float(v))
+            for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 100, -50])]
+    return spark.createDataFrame(rows, "id long, grp string, x double")
+
+
+def test_zscore_hand_computed(spark):
+    df = _df(spark)
+    out = {r["id"]: r["x_z"] for r in feat.zscore(df, ["x"], "grp").collect()}
+    # group a: ids 0,2,4,6,8 → x = 1,3,5,7,100
+    xs = [1.0, 3.0, 5.0, 7.0, 100.0]
+    mean = sum(xs) / len(xs)
+    std = math.sqrt(sum(v * v for v in xs) / len(xs) - mean * mean)
+    assert abs(out[0] - round((1.0 - mean) / std, 6)) < 1e-9
+    assert abs(out[8] - round((100.0 - mean) / std, 6)) < 1e-9
+
+
+def test_zscore_zero_variance_is_null(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "a", 5.0), (3, "b", 1.0), (4, "b", 2.0)],
+        "id long, grp string, x double",
+    )
+    out = {r["id"]: r["x_z"] for r in feat.zscore(df, ["x"], "grp").collect()}
+    assert out[1] is None and out[2] is None
+    assert out[3] is not None
+
+
+def test_winsorize_clips_to_group_percentiles(spark):
+    df = _df(spark)
+    out = feat.winsorize(df, ["x"], "grp", p_lo=0.25, p_hi=0.75)
+    got = {r["id"]: r["x_w"] for r in out.collect()}
+    # group a sorted: 1,3,5,7,100 → p25 = 3, p75 = 7 (interpolated on rank)
+    assert got[0] == 3.0      # 1 clipped up
+    assert got[8] == 7.0      # 100 clipped down
+    assert got[4] == 5.0      # interior untouched
+
+
+def test_equi_width_hist_buckets_and_ranges(spark):
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "id long, x double"
+    )
+    got = {r["bucket"]: r for r in feat.equi_width_hist(df, "x", bins=3).collect()}
+    # lo=0, hi=9, w=3: buckets [0,3) [3,6) [6,9] → 3,3,4 rows
+    assert got[0]["n"] == 3 and got[1]["n"] == 3 and got[2]["n"] == 4
+    assert got[0]["bucket_lo"] == 0.0 and got[0]["bucket_hi"] == 3.0
+    assert got[2]["bucket_hi"] == 9.0
+
+
+def test_equi_width_hist_degenerate_single_value(spark):
+    df = spark.createDataFrame([(1, 5.0), (2, 5.0)], "id long, x double")
+    rows = feat.equi_width_hist(df, "x", bins=4).collect()
+    assert len(rows) == 1 and rows[0]["bucket"] == 0 and rows[0]["n"] == 2
+
+
+def test_equi_depth_scale_matches_ntile_form(spark):
+    # ties included — the (value, id) total order must make buckets unique
+    rows = [(i, float(v)) for i, v in enumerate([5, 1, 3, 3, 3, 9, 7, 1, 5, 2, 8, 4, 6])]
+    df = spark.createDataFrame(rows, "id long, x double")
+    for bins in (3, 4, 5, 13, 20):
+        ref = {r["bucket"]: (r["n"], r["lo"], r["hi"])
+               for r in feat.equi_depth_hist(df, "x", "id", bins=bins).collect()}
+        got = {r["bucket"]: (r["n"], r["lo"], r["hi"])
+               for r in feat.equi_depth_hist_scale(df, "x", "id", bins=bins).collect()}
+        assert got == ref, f"bins={bins}: {got} != {ref}"
+
+
+def test_equi_depth_scale_is_distributed(spark):
+    """The scale form must not collapse to one partition for the rank."""
+    plan = feat.equi_depth_hist_scale(
+        _df(spark), "x", "id", bins=2
+    )._jdf.queryExecution().executedPlan().toString()
+    # dense_ids plans a range exchange, not a SinglePartition window sort
+    assert "rangepartitioning" in plan.lower()
