@@ -49,6 +49,35 @@ def assert_unique(df: DataFrame, columns: Sequence[str]) -> None:
         raise AssertionError(f"unique{tuple(columns)}: {n} duplicated keys")
 
 
+def accepted_values_violations(
+    df: DataFrame, columns: Sequence[str], values: Sequence = ()
+) -> int:
+    """dbt `accepted_values`: rows whose column holds something outside
+    the allowed set (NULLs pass — dbt's semantics; pair with not_null to
+    forbid them). One filtered count; the IN-list is a literal, so the
+    predicate pushes to the scan."""
+    (c,) = columns
+    return df.filter(
+        F.col(c).isNotNull() & ~F.col(c).isin(list(values))
+    ).count()
+
+
+def relationship_violations(
+    df: DataFrame, columns: Sequence[str], to: DataFrame = None, field: str = ""
+) -> int:
+    """dbt `relationships`: FK values with no matching parent row — a
+    LEFT ANTI join on the key (NULL FKs pass, as in dbt). The parent
+    side is usually dimension-sized → AQE broadcasts it; at fact-fact
+    scale this is one keyed shuffle."""
+    (c,) = columns
+    parent = to.select(F.col(field).alias("__pk")).distinct()
+    return (
+        df.filter(F.col(c).isNotNull())
+        .join(parent, F.col(c) == F.col("__pk"), "left_anti")
+        .count()
+    )
+
+
 CHECKS = {"not_null": not_null_violations, "unique": unique_violations}
 
 

@@ -671,6 +671,9 @@ _LATE: tuple[str, ...] = (
     "q_scd2_dim",          # SCD2 versioning (q_snapshot_diff keeps the
                            # CDC family in-window; q_incremental_merge
                            # covers the merge-upsert machinery)
+    "q_winnow_fingerprint", # winnowing selection (q_dedup_ngram keeps
+                           # the gram machinery in-window; q_fingerprint
+                           # late covers the md5 form)
     # rows-only (no cross-engine oracle exists):
     "q_kmeans",
     "q_dedup_text_e2e",

@@ -2671,6 +2671,71 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "q_quality_report",
+    oracle="""
+    SELECT 'orders_custkey_not_null' AS check_name,
+           CAST(COUNT(*) AS BIGINT) AS violations
+    FROM orders WHERE o_custkey IS NULL
+    UNION ALL
+    SELECT 'orders_orderkey_unique', CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+    UNION ALL
+    SELECT 'orders_status_accepted', CAST(COUNT(*) AS BIGINT)
+    FROM orders
+    WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O', 'F')
+    UNION ALL
+    SELECT 'orders_custkey_relationship', CAST(COUNT(*) AS BIGINT)
+    FROM orders o
+    WHERE o_custkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    """,
+    tags=("ext-quality",),
+)
+def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's `dbt test` surface as ONE lazy report: all four
+    dbt schema-test kinds (plans/quality.py — not_null, unique,
+    accepted_values, relationships) as count-of-violations branches
+    unioned into a single DataFrame, the exact shape the reference's
+    test runner executes per model (reference dbt/models/staging/
+    staging.yml, bank_etl_dag.py test task). accepted_values is
+    deliberately violated here ('P' status) so the non-zero path is
+    exercised; the FK check plans as a broadcast anti join."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+
+    def branch(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("violations")).select(
+            F.lit(name).alias("check_name"), F.col("violations")
+        )
+
+    not_null = branch(
+        "orders_custkey_not_null", o.filter(F.col("o_custkey").isNull())
+    )
+    unique = branch(
+        "orders_orderkey_unique",
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1),
+    )
+    accepted = branch(
+        "orders_status_accepted",
+        o.filter(
+            F.col("o_orderstatus").isNotNull()
+            & ~F.col("o_orderstatus").isin(["O", "F"])
+        ),
+    )
+    fk = branch(
+        "orders_custkey_relationship",
+        o.filter(F.col("o_custkey").isNotNull()).join(
+            F.broadcast(c.select(F.col("c_custkey").alias("__pk")).distinct()),
+            F.col("o_custkey") == F.col("__pk"),
+            "left_anti",
+        ),
+    )
+    return not_null.unionByName(unique).unionByName(accepted).unionByName(fk)
+
+
+@workload(
     "q_bank_mart",
     oracle="""
     WITH cust AS (

@@ -147,3 +147,25 @@ def test_quantile_profile_exact_and_approx(spark):
     assert exact["v_p5"] == 50.0
     approx = quantile_profile(df, ["v"], quantiles=(0.5,), exact=False).collect()[0]
     assert abs(approx["v_p5"] - 50.0) <= 1.0  # sketch answer, bounded error
+
+
+def test_accepted_values_and_relationships_checks(spark):
+    from etl_demos_spark.plans.quality import (
+        accepted_values_violations,
+        relationship_violations,
+    )
+
+    child = spark.createDataFrame(
+        [(1, "A", 10), (2, "B", 20), (3, "X", 99), (4, None, None)],
+        "id long, status string, fk long",
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+
+    # 'X' violates; NULL passes (dbt semantics)
+    assert accepted_values_violations(child, ["status"], values=("A", "B")) == 1
+    assert accepted_values_violations(child, ["status"], values=("A", "B", "X")) == 0
+    # fk=99 is an orphan; NULL fk passes
+    assert relationship_violations(child, ["fk"], to=parent, field="pk") == 1
+    assert relationship_violations(
+        child.filter("fk != 99"), ["fk"], to=parent, field="pk"
+    ) == 0
