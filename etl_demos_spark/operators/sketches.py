@@ -53,3 +53,87 @@ def merge_sketch_rollup(
         F.hll_sketch_estimate(F.hll_union_agg(sketch_col)).alias("approx_distinct"),
         F.sum("rows_in").cast("long").alias("rows_in"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (heavy hitters / frequency estimation)
+# ---------------------------------------------------------------------------
+
+
+def _cms_bucket(key, i: int, width: int):
+    """Row-i bucket for a key: md5 of "i:key" → first 8 hex digits → long
+    — the repo's engine-portable hash idiom (sampling.py), so a DuckDB
+    oracle can reproduce the sketch bit-for-bit."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{i}:"), key.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    key_col,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-min sketch of a key stream as a (row, col, cnt) table
+    (≤ depth×width rows — KBs, whatever the input size).
+
+    ONE pass, one combiner-friendly shuffle keyed on (row, col) — the
+    explode emits ``depth`` rows per input but partial aggregation
+    collapses them map-side to at most depth×width cells per task.
+    Mergeable by construction: the sketch of a union is the (row, col)
+    SUM of the parts — store per-partition/per-day partials and
+    re-aggregate forever, the HLL pattern above for *frequencies*.
+    Estimates are deterministic (md5 buckets, exact integer counts):
+    est(k) = min over rows of cnt[row, bucket(row, k)] ≥ true count,
+    with the classic (ε=e/width, δ=e^−depth) overcount bound."""
+    key = key_col if not isinstance(key_col, str) else F.col(key_col)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"), _cms_bucket(key, i, width).alias("col")
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("s"))
+        .groupBy(F.col("s.row").alias("row"), F.col("s.col").alias("col"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    keys: DataFrame,
+    cms: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-query the sketch for each key in ``keys``: min over the
+    depth rows of the key's bucket count. The probe side fans out to
+    ``depth`` rows per key and equi-joins the tiny sketch (broadcast);
+    buckets never touched by any key count as 0."""
+    key = F.col(key_col)
+    probes = keys.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"), _cms_bucket(key, i, width).alias("col")
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("s"),
+    ).select(key_col, F.col("s.row").alias("row"), F.col("s.col").alias("col"))
+    joined = probes.join(F.broadcast(cms), ["row", "col"], "left")
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est")
+    )

@@ -674,6 +674,9 @@ _LATE: tuple[str, ...] = (
     "q_winnow_fingerprint", # winnowing selection (q_dedup_ngram keeps
                            # the gram machinery in-window; q_fingerprint
                            # late covers the md5 form)
+    "q_embed_norms",       # per-vector L2 norm (q_kmeans_assign keeps
+                           # the embedding-distance machinery in-window;
+                           # q_embed_quantize late covers array exprs)
     # rows-only (no cross-engine oracle exists):
     "q_kmeans",
     "q_dedup_text_e2e",

@@ -2470,6 +2470,74 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "q_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents
+    ), exact AS (
+        SELECT term, COUNT(*) AS exact_n FROM toks GROUP BY term
+    ), top AS (
+        SELECT term, exact_n FROM exact ORDER BY exact_n DESC, term LIMIT 20
+    ), occ AS (
+        SELECT t.term,
+               r.i,
+               CAST('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || t.term), 1, 8)
+                    AS BIGINT) % 256 AS col
+        FROM toks t CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) r
+    ), cms AS (
+        SELECT i, col, COUNT(*) AS cnt FROM occ GROUP BY i, col
+    )
+    SELECT p.term,
+           CAST(p.exact_n AS BIGINT) AS exact_n,
+           CAST(min(c.cnt) AS BIGINT) AS est_n,
+           CAST(min(c.cnt) - p.exact_n AS BIGINT) AS over_count
+    FROM top p
+    CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) r
+    JOIN cms c
+      ON c.i = r.i
+     AND c.col = CAST('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || p.term), 1, 8)
+                      AS BIGINT) % 256
+    GROUP BY p.term, p.exact_n
+    """,
+    tags=("ext-sketch",),
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimation (operators/sketches.py:
+    cms_build/cms_estimate): the term stream collapses to a ≤ 4×256-cell
+    table in one combiner-friendly pass, then the exact top-20 terms are
+    point-queried against it. md5 buckets make the sketch — including
+    every estimate and overcount — bit-reproducible in DuckDB, so the
+    driver hash certifies the sketch math itself, not just bounds. The
+    sketch is (row, col)-SUM-mergeable: per-day partials re-aggregate
+    without touching raw text (the HLL pre-aggregate pattern, for
+    frequencies)."""
+    from etl_demos_spark.operators import sketches as sk
+
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+        ).alias("term")
+    )
+    exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact_n"))
+    w = Window.orderBy(F.col("exact_n").desc(), F.col("term").asc())
+    top = (
+        exact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+    )
+    cms = sk.cms_build(toks, "term", depth=4, width=256)
+    est = sk.cms_estimate(top.select("term"), cms, "term", depth=4, width=256)
+    return top.join(est, "term").select(
+        "term",
+        F.col("exact_n").cast("long").alias("exact_n"),
+        F.col("est").alias("est_n"),
+        (F.col("est") - F.col("exact_n")).cast("long").alias("over_count"),
+    )
+
+
+@workload(
     "q_sketch_rollup",
     oracle="""
     SELECT event_type,

@@ -201,3 +201,33 @@ def test_hll_sketch_mergeability_exact(spark):
     }
     for k, est in via_union.items():
         assert abs(est - exact[k]) <= 0.02 * exact[k]
+
+
+def test_cms_never_undercounts_and_merges(spark):
+    from etl_demos_spark.operators import sketches as sk
+    import pyspark.sql.functions as F
+
+    rows = [(f"k{i % 7}",) for i in range(200)] + [("rare",)]
+    df = spark.createDataFrame(rows, "k string")
+    exact = {r["k"]: r["n"] for r in
+             df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+
+    cms = sk.cms_build(df, "k", depth=4, width=64)
+    keys = df.select("k").distinct()
+    est = {r["k"]: r["est"] for r in
+           sk.cms_estimate(keys, cms, "k", depth=4, width=64).collect()}
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert est[k] >= n, f"{k}: CMS undercounted {est[k]} < {n}"
+
+    # mergeability: sketch(a ∪ b) == per-cell sum of sketch(a) + sketch(b)
+    a, b = df.randomSplit([0.5, 0.5], seed=1)
+    merged = (
+        sk.cms_build(a, "k", depth=4, width=64)
+        .unionByName(sk.cms_build(b, "k", depth=4, width=64))
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = {(r["row"], r["col"]): r["cnt"] for r in cms.collect()}
+    got = {(r["row"], r["col"]): r["cnt"] for r in merged.collect()}
+    assert got == whole
