@@ -1,0 +1,99 @@
+"""Graph analytics over edge-list DataFrames: PageRank.
+
+Link analysis is a standard web-corpus curation signal (rank pages /
+domains before sampling training data from them). The companion
+clustering primitive — connected components via small-star/large-star
+label propagation — lives in operators/embedding_dedup.py.
+
+PageRank here is the classic damped power iteration expressed as keyed
+DataFrame shuffles: per iteration, ONE join (ranks onto edges, rank/deg
+contribution) + ONE groupBy(dst) sum + a constant-folded rank update.
+No adjacency matrix is ever materialized, no driver-side graph state —
+only two scalars (node count, per-iteration dangling mass) reach the
+driver.
+
+Determinism: contributions are summed as DECIMALs of 1e-12-rounded
+values (order-independent under any task scheduling — the repo-wide
+convention for cross-run-stable float aggregation), so the ranks are
+bit-identical run to run; the pytest suite pins them against a numpy
+power iteration on the same graph.
+
+Scale notes: lineage is truncated per iteration with an eager
+``localCheckpoint`` — persist alone keeps the logical plan compounding
+(each round nests the last round's join tree; by ~10 iterations plan
+compilation itself OOMs the driver). Edges are persisted once with
+their out-degrees and reused; the per-round shuffle moves only the
+(node, rank) table, which is |V|, not |E|.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+# 1e-12-rounded decimal contributions: exact, order-independent sums.
+_DEC = "decimal(32,12)"
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 10,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Damped PageRank over a (src, dst) edge list; returns (node, rank).
+
+    Dangling nodes (no out-edges) redistribute their mass uniformly each
+    iteration — the standard stochastic-matrix completion, so ranks sum
+    to 1 every round (asserted in tests). Duplicate edges count once.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # edges annotated with out-degree once, reused every iteration
+    ed = e.join(deg, "src").persist()
+    ed.count()
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        contribs = (
+            ed.join(ranks, ed["src"] == ranks["node"])
+            .select(
+                "dst",
+                F.round(F.col("rank") / F.col("deg"), 12).cast(_DEC).alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").cast("double").alias("contrib"))
+        )
+        # mass sitting on dangling nodes (rank with no out-edges) — one
+        # decimal-exact scalar to the driver per iteration
+        dangling = (
+            ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
+            .agg(F.sum(F.round(F.col("rank"), 12).cast(_DEC)))
+            .collect()[0][0]
+        )
+        dangling_share = damping * float(dangling or 0.0) / n
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base + dangling_share)
+                    + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)  # truncate the per-round lineage
+        )
+    ed.unpersist()
+    nodes.unpersist()
+    return ranks

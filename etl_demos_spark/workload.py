@@ -678,6 +678,7 @@ _LATE: tuple[str, ...] = (
                            # the embedding-distance machinery in-window;
                            # q_embed_quantize late covers array exprs)
     # rows-only (no cross-engine oracle exists):
+    "q_pagerank",
     "q_kmeans",
     "q_dedup_text_e2e",
     "q_dedup_minhash",

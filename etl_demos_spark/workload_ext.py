@@ -1900,6 +1900,49 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@workload("q_pagerank", oracle=None, tags=("ext-graph",))
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph PageRank (operators/graph.py) — the web-curation
+    quality prior: rank pages before sampling training data from them.
+    The corpus carries no real hyperlinks, so the edge list is
+    deterministically synthesized (3 md5-derived out-links per doc, the
+    q_url_curation approach). Per iteration ONE |V|-sized keyed shuffle;
+    decimal-exact contribution sums make ranks bit-stable run-to-run.
+    Rows-only (iterative fixpoint); numpy-pinned in tests/test_graph.py.
+    Output: top-10 docs by rank."""
+    from etl_demos_spark.operators.graph import pagerank
+
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    links = []
+    for j in range(3):
+        dst = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"e{j}:"), F.col("doc_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % n
+        )
+        links.append(
+            d.select(F.col("doc_id").alias("src"), dst.alias("dst"))
+        )
+    edges = links[0].unionByName(links[1]).unionByName(links[2]).filter(
+        F.col("src") != F.col("dst")
+    )
+    ranks = pagerank(edges, iters=8)
+    w = Window.orderBy(F.col("rank").desc(), F.col("node").asc())
+    return (
+        ranks.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select(F.col("node").alias("doc_id"), F.round("rank", 6).alias("rank_r"))
+    )
+
+
 @workload("q_kmeans", oracle=None, tags=("ext-embed",))
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd k-means (embeddings.kmeans_lloyd, k=8, 3

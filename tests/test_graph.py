@@ -1,0 +1,44 @@
+"""PageRank (operators/graph.py): numpy parity, mass conservation."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from etl_demos_spark.operators.graph import pagerank
+
+
+def _numpy_pagerank(edges, n, iters, d=0.85):
+    A = np.zeros((n, n))
+    for s, t in edges:
+        A[s, t] = 1
+    deg = A.sum(1)
+    r = np.full(n, 1 / n)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        for s in range(n):
+            if deg[s]:
+                contrib += d * r[s] * A[s] / deg[s]
+        dang = r[deg == 0].sum()
+        r = (1 - d) / n + d * dang / n + contrib
+    return r
+
+
+def test_pagerank_matches_numpy_with_dangling_node(spark):
+    # cycle + feeder + dangling sink (node 4 has no out-edges)
+    E = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (2, 4)]
+    df = spark.createDataFrame(E, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=15).collect()}
+    ref = _numpy_pagerank(E, 5, 15)
+    assert max(abs(got[i] - ref[i]) for i in range(5)) < 1e-9
+    # stochastic completion: total mass conserved every run
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # the hub everything points at ranks first
+    assert max(got, key=got.get) == 2
+
+
+def test_pagerank_duplicate_edges_count_once(spark):
+    E = [(0, 1), (0, 1), (1, 0)]
+    df = spark.createDataFrame(E, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=10).collect()}
+    ref = _numpy_pagerank([(0, 1), (1, 0)], 2, 10)
+    assert max(abs(got[i] - ref[i]) for i in range(2)) < 1e-9
