@@ -100,3 +100,38 @@ def bm25_search(
         agg.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def tfidf_vectors(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Sparse TF-IDF document vectors: one (doc_id, term, tfidf) row per
+    distinct term occurrence, weight = tf · ln(N/df).
+
+    The classic retrieval/feature representation sitting between the
+    BM25 scorer above and the dense-embedding family: cheap enough to
+    build for the whole corpus (the same one-pass postings aggregation
+    as the index), sparse enough to join/aggregate downstream. The
+    vocabulary side (term → df) is NOT broadcast-hinted: |vocab| scales
+    with the corpus, so AQE picks broadcast while it fits and falls back
+    to a shuffle join when it doesn't. The corpus size joins in as a
+    one-row broadcast. Weights are rounded (1e-6) so ULP-level ln()
+    differences between engines can't move a comparison."""
+    tf = build_term_index(df, id_col, text_col)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            id_col,
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")),
+                round_to,
+            ).alias("tfidf"),
+        )
+    )

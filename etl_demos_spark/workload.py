@@ -677,6 +677,9 @@ _LATE: tuple[str, ...] = (
     "q_embed_norms",       # per-vector L2 norm (q_kmeans_assign keeps
                            # the embedding-distance machinery in-window;
                            # q_embed_quantize late covers array exprs)
+    "q_corpus_shuffle",    # md5-rank deterministic shuffle
+                           # (q_pack_sequences keeps trainprep ordering
+                           # in-window; q_hash_split late, same buckets)
     # rows-only (no cross-engine oracle exists):
     "q_pagerank",
     "q_kmeans",

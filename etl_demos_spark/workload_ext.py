@@ -2624,6 +2624,55 @@ def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "q_tfidf",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ), dfreq AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), n AS (
+        SELECT COUNT(*) AS n FROM documents
+    ), w AS (
+        SELECT t.doc_id, t.term,
+               round(t.tf * ln(CAST(n.n AS DOUBLE) / d.df), 6) AS tfidf
+        FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+    ), r AS (
+        SELECT doc_id, term, tfidf,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, term) AS rn
+        FROM w
+    )
+    SELECT doc_id, term, tfidf, CAST(rn AS BIGINT) AS rn
+    FROM r WHERE rn <= 3
+    """,
+    tags=("ext-search",),
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF vectors (operators/search.py:tfidf_vectors) — the
+    corpus feature representation between BM25 postings and dense
+    embeddings; here each document's top-3 characteristic terms. The
+    vocabulary join is deliberately AQE-planned (|vocab| scales with
+    the corpus — a forced broadcast would OOM at 100 TB); the weight is
+    rounded before ranking so ULP-level ln() differences can't reorder
+    ties, and exact-equal weights break deterministically on term."""
+    from etl_demos_spark.operators.search import tfidf_vectors
+
+    d = T(spark, sf_dir, "documents")
+    v = tfidf_vectors(d)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        v.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf", "rn")
+    )
+
+
+@workload(
     "q_text_search",
     oracle="""
     WITH toks AS (
