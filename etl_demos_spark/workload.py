@@ -680,6 +680,17 @@ _LATE: tuple[str, ...] = (
     "q_corpus_shuffle",    # md5-rank deterministic shuffle
                            # (q_pack_sequences keeps trainprep ordering
                            # in-window; q_hash_split late, same buckets)
+    "q_exists_subquery",   # EXISTS semi-join decorrelation — strict
+                           # subset of q_waiting_supplier's
+                           # EXISTS + NOT EXISTS window decorrelation
+    "q_having_subquery",   # IN + HAVING agg-derived key-set join
+                           # (q_scalar_subquery keeps the agg-join-back
+                           # shape in-window; q_idle_accounts covers the
+                           # threshold-subquery semantics)
+    "q_rest_json",         # JSON literal-fallback source — certified in
+                           # r02 in-window; q_json_extract late covers
+                           # JSON path extraction, q_bank_mart keeps the
+                           # source registry under the driver gate
     # rows-only (no cross-engine oracle exists):
     "q_pagerank",
     "q_kmeans",

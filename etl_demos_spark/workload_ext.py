@@ -3112,3 +3112,191 @@ def q_having_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__qty").cast("double").alias("total_qty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Outer-join / anti-join decorrelation family (TPC-H Q13/Q21/Q22 shapes)
+# ---------------------------------------------------------------------------
+
+
+@workload(
+    "q_cust_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c.c_custkey,
+               CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c
+        LEFT OUTER JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("ext-analytics",),
+)
+def q_cust_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13 shape): LEFT OUTER
+    join with a join-side predicate, count of matches per customer
+    (zero-preserving), then a second aggregation over the counts.
+
+    Scale plan: the orders side is pre-aggregated to (custkey, cnt)
+    BEFORE touching customer — the expensive fact table collapses in one
+    combiner-friendly shuffle, and the outer join then moves only
+    |customers| + |customers-with-orders| rows. The naive
+    join-then-count-per-customer shape would shuffle every order row
+    against the customer table instead. Reference parity: the outer-join
+    + conditional-count machinery of the marts layer
+    (f_dealer_performance_daily.sql's LEFT JOINs + counts), pushed to a
+    distribution query."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    per_cust = (
+        o.filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    counts = (
+        c.select("c_custkey")
+        .join(per_cust, c["c_custkey"] == per_cust["o_custkey"], "left")
+        .select(
+            "c_custkey", F.coalesce(F.col("cnt"), F.lit(0)).alias("c_count")
+        )
+    )
+    return (
+        counts.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+        .select(F.col("c_count").cast("long"), F.col("custdist").cast("long"))
+    )
+
+
+@workload(
+    "q_waiting_supplier",
+    oracle="""
+    SELECT s.s_name AS s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    tags=("ext-analytics",),
+)
+def q_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sole-fault supplier analysis (TPC-H Q21 shape): items a supplier
+    had returned ('R') on multi-supplier orders where NO other supplier
+    on the order had a return — the textbook correlated
+    EXISTS + NOT EXISTS pair over the same fact table.
+
+    Decorrelation: both subqueries are per-order set properties, so
+    instead of two self-joins (two extra shuffles of the full fact
+    table, the plan a literal translation produces) they collapse into
+    ONE window pass partitioned by l_orderkey:
+      EXISTS(other supplier)        == distinct suppliers on order >= 2
+      NOT EXISTS(other ret supplier) == distinct RETURNED suppliers == 1
+    (the probe row itself is returned, so "only me" == exactly one).
+    One shuffle of lineitem, then a tiny count-per-supplier agg and a
+    broadcast join for names. Survives 100 TB: no self-join, state per
+    order is two small distinct-sets bounded by suppliers-per-order."""
+    li = T(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey")
+    flagged = li.select(
+        "l_orderkey",
+        "l_suppkey",
+        "l_returnflag",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        F.size(
+            F.collect_set(
+                F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+            ).over(w)
+        ).alias("n_ret_supp"),
+    )
+    culprits = flagged.filter(
+        (F.col("l_returnflag") == "R")
+        & (F.col("n_supp") >= 2)
+        & (F.col("n_ret_supp") == 1)
+    )
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        culprits.join(F.broadcast(s), culprits["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+        .select("s_name", F.col("numwait").cast("long"))
+    )
+
+
+@workload(
+    "q_idle_accounts",
+    oracle="""
+    WITH thr AS (
+        SELECT CAST(SUM(CAST(round(c_acctbal, 2) AS DECIMAL(18,2)))
+                    AS DOUBLE) / COUNT(*) AS a
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT n.n_name AS n_name,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(round(c.c_acctbal, 2) AS DECIMAL(18,2)))
+                AS DOUBLE) AS totacctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    CROSS JOIN thr
+    WHERE c.c_acctbal > thr.a
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      )
+    GROUP BY n.n_name
+    ORDER BY n_name
+    """,
+    tags=("ext-analytics",),
+)
+def q_idle_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idle high-balance accounts per nation (TPC-H Q22 shape): a
+    GLOBAL scalar subquery (average positive balance) as the filter
+    threshold, plus NOT EXISTS(orders) decorrelated to a left-anti join.
+
+    Scale plan: the scalar reduces to ONE row (decimal-exact sum so the
+    threshold is bit-stable across partitionings) and rides a broadcast
+    nested-loop of width 1 — no shuffle of the fact side. The anti join
+    shuffles customer against a projected+deduped o_custkey column
+    (column-pruned at the scan). Balance sums are decimal to keep the
+    per-nation totals shuffle-order-independent."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").select("o_custkey").distinct()
+    n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    thr = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.round("c_acctbal", 2).cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("a")
+    )
+    rich = c.crossJoin(F.broadcast(thr)).filter(F.col("c_acctbal") > F.col("a"))
+    idle = rich.join(o, rich["c_custkey"] == o["o_custkey"], "left_anti")
+    return (
+        idle.join(F.broadcast(n), idle["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.round("c_acctbal", 2).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+        .orderBy("n_name")
+        .select("n_name", F.col("numcust").cast("long"), "totacctbal")
+    )
