@@ -236,3 +236,115 @@ def dedup_by_embedding(
         F.col("node").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup: cluster first, exact pairs only WITHIN each cluster
+# ---------------------------------------------------------------------------
+
+
+def semantic_pairs_clustered(
+    df: DataFrame,
+    centroids_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    use_gemm: bool = False,
+) -> DataFrame:
+    """Within-cluster exact cosine pairs — the SemDeDup recipe (Abbas et
+    al., "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication", 2023): assign every vector to its nearest centroid,
+    then score pairs ONLY inside each cluster. All-pairs work drops from
+    n² to Σ_c n_c² — with k balanced clusters that is n²/k, and the
+    cluster pass itself is one broadcast-centroid scan (no shuffle of
+    the corpus beyond the one groupBy(cell)).
+
+    Two physical forms behind one flag:
+
+    - expression (default): self-join on ``cell`` + sequential HOF
+      cosine — the left-to-right double adds DuckDB's list functions do,
+      so this form is oracle-twinnable; the threshold compares the
+      ROUNDED similarity so an ULP at the boundary can't flip membership
+      cross-engine.
+    - ``use_gemm=True`` (the corpus-scale path): nearest-centroid via
+      one dgemm per Arrow batch (`kmeans_assign_gemm(keep_vec=True)` —
+      no join back by id), then one GEMM per cluster inside
+      ``applyInPandas``. Executor memory is bounded by the largest
+      cluster; for clusters past ~1M rows compose with
+      :func:`cosine_pairs_tiled` per cell instead.
+
+    Output: (id_a, id_b, cell, cos_sim) with id_a < id_b, cos_sim
+    rounded to 6 places, round(cos_sim, 6) >= threshold.
+    """
+    from etl_demos_spark.operators.embeddings import (
+        kmeans_assign,
+        kmeans_assign_gemm,
+    )
+    from etl_demos_spark.operators.similarity import cosine
+
+    if use_gemm:
+        cents = [r[1] for r in sorted(
+            centroids_df.select("cell", "cvec").collect(), key=lambda r: r[0]
+        )]
+        tagged = kmeans_assign_gemm(
+            df, cents, id_col=id_col, vec_col=vec_col, keep_vec=True
+        ).select(id_col, "cell", vec_col)
+
+        def cell_pairs(key, pdf):
+            ids = pdf[id_col].to_numpy()
+            M = _norm_rows(np.array(list(pdf[vec_col]), dtype=np.float64))
+            S = M @ M.T  # one GEMM per cluster
+            li, ri = np.nonzero(np.round(S, 6) >= threshold)
+            m = ids[li] < ids[ri]
+            return pd.DataFrame(
+                {
+                    "id_a": ids[li][m],
+                    "id_b": ids[ri][m],
+                    "cell": np.full(int(m.sum()), key[0], dtype=np.int64),
+                    "cos_sim": np.round(S[li, ri][m], 6),
+                }
+            )
+
+        return tagged.groupBy("cell").applyInPandas(
+            cell_pairs, "id_a long, id_b long, cell long, cos_sim double"
+        )
+
+    assign = kmeans_assign(df, centroids_df, id_col=id_col, vec_col=vec_col)
+    tagged = df.select(id_col, vec_col).join(
+        assign.select(id_col, "cell"), id_col
+    )
+    a = tagged.select(
+        F.col(id_col).alias("id_a"), F.col("cell"), F.col(vec_col).alias("_va")
+    )
+    b = tagged.select(
+        F.col(id_col).alias("id_b"),
+        F.col("cell").alias("_cb"),
+        F.col(vec_col).alias("_vb"),
+    )
+    sim = F.round(cosine(F.col("_va"), F.col("_vb")), 6)
+    return (
+        a.join(b, (a["cell"] == b["_cb"]) & (a["id_a"] < b["id_b"]))
+        .withColumn("cos_sim", sim)
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", F.col("cell").cast("long"), "cos_sim")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    use_gemm: bool = True,
+) -> DataFrame:
+    """Keep one canonical row (min id) per semantic-duplicate cluster,
+    where candidate pairs are restricted to centroid cells (SemDeDup)."""
+    pairs = semantic_pairs_clustered(
+        df, centroids_df, id_col, vec_col, threshold, use_gemm=use_gemm
+    )
+    comps = connected_components(pairs)
+    losers = comps.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

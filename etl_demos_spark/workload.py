@@ -691,6 +691,9 @@ _LATE: tuple[str, ...] = (
                            # r02 in-window; q_json_extract late covers
                            # JSON path extraction, q_bank_mart keeps the
                            # source registry under the driver gate
+    "q_kmeans_assign",     # nearest-centroid E-step — strict subset of
+                           # q_semantic_dedup's oracle (same assignment
+                           # CTE, plus in-cluster cosine pairs)
     # rows-only (no cross-engine oracle exists):
     "q_pagerank",
     "q_kmeans",

@@ -3300,3 +3300,60 @@ def q_idle_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("n_name")
         .select("n_name", F.col("numcust").cast("long"), "totacctbal")
     )
+
+
+@workload(
+    "q_semantic_dedup",
+    oracle="""
+    WITH cents AS (
+        SELECT vec_id AS cell, embedding AS cvec
+        FROM embeddings WHERE vec_id < 4
+    ), dists AS (
+        SELECT e.vec_id, c.cell,
+               list_sum(list_transform(list_zip(e.embedding, c.cvec),
+                   p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                      * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS dist
+        FROM embeddings e CROSS JOIN cents c
+    ), asg AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cell) AS rn
+            FROM dists
+        ) WHERE rn = 1
+    ), tag AS (
+        SELECT e.vec_id, a.cell, e.embedding,
+               sqrt(list_sum(list_transform(e.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings e JOIN asg a USING (vec_id)
+    )
+    SELECT t1.vec_id AS id_a, t2.vec_id AS id_b,
+           CAST(t1.cell AS BIGINT) AS cell,
+           round(list_sum(list_transform(list_zip(t1.embedding, t2.embedding),
+                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                 / (t1.nrm * t2.nrm), 6) AS cos_sim
+    FROM tag t1 JOIN tag t2
+      ON t1.cell = t2.cell AND t1.vec_id < t2.vec_id
+    WHERE round(list_sum(list_transform(list_zip(t1.embedding, t2.embedding),
+                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                / (t1.nrm * t2.nrm), 6) >= 0.4
+    """,
+    tags=("ext-embed",),
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup candidates
+    (embedding_dedup.semantic_pairs_clustered): nearest-centroid
+    clustering restricts exact cosine scoring to WITHIN-cluster pairs —
+    n²/k work instead of n², the published recipe for embedding dedup at
+    web scale. Centroids are the first-4 vectors (deterministic and
+    SQL-expressible, so the oracle certifies assignment + in-cluster
+    pair semantics end-to-end). The expression form runs here; the
+    per-cluster GEMM scale path is pinned row-identical in
+    tests/test_embeddings.py."""
+    from etl_demos_spark.operators import embedding_dedup as ed
+
+    e = T(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec")
+    )
+    return ed.semantic_pairs_clustered(e, cents, threshold=0.4)

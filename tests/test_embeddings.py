@@ -151,3 +151,59 @@ def test_kmeans_lloyd_recovers_planted_clusters(spark):
         by_truth.setdefault(t, set()).add(got[vid])
     labels = [frozenset(v) for v in by_truth.values()]
     assert all(len(s) == 1 for s in labels) and len(set(labels)) == 3
+
+
+def test_semantic_pairs_gemm_matches_expression_form(spark):
+    """SemDeDup within-cluster pairs: per-cell GEMM scale path must emit
+    the same (id_a, id_b, cell) set as the oracle-twinnable expression
+    self-join, with similarities agreeing to the rounded precision."""
+    from etl_demos_spark.operators import embedding_dedup as ed
+
+    df, _, centers = _clustered(spark)
+    cents_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "cell long, cvec array<float>",
+    )
+    # planted clusters are tight → in-cluster cosines are high; 0.99
+    # keeps the pair set non-trivial but not all-pairs
+    expr = {
+        (r["id_a"], r["id_b"]): (r["cell"], r["cos_sim"])
+        for r in ed.semantic_pairs_clustered(
+            df, cents_df, threshold=0.99
+        ).collect()
+    }
+    gemm = {
+        (r["id_a"], r["id_b"]): (r["cell"], r["cos_sim"])
+        for r in ed.semantic_pairs_clustered(
+            df, cents_df, threshold=0.99, use_gemm=True
+        ).collect()
+    }
+    assert expr, "expected non-empty pair set from planted clusters"
+    assert set(expr) == set(gemm)
+    for k, (cell, sim) in expr.items():
+        g_cell, g_sim = gemm[k]
+        assert g_cell == cell
+        assert abs(g_sim - sim) <= 2e-6
+
+
+def test_semantic_dedup_keeps_min_id_per_component(spark):
+    from etl_demos_spark.operators import embedding_dedup as ed
+
+    df, truth, centers = _clustered(spark, n_per=10)
+    cents_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "cell long, cvec array<float>",
+    )
+    kept = ed.semantic_dedup(df, cents_df, threshold=0.99, use_gemm=True)
+    kept_ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    # survivors must include each cluster's min id and lose at least one
+    # near-dup; no survivor pair may itself be a qualifying pair
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in ed.semantic_pairs_clustered(
+            df, cents_df, threshold=0.99, use_gemm=True
+        ).collect()
+    }
+    assert pairs and kept_ids < {r["vec_id"] for r in df.collect()}
+    for a, b in pairs:
+        assert not (a in kept_ids and b in kept_ids)
