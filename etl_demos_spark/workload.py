@@ -695,6 +695,8 @@ _LATE: tuple[str, ...] = (
                            # q_semantic_dedup's oracle (same assignment
                            # CTE, plus in-cluster cosine pairs)
     # rows-only (no cross-engine oracle exists):
+    "q_bpe_learn",     # iterative merge learning; pinned to a Python
+                       # reference implementation in tests/test_bpe.py
     "q_pagerank",
     "q_kmeans",
     "q_dedup_text_e2e",

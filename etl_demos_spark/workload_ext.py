@@ -3357,3 +3357,24 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec")
     )
     return ed.semantic_pairs_clustered(e, cents, threshold=0.4)
+
+
+@workload("q_bpe_learn", oracle=None, tags=("ext-text",))
+def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge learning (operators/bpe.py) over the
+    documents corpus: the corpus collapses to a word-frequency table
+    once, then each merge round is a pair-count aggregation over
+    DISTINCT pieces + a 1-row argmax — the published learn_bpe
+    algorithm re-expressed so no step ever rescans the corpus.
+    Iterative with a driver loop → no SQL oracle; the distributed form
+    is pinned merge-for-merge to a pure-Python reference implementation
+    in tests/test_bpe.py, and the encoder (UDF scale path vs
+    expression chain) is pinned token-identical there too."""
+    from etl_demos_spark.operators import bpe
+
+    d = T(spark, sf_dir, "documents")
+    merges = bpe.learn_bpe_merges(d, n_merges=24)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank long, left string, right string",
+    )
