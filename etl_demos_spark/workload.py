@@ -697,6 +697,8 @@ _LATE: tuple[str, ...] = (
     # rows-only (no cross-engine oracle exists):
     "q_bpe_learn",     # iterative merge learning; pinned to a Python
                        # reference implementation in tests/test_bpe.py
+    "q_pq_search",     # PQ codebooks are iteratively trained; encode/
+                       # search pinned in tests/test_pq.py
     "q_pagerank",
     "q_kmeans",
     "q_dedup_text_e2e",

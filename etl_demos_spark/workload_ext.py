@@ -3378,3 +3378,28 @@ def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, a, b) for i, (a, b) in enumerate(merges)],
         "rank long, left string, right string",
     )
+
+
+@workload("q_pq_search", oracle=None, tags=("ext-embed",))
+def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/pq.py — the FAISS recipe):
+    per-subspace codebooks fit on a bounded deterministic sample,
+    corpus compressed to m small codes per vector (one Arrow argmin
+    pass), then asymmetric-distance top-k where the query is an m×k
+    lookup table and each candidate costs m table lookups — the codes
+    table is ~32× smaller than float32, which is what makes
+    billion-vector search RAM-feasible. Exact re-rank joins original
+    vectors back for the candidate set only. Iterative k-means training
+    → no SQL oracle; encode is pinned to a numpy reference and search
+    recall + exact-rerank equality are pytest-pinned
+    (tests/test_pq.py)."""
+    from etl_demos_spark.operators import pq
+
+    e = T(spark, sf_dir, "embeddings")
+    books = pq.pq_train(e, m=4, k=16, iters=8, sample=2000)
+    codes = pq.pq_encode(e, books)
+    q0 = e.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    out = pq.pq_search_adc(
+        codes, books, q0, topk=10, rerank_df=e, rerank_factor=4
+    )
+    return out.select("vec_id", F.round("dist", 6).alias("dist_r"))
