@@ -694,6 +694,9 @@ _LATE: tuple[str, ...] = (
     "q_kmeans_assign",     # nearest-centroid E-step — strict subset of
                            # q_semantic_dedup's oracle (same assignment
                            # CTE, plus in-cluster cosine pairs)
+    "q_dedup_ngram",       # within-table gram-set Jaccard — same
+                           # machinery as q_fuzzy_join's cross-table
+                           # linkage form (strict subset of its oracle)
     # rows-only (no cross-engine oracle exists):
     "q_bpe_learn",     # iterative merge learning; pinned to a Python
                        # reference implementation in tests/test_bpe.py

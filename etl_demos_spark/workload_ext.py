@@ -3403,3 +3403,50 @@ def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes, books, q0, topk=10, rerank_df=e, rerank_factor=4
     )
     return out.select("vec_id", F.round("dist", 6).alias("dist_r"))
+
+
+@workload(
+    "q_fuzzy_join",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 2, 0)),
+                   i -> concat_ws(' ',
+                        regexp_extract_all(lower(text), '[a-z0-9]+')[i+1],
+                        regexp_extract_all(lower(text), '[a-z0-9]+')[i+2],
+                        regexp_extract_all(lower(text), '[a-z0-9]+')[i+3])
+               )) AS sh
+        FROM documents
+    ),
+    lt AS (SELECT doc_id, len(sh) AS n_a, unnest(sh) AS g FROM docs
+           WHERE doc_id % 2 = 0 AND len(sh) > 0),
+    rt AS (SELECT doc_id, len(sh) AS n_b, unnest(sh) AS g FROM docs
+           WHERE doc_id % 2 = 1 AND len(sh) > 0),
+    inter AS (
+        SELECT lt.doc_id AS id_a, rt.doc_id AS id_b,
+               lt.n_a, rt.n_b, COUNT(*) AS s
+        FROM lt JOIN rt ON lt.g = rt.g
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b,
+           CAST(s AS DOUBLE) / (n_a + n_b - s) AS jaccard
+    FROM inter
+    WHERE CAST(s AS DOUBLE) / (n_a + n_b - s) >= 0.5
+    """,
+    tags=("ext-linkage",),
+)
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage (operators/linkage.py): fuzzy join between two
+    feeds (even/odd halves of the documents table standing in for two
+    overlapping sources) on exact 3-gram-set Jaccard. Inverted-index
+    equi-join on shared grams — candidates ∝ shared postings, never
+    |L|×|R|; integer counts make the score a single deterministic IEEE
+    divide. The max_df blocking variant (exact scores, bounded fan-out
+    on boilerplate grams) is pytest-pinned in tests/test_linkage.py."""
+    from etl_demos_spark.operators import linkage
+
+    d = T(spark, sf_dir, "documents")
+    left = d.filter(F.col("doc_id") % 2 == 0)
+    right = d.filter(F.col("doc_id") % 2 == 1)
+    return linkage.fuzzy_join(left, right, "doc_id", "text", threshold=0.5)
