@@ -273,6 +273,126 @@ def _minhash_from_base(base: DataFrame, num_hashes: int) -> DataFrame:
     )
 
 
+def banded_buckets(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(id, band, bucket) LSH keys from an (id, sig) signature table —
+    16 B/row, the only thing the bucket join ever ships."""
+    return sigs.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.slice("sig", b * rows + 1, F.lit(rows))
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bk"),
+    ).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket")
+    )
+
+
+def _sig_est_jaccard(num_hashes: int):
+    return F.size(
+        F.filter(F.zip_with("sig", "sig2", lambda a, b: a == b), lambda x: x)
+    ) / F.lit(float(num_hashes))
+
+
+def incremental_minhash_dedup(
+    new_df: DataFrame,
+    existing_sigs: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    threshold: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a NEW batch against itself AND a persisted corpus signature
+    store — the daily-increment form: the existing corpus text is never
+    re-read and never re-shingled; per increment the work is
+    |batch| signatures + banded collisions only.
+
+    ``existing_sigs`` is the (id, sig) table a previous run returned
+    (write it out with the corpus; at real scale persist the banded
+    bucket keys alongside so the probe side is a pure scan). Policy is
+    **first-seen wins**: a new doc matching the existing corpus is
+    dropped; within the batch, clusters keep their min id — the same
+    semantic as streaming/dedup.py's replay guard, and the policy under
+    which repeated application equals one big batch for
+    transitivity-free duplicate sets.
+
+    Returns ``(kept_new_ids, updated_sigs)``: the surviving new ids
+    (one column, named ``id_col``) and the signature store to persist
+    for the next increment (existing ∪ survivors).
+    """
+    rows = num_hashes // bands
+    grams = exploded_shingles(new_df, id_col, text_col, n)
+    new_sigs = minhash_signatures_from_grams(grams, "id", "g", num_hashes).persist()
+    new_b = banded_buckets(new_sigs, bands, rows)
+
+    est = _sig_est_jaccard(num_hashes)
+    if existing_sigs is not None:
+        ex_sigs = existing_sigs.select("id", "sig")
+        ex_b = banded_buckets(ex_sigs, bands, rows).select(
+            F.col("id").alias("id2"), "band", "bucket"
+        )
+        cross_cand = (
+            new_b.join(ex_b, ["band", "bucket"])
+            .select("id", "id2")
+            .dropDuplicates(["id", "id2"])
+        )
+        cross_matched = (
+            cross_cand.join(new_sigs, "id")
+            .join(
+                ex_sigs.select(F.col("id").alias("id2"), F.col("sig").alias("sig2")),
+                "id2",
+            )
+            .withColumn("est", est)
+            .filter(F.col("est") >= threshold)
+            .select("id")
+            .distinct()
+        )
+        fresh = new_sigs.join(cross_matched, "id", "left_anti")
+    else:
+        fresh = new_sigs
+
+    # within-batch: banded self-join over the docs that survived the
+    # corpus probe, then min-id survivor per connected component
+    fb = banded_buckets(fresh, bands, rows)
+    right = fb.select(F.col("id").alias("id2"), "band", "bucket")
+    self_pairs = (
+        fb.join(right, ["band", "bucket"])
+        .filter(F.col("id") < F.col("id2"))
+        .select("id", "id2")
+        .dropDuplicates(["id", "id2"])
+        .join(fresh, "id")
+        .join(
+            fresh.select(F.col("id").alias("id2"), F.col("sig").alias("sig2")),
+            "id2",
+        )
+        .withColumn("est", est)
+        .filter(F.col("est") >= threshold)
+        .select(F.col("id").alias("id_a"), F.col("id2").alias("id_b"))
+    )
+    from etl_demos_spark.operators.embedding_dedup import connected_components
+
+    comps = connected_components(self_pairs)
+    losers = comps.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias("id")
+    )
+    kept = fresh.select("id").join(losers, "id", "left_anti")
+    kept_sigs = fresh.join(kept, "id", "left_semi")
+    updated = (
+        existing_sigs.select("id", "sig").unionByName(kept_sigs)
+        if existing_sigs is not None
+        else kept_sigs
+    )
+    return kept.select(F.col("id").alias(id_col)), updated
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -298,18 +418,7 @@ def minhash_lsh_pairs(
     grams = exploded_shingles(df, id_col, text_col, n)
     sigs = minhash_signatures_from_grams(grams, "id", "g", num_hashes)
     sigs = sigs.persist()  # reused by banding + both verify fetches
-    banded = sigs.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(F.slice("sig", b * rows + 1, F.lit(rows))).alias("bucket"),
-                ),
-            )
-        ).alias("bk"),
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    banded = banded_buckets(sigs, bands, rows)
     right = banded.select(F.col("id").alias("id2"), "band", "bucket")
     cands = (
         banded.join(right, ["band", "bucket"])

@@ -702,6 +702,8 @@ _LATE: tuple[str, ...] = (
                        # reference implementation in tests/test_bpe.py
     "q_pq_search",     # PQ codebooks are iteratively trained; encode/
                        # search pinned in tests/test_pq.py
+    "q_dedup_incremental",  # xxhash64 signature store; behavior pinned
+                            # in tests/test_dedup.py
     "q_pagerank",
     "q_kmeans",
     "q_dedup_text_e2e",

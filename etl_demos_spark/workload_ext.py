@@ -3450,3 +3450,26 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     left = d.filter(F.col("doc_id") % 2 == 0)
     right = d.filter(F.col("doc_id") % 2 == 1)
     return linkage.fuzzy_join(left, right, "doc_id", "text", threshold=0.5)
+
+
+@workload("q_dedup_incremental", oracle=None, tags=("ext-dedup",))
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash dedup (dedup.incremental_minhash_dedup): the
+    daily-increment form — the first half of documents stands in for the
+    already-deduped corpus (its persisted signature store), the second
+    half is the new batch. The corpus text is never re-read: the probe
+    ships banded bucket keys only, and per-increment work is |batch|
+    signatures + collisions. First-seen-wins policy; pinned behavioral
+    tests (cross-batch drop, within-batch min-id, replay idempotency,
+    store ≡ batch signatures) in tests/test_dedup.py. xxhash64-based →
+    no cross-engine oracle."""
+    from etl_demos_spark.operators import dedup as dd
+
+    d = T(spark, sf_dir, "documents")
+    half = d.agg((F.max("doc_id") / 2).cast("long").alias("h")).collect()[0]["h"]
+    existing = d.filter(F.col("doc_id") <= half)
+    new = d.filter(F.col("doc_id") > half)
+    grams = dd.exploded_shingles(existing, "doc_id", "text", 3)
+    store = dd.minhash_signatures_from_grams(grams, "id", "g", 128)
+    kept, _ = dd.incremental_minhash_dedup(new, store, threshold=0.5)
+    return kept.orderBy("doc_id")

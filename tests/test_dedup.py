@@ -218,3 +218,68 @@ def test_dedup_by_minhash_prefer_keeps_best(spark):
     assert 10 in kept_minid and 10 in kept_best
     assert 1 in kept_minid and kept_minid == {1, 10}
     assert kept_best == {2, 10}
+
+
+# ---------------------------------------------------------------------------
+# Incremental (new-batch-vs-corpus) MinHash dedup
+# ---------------------------------------------------------------------------
+
+
+def _inc_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_incremental_minhash_first_seen_wins(spark):
+    from etl_demos_spark.operators import dedup as dd
+
+    base = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "one two three four five six seven eight nine ten"),
+        (2, "spark plans shuffle partitions broadcast join exchange"),
+    ]
+    batch1 = _inc_docs(spark, base)
+    kept1, store1 = dd.incremental_minhash_dedup(batch1, None, threshold=0.5)
+    assert {r["doc_id"] for r in kept1.collect()} == {0, 1, 2}
+    store1 = store1.localCheckpoint()
+
+    batch2 = _inc_docs(
+        spark,
+        [
+            (10, "one two three four five six seven eight nine ten"),  # dup of 1
+            (11, "completely novel content words appear here first"),
+            (12, "completely novel content words appear here first"),  # dup of 11
+            (13, "another genuinely new document with its own words"),
+        ],
+    )
+    kept2, store2 = dd.incremental_minhash_dedup(batch2, store1, threshold=0.5)
+    assert {r["doc_id"] for r in kept2.collect()} == {11, 13}
+    got_store = {r["id"] for r in store2.collect()}
+    assert got_store == {0, 1, 2, 11, 13}
+
+    # replaying the same batch against the updated store drops everything
+    store2 = store2.localCheckpoint()
+    kept3, store3 = dd.incremental_minhash_dedup(batch2, store2, threshold=0.5)
+    assert kept3.count() == 0
+    assert {r["id"] for r in store3.collect()} == got_store
+
+
+def test_incremental_store_signatures_match_batch_form(spark):
+    """Signatures persisted by the incremental path must be identical to
+    minhash_signatures over the same docs — the store is reusable by
+    every other MinHash consumer."""
+    from etl_demos_spark.operators import dedup as dd
+
+    rows = [
+        (5, "the quick brown fox jumps over the lazy dog"),
+        (6, "pack my box with five dozen liquor jugs"),
+    ]
+    df = _inc_docs(spark, rows)
+    _, store = dd.incremental_minhash_dedup(df, None)
+    want = {
+        r["id"]: list(r["sig"])
+        for r in dd.minhash_signatures_from_grams(
+            dd.exploded_shingles(df, "doc_id", "text", 3), "id", "g", 128
+        ).collect()
+    }
+    got = {r["id"]: list(r["sig"]) for r in store.collect()}
+    assert got == want
