@@ -63,6 +63,10 @@ def main() -> None:
         "q_sketch_rollup",
         "q_text_search",
         "q_url_curation",
+        "q_waiting_supplier",
+        "q_cust_distribution",
+        "q_fuzzy_join",
+        "q_semantic_dedup",
     ]
     headline = [q for q in headline if q in REGISTRY]
 
