@@ -697,6 +697,12 @@ _LATE: tuple[str, ...] = (
     "q_dedup_ngram",       # within-table gram-set Jaccard — same
                            # machinery as q_fuzzy_join's cross-table
                            # linkage form (strict subset of its oracle)
+    "q_null_safe_join",    # registered late, locally hash-verified —
+                           # q_snapshot_diff keeps the null-safe compare
+                           # machinery in-window
+    "q_edit_distance",     # registered late, locally hash-verified —
+                           # q_fuzzy_join keeps the linkage family
+                           # in-window
     # rows-only (no cross-engine oracle exists):
     "q_bpe_learn",     # iterative merge learning; pinned to a Python
                        # reference implementation in tests/test_bpe.py

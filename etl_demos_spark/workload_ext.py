@@ -3473,3 +3473,71 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = dd.minhash_signatures_from_grams(grams, "id", "g", 128)
     kept, _ = dd.incremental_minhash_dedup(new, store, threshold=0.5)
     return kept.orderBy("doc_id")
+
+
+@workload(
+    "q_null_safe_join",
+    oracle="""
+    WITH c AS (
+        SELECT c_custkey, NULLIF(c_nationkey % 5, 3) AS k FROM customer
+    ), o AS (
+        SELECT o_orderkey, NULLIF(o_custkey % 5, 3) AS k FROM orders
+    )
+    SELECT COALESCE(CAST(c.k AS BIGINT), -1) AS join_key,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM c JOIN o ON c.k IS NOT DISTINCT FROM o.k
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("ext-relational",),
+)
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (eqNullSafe / IS NOT DISTINCT FROM): NULL
+    keys match each other instead of vanishing — the semantics CDC and
+    snapshot-diff joins need for nullable business keys (scd.snapshot_diff
+    uses the same null-safe struct compare). Planned as a normal hash
+    join on the coalesced key, so it shuffles and scales exactly like
+    the plain equi-join."""
+    c = T(spark, sf_dir, "customer").select(
+        "c_custkey", F.nullif(F.col("c_nationkey") % 5, F.lit(3)).alias("k")
+    )
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", F.nullif(F.col("o_custkey") % 5, F.lit(3)).alias("k")
+    )
+    j = c.join(o, c["k"].eqNullSafe(o["k"]))
+    return (
+        j.groupBy(F.coalesce(c["k"].cast("long"), F.lit(-1)).alias("join_key"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("join_key")
+    )
+
+
+@workload(
+    "q_edit_distance",
+    oracle="""
+    WITH named AS (
+        SELECT c_custkey, c_name FROM customer
+    )
+    SELECT a.c_custkey AS custkey,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist_next,
+           CAST(levenshtein(a.c_name, reverse(a.c_name)) AS BIGINT) AS dist_rev
+    FROM named a JOIN named b ON b.c_custkey = a.c_custkey + 1
+    """,
+    tags=("ext-linkage",),
+)
+def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein edit distance — the character-level comparator of the
+    record-linkage family (operators/linkage.py covers set similarity;
+    this is the short-string complement, e.g. name/code matching).
+    JVM built-in, codegen'd, identical integer semantics in DuckDB."""
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    b = c.select(
+        (F.col("c_custkey") - 1).alias("_k"), F.col("c_name").alias("_nb")
+    )
+    return (
+        c.join(b, c["c_custkey"] == b["_k"])
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.levenshtein("c_name", "_nb").cast("long").alias("dist_next"),
+            F.levenshtein("c_name", F.reverse("c_name")).cast("long").alias("dist_rev"),
+        )
+    )
