@@ -703,6 +703,9 @@ _LATE: tuple[str, ...] = (
     "q_edit_distance",     # registered late, locally hash-verified —
                            # q_fuzzy_join keeps the linkage family
                            # in-window
+    "q_market_share",      # registered late, locally hash-verified —
+                           # ratio-of-conditional-aggregates; q_group_agg
+                           # and q_star_join keep the machinery in-window
     # rows-only (no cross-engine oracle exists):
     "q_bpe_learn",     # iterative merge learning; pinned to a Python
                        # reference implementation in tests/test_bpe.py

@@ -3541,3 +3541,69 @@ def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("c_name", F.reverse("c_name")).cast("long").alias("dist_rev"),
         )
     )
+
+
+@workload(
+    "q_market_share",
+    oracle="""
+    WITH rev AS (
+        SELECT CAST(strftime(o.o_orderdate, '%Y') AS BIGINT) AS o_year,
+               n.n_name,
+               CAST(CAST(l.l_extendedprice AS decimal(12,2))
+                    * CAST(1 - l.l_discount AS decimal(4,2))
+                    AS decimal(16,4)) AS volume
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN n_name = 'NATION_7' THEN volume
+                         ELSE CAST(0 AS decimal(16,4)) END)
+                AS DOUBLE)
+           / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+           CAST(SUM(volume) AS DOUBLE) AS total_volume
+    FROM rev
+    GROUP BY o_year ORDER BY o_year
+    """,
+    tags=("ext-analytics",),
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share per order year (TPC-H Q8 shape): the
+    ratio-of-conditional-aggregates family — numerator and denominator
+    are decimal-exact sums accumulated in the SAME pass (no second
+    scan, no join of two aggregates), the share is one deterministic
+    IEEE divide of two exact values. Nation is broadcast; supplier
+    rides AQE. Reference parity: f_dealer_performance_daily.sql's
+    conditional measures, taken to a ratio metric."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    vol = (money("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast(DEC42)).cast(
+        "decimal(16,4)"
+    )
+    rev = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            "n_name",
+            vol.alias("volume"),
+        )
+    )
+    num = F.sum(
+        F.when(F.col("n_name") == "NATION_7", F.col("volume")).otherwise(
+            F.lit(0).cast("decimal(16,4)")
+        )
+    ).cast("double")
+    den = F.sum("volume").cast("double")
+    return (
+        rev.groupBy("o_year")
+        .agg(
+            (num / den).alias("mkt_share"),
+            den.alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )
