@@ -706,6 +706,9 @@ _LATE: tuple[str, ...] = (
     "q_market_share",      # registered late, locally hash-verified —
                            # ratio-of-conditional-aggregates; q_group_agg
                            # and q_star_join keep the machinery in-window
+    "q_interval_merge",    # registered late, locally hash-verified —
+                           # gaps-and-islands window pass; q_scd2_dim
+                           # (late) and q_event_sessions share the family
     # rows-only (no cross-engine oracle exists):
     "q_bpe_learn",     # iterative merge learning; pinned to a Python
                        # reference implementation in tests/test_bpe.py

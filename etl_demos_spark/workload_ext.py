@@ -3607,3 +3607,69 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+@workload(
+    "q_interval_merge",
+    oracle="""
+    WITH iv AS (
+        SELECT o_custkey AS custkey,
+               o_orderdate AS s,
+               o_orderdate + INTERVAL 30 DAY AS e
+        FROM orders
+    ), flagged AS (
+        SELECT custkey, s, e,
+               CASE WHEN s <= max(e) OVER (
+                        PARTITION BY custkey ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 0 ELSE 1 END AS new_island
+        FROM iv
+    ), islands AS (
+        SELECT custkey, s, e,
+               SUM(new_island) OVER (
+                   PARTITION BY custkey ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS island
+        FROM flagged
+    )
+    SELECT custkey,
+           CAST(island AS BIGINT) AS island,
+           strftime(MIN(s), '%Y-%m-%d') AS island_start,
+           strftime(MAX(e), '%Y-%m-%d') AS island_end,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals
+    FROM islands
+    GROUP BY custkey, island
+    """,
+    tags=("ext-relational",),
+)
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval merge: collapse overlapping per-key
+    validity windows (each order opens a 30-day activity interval) into
+    maximal islands — the classic warehouse pattern behind contract
+    coverage, sessionized eligibility and SCD gap repair. ONE window
+    pass (running max of interval ends marks island starts, a running
+    sum numbers them) + one aggregation — no self-join, no explode to
+    days; state per key is a single date. First interval: the running
+    max over an empty frame is NULL, and ``s <= NULL`` is false-like in
+    both engines → new island, identical semantics."""
+    o = T(spark, sf_dir, "orders")
+    iv = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("s"),
+        F.date_add("o_orderdate", 30).alias("e"),
+    )
+    w = Window.partitionBy("custkey").orderBy("s", "e")
+    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(F.col("s") <= prev_max_e, F.lit(0)).otherwise(F.lit(1)),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return islands.groupBy("custkey", F.col("island").cast("long").alias("island")).agg(
+        F.date_format(F.min("s"), "yyyy-MM-dd").alias("island_start"),
+        F.date_format(F.max("e"), "yyyy-MM-dd").alias("island_end"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
