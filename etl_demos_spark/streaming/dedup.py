@@ -51,3 +51,83 @@ def dedup_stream_exact(stream: DataFrame, keys: Sequence[str]) -> DataFrame:
     """Unbounded streaming dedup — state = one entry per distinct key,
     forever. Bounded key domains only."""
     return stream.dropDuplicates(list(keys))
+
+
+# ---------------------------------------------------------------------------
+# Streaming NEAR-dup dedup (MinHash signature store maintained per batch)
+# ---------------------------------------------------------------------------
+
+
+def near_dedup_batch_processor(
+    out_path: str,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+):
+    """foreachBatch body for streaming near-duplicate dedup.
+
+    Exact-replay dedup (above) catches byte-identical redelivery;
+    crawl/ingest streams ALSO carry near-duplicates (boilerplate
+    re-renders, mirrored pages) that only signature dedup sees. Per
+    micro-batch: dedup the batch against itself and the persisted
+    MinHash signature store (operators/dedup.incremental_minhash_dedup —
+    corpus text is never re-read; the probe ships banded bucket keys),
+    append the surviving rows to ``out_path``, persist the updated store
+    for the next batch. First-seen-wins across batches — the same
+    semantic as the watermark replay guard, minus the horizon bound:
+    store size grows with the deduped corpus (one k-long signature per
+    survivor), which is the honest cost of unbounded near-dup memory;
+    bound it by sweeping old ids out of the store on your retention
+    policy if the corpus is append-forever.
+
+    Returns the ``(batch_df, batch_id) -> None`` closure for
+    ``writeStream.foreachBatch``; also usable directly on batch
+    DataFrames (the semantics tests drive it that way, deterministically
+    ordered)."""
+    from pathlib import Path
+
+    from etl_demos_spark.operators.dedup import incremental_minhash_dedup
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        store = (
+            spark.read.parquet(store_path)
+            if Path(store_path).exists()
+            else None
+        )
+        kept, updated = incremental_minhash_dedup(
+            batch_df, store, id_col=id_col, text_col=text_col,
+            threshold=threshold,
+        )
+        batch_df.join(kept, id_col).write.mode("append").parquet(out_path)
+        # materialize BEFORE overwriting the path it was read from
+        updated.localCheckpoint().write.mode("overwrite").parquet(store_path)
+
+    return process
+
+
+def run_near_dedup_stream(
+    spark,
+    src_path: str,
+    out_path: str,
+    store_path: str,
+    schema,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+):
+    """Wire ``near_dedup_batch_processor`` to a file-source stream
+    (availableNow trigger — drains the backlog then stops)."""
+    stream = spark.readStream.schema(schema).parquet(src_path)
+    return (
+        stream.writeStream.foreachBatch(
+            near_dedup_batch_processor(
+                out_path, store_path, id_col, text_col, threshold
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -182,3 +182,67 @@ def test_stream_rollup_cascade_matches_batch(spark, tmp_path):
         # identical values: anti-join on ALL columns must be empty
         mismatch = got.exceptAll(expect).count()
         assert mismatch == 0, f"level {i}: {mismatch} rows differ from batch"
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-dup dedup (signature store maintained per batch)
+# ---------------------------------------------------------------------------
+
+
+def test_near_dedup_processor_across_batches(spark, tmp_path):
+    """Deterministic two-batch drive of the foreachBatch body: survivors
+    must equal sequential incremental_minhash_dedup calls."""
+    from etl_demos_spark.streaming.dedup import near_dedup_batch_processor
+
+    out = str(tmp_path / "out")
+    store = str(tmp_path / "store")
+    proc = near_dedup_batch_processor(out, store, threshold=0.5)
+
+    b1 = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta"),
+            (1, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [
+            (10, "one two three four five six seven eight nine ten"),  # dup of 1
+            (11, "completely novel content words appear here first"),
+            (12, "completely novel content words appear here first"),  # dup of 11
+        ],
+        "doc_id long, text string",
+    )
+    proc(b1, 0)
+    proc(b2, 1)
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {0, 1, 11}
+    store_ids = {r["id"] for r in spark.read.parquet(store).collect()}
+    assert store_ids == {0, 1, 11}
+
+
+def test_near_dedup_stream_end_to_end(spark, tmp_path):
+    """Stream wiring: availableNow drain over a file source produces a
+    deduped output and a populated signature store."""
+    from etl_demos_spark.streaming.dedup import run_near_dedup_stream
+
+    src = str(tmp_path / "src")
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "one two three four five six seven eight nine ten"),
+        (2, "one two three four five six seven eight nine ten"),  # dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    q = run_near_dedup_stream(
+        spark, src, str(tmp_path / "out"), str(tmp_path / "store"),
+        schema, str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    got = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert got == {0, 1}
+    store_ids = {r["id"] for r in spark.read.parquet(str(tmp_path / "store")).collect()}
+    assert store_ids == {0, 1}
