@@ -3356,7 +3356,14 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = e.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec")
     )
-    return ed.semantic_pairs_clustered(e, cents, threshold=0.4)
+    # physical-strategy router (the cosine_pairs_gemm precedent): the
+    # oracle-twinnable expression form at oracle scale, the per-cluster
+    # GEMM (pinned identical) beyond — the n²/cluster pair scoring is
+    # BLAS work, not per-element lambda work, at any real corpus size.
+    use_gemm = e.count() > 1000
+    return ed.semantic_pairs_clustered(
+        e, cents, threshold=0.4, use_gemm=use_gemm
+    )
 
 
 @workload("q_bpe_learn", oracle=None, tags=("ext-text",))
