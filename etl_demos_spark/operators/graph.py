@@ -97,3 +97,59 @@ def pagerank(
     ed.unpersist()
     nodes.unpersist()
     return ranks
+
+
+def flatten_hierarchy(
+    nodes: DataFrame,
+    id_col: str = "node",
+    parent_col: str = "parent",
+    max_iter: int = 32,
+) -> DataFrame:
+    """(node, root, depth) for a parent-pointer hierarchy — the
+    recursive-CTE workload (org charts, category trees, BOM rollups)
+    Spark SQL cannot express directly.
+
+    Pointer jumping (path doubling): each round joins every node's
+    current ancestor pointer onto that ancestor's own pointer, DOUBLING
+    the resolved distance — depth-d hierarchies finish in ⌈log₂ d⌉
+    rounds of |V|-sized keyed shuffles, not d rounds like the textbook
+    iterative join (the same reason label propagation beats naive BFS in
+    connected_components). Roots (parent NULL) are their own fixpoint;
+    lineage is truncated per round with ``localCheckpoint`` (the
+    pagerank lesson above). Convergence = no pointer moved this round —
+    one limit(1) probe, no full count.
+    """
+    state = nodes.select(
+        F.col(id_col).alias("node"),
+        F.coalesce(F.col(parent_col), F.col(id_col)).alias("anc"),
+        F.when(F.col(parent_col).isNull(), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("depth"),
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        hop = state.select(
+            F.col("node").alias("_n2"),
+            F.col("anc").alias("_a2"),
+            F.col("depth").alias("_d2"),
+        )
+        nxt = (
+            state.join(hop, state["anc"] == hop["_n2"])
+            .select(
+                "node",
+                F.col("_a2").alias("anc"),
+                (F.col("depth") + F.col("_d2")).cast("long").alias("depth"),
+            )
+            .localCheckpoint()
+        )
+        moved = (
+            nxt.alias("n")
+            .join(state.alias("o"), "node")
+            .filter(F.col("n.anc") != F.col("o.anc"))
+            .limit(1)
+            .count()
+        )
+        state = nxt
+        if moved == 0:
+            break
+    return state.select("node", F.col("anc").alias("root"), "depth")

@@ -709,6 +709,10 @@ _LATE: tuple[str, ...] = (
     "q_interval_merge",    # registered late, locally hash-verified —
                            # gaps-and-islands window pass; q_scd2_dim
                            # (late) and q_event_sessions share the family
+    "q_hierarchy",         # registered late, locally hash-verified —
+                           # recursive-CTE twin of the pointer-jumping
+                           # loop (q_pagerank keeps iterative-graph work
+                           # represented; driver window stays stable)
     # rows-only (no cross-engine oracle exists):
     "q_bpe_learn",     # iterative merge learning; pinned to a Python
                        # reference implementation in tests/test_bpe.py

@@ -3680,3 +3680,43 @@ def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.max("e"), "yyyy-MM-dd").alias("island_end"),
         F.count(F.lit(1)).alias("n_intervals"),
     )
+
+
+@workload(
+    "q_hierarchy",
+    oracle="""
+    WITH RECURSIVE nodes AS (
+        SELECT c_custkey AS node,
+               CASE WHEN c_custkey < 10 THEN NULL
+                    ELSE CAST(floor(c_custkey / 10) AS BIGINT) END AS parent
+        FROM customer
+    ),
+    r AS (
+        SELECT node, node AS root, CAST(0 AS BIGINT) AS depth
+        FROM nodes WHERE parent IS NULL
+        UNION ALL
+        SELECT n.node, r.root, r.depth + 1
+        FROM nodes n JOIN r ON n.parent = r.node
+    )
+    SELECT node, root, depth FROM r
+    """,
+    tags=("ext-graph",),
+)
+def q_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy flattening (graph.flatten_hierarchy): root + depth for
+    every node of a parent-pointer tree (synthesized decimal-digit
+    hierarchy over custkey: parent = key/10). The recursive-CTE
+    workload, done as pointer jumping — ⌈log₂ depth⌉ rounds of
+    |V|-keyed shuffles instead of depth sequential joins. The DuckDB
+    oracle IS the textbook WITH RECURSIVE, so the hash-match certifies
+    the iterative form against the declarative semantics."""
+    from etl_demos_spark.operators.graph import flatten_hierarchy
+
+    c = T(spark, sf_dir, "customer")
+    nodes = c.select(
+        F.col("c_custkey").alias("node"),
+        F.when(F.col("c_custkey") < 10, F.lit(None).cast("long"))
+        .otherwise(F.floor(F.col("c_custkey") / 10).cast("long"))
+        .alias("parent"),
+    )
+    return flatten_hierarchy(nodes, "node", "parent")

@@ -42,3 +42,23 @@ def test_pagerank_duplicate_edges_count_once(spark):
     got = {r["node"]: r["rank"] for r in pagerank(df, iters=10).collect()}
     ref = _numpy_pagerank([(0, 1), (1, 0)], 2, 10)
     assert max(abs(got[i] - ref[i]) for i in range(2)) < 1e-9
+
+
+def test_flatten_hierarchy_chain_and_forest(spark):
+    """Pointer jumping resolves a depth-20 chain (log-round doubling)
+    and keeps separate trees separate; roots are their own fixpoint."""
+    from etl_demos_spark.operators.graph import flatten_hierarchy
+
+    rows = [(0, None)] + [(i, i - 1) for i in range(1, 21)]  # chain 0..20
+    rows += [(100, None), (101, 100), (102, 100), (103, 101)]  # small tree
+    df = spark.createDataFrame(rows, "node long, parent long")
+    got = {
+        r["node"]: (r["root"], r["depth"])
+        for r in flatten_hierarchy(df, "node", "parent").collect()
+    }
+    for i in range(21):
+        assert got[i] == (0, i)
+    assert got[100] == (100, 0)
+    assert got[101] == (100, 1)
+    assert got[102] == (100, 1)
+    assert got[103] == (100, 2)
