@@ -85,3 +85,46 @@ def stratified_sample_by_hash(
         thr = F.when(cond, t) if thr is None else thr.when(cond, t)
     thr = thr.otherwise(buckets) if thr is not None else F.lit(buckets)
     return df.filter(b < thr)
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key: str,
+    seed: str = "ws0",
+    key_out: str = "ws_key",
+) -> DataFrame:
+    """Weight-proportional sample WITHOUT replacement, deterministic
+    across runs AND engines — the Efraimidis–Spirakis exponential-race
+    scheme with the RNG replaced by a content hash.
+
+    Each row draws u ∈ (0, 1] from md5(seed‖key) (first 12 hex chars —
+    48 exact bits) and races with key −ln(u)/w; the k smallest keys win,
+    which samples exactly proportional-to-weight without replacement.
+    One narrow projection + a distributed top-k (orderBy+limit runs as
+    per-partition partial top-k, only k rows reach the final stage) —
+    no RNG state, no sequential pass, re-runs and backfills pick the
+    same rows. The emitted race key is rounded to 6 places and the sort
+    is (rounded key, id), so an engine-specific ln() ULP cannot reorder
+    the selection — the repo's standard float-boundary convention.
+
+    Rows with weight ≤ 0 or NULL never win (key = +∞ analog: filtered).
+    """
+    c = F.col(key)
+    w = F.col(weight_col).cast("double")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(seed), c.cast("string"))), 1, 12),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(16**12))
+    race = F.round(-F.log(u) / w, 6)
+    return (
+        df.filter(w > 0)
+        .withColumn(key_out, race)
+        .orderBy(F.col(key_out).asc(), c.asc())
+        .limit(k)
+    )

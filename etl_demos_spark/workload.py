@@ -713,6 +713,9 @@ _LATE: tuple[str, ...] = (
                            # recursive-CTE twin of the pointer-jumping
                            # loop (q_pagerank keeps iterative-graph work
                            # represented; driver window stays stable)
+    "q_weighted_sample",   # registered late, locally hash-verified —
+                           # q_hash_split/q_mixture_sample keep the
+                           # deterministic-sampling family covered
     # rows-only (no cross-engine oracle exists):
     "q_bpe_learn",     # iterative merge learning; pinned to a Python
                        # reference implementation in tests/test_bpe.py

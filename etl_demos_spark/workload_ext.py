@@ -3720,3 +3720,36 @@ def q_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("parent"),
     )
     return flatten_hierarchy(nodes, "node", "parent")
+
+
+@workload(
+    "q_weighted_sample",
+    oracle="""
+    WITH raced AS (
+        SELECT o_orderkey,
+               round(
+                   -ln((CAST('0x' || substr(md5('ws0' || CAST(o_orderkey AS VARCHAR)), 1, 12)
+                             AS BIGINT) + 1.0) / 281474976710656.0)
+                   / CAST(o_totalprice AS DOUBLE), 6) AS ws_key
+        FROM orders
+        WHERE CAST(o_totalprice AS DOUBLE) > 0
+    )
+    SELECT o_orderkey, ws_key
+    FROM raced
+    ORDER BY ws_key, o_orderkey
+    LIMIT 50
+    """,
+    tags=("ext-sampling",),
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sampling without replacement
+    (sampling.weighted_sample_topk — Efraimidis–Spirakis exponential
+    race, RNG replaced by a content hash): 50 orders sampled
+    ∝ o_totalprice, reproducible across runs, backfills and engines.
+    One projection + distributed top-k; race keys rounded with id
+    tiebreak so ln() ULP differences can't move the selection."""
+    from etl_demos_spark.operators.sampling import weighted_sample_topk
+
+    o = T(spark, sf_dir, "orders")
+    picked = weighted_sample_topk(o, "o_totalprice", 50, "o_orderkey")
+    return picked.select("o_orderkey", "ws_key")

@@ -231,3 +231,34 @@ def test_cms_never_undercounts_and_merges(spark):
     whole = {(r["row"], r["col"]): r["cnt"] for r in cms.collect()}
     got = {(r["row"], r["col"]): r["cnt"] for r in merged.collect()}
     assert got == whole
+
+
+def test_weighted_sample_topk_proportional_and_deterministic(spark):
+    """Efraimidis–Spirakis with hash uniforms: no replacement, exact
+    reproducibility, and weight-proportionality across seeds (a 10×
+    weight must win far more often than a 1× weight)."""
+    import pyspark.sql.functions as F
+
+    from etl_demos_spark.operators.sampling import weighted_sample_topk
+
+    rows = [(i, 10.0 if i < 20 else 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, w double")
+
+    a = [r["id"] for r in weighted_sample_topk(df, "w", 30, "id").collect()]
+    b = [r["id"] for r in weighted_sample_topk(df, "w", 30, "id").collect()]
+    assert a == b and len(a) == 30 and len(set(a)) == 30
+
+    heavy_wins = 0
+    for s in range(10):
+        got = {
+            r["id"]
+            for r in weighted_sample_topk(df, "w", 30, "id", seed=f"s{s}").collect()
+        }
+        heavy_wins += len(got & set(range(20)))
+    # 20 heavy rows carry 200/380 ≈ 53% of total weight; uniformly they
+    # would win 10% of slots. Expect far above uniform, below saturation.
+    assert 100 < heavy_wins < 200, heavy_wins
+
+    # weight <= 0 never wins
+    z = spark.createDataFrame([(1, 0.0), (2, -1.0), (3, 5.0)], "id long, w double")
+    assert [r["id"] for r in weighted_sample_topk(z, "w", 3, "id").collect()] == [3]
