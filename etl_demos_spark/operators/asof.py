@@ -76,3 +76,64 @@ def asof_join_backward(
         F.last("__r_ts", ignorenulls=True).over(w).alias(f"{ts_col}{suffix}"),
     )
     return carried.filter(F.col("__side") == 1).drop("__side")
+
+
+def resample_locf(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: tuple[str, ...],
+    agg_exprs: tuple,
+    step: str = "1 hour",
+    fill_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Regular-grid resampling with last-observation-carried-forward —
+    the time-series gap-fill (locf) every metrics/sensor pipeline needs
+    before joins or models that assume a dense grid.
+
+    Three cheap stages: (1) bucket + aggregate observations to the step
+    grid (one combiner shuffle); (2) per key, generate the FULL grid
+    from its min/max bucket (sequence+explode off a tiny per-key agg —
+    never a driver loop, never a calendar table scan); (3) left-join
+    observations onto the grid and forward-fill ``fill_cols`` with
+    ``last(ignorenulls)`` over the per-key time order — one window pass,
+    state per key is one row. Output marks ``was_observed`` so callers
+    can distinguish carried values.
+
+    The observation aggregation must be provided decimal-exact
+    (repo float conventions) for cross-engine stability.
+    """
+    trunc_unit = {"1 hour": "hour", "1 day": "day", "1 minute": "minute"}.get(step)
+    if trunc_unit is None:
+        raise ValueError(
+            f"step {step!r} unsupported — use '1 minute'/'1 hour'/'1 day' "
+            "(arbitrary steps need a window-start formula, not date_trunc)"
+        )
+    bucket = F.date_trunc(trunc_unit, F.col(ts_col))
+    obs = (
+        df.withColumn("__b", bucket)
+        .groupBy(*key_cols, "__b")
+        .agg(*agg_exprs)
+    )
+    spine = (
+        obs.groupBy(*key_cols)
+        .agg(F.min("__b").alias("__lo"), F.max("__b").alias("__hi"))
+        .select(
+            *key_cols,
+            F.explode(
+                F.sequence("__lo", "__hi", F.expr(f"interval {step}"))
+            ).alias("__b"),
+        )
+    )
+    joined = spine.join(obs, [*key_cols, "__b"], "left")
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = joined.withColumn(
+        "was_observed",
+        F.when(F.col(fill_cols[0]).isNotNull(), F.lit(1)).otherwise(F.lit(0)).cast("long"),
+    )
+    for c in fill_cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out.withColumnRenamed("__b", "bucket_ts")

@@ -716,6 +716,9 @@ _LATE: tuple[str, ...] = (
     "q_weighted_sample",   # registered late, locally hash-verified —
                            # q_hash_split/q_mixture_sample keep the
                            # deterministic-sampling family covered
+    "q_gap_fill",          # registered late, locally hash-verified —
+                           # q_asof_join keeps the carry-forward
+                           # time-series machinery in-window
     # rows-only (no cross-engine oracle exists):
     "q_bpe_learn",     # iterative merge learning; pinned to a Python
                        # reference implementation in tests/test_bpe.py

@@ -3753,3 +3753,60 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = T(spark, sf_dir, "orders")
     picked = weighted_sample_topk(o, "o_totalprice", 50, "o_orderkey")
     return picked.select("o_orderkey", "ws_key")
+
+
+@workload(
+    "q_gap_fill",
+    oracle="""
+    WITH obs AS (
+        SELECT event_type, date_trunc('hour', ts) AS b,
+               CAST(SUM(CAST(value AS decimal(12,2))) AS DOUBLE) AS hourly_value
+        FROM events GROUP BY 1, 2
+    ), bounds AS (
+        SELECT event_type, MIN(b) AS lo, MAX(b) AS hi FROM obs GROUP BY 1
+    ), spine AS (
+        SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b
+        FROM bounds
+    ), joined AS (
+        SELECT s.event_type, s.b, o.hourly_value,
+               CASE WHEN o.hourly_value IS NOT NULL THEN 1 ELSE 0 END AS was_observed,
+               COUNT(o.hourly_value) OVER (
+                   PARTITION BY s.event_type ORDER BY s.b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        FROM spine s LEFT JOIN obs o
+          ON s.event_type = o.event_type AND s.b = o.b
+    )
+    SELECT event_type,
+           strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+           MAX(hourly_value) OVER (PARTITION BY event_type, grp) AS hourly_value,
+           CAST(was_observed AS BIGINT) AS was_observed
+    FROM joined
+    """,
+    tags=("ext-timeseries",),
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resample + last-observation-carried-forward
+    (asof.resample_locf): hourly per-type value sums on a DENSE grid,
+    gaps filled from the previous observation — the locf/gap-fill
+    operator of hypertable stores. Grid generation is sequence+explode
+    off a tiny per-key bounds agg; the fill is ONE window pass. The
+    oracle expresses the same fill with the portable two-window trick
+    (non-null running count → per-group max), certifying Spark's
+    last(ignorenulls) against declarative semantics."""
+    from etl_demos_spark.operators.asof import resample_locf
+
+    ev = T(spark, sf_dir, "events")
+    out = resample_locf(
+        ev,
+        "ts",
+        ("event_type",),
+        (money_sum(money("value")).alias("hourly_value"),),
+        step="1 hour",
+        fill_cols=("hourly_value",),
+    )
+    return out.select(
+        "event_type",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+        "hourly_value",
+        "was_observed",
+    )

@@ -246,3 +246,34 @@ def test_near_dedup_stream_end_to_end(spark, tmp_path):
     assert got == {0, 1}
     store_ids = {r["id"] for r in spark.read.parquet(str(tmp_path / "store")).collect()}
     assert store_ids == {0, 1}
+
+
+def test_resample_locf_fills_gaps(spark):
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from etl_demos_spark.operators.asof import resample_locf
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        ("a", t0, 10.0),
+        ("a", t0 + dt.timedelta(hours=3), 7.0),   # hours 1-2 are gaps
+        ("b", t0, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp_ntz, v double")
+    out = resample_locf(
+        df, "ts", ("k",),
+        (F.sum(F.col("v").cast("decimal(12,2)")).cast("double").alias("hv"),),
+        step="1 hour", fill_cols=("hv",),
+    )
+    got = {
+        (r["k"], r["bucket_ts"].hour): (r["hv"], r["was_observed"])
+        for r in out.collect()
+    }
+    assert got[("a", 0)] == (10.0, 1)
+    assert got[("a", 1)] == (10.0, 0)   # carried
+    assert got[("a", 2)] == (10.0, 0)   # carried
+    assert got[("a", 3)] == (7.0, 1)
+    assert got[("b", 0)] == (1.0, 1)
+    assert len([k for k in got if k[0] == "b"]) == 1  # b's grid is one bucket
