@@ -719,6 +719,9 @@ _LATE: tuple[str, ...] = (
     "q_gap_fill",          # registered late, locally hash-verified —
                            # q_asof_join keeps the carry-forward
                            # time-series machinery in-window
+    "q_cohort_retention",  # registered late, locally hash-verified —
+                           # q_cust_distribution keeps the two-level
+                           # customer-aggregation shape in-window
     # rows-only (no cross-engine oracle exists):
     "q_bpe_learn",     # iterative merge learning; pinned to a Python
                        # reference implementation in tests/test_bpe.py

@@ -3810,3 +3810,59 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hourly_value",
         "was_observed",
     )
+
+
+@workload(
+    "q_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT o_custkey,
+               MIN(CAST(strftime(o_orderdate, '%Y') AS BIGINT) * 12
+                   + CAST(strftime(o_orderdate, '%m') AS BIGINT)) AS cohort_ix
+        FROM orders GROUP BY 1
+    ), activity AS (
+        SELECT o.o_custkey,
+               f.cohort_ix,
+               CAST(strftime(o.o_orderdate, '%Y') AS BIGINT) * 12
+               + CAST(strftime(o.o_orderdate, '%m') AS BIGINT)
+               - f.cohort_ix AS month_offset
+        FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    )
+    SELECT CAST(cohort_ix // 12 AS BIGINT) AS cohort_year,
+           CAST(cohort_ix % 12 AS BIGINT) AS cohort_month0,
+           month_offset,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS active_customers
+    FROM activity
+    GROUP BY 1, 2, 3
+    """,
+    tags=("ext-analytics",),
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: customers bucketed by first-order month, active
+    counts per (cohort, months-since-first) — the standard retention
+    triangle. Month arithmetic is integer (year·12+month), exact in both
+    engines. Two shuffles: the per-customer first-order aggregate (tiny
+    output, combiner-friendly) joined back, then the distinct-count per
+    cohort cell. The firsts table is customer-sized → AQE broadcasts it
+    at dim scale; at fact scale it co-partitions on custkey."""
+    o = T(spark, sf_dir, "orders")
+    ix = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long")
+    firsts = (
+        o.select("o_custkey", ix.alias("ix"))
+        .groupBy("o_custkey")
+        .agg(F.min("ix").alias("cohort_ix"))
+    )
+    activity = (
+        o.select("o_custkey", ix.alias("ix"))
+        .join(firsts, "o_custkey")
+        .select(
+            "o_custkey",
+            "cohort_ix",
+            (F.col("ix") - F.col("cohort_ix")).alias("month_offset"),
+        )
+    )
+    return activity.groupBy(
+        F.floor(F.col("cohort_ix") / 12).cast("long").alias("cohort_year"),
+        (F.col("cohort_ix") % 12).cast("long").alias("cohort_month0"),
+        "month_offset",
+    ).agg(F.countDistinct("o_custkey").alias("active_customers"))
