@@ -722,6 +722,10 @@ _LATE: tuple[str, ...] = (
     "q_cohort_retention",  # registered late, locally hash-verified —
                            # q_cust_distribution keeps the two-level
                            # customer-aggregation shape in-window
+    "q_rolling_anomaly",   # registered late, locally hash-verified —
+                           # frame-bounded moving aggregates;
+                           # q_rollup_cascade keeps hourly series work
+                           # in-window
     # rows-only (no cross-engine oracle exists):
     "q_bpe_learn",     # iterative merge learning; pinned to a Python
                        # reference implementation in tests/test_bpe.py

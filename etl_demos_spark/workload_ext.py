@@ -3866,3 +3866,68 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cohort_ix") % 12).cast("long").alias("cohort_month0"),
         "month_offset",
     ).agg(F.countDistinct("o_custkey").alias("active_customers"))
+
+
+@workload(
+    "q_rolling_anomaly",
+    oracle="""
+    WITH obs AS (
+        SELECT event_type, date_trunc('hour', ts) AS b,
+               SUM(CAST(value AS decimal(12,2))) AS hv
+        FROM events GROUP BY 1, 2
+    ), win AS (
+        SELECT event_type, b, CAST(hv AS DOUBLE) AS x,
+               COUNT(*) OVER w AS n,
+               CAST(SUM(hv) OVER w AS DOUBLE) AS s,
+               CAST(SUM(CAST(hv * hv AS decimal(28,4))) OVER w AS DOUBLE) AS s2
+        FROM obs
+        WINDOW w AS (PARTITION BY event_type ORDER BY b
+                     ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type,
+           strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+           x AS hourly_value,
+           CASE WHEN n >= 3 AND s2 / n - (s / n) * (s / n) > 0
+                THEN round((x - s / n)
+                           / sqrt(s2 / n - (s / n) * (s / n)), 6)
+           END AS z_score
+    FROM win
+    """,
+    tags=("ext-timeseries",),
+)
+def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each hourly value scored
+    against the mean/std of its PRECEDING 6 hours (frame-bounded window
+    — rowsBetween, the moving-aggregate family). Every windowed
+    aggregate is a decimal SUM or COUNT, so sliding-frame evaluation
+    order (Spark's running frame vs a segment tree) cannot move the
+    result; mean/var derive from the exact sums with deterministic IEEE
+    ops. n<3 or zero variance → NULL score (cold start)."""
+    ev = T(spark, sf_dir, "events")
+    obs = (
+        ev.withColumn("b", F.date_trunc("hour", F.col("ts")))
+        .groupBy("event_type", "b")
+        .agg(F.sum(money("value")).alias("hv"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(-6, -1)
+    )
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum("hv").over(w).cast("double")
+    s2 = F.sum((F.col("hv") * F.col("hv")).cast("decimal(28,4)")).over(w).cast(
+        "double"
+    )
+    x = F.col("hv").cast("double")
+    mean = s / n
+    var = s2 / n - mean * mean
+    z = F.when(
+        (n >= 3) & (var > 0), F.round((x - mean) / F.sqrt(var), 6)
+    )
+    return obs.select(
+        "event_type",
+        F.date_format("b", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+        x.alias("hourly_value"),
+        z.alias("z_score"),
+    )
