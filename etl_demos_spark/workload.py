@@ -726,6 +726,8 @@ _LATE: tuple[str, ...] = (
                            # frame-bounded moving aggregates;
                            # q_rollup_cascade keeps hourly series work
                            # in-window
+    "q_unpivot",           # registered late, locally hash-verified —
+                           # the inverse reshape of q_pivot (late)
     # rows-only (no cross-engine oracle exists):
     "q_bpe_learn",     # iterative merge learning; pinned to a Python
                        # reference implementation in tests/test_bpe.py

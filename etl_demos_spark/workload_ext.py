@@ -3931,3 +3931,38 @@ def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         x.alias("hourly_value"),
         z.alias("z_score"),
     )
+
+
+@workload(
+    "q_unpivot",
+    oracle="""
+    WITH src AS (
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_quantity AS decimal(12,2))) AS DOUBLE) AS qty,
+               CAST(SUM(CAST(l_extendedprice AS decimal(12,2))) AS DOUBLE) AS price,
+               CAST(SUM(CAST(l_tax AS decimal(4,2))) AS DOUBLE) AS tax
+        FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, 'qty' AS measure, qty AS amount FROM src
+    UNION ALL
+    SELECT l_returnflag, 'price', price FROM src
+    UNION ALL
+    SELECT l_returnflag, 'tax', tax FROM src
+    """,
+    tags=("ext-relational",),
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt (the inverse of q_pivot): wide measure columns fold
+    into (measure, amount) rows via DataFrame.unpivot — a zero-shuffle
+    projection-side reshape (each input row emits k rows in place). The
+    oracle spells it as the portable UNION ALL expansion, certifying
+    the reshape semantics."""
+    li = T(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        money_sum(money("l_quantity")).alias("qty"),
+        money_sum(money("l_extendedprice")).alias("price"),
+        F.sum(F.col("l_tax").cast(DEC42)).cast("double").alias("tax"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["qty", "price", "tax"], "measure", "amount"
+    )
