@@ -320,3 +320,46 @@ def test_subquery_family_decorrelates_to_joins(spark):
     assert "LeftSemi" in p
     assert "TakeOrderedAndProject" in p
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_waiting_supplier_single_fact_pass(spark):
+    """Q21-shape decorrelation: the EXISTS + NOT EXISTS pair must run as
+    ONE window pass over lineitem — exactly one lineitem scan, no fact
+    self-join (a literal translation scans it three times)."""
+    df = REGISTRY["q_waiting_supplier"].fn(spark, SF_DIR)
+    p = plan_of(df)
+    assert p.count("lineitem.parquet") == 1, p.count("lineitem.parquet")
+    assert "Window" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_cust_distribution_preaggregates_orders(spark):
+    """Q13 shape: orders must collapse to (custkey, cnt) BEFORE the
+    outer join — the optimized plan shows the aggregate below the join,
+    and the join-side priority filter reaches the orders scan."""
+    df = REGISTRY["q_cust_distribution"].fn(spark, SF_DIR)
+    opt = optimized_of(df)
+    join_at = opt.index("Join")
+    # an Aggregate exists deeper in the tree than the join (indented under it)
+    assert "Aggregate" in opt[join_at:]
+    p = plan_of(df)
+    assert "1-URGENT" in p  # predicate reached the scan side
+    # partial aggregation on the orders side (map-side combine)
+    assert "partial_count" in p or "HashAggregate" in p
+
+
+def test_fuzzy_join_no_cartesian(spark):
+    """Record linkage must candidate-generate through the gram
+    equi-join — never a cross product of the two sides."""
+    df = REGISTRY["q_fuzzy_join"].fn(spark, SF_DIR)
+    p = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_interval_merge_single_window_pass(spark):
+    """Gaps-and-islands: one scan of orders, window work, no self-join."""
+    df = REGISTRY["q_interval_merge"].fn(spark, SF_DIR)
+    p = plan_of(df)
+    assert p.count("orders.parquet") == 1
+    assert "Window" in p
+    assert "Join" not in p
