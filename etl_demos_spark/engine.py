@@ -118,3 +118,108 @@ class Engine:
             df.createOrReplaceTempView(name)
             self._loaded[name] = df
         return built
+
+    # -- training-data corpus --------------------------------------------
+    def corpus(
+        self, df_or_name, id_col: str = "doc_id", text_col: str = "text"
+    ) -> "Corpus":
+        """Corpus facade over a DataFrame or a loaded source name."""
+        df = (
+            df_or_name
+            if isinstance(df_or_name, DataFrame)
+            else self.table(df_or_name)
+        )
+        return Corpus(df, id_col, text_col)
+
+
+class Corpus:
+    """Training-data facade over a documents DataFrame — one
+    discoverable surface for the dedup / quality / tokenize / search /
+    export operators (each delegates to its operators/ module, where
+    the scale notes live).
+
+        corpus = Engine.local().corpus(docs)          # or corpus("name")
+        clean = corpus.dedup_near(threshold=0.8)
+        scored = corpus.quality()
+        merges = corpus.learn_bpe(n_merges=1000)
+    """
+
+    def __init__(self, df: DataFrame, id_col: str = "doc_id", text_col: str = "text"):
+        self.df = df
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def _with(self, df: DataFrame) -> "Corpus":
+        return Corpus(df, self.id_col, self.text_col)
+
+    # -- dedup ------------------------------------------------------------
+    def dedup_exact(self) -> "Corpus":
+        from etl_demos_spark.operators.dedup import exact_dedup
+
+        return self._with(exact_dedup(self.df, self.text_col, self.id_col))
+
+    def dedup_near(self, threshold: float = 0.5, **kw) -> "Corpus":
+        from etl_demos_spark.operators.dedup import dedup_by_minhash
+
+        return self._with(
+            dedup_by_minhash(
+                self.df, self.id_col, self.text_col, threshold=threshold, **kw
+            )
+        )
+
+    def dedup_incremental(self, store: DataFrame | None, threshold: float = 0.5):
+        """→ (kept_ids, updated_signature_store) — see
+        operators/dedup.incremental_minhash_dedup."""
+        from etl_demos_spark.operators.dedup import incremental_minhash_dedup
+
+        return incremental_minhash_dedup(
+            self.df, store, self.id_col, self.text_col, threshold=threshold
+        )
+
+    # -- quality / text ---------------------------------------------------
+    def quality(self) -> DataFrame:
+        from etl_demos_spark.operators.text import lang_guess, quality_score
+
+        return self.df.select(
+            self.id_col,
+            quality_score(self.text_col).alias("quality"),
+            lang_guess(self.text_col).alias("lang_guess"),
+        )
+
+    def decontaminate(self, eval_df: DataFrame, n: int = 3) -> "Corpus":
+        from etl_demos_spark.operators.trainprep import decontaminate
+
+        return self._with(
+            decontaminate(self.df, eval_df, self.id_col, self.text_col, n)
+        )
+
+    # -- tokenizer --------------------------------------------------------
+    def learn_bpe(self, n_merges: int = 1000) -> list[tuple[str, str]]:
+        from etl_demos_spark.operators.bpe import learn_bpe_merges
+
+        return learn_bpe_merges(self.df, self.text_col, n_merges)
+
+    def encode_bpe(self, merges: list[tuple[str, str]]) -> DataFrame:
+        from etl_demos_spark.operators.bpe import apply_merges
+
+        return apply_merges(self.df, merges, self.text_col)
+
+    # -- search -----------------------------------------------------------
+    def search(self, terms: list[str], k: int = 10) -> DataFrame:
+        from etl_demos_spark.operators.search import (
+            bm25_search,
+            build_term_index,
+            doc_lengths,
+        )
+
+        idx = build_term_index(self.df, self.id_col, self.text_col)
+        lens = doc_lengths(self.df, self.id_col, self.text_col)
+        return bm25_search(idx, lens, terms, self.id_col, k)
+
+    # -- export -----------------------------------------------------------
+    def export_shards(self, path: str, n_shards: int, seed: str = "epoch0") -> None:
+        from etl_demos_spark.operators.trainprep import write_training_shards
+
+        write_training_shards(self.df, path, n_shards, self.id_col, seed)
+
+

@@ -169,3 +169,39 @@ def test_accepted_values_and_relationships_checks(spark):
     assert relationship_violations(
         child.filter("fk != 99"), ["fk"], to=parent, field="pk"
     ) == 0
+
+
+def test_corpus_facade_smoke(spark):
+    """The Corpus facade delegates to the operator modules: chainable
+    dedup, quality columns, BPE round-trip, BM25 search, shard export."""
+    from etl_demos_spark.engine import Engine
+
+    eng = Engine(spark)
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy dog"),  # exact dup
+            (2, "pack my box with five dozen liquor jugs"),
+        ],
+        "doc_id long, text string",
+    )
+    c = eng.corpus(docs)
+    kept = c.dedup_exact().df
+    assert kept.count() == 2
+
+    q = c.quality()
+    assert set(q.columns) == {"doc_id", "quality", "lang_guess"}
+    assert q.count() == 3
+
+    merges = c.learn_bpe(n_merges=4)
+    assert len(merges) >= 1
+    enc = c.encode_bpe(merges)
+    assert "bpe_tokens" in enc.columns and enc.count() == 3
+
+    hits = c.search(["fox"], k=5)
+    assert hits.count() == 2  # both fox docs
+
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        c.dedup_exact().export_shards(f"{td}/sh", 2)
+        assert spark.read.parquet(f"{td}/sh").count() == 2
