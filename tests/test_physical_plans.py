@@ -363,3 +363,35 @@ def test_interval_merge_single_window_pass(spark):
     assert p.count("orders.parquet") == 1
     assert "Window" in p
     assert "Join" not in p
+
+
+def test_plan_report_api(spark):
+    """The public audit API reads the same invariants these tests pin."""
+    from etl_demos_spark.plans.audit import assert_plan, plan_report
+
+    df = REGISTRY["q_group_agg"].fn(spark, SF_DIR)
+    rep = plan_report(df)
+    assert rep["n_scans"] >= 1 and not rep["has_cartesian"]
+    assert rep["read_schemas"], "column pruning evidence missing"
+    # codegen fusion only exists in the FINALIZED adaptive plan
+    fin = plan_report(df, execute=True)
+    assert fin["codegen_spans"] >= 1
+
+    # assert_plan returns the report when invariants hold (codegen
+    # fusion may have finalized meanwhile — compare the stable keys)
+    rep2 = assert_plan(df, no_cartesian=True, max_scans=5)
+    for k in ("n_scans", "has_cartesian", "pushed_filters", "read_schemas"):
+        assert rep2[k] == rep[k]
+
+    # ...and fails loudly when they don't
+    import pytest
+
+    a = spark.range(3)
+    b = spark.range(3).withColumnRenamed("id", "id2")
+    cross = a.crossJoin(b)
+    with pytest.raises(AssertionError):
+        assert_plan(cross, no_cartesian=True)
+
+    lo = REGISTRY["q_filter_eq"].fn(spark, SF_DIR)
+    got = assert_plan(lo, require_pushed_filter="o_orderstatus")
+    assert got["pushed_filters"]
