@@ -131,6 +131,17 @@ class Engine:
         )
         return Corpus(df, id_col, text_col)
 
+    def vectors(
+        self, df_or_name, id_col: str = "vec_id", vec_col: str = "embedding"
+    ) -> "Vectors":
+        """Vectors facade over a DataFrame or a loaded source name."""
+        df = (
+            df_or_name
+            if isinstance(df_or_name, DataFrame)
+            else self.table(df_or_name)
+        )
+        return Vectors(df, id_col, vec_col)
+
 
 class Corpus:
     """Training-data facade over a documents DataFrame — one
@@ -223,3 +234,87 @@ class Corpus:
         write_training_shards(self.df, path, n_shards, self.id_col, seed)
 
 
+
+
+class Vectors:
+    """Embedding-corpus facade — the similarity-search / semantic-dedup
+    surface (delegates to operators/similarity, embeddings,
+    embedding_dedup, pq; scale notes live there).
+
+        vecs = Engine.local().vectors(embeddings_df)
+        hits = vecs.topk(query_vec, k=10)           # exact baseline
+        books, codes = vecs.pq_compress(m=8, k=256) # 32× smaller index
+        clean = vecs.dedup(threshold=0.95)
+    """
+
+    def __init__(self, df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"):
+        self.df = df
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def _queries_df(self, query) -> DataFrame:
+        """Accept a single vector (list) or a (query_id, query_vec) df."""
+        if isinstance(query, DataFrame):
+            return query
+        return self.df.sparkSession.createDataFrame(
+            [(0, [float(x) for x in query])],
+            "query_id long, query_vec array<float>",
+        )
+
+    def topk(self, query, k: int = 10) -> DataFrame:
+        from etl_demos_spark.operators.similarity import brute_force_topk
+
+        return brute_force_topk(
+            self.df, self._queries_df(query), k, self.id_col, self.vec_col
+        )
+
+    def topk_lsh(self, query, k: int = 10, n_planes: int = 8, seed: int = 7, **kw) -> DataFrame:
+        """ANN via random-hyperplane LSH; planes are seed-deterministic
+        (pass planes=... to reuse a fixed family)."""
+        import numpy as np
+
+        from etl_demos_spark.operators.similarity import ann_topk_lsh
+
+        planes = kw.pop("planes", None)
+        if planes is None:
+            dim = len(self.df.select(self.vec_col).first()[0])
+            planes = (
+                np.random.default_rng(seed).standard_normal((n_planes, dim)).tolist()
+            )
+        return ann_topk_lsh(
+            self.df, self._queries_df(query), planes, k,
+            self.id_col, self.vec_col, **kw
+        )
+
+    def pq_compress(self, m: int = 8, k: int = 256, **kw):
+        """→ (codebooks, codes_df) — FAISS-style product quantization."""
+        from etl_demos_spark.operators.pq import pq_encode, pq_train
+
+        books = pq_train(self.df, m, k, id_col=self.id_col, vec_col=self.vec_col, **kw)
+        return books, pq_encode(self.df, books, self.id_col, self.vec_col)
+
+    def pq_search(self, codes: DataFrame, books, query, k: int = 10, rerank: bool = True) -> DataFrame:
+        from etl_demos_spark.operators.pq import pq_search_adc
+
+        return pq_search_adc(
+            codes, books, query, k, self.id_col,
+            rerank_df=self.df if rerank else None, vec_col=self.vec_col,
+        )
+
+    def dedup(self, threshold: float = 0.95) -> DataFrame:
+        from etl_demos_spark.operators.embedding_dedup import dedup_by_embedding
+
+        return dedup_by_embedding(self.df, self.id_col, self.vec_col, threshold)
+
+    def semantic_dedup(self, centroids_df: DataFrame, threshold: float = 0.9) -> DataFrame:
+        from etl_demos_spark.operators.embedding_dedup import semantic_dedup
+
+        return semantic_dedup(
+            self.df, centroids_df, self.id_col, self.vec_col, threshold
+        )
+
+    def kmeans(self, k: int = 8, iters: int = 5):
+        """→ (centroids, assignments) — distributed Lloyd."""
+        from etl_demos_spark.operators.embeddings import kmeans_lloyd
+
+        return kmeans_lloyd(self.df, k, iters, self.id_col, self.vec_col)

@@ -205,3 +205,32 @@ def test_corpus_facade_smoke(spark):
     with tempfile.TemporaryDirectory() as td:
         c.dedup_exact().export_shards(f"{td}/sh", 2)
         assert spark.read.parquet(f"{td}/sh").count() == 2
+
+
+def test_vectors_facade_smoke(spark):
+    from etl_demos_spark.engine import Engine
+
+    eng = Engine(spark)
+    rows = [(i, [float(i), float(i % 3), 1.0, 0.0]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    v = eng.vectors(df)
+
+    hits = v.topk([5.0, 2.0, 1.0, 0.0], k=5)
+    assert hits.count() == 5
+
+    books, codes = v.pq_compress(m=2, k=8)
+    assert codes.count() == 40
+    got = v.pq_search(codes, books, [5.0, 2.0, 1.0, 0.0], k=5)
+    assert got.count() == 5
+
+    cents, assigned = v.kmeans(k=3, iters=3)
+    assert len(cents) == 3 and assigned.count() == 40
+
+
+def test_vectors_facade_lsh(spark):
+    from etl_demos_spark.engine import Engine
+
+    rows = [(i, [float(i), 1.0, 0.0, -1.0]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    hits = Engine(spark).vectors(df).topk_lsh([3.0, 1.0, 0.0, -1.0], k=5)
+    assert 0 < hits.count() <= 5
