@@ -14,6 +14,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 from pathlib import Path
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -125,3 +126,57 @@ def compact(
     shutil.move(staging, path)
     shutil.rmtree(old)
     return len(list(Path(path).glob("**/*.parquet")))
+
+
+def delete_keys(
+    spark: SparkSession,
+    path: str,
+    keys_df: DataFrame,
+    key_col: str,
+    partition_by: Sequence[str],
+) -> int:
+    """Targeted row deletion from a partitioned parquet table (the
+    right-to-be-forgotten / retention-sweep primitive): find the
+    partitions that actually CONTAIN the doomed keys, rewrite only
+    those with the survivors, leave every other partition's files
+    untouched. At 100 TB a handful of keys usually lives in a handful
+    of partitions — the rewrite cost is proportional to affected
+    partitions, never to the table.
+
+    Mechanics: one semi-join of the table against the (small,
+    broadcastable) key set discovers affected partition values; the
+    survivors of those partitions are rewritten via dynamic partition
+    overwrite (only partitions present in the written frame are
+    replaced). Returns the number of rows deleted.
+
+    Dynamic overwrite only replaces partitions PRESENT in the written
+    frame — a partition whose every row is deleted would survive as
+    stale files. Those fully-emptied partitions are detected (affected
+    minus survivor partition values) and their directories removed
+    explicitly."""
+    table = spark.read.parquet(path)
+    affected = (
+        table.join(F.broadcast(keys_df), table[key_col] == keys_df[key_col], "left_semi")
+        .select(*partition_by)
+        .distinct()
+    )
+    affected_rows = table.join(F.broadcast(affected), list(partition_by), "left_semi")
+    n_before = affected_rows.count()
+    survivors = affected_rows.join(
+        F.broadcast(keys_df), affected_rows[key_col] == keys_df[key_col], "left_anti"
+    )
+    n_after = survivors.count()
+    emptied = affected.join(
+        survivors.select(*partition_by).distinct(), list(partition_by), "left_anti"
+    ).collect()
+    with _partition_overwrite_dynamic(spark):
+        survivors.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    import shutil
+
+    for row in emptied:
+        d = Path(path)
+        for col in partition_by:
+            d = d / f"{col}={row[col]}"
+        if d.exists():
+            shutil.rmtree(d)
+    return n_before - n_after

@@ -262,3 +262,40 @@ def test_weighted_sample_topk_proportional_and_deterministic(spark):
     # weight <= 0 never wins
     z = spark.createDataFrame([(1, 0.0), (2, -1.0), (3, 5.0)], "id long, w double")
     assert [r["id"] for r in weighted_sample_topk(z, "w", 3, "id").collect()] == [3]
+
+
+def test_delete_keys_rewrites_only_affected_partitions(spark, tmp_path):
+    """Targeted delete: untouched partitions keep their exact files;
+    affected partitions lose only the doomed rows; fully-emptied
+    partitions disappear."""
+    import os
+
+    from etl_demos_spark.plans.incremental import delete_keys
+
+    path = str(tmp_path / "t")
+    rows = [(i, i % 4, f"v{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, p int, payload string")
+    df.write.partitionBy("p").parquet(path)
+
+    def files_of(p):
+        d = f"{path}/p={p}"
+        return sorted(
+            (f, os.path.getmtime(f"{d}/{f}"))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        ) if os.path.isdir(d) else None
+
+    before_p3 = files_of(3)
+
+    # delete two keys in partition 1, and ALL keys of partition 2
+    doomed = [1, 5] + [i for i in range(40) if i % 4 == 2]
+    keys = spark.createDataFrame([(k,) for k in doomed], "id long")
+    n = delete_keys(spark, path, keys, "id", ("p",))
+    assert n == len(doomed)
+
+    got = spark.read.parquet(path)
+    assert got.count() == 40 - len(doomed)
+    assert got.filter("id = 1 or id = 5").count() == 0
+    assert got.filter("p = 2").count() == 0
+    assert files_of(2) in (None, [])      # emptied partition removed
+    assert files_of(3) == before_p3       # untouched partition: same files
