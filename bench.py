@@ -67,6 +67,11 @@ def main() -> None:
         "q_cust_distribution",
         "q_fuzzy_join",
         "q_semantic_dedup",
+        "q_market_share",
+        "q_interval_merge",
+        "q_gap_fill",
+        "q_cohort_retention",
+        "q_hierarchy",
     ]
     headline = [q for q in headline if q in REGISTRY]
 
