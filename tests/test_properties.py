@@ -127,3 +127,98 @@ def test_exploded_ngrams_match_python_reference(spark, texts, n):
         toks = re.findall("[a-z0-9]+", t.lower())
         expect += [(i, " ".join(toks[j : j + n])) for j in range(len(toks) - n + 1)]
     assert got == sorted(expect)
+
+
+# ---------------------------------------------------------------------------
+# BPE learning / encoding vs the pure-Python reference
+# ---------------------------------------------------------------------------
+
+_words = st.lists(
+    st.text(alphabet="abcde ", min_size=1, max_size=12), min_size=1, max_size=8
+)
+
+
+@given(texts=_words, n_merges=st.integers(1, 8))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_bpe_learn_matches_reference_on_arbitrary_corpora(spark, texts, n_merges):
+    from etl_demos_spark.operators import bpe
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    assert bpe.learn_bpe_merges(df, n_merges=n_merges) == bpe.learn_bpe_reference(
+        texts, n_merges=n_merges
+    )
+
+
+@given(texts=_words)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_bpe_encoders_agree_on_arbitrary_corpora(spark, texts):
+    from etl_demos_spark.operators import bpe
+
+    merges = bpe.learn_bpe_reference(texts, n_merges=6)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    udf = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe.apply_merges(df, merges, use_udf=True).collect()
+    }
+    expr = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe.apply_merges(df, merges, use_udf=False).collect()
+    }
+    assert udf == expr
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy join vs a first-principles Jaccard
+# ---------------------------------------------------------------------------
+
+
+@given(
+    lt=st.lists(st.text(alphabet="ab c", min_size=5, max_size=30), min_size=1, max_size=5),
+    rt=st.lists(st.text(alphabet="ab c", min_size=5, max_size=30), min_size=1, max_size=5),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_fuzzy_join_matches_python_jaccard(spark, lt, rt):
+    import re as _re
+
+    from etl_demos_spark.operators import linkage
+
+    def grams(t):
+        toks = _re.findall("[a-z0-9]+", t.lower())
+        return {" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)}
+
+    l = spark.createDataFrame(list(enumerate(lt)), "doc_id long, text string")
+    r = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(rt)], "doc_id long, text string"
+    )
+    got = {
+        (x["id_a"], x["id_b"]): x["jaccard"]
+        for x in linkage.fuzzy_join(l, r, "doc_id", threshold=0.2, n=2).collect()
+    }
+    want = {}
+    for i, ta in enumerate(lt):
+        for j, tb in enumerate(rt):
+            ga, gb = grams(ta), grams(tb)
+            if not ga or not gb:
+                continue
+            jac = len(ga & gb) / len(ga | gb)
+            if jac >= 0.2 and len(ga & gb) > 0:
+                want[(i, 100 + j)] = jac
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-12
