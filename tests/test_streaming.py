@@ -277,3 +277,45 @@ def test_resample_locf_fills_gaps(spark):
     assert got[("a", 3)] == (7.0, 1)
     assert got[("b", 0)] == (1.0, 1)
     assert len([k for k in got if k[0] == "b"]) == 1  # b's grid is one bucket
+
+
+def test_stream_static_join_matches_batch(spark, tmp_path):
+    """Stream-static enrichment (the streaming dim join): a file-source
+    stream joined to a static dimension produces the same rows as the
+    batch join. The static side re-plans per micro-batch, so dim
+    updates between batches are picked up — the standard enrichment
+    pattern."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "src")
+    rows = [(1, "a"), (2, "b"), (3, "a"), (4, "c")]
+    df = spark.createDataFrame(rows, "id long, k string")
+    df.coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    dim = spark.createDataFrame(
+        [("a", 10.0), ("b", 20.0)], "k string, factor double"
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    enriched = stream.join(F.broadcast(dim), "k").withColumn(
+        "scaled", F.col("id") * F.col("factor")
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("ssj_static")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["id"], r["scaled"])
+        for r in spark.sql("SELECT * FROM ssj_static").collect()
+    }
+    want = {
+        (r["id"], r["scaled"])
+        for r in df.join(dim, "k")
+        .withColumn("scaled", F.col("id") * F.col("factor"))
+        .collect()
+    }
+    assert got == want and len(got) == 3  # 'c' has no dim row
