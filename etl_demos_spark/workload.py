@@ -728,6 +728,9 @@ _LATE: tuple[str, ...] = (
                            # in-window
     "q_unpivot",           # registered late, locally hash-verified —
                            # the inverse reshape of q_pivot (late)
+    "q_rank_family",       # registered late, locally hash-verified —
+                           # q_window_analytics (late) and
+                           # q_window_dedup keep windows in-window
     # rows-only (no cross-engine oracle exists):
     "q_bpe_learn",     # iterative merge learning; pinned to a Python
                        # reference implementation in tests/test_bpe.py

@@ -3966,3 +3966,42 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         ["l_returnflag"], ["qty", "price", "tax"], "measure", "amount"
     )
+
+
+@workload(
+    "q_rank_family",
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           round(percent_rank() OVER w, 6) AS prnk,
+           round(cume_dist() OVER w, 6) AS cdist,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY round(c_acctbal, 2), c_custkey)
+    """,
+    tags=("ext-relational",),
+)
+def q_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete ranking-function family in one window pass: rank /
+    dense_rank / percent_rank / cume_dist / ntile over a per-segment
+    balance ordering. The order key includes the unique custkey so
+    every rank is total — rank functions over non-total orders are the
+    classic cross-engine nondeterminism trap. percent_rank/cume_dist
+    are (rank-1)/(n-1) and rank/n — exact integer ratios, rounded only
+    to absorb the division's last ULP."""
+    c = T(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.round("c_acctbal", 2), "c_custkey"
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
