@@ -135,3 +135,52 @@ def tfidf_vectors(
             ).alias("tfidf"),
         )
     )
+
+
+def hybrid_search(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    terms: list[str],
+    query_vec,
+    k: int = 10,
+    candidates: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    emb_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage hybrid retrieval: BM25 lexical candidates → exact
+    embedding-cosine rerank — the standard search architecture (cheap
+    high-recall lexical stage over the full corpus; the expensive
+    semantic scorer touches only ``candidates`` rows).
+
+    The rerank joins the candidate ids against the embedding table
+    (broadcast — the candidate set is k-sized) and scores with the
+    deterministic sequential-HOF cosine, so the whole operator is
+    oracle-twinnable. Candidates without an embedding drop out (inner
+    join) — surface them separately if lexical-only fallback is wanted.
+
+    Output: (id, bm25, cos_sim, hybrid_rank) — rank by (cos desc,
+    bm25 desc, id).
+    """
+    from etl_demos_spark.operators.similarity import cosine
+
+    idx = build_term_index(docs, id_col, text_col)
+    lens = doc_lengths(docs, id_col, text_col)
+    cands = bm25_search(idx, lens, terms, id_col, k=candidates)
+    q_lit = F.array(*[F.lit(float(x)) for x in query_vec])
+    emb = embeddings.select(
+        F.col(emb_id_col).alias(id_col), F.col(vec_col).alias("__v")
+    )
+    scored = (
+        emb.join(F.broadcast(cands.select(id_col, "bm25")), id_col)
+        .withColumn("cos_sim", F.round(cosine(F.col("__v"), q_lit), 6))
+        .drop("__v")
+    )
+    w = Window.orderBy(
+        F.col("cos_sim").desc(), F.col("bm25").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("hybrid_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("hybrid_rank") <= k)
+    )

@@ -731,6 +731,9 @@ _LATE: tuple[str, ...] = (
     "q_rank_family",       # registered late, locally hash-verified —
                            # q_window_analytics (late) and
                            # q_window_dedup keep windows in-window
+    "q_hybrid_search",     # registered late, locally hash-verified —
+                           # q_text_search keeps BM25 in-window,
+                           # q_semantic_dedup the cosine machinery
     # rows-only (no cross-engine oracle exists):
     "q_bpe_learn",     # iterative merge learning; pinned to a Python
                        # reference implementation in tests/test_bpe.py

@@ -4005,3 +4005,90 @@ def q_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
         F.ntile(4).over(w).cast("long").alias("quartile"),
     )
+
+
+@workload(
+    "q_hybrid_search",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents
+    ),
+    postings AS (
+      SELECT term, doc_id, COUNT(*) AS tf
+      FROM toks WHERE term IN ('join', 'fast', 'table')
+      GROUP BY 1, 2
+    ),
+    lens AS (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avg_dl FROM lens
+    ),
+    dfreq AS (
+      SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM postings GROUP BY 1
+    ),
+    scored AS (
+      SELECT p.doc_id,
+             COUNT(DISTINCT p.term) AS n_terms_matched,
+             SUM(CAST(round(
+               ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+               (p.tf * 2.2) /
+               (p.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avg_dl)),
+             9) AS DECIMAL(24,9))) AS bsum
+      FROM postings p
+      JOIN dfreq d USING (term)
+      JOIN lens l USING (doc_id)
+      CROSS JOIN stats s
+      GROUP BY p.doc_id
+    ),
+    cands AS (
+      SELECT doc_id, round(CAST(bsum AS DOUBLE), 6) AS bm25
+      FROM scored
+      WHERE n_terms_matched = 3
+      ORDER BY round(CAST(bsum AS DOUBLE), 6) DESC, doc_id ASC
+      LIMIT 50
+    ),
+    qv AS (
+      SELECT embedding AS q,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
+      FROM embeddings WHERE vec_id = 0
+    ),
+    reranked AS (
+      SELECT c.doc_id, c.bm25,
+             round(list_sum(list_transform(list_zip(e.embedding, qv.q),
+                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(e.embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * qv.qn),
+                   6) AS cos_sim
+      FROM cands c
+      JOIN embeddings e ON e.vec_id = c.doc_id
+      CROSS JOIN qv
+    )
+    SELECT doc_id, bm25, cos_sim,
+           CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, bm25 DESC, doc_id ASC)
+                AS BIGINT) AS hybrid_rank
+    FROM reranked
+    QUALIFY hybrid_rank <= 10
+    """,
+    tags=("ext-text",),
+)
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage hybrid retrieval (search.hybrid_search): BM25
+    conjunctive candidates over the full corpus, exact embedding-cosine
+    rerank over the candidate set only (embeddings keyed by doc id —
+    the testdata's vec_id stands in). The standard search architecture:
+    lexical recall is corpus-scale and index-prunable, the semantic
+    scorer touches ≤50 rows."""
+    from etl_demos_spark.operators.search import hybrid_search
+
+    d = T(spark, sf_dir, "documents")
+    e = T(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return hybrid_search(
+        d, e, ["join", "fast", "table"], qvec, k=10, candidates=50
+    )
