@@ -597,9 +597,10 @@ def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The driver full-checks only the FIRST 50 entries of get_queries()
 # (row count + schema + value hash vs the DuckDB oracle); later entries
-# get no driver signal at all. 84 queries are registered and 77 carry
-# oracles, so ordering is an explicit policy: every window slot should
-# hold a hash-checkable query. _LATE names the entries deliberately
+# get no driver signal at all. Far more paired queries are registered
+# than window slots (120 registered / 108 paired as of session 3 —
+# counts grow; the invariant, asserted in tests, is that every window
+# slot holds a hash-checkable query), so ordering is an explicit policy. _LATE names the entries deliberately
 # registered past the window — the rows-only queries (no SQL-expressible
 # oracle; property/recall-tested instead) and oracle-paired queries whose
 # semantics are duplicated by in-window relatives. Newly added operator

@@ -45,3 +45,17 @@ def test_entry_smoke(spark):
     df = ent.entry(spark)
     assert df.count() > 0
     assert set(ent.oracle_sql()) <= set(ent.queries())
+
+
+def test_driver_window_slots_all_carry_oracles():
+    """The explicit registration policy (workload.py _LATE): every one
+    of the driver's 50 check-window slots must hold an oracle-paired
+    query, and _LATE must only name registered queries."""
+    from etl_demos_spark.workload import _LATE, ordered_names
+
+    names = ordered_names()
+    assert len(names) >= 50
+    rows_only = {n for n, e in REGISTRY.items() if e.oracle is None}
+    window = names[:50]
+    assert not (set(window) & rows_only), set(window) & rows_only
+    assert set(_LATE) <= set(REGISTRY), set(_LATE) - set(REGISTRY)
