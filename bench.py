@@ -72,6 +72,7 @@ def main() -> None:
         "q_gap_fill",
         "q_cohort_retention",
         "q_hierarchy",
+        "q_hybrid_search",
     ]
     headline = [q for q in headline if q in REGISTRY]
 
