@@ -735,6 +735,9 @@ _LATE: tuple[str, ...] = (
     "q_hybrid_search",     # registered late, locally hash-verified —
                            # q_text_search keeps BM25 in-window,
                            # q_semantic_dedup the cosine machinery
+    "q_promo_share",       # registered late, locally hash-verified —
+                           # q_market_share (late) is the same
+                           # ratio-of-conditional-sums shape
     # rows-only (no cross-engine oracle exists):
     "q_bpe_learn",     # iterative merge learning; pinned to a Python
                        # reference implementation in tests/test_bpe.py

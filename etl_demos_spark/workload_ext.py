@@ -4092,3 +4092,58 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hybrid_search(
         d, e, ["join", "fast", "table"], qvec, k=10, candidates=50
     )
+
+
+@workload(
+    "q_promo_share",
+    oracle="""
+    SELECT CAST(strftime(o.o_orderdate, '%Y%m') AS BIGINT) AS order_month,
+           round(CAST(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                    THEN CAST(CAST(l.l_extendedprice AS decimal(12,2))
+                         * CAST(1 - l.l_discount AS decimal(4,2))
+                         AS decimal(16,4))
+                    ELSE CAST(0 AS decimal(16,4)) END) AS DOUBLE)
+           / CAST(SUM(CAST(CAST(l.l_extendedprice AS decimal(12,2))
+                    * CAST(1 - l.l_discount AS decimal(4,2))
+                    AS decimal(16,4))) AS DOUBLE), 6) AS promo_pct
+    FROM lineitem l
+    JOIN part p   ON l.l_partkey = p.p_partkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("ext-analytics",),
+)
+def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion revenue share per month (TPC-H Q14 shape): conditional
+    revenue over total revenue — decimal-exact numerator/denominator in
+    ONE aggregation pass, share as a single IEEE divide. Part is the
+    classification dim (broadcast-size at any SF where it fits; AQE
+    otherwise)."""
+    li = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_type")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    rev = (money("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast(DEC42)).cast(
+        "decimal(16,4)"
+    )
+    j = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.date_format("o_orderdate", "yyyyMM").cast("long").alias("order_month"),
+            F.when(F.col("p_type") == "PROMO", rev)
+            .otherwise(F.lit(0).cast("decimal(16,4)"))
+            .alias("promo_rev"),
+            rev.alias("rev"),
+        )
+    )
+    return (
+        j.groupBy("order_month")
+        .agg(
+            F.round(
+                F.lit(100.0) * F.sum("promo_rev").cast("double")
+                / F.sum("rev").cast("double"),
+                6,
+            ).alias("promo_pct")
+        )
+        .orderBy("order_month")
+    )
