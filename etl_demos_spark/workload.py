@@ -738,6 +738,9 @@ _LATE: tuple[str, ...] = (
     "q_promo_share",       # registered late, locally hash-verified —
                            # q_market_share (late) is the same
                            # ratio-of-conditional-sums shape
+    "q_matview",           # registered late, locally hash-verified —
+                           # q_rollup_cascade keeps rollup
+                           # re-aggregation in-window
     # rows-only (no cross-engine oracle exists):
     "q_bpe_learn",     # iterative merge learning; pinned to a Python
                        # reference implementation in tests/test_bpe.py

@@ -4147,3 +4147,57 @@ def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_month")
     )
+
+
+@workload(
+    "q_matview",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(strftime(o_orderdate, '%Y%m') AS BIGINT) AS order_month,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS decimal(12,2))) AS DOUBLE) AS rev,
+           CAST(SUM(CAST(o_totalprice AS decimal(12,2))) AS DOUBLE)
+               / COUNT(*) AS avg_price
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    tags=("ext-matview",),
+)
+def q_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-aggregate routing (plans/matview.py): the monthly
+    query is answered ENTIRELY from a registered DAILY rollup — sums
+    and counts re-aggregate, the average derives as re-aggregated
+    sum / re-aggregated count (an average of stored averages would be
+    wrong under uneven day sizes). The oracle computes the same numbers
+    from the RAW table, so the hash match certifies the rewrite is
+    semantics-preserving. At scale: the router turns a fact-table scan
+    into a rollup-sized one."""
+    from etl_demos_spark.plans.matview import AggregateStore
+
+    o = T(spark, sf_dir, "orders")
+    daily = (
+        o.select(
+            "o_orderpriority",
+            F.date_format("o_orderdate", "yyyyMM").cast("long").alias("order_month"),
+            F.col("o_orderdate").alias("order_day"),
+            money("o_totalprice").alias("p"),
+        )
+        .groupBy("o_orderpriority", "order_month", "order_day")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("p").alias("rev"))
+    )
+    store = AggregateStore()
+    store.register(
+        "daily_orders",
+        daily,
+        ("o_orderpriority", "order_month", "order_day"),
+        {"cnt": "count", "rev": "sum"},
+    )
+    routed = store.route(("o_orderpriority", "order_month"), ("cnt", "rev"))
+    assert routed is not None
+    return routed.select(
+        "o_orderpriority",
+        "order_month",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("rev").cast("double").alias("rev"),
+        (F.col("rev").cast("double") / F.col("cnt")).alias("avg_price"),
+    )
