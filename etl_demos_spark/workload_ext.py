@@ -4201,3 +4201,566 @@ def q_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev").cast("double").alias("rev"),
         (F.col("rev").cast("double") / F.col("cnt")).alias("avg_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion batch — the remaining canonical query shapes (Q2, Q5,
+# Q6, Q7, Q9, Q11, Q12, Q15, Q16, Q19, Q20), adapted to the driver
+# testdata: there is no partsupp table, so the part-supplier catalog is
+# the DISTINCT (l_partkey, l_suppkey) projection of lineitem, and
+# ps_supplycost/ps_availqty stand-ins come from supplier.s_acctbal /
+# shipped-quantity sums. Each query keeps the SHAPE that matters (the
+# operator/optimizer pattern), not the literal TPC-H text.
+# Reference parity: the reference's star-join + conditional-agg surface
+# (dbt/models/marts/core/f_dealer_performance_daily.sql:13-31) taken to
+# the full classical analytics catalog.
+# ---------------------------------------------------------------------------
+
+_REV_SQL = """CAST(CAST(l_extendedprice AS decimal(12,2))
+            * CAST(1 - l_discount AS decimal(4,2)) AS decimal(16,4))"""
+
+
+def _rev_col() -> Column:
+    """Decimal-exact per-line revenue (the workload convention)."""
+    return (
+        money("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast(DEC42)
+    ).cast("decimal(16,4)")
+
+
+@workload(
+    "q_forecast_revenue",
+    oracle=f"""
+    SELECT CAST(SUM(CAST(CAST(l_extendedprice AS decimal(12,2))
+                 * CAST(l_discount AS decimal(4,2)) AS decimal(16,4)))
+                AS DOUBLE) AS revenue_delta
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l_shipdate AS DATE) <  DATE '1997-01-01'
+      AND CAST(l_discount AS decimal(4,2)) BETWEEN CAST(0.05 AS decimal(4,2))
+                                               AND CAST(0.07 AS decimal(4,2))
+      AND l_quantity < 24
+    """,
+    tags=("ext-tpch",),
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan → conjunctive filter → one global sum.
+    The whole predicate set (date range, discount band, quantity cap)
+    is pushdown-eligible; at 100 TB this is a footer-pruned single-pass
+    scan with no shuffle at all beyond the 1-row partial-agg merge."""
+    li = T(spark, sf_dir, "lineitem")
+    disc = F.col("l_discount").cast(DEC42)
+    delta = (money("l_extendedprice") * disc).cast("decimal(16,4)")
+    return (
+        li.filter(
+            (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate").cast("date") < F.lit("1997-01-01").cast("date"))
+            & (disc >= F.lit(0.05).cast(DEC42))
+            & (disc <= F.lit(0.07).cast(DEC42))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(delta).cast("double").alias("revenue_delta"))
+    )
+
+
+@workload(
+    "q_local_volume",
+    oracle=f"""
+    SELECT n_name AS nation_name,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o_orderdate AS DATE) <  DATE '1997-01-01'
+    GROUP BY n_name
+    """,
+    tags=("ext-tpch",),
+)
+def q_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: local-supplier volume — the 6-way star join whose
+    distinguishing predicate (customer nation == supplier nation) lives
+    on the JOIN, not a filter. nation/region broadcast; the region
+    filter prunes suppliers BEFORE the fact join so the fact side only
+    shuffles against surviving keys; the date filter pushes to the
+    orders scan."""
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1997-01-01").cast("date"))
+    )
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = T(spark, sf_dir, "region").select("r_regionkey", "r_name").filter(
+        F.col("r_name") == "ASIA"
+    )
+    asia_n = n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]).select(
+        "n_nationkey", "n_name"
+    )
+    asia_s = s.join(F.broadcast(asia_n), s["s_nationkey"] == asia_n["n_nationkey"]).select(
+        "s_suppkey", "s_nationkey", "n_name"
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(
+            asia_s,
+            (li["l_suppkey"] == asia_s["s_suppkey"])
+            & (c["c_nationkey"] == asia_s["s_nationkey"]),
+        )
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(F.sum(_rev_col()).cast("double").alias("revenue"))
+    )
+
+
+@workload(
+    "q_nation_volume",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(strftime(l_shipdate, '%Y') AS BIGINT) AS ship_year,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) AS volume
+    FROM lineitem
+    JOIN orders    ON o_orderkey = l_orderkey
+    JOIN customer  ON c_custkey = o_custkey
+    JOIN supplier  ON s_suppkey = l_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    """,
+    tags=("ext-tpch",),
+)
+def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume — the same dimension table
+    (nation) joined TWICE under different roles, with a disjunctive
+    cross-role predicate. Both nation joins broadcast; the disjunction
+    evaluates after both roles resolve (it references columns from both
+    sides, so it cannot push below either join — the planner must keep
+    it as a post-join filter, which Catalyst does)."""
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n1), s["s_nationkey"] == F.col("n1_key"))
+        .join(F.broadcast(n2), c["c_nationkey"] == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(F.sum(_rev_col()).cast("double").alias("volume"))
+    )
+
+
+@workload(
+    "q_product_profit",
+    oracle=f"""
+    SELECT n_name AS nation_name,
+           CAST(strftime(o_orderdate, '%Y') AS BIGINT) AS o_year,
+           CAST(SUM(CAST({_REV_SQL}
+                    - CAST(CAST(p_retailprice AS decimal(12,2))
+                           * CAST(l_quantity AS decimal(4,1))
+                           AS decimal(16,4))
+                    AS decimal(18,4))) AS DOUBLE) AS sum_profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+    tags=("ext-tpch",),
+)
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-line profit by supplier nation and year —
+    a computed measure spanning THREE tables (lineitem price/discount,
+    part cost stand-in, order year), so no single-table pre-aggregation
+    is possible: the joins must happen first, and the plan's job is to
+    keep them cheap (part filtered by the LIKE before joining — column
+    pruning + predicate pushdown; nation broadcast). Profit arithmetic
+    is decimal-exact at every step (see workload.py conventions); the
+    testdata has no ps_supplycost, so p_retailprice*quantity is the
+    cost term."""
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount",
+    )
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_name", "p_retailprice").filter(
+        F.col("p_name").like("%widget%")
+    )
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cost = (money("p_retailprice") * F.col("l_quantity").cast("decimal(4,1)")).cast(
+        "decimal(16,4)"
+    )
+    profit = (_rev_col() - cost).cast("decimal(18,4)")
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation_name"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+    )
+
+
+@workload(
+    "q_important_parts",
+    oracle=f"""
+    WITH pv AS (
+        SELECT l_partkey AS partkey, SUM({_REV_SQL}) AS val
+        FROM lineitem GROUP BY 1
+    ), tot AS (SELECT SUM(val) AS total FROM pv)
+    SELECT partkey, CAST(val AS DOUBLE) AS part_value
+    FROM pv, tot
+    WHERE CAST(val AS DOUBLE) * 500 > CAST(total AS DOUBLE)
+    """,
+    tags=("ext-tpch",),
+)
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: HAVING against a GLOBAL scalar — per-part value
+    filtered by a fraction of the whole-table total. The total is a
+    1-row aggregate broadcast into the per-part stream (width-1 cross
+    join), so the fact scans ONCE feeding both aggregations via a
+    cached/re-derived groupBy, never a self-join. The threshold compare
+    happens in double (decimal→double is one correctly-rounded op in
+    both engines; ×500 is exact for these magnitudes) so the boundary
+    cannot diverge cross-engine."""
+    li = T(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice", "l_discount")
+    pv = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(_rev_col()).alias("val")
+    )
+    tot = pv.agg(F.sum("val").alias("total"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("val").cast("double") * 500 > F.col("total").cast("double"))
+        .select("partkey", F.col("val").cast("double").alias("part_value"))
+    )
+
+
+@workload(
+    "q_priority_class",
+    oracle="""
+    SELECT l_returnflag AS returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l_shipdate AS DATE) <  DATE '1997-01-01'
+    GROUP BY 1
+    """,
+    tags=("ext-tpch",),
+)
+def q_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: shipping-priority classification — join then
+    bucket-by-CASE conditional counts. The date filter prunes the fact
+    scan; orders contributes only the priority column (pruned to 2
+    cols before the join). The testdata has no l_shipmode, so
+    l_returnflag is the grouping attribute; the conditional-count
+    pattern is identical."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag", "l_shipdate")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate").cast("date") < F.lit("1997-01-01").cast("date"))
+        )
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@workload(
+    "q_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_suppkey AS suppkey, SUM({_REV_SQL}) AS total_rev
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(l_shipdate AS DATE) <  DATE '1996-04-01'
+        GROUP BY 1
+    )
+    SELECT s_suppkey AS suppkey, s_name AS supplier_name,
+           CAST(total_rev AS DOUBLE) AS total_rev
+    FROM supplier JOIN rev ON s_suppkey = suppkey
+    WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+    tags=("ext-tpch",),
+)
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: argmax against a derived view — quarterly
+    revenue per supplier, keep the supplier(s) achieving the maximum.
+    The max is a 1-row aggregate broadcast back over the SAME derived
+    frame (Catalyst re-derives the cheap agg rather than materializing;
+    equality on the exact decimal makes ties deterministic — all tied
+    suppliers return, same as the SQL)."""
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate").cast("date") < F.lit("1996-04-01").cast("date"))
+        )
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.sum(_rev_col()).alias("total_rev"))
+    )
+    mx = rev.agg(F.max("total_rev").alias("__mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("__mx"))
+        .join(s, F.col("suppkey") == s["s_suppkey"])
+        .select(
+            "s_suppkey",
+            F.col("s_name").alias("supplier_name"),
+            F.col("total_rev").cast("double").alias("total_rev"),
+        )
+        .withColumnRenamed("s_suppkey", "suppkey")
+    )
+
+
+@workload(
+    "q_supplier_cnt",
+    oracle="""
+    SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+    GROUP BY 1, 2, 3
+    """,
+    tags=("ext-tpch",),
+)
+def q_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: supplier-per-part-class counts with a NOT IN
+    exclusion subquery. The part-supplier catalog is the DISTINCT
+    (partkey, suppkey) projection of lineitem (no partsupp table in the
+    testdata). NOT IN decorrelates to a broadcast LEFT ANTI join
+    (safe here: s_suppkey is never NULL, so NOT IN == anti-join);
+    part predicates push to its scan; COUNT(DISTINCT) runs as a
+    two-phase expand-agg, all standard Catalyst."""
+    li = T(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p = (
+        T(spark, sf_dir, "part")
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+        .filter(
+            (F.col("p_brand") != "Brand#5")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+        )
+    )
+    excluded = T(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 1000).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(
+            F.broadcast(excluded), li["l_suppkey"] == excluded["s_suppkey"], "left_anti"
+        )
+        .join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.count_distinct(F.col("l_suppkey")).cast("long").alias("supplier_cnt"))
+    )
+
+
+@workload(
+    "q_disjunctive_rev",
+    oracle=f"""
+    SELECT CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_type = 'PROMO' AND l_quantity BETWEEN 1 AND 20
+           AND p_size BETWEEN 1 AND 15)
+       OR (p_type = 'SMALL' AND l_quantity BETWEEN 10 AND 30
+           AND p_size BETWEEN 1 AND 25)
+       OR (p_type = 'LARGE' AND l_quantity BETWEEN 20 AND 50
+           AND p_size BETWEEN 1 AND 50)
+    """,
+    tags=("ext-tpch",),
+)
+def q_disjunctive_rev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive multi-attribute predicate spanning
+    both join sides. Catalyst's CNF extraction derives the pushable
+    residues — part sees (type IN ... AND size <= 50), lineitem sees
+    (quantity BETWEEN 1 AND 50) — so BOTH scans prune before the join
+    even though no single disjunct is scan-local. The full disjunction
+    re-checks post-join. This is the canonical 'OR does not block
+    pushdown' plan test."""
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_type", "p_size")
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    cond = (
+        ((F.col("p_type") == "PROMO") & q.between(1, 20) & sz.between(1, 15))
+        | ((F.col("p_type") == "SMALL") & q.between(10, 30) & sz.between(1, 25))
+        | ((F.col("p_type") == "LARGE") & q.between(20, 50) & sz.between(1, 50))
+    )
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .filter(cond)
+        .agg(F.sum(_rev_col()).cast("double").alias("revenue"))
+    )
+
+
+@workload(
+    "q_dominant_suppliers",
+    oracle="""
+    WITH pairs AS (
+        SELECT l_partkey AS pk, l_suppkey AS sk,
+               SUM(CAST(l_quantity AS decimal(4,1))) AS pair_qty
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY 1, 2
+    ), tot AS (
+        SELECT pk, SUM(pair_qty) AS part_qty FROM pairs GROUP BY 1
+    )
+    SELECT DISTINCT s_suppkey AS suppkey, s_name AS supplier_name
+    FROM pairs
+    JOIN tot USING (pk)
+    JOIN supplier ON s_suppkey = sk
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE CAST(pair_qty AS DOUBLE) * 2 > CAST(part_qty AS DOUBLE)
+      AND n_name = 'NATION_3'
+    """,
+    tags=("ext-tpch",),
+)
+def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested correlated aggregates — suppliers in one
+    nation who supply MORE THAN HALF of some widget-part's shipped
+    quantity (the ps_availqty > 0.5*SUM(qty) pattern with shipped
+    volume standing in for stock). Two stacked aggregations over the
+    same derived frame: (part,supplier) sums, then per-part totals
+    re-aggregate FROM THE PAIR SUMS (never a second fact scan). The
+    half-threshold compares exact decimal sums via double (integral
+    quantities at scale 1 → exact in IEEE); DISTINCT collapses
+    multi-part winners. Nation is broadcast; supplier joins only the
+    surviving pair keys."""
+    li = T(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_name").filter(
+        F.col("p_name").like("%widget%")
+    )
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name").filter(
+        F.col("n_name") == "NATION_3"
+    )
+    pairs = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .agg(F.sum(F.col("l_quantity").cast("decimal(4,1)")).alias("pair_qty"))
+    )
+    tot = pairs.groupBy("pk").agg(F.sum("pair_qty").alias("part_qty"))
+    return (
+        pairs.join(tot, "pk")
+        .filter(F.col("pair_qty").cast("double") * 2 > F.col("part_qty").cast("double"))
+        .join(s, F.col("sk") == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select(F.col("s_suppkey").alias("suppkey"), F.col("s_name").alias("supplier_name"))
+        .distinct()
+    )
+
+
+@workload(
+    "q_min_cost_supplier",
+    oracle="""
+    WITH cat AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+    eligible AS (
+        SELECT pk, sk, s_name, s_acctbal
+        FROM cat
+        JOIN supplier ON s_suppkey = sk
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ), best AS (SELECT pk, MIN(s_acctbal) AS mn FROM eligible GROUP BY 1)
+    SELECT e.pk AS partkey, e.sk AS suppkey, e.s_name AS supplier_name,
+           CAST(e.s_acctbal AS DOUBLE) AS acctbal
+    FROM eligible e
+    JOIN best ON e.pk = best.pk AND e.s_acctbal = best.mn
+    JOIN part ON p_partkey = e.pk
+    WHERE p_type = 'STANDARD' AND p_size <= 25
+    """,
+    tags=("ext-tpch",),
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: minimum-cost supplier per part — the correlated
+    MIN subquery (ps_supplycost stood in by s_acctbal; the catalog is
+    the distinct lineitem pair projection). Decorrelation: per-part MIN
+    aggregated once, joined back on (part, value) equality — all tied
+    minima survive, exactly the SQL semantics. The region filter
+    shrinks the eligible set BEFORE the per-part aggregation, and the
+    part-side predicates prune the final join's build side."""
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).distinct()
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+    n = T(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = T(spark, sf_dir, "region").select("r_regionkey", "r_name").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_type", "p_size").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 25)
+    )
+    eu_s = (
+        s.join(F.broadcast(n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])),
+               s["s_nationkey"] == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    eligible = li.join(eu_s, li["sk"] == eu_s["s_suppkey"]).select(
+        "pk", "sk", "s_name", "s_acctbal"
+    )
+    best = (
+        eligible.groupBy(F.col("pk").alias("bpk")).agg(F.min("s_acctbal").alias("mn"))
+    )
+    return (
+        eligible.join(
+            best,
+            (eligible["pk"] == F.col("bpk")) & (eligible["s_acctbal"] == F.col("mn")),
+        )
+        .drop("bpk")
+        .join(p, F.col("pk") == p["p_partkey"])
+        .select(
+            F.col("pk").alias("partkey"),
+            F.col("sk").alias("suppkey"),
+            F.col("s_name").alias("supplier_name"),
+            F.col("s_acctbal").cast("double").alias("acctbal"),
+        )
+    )
