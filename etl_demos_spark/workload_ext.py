@@ -4764,3 +4764,115 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_acctbal").cast("double").alias("acctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Relational-surface completions: arbitrary GROUPING SETS, RANGE-frame
+# (time-interval) window aggregates, ordered string aggregation.
+# ---------------------------------------------------------------------------
+
+
+@workload(
+    "q_grouping_sets",
+    oracle="""
+    SELECT COALESCE(o_orderpriority, '<all>') AS priority,
+           COALESCE(o_orderstatus, '<all>') AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS decimal(12,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), (o_orderstatus))
+    """,
+    tags=("ext-rel",),
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — the general form of rollup/cube (both
+    already registered): the caller names exactly which grouping
+    combinations to produce, and the engine computes them in ONE scan
+    via the Expand operator (each input row fans out once per set, then
+    a single hash aggregation runs — no per-set re-scan). NULL markers
+    from non-grouped columns are normalized to a sentinel so the
+    cross-engine hash can't confuse 'subtotal row' with a NULL data
+    value. Reference parity: generalizes A1-A4's fixed GROUP BY."""
+    o = T(spark, sf_dir, "orders")
+    out = o.groupingSets(
+        [["o_orderpriority", "o_orderstatus"], ["o_orderpriority"], ["o_orderstatus"]],
+        "o_orderpriority",
+        "o_orderstatus",
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(money("o_totalprice")).cast("double").alias("revenue"),
+    )
+    return out.select(
+        F.coalesce(F.col("o_orderpriority"), F.lit("<all>")).alias("priority"),
+        F.coalesce(F.col("o_orderstatus"), F.lit("<all>")).alias("status"),
+        "n_orders",
+        "revenue",
+    )
+
+
+@workload(
+    "q_range_frame",
+    oracle="""
+    SELECT o_custkey AS custkey,
+           o_orderkey AS orderkey,
+           CAST(SUM(CAST(o_totalprice AS decimal(12,2))) OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS spend_30d
+    FROM orders
+    """,
+    tags=("ext-rel", "W-extra"),
+)
+def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window aggregate over a time interval: per customer,
+    total spend in the trailing 30 days INCLUDING same-day peers — the
+    frame is value-based (all rows whose ordering key falls in
+    [current-30, current]), not row-count-based, so same-day orders
+    aggregate together regardless of row order; a ROWS frame cannot
+    express this. Ordering key is an integer day number (days since
+    epoch), identical arithmetic in both engines. The decimal-exact sum
+    makes the frame total order-insensitive. At scale: one shuffle on
+    the partition key; the frame evaluates with a sliding pointer over
+    each sorted partition, O(n) per key."""
+    o = T(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day.cast("long"))
+        .rangeBetween(-30, 0)
+    )
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.sum(money("o_totalprice")).over(w).cast("double").alias("spend_30d"),
+    )
+
+
+@workload(
+    "q_string_agg",
+    oracle="""
+    SELECT c_nationkey AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           string_agg(c_name, ',' ORDER BY c_name) AS customer_list
+    FROM customer
+    WHERE c_acctbal > 9000
+    GROUP BY 1
+    """,
+    tags=("ext-rel",),
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/STRING_AGG): per group, the
+    comma-joined member list in a PINNED order — collect_list is
+    shuffle-order-nondeterministic, so the array is sorted before
+    joining (same normalization q_array_funcs uses); without the sort
+    the hash would differ run to run, let alone cross-engine. The
+    filter keeps group payloads bounded — the honest scale story for
+    any collect-to-one-row aggregate (unbounded LISTAGG at 100 TB is a
+    design smell; cap or re-aggregate instead)."""
+    c = T(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    return c.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.array_join(F.sort_array(F.collect_list("c_name")), ",").alias("customer_list"),
+    )
