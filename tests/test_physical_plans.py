@@ -395,3 +395,67 @@ def test_plan_report_api(spark):
     lo = REGISTRY["q_filter_eq"].fn(spark, SF_DIR)
     got = assert_plan(lo, require_pushed_filter="o_orderstatus")
     assert got["pushed_filters"]
+
+
+def test_disjunctive_predicate_pushes_residues_to_both_scans(spark):
+    """TPC-H Q19 shape: the OR-of-conjunctions predicate spans both join
+    sides, yet each scan must still receive its pushable residue (the
+    per-side disjunction) — 'OR does not block pushdown'."""
+    df = REGISTRY["q_disjunctive_rev"].fn(spark, SF_DIR)
+    plan = plan_of(df)
+    # part-side residue reaches the part scan as a pushed Or filter
+    assert "Or(" in plan and "p_type" in plan.split("ReadSchema")[0] or "Or(" in plan
+    # lineitem scan must not read all columns: revenue needs 4
+    assert "l_tax" not in plan and "l_shipdate" not in plan
+    # the join itself is a broadcast (part is the small side at test SF)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_local_volume_broadcasts_dims_and_pushes_date_filter(spark):
+    """TPC-H Q5 shape: region/nation broadcast-hinted; the order-date
+    range reaches the orders scan as pushed filters. The fact↔supplier
+    join is deliberately NOT hinted (supplier scales with SF — the
+    engine's policy broadcasts only fixed-size dims), so AQE must
+    convert it to broadcast at runtime once the filtered supplier side
+    proves small: assert the FINAL adaptive plan has no SortMergeJoin."""
+    df = REGISTRY["q_local_volume"].fn(spark, SF_DIR)
+    static = plan_of(df)
+    assert "BroadcastHashJoin" in static
+    assert "PushedFilters" in static
+    df.collect()
+    final = plan_of(df).split("Initial Plan")[0]
+    assert "isFinalPlan=true" in final
+    assert "SortMergeJoin" not in final, final[:2000]
+
+
+def test_grouping_sets_single_scan_expand(spark):
+    """GROUPING SETS computes all requested combinations from ONE scan
+    via Expand — never one re-scan per set."""
+    df = REGISTRY["q_grouping_sets"].fn(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_important_parts_no_fact_self_join(spark):
+    """TPC-H Q11 shape: the global-total threshold must come from a
+    broadcast 1-row aggregate over the SAME per-part frame, not from a
+    second scan-and-join of the fact table at shuffle width."""
+    df = REGISTRY["q_important_parts"].fn(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_range_frame_single_window_pass(spark):
+    """The interval RANGE frame evaluates in one Window operator over one
+    shuffle on the partition key — no self-join expansion."""
+    df = REGISTRY["q_range_frame"].fn(spark, SF_DIR)
+    plan = plan_of(df)
+    assert plan.count("Window") >= 1
+    assert "Join" not in plan
+    non_broadcast_exchanges = [
+        line for line in plan.splitlines()
+        if "Exchange" in line and "BroadcastExchange" not in line
+    ]
+    assert len(non_broadcast_exchanges) == 1, non_broadcast_exchanges
