@@ -73,6 +73,11 @@ def main() -> None:
         "q_cohort_retention",
         "q_hierarchy",
         "q_hybrid_search",
+        "q_local_volume",
+        "q_product_profit",
+        "q_disjunctive_rev",
+        "q_supplier_cnt",
+        "q_range_frame",
     ]
     headline = [q for q in headline if q in REGISTRY]
 
