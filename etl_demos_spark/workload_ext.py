@@ -4876,3 +4876,148 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.array_join(F.sort_array(F.collect_list("c_name")), ",").alias("customer_list"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical + semi-structured completions: exact least-squares
+# aggregates, map-type functions, schema-evolving union.
+# ---------------------------------------------------------------------------
+
+
+@workload(
+    "q_regression",
+    oracle="""
+    WITH sums AS (
+        SELECT l_returnflag AS returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(l_quantity AS decimal(4,1))) AS sx,
+               SUM(CAST(l_extendedprice AS decimal(12,2))) AS sy,
+               SUM(CAST(CAST(l_quantity AS decimal(4,1))
+                        * CAST(l_extendedprice AS decimal(12,2))
+                        AS decimal(17,3))) AS sxy,
+               SUM(CAST(CAST(l_quantity AS decimal(4,1))
+                        * CAST(l_quantity AS decimal(4,1))
+                        AS decimal(9,2))) AS sxx
+        FROM lineitem GROUP BY 1
+    )
+    SELECT returnflag, n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+           round((CAST(sy AS DOUBLE)
+                  - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
+    FROM sums
+    """,
+    tags=("ext-stats",),
+)
+def q_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares regression (price ~ quantity) from EXACT
+    moment sums: n, Σx, Σy, Σxy, Σx² accumulate as decimals (order-
+    independent, one combiner-friendly shuffle), then slope/intercept
+    derive as a fixed sequence of IEEE ops on the exact totals — so the
+    result is bit-reproducible across engines and run order. The
+    built-in regr_slope/regr_intercept aggregate IN double and are
+    shuffle-order-dependent (non-reproducible at cluster scale); this
+    is the same exact-moments trick the stats/stddev queries use.
+    Rounded to 6 dp: the moment arithmetic is exact, but / is the one
+    op where double assoc differences could surface at the last ulp."""
+    li = T(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(4,1)")
+    y = money("l_extendedprice")
+    sums = li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum((x * y).cast("decimal(17,3)")).alias("sxy"),
+        F.sum((x * x).cast("decimal(9,2)")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    intercept = (sy - slope * sx) / nd
+    return sums.select(
+        "returnflag",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )
+
+
+@workload(
+    "q_map_funcs",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           CAST(map_extract(m, 'status')[1] AS VARCHAR) AS status_val,
+           CAST(cardinality(m) AS BIGINT) AS n_keys,
+           list_sort(map_keys(m)) AS key_list
+    FROM (
+        SELECT o_orderkey,
+               MAP(['status', 'priority'], [o_orderstatus, o_orderpriority]) AS m
+        FROM orders
+        WHERE o_orderkey <= 100
+    )
+    """,
+    tags=("ext-semi",),
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type function family (the semi-structured surface beyond
+    q_json_extract): build a map column from scalar pairs, then
+    element_at lookup, size, and sorted key enumeration. The output
+    surfaces only scalars and a SORTED array — map cells themselves
+    never reach the cross-engine hash (map iteration order is
+    engine-defined; sorting the keys is the only portable contract,
+    the same normalization q_array_funcs applies to collected sets)."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 100)
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("priority"), F.col("o_orderpriority"),
+    )
+    withm = o.select(F.col("o_orderkey").alias("orderkey"), m.alias("m"))
+    return withm.select(
+        "orderkey",
+        F.element_at("m", "status").alias("status_val"),
+        F.size("m").cast("long").alias("n_keys"),
+        F.sort_array(F.map_keys("m")).alias("key_list"),
+    )
+
+
+@workload(
+    "q_union_by_name",
+    oracle="""
+    SELECT * FROM (
+        SELECT o_orderkey AS k, o_orderstatus AS status, NULL AS source_priority
+        FROM orders WHERE o_orderkey <= 50
+        UNION ALL BY NAME
+        SELECT o_orderpriority AS source_priority, o_orderkey AS k,
+               NULL AS status
+        FROM orders WHERE o_orderkey > 50 AND o_orderkey <= 100
+    )
+    """,
+    tags=("ext-rel",),
+)
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolving union: two frames with DIFFERENT column orders
+    and disjoint extra columns combine by NAME, missing columns
+    null-filled — the ingestion-time primitive for unioning data
+    batches whose schema drifted (reference parity: the staging
+    contract's tolerance for raw drift, S3/auto_adapt, applied to
+    vertical combination). positional unionAll would mis-bind here."""
+    o = T(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") <= 50).select(
+        F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("status")
+    )
+    b = o.filter((F.col("o_orderkey") > 50) & (F.col("o_orderkey") <= 100)).select(
+        F.col("o_orderpriority").alias("source_priority"),
+        F.col("o_orderkey").alias("k"),
+    )
+    return a.unionByName(b, allowMissingColumns=True).select(
+        "k", "status", "source_priority"
+    )
