@@ -40,3 +40,51 @@ def conditional_sum(cond: Column, value: Column | None = None) -> Column:
     (f_dealer_performance_daily.sql:18-19)."""
     v = F.lit(1) if value is None else value
     return F.sum(F.when(cond, v).otherwise(F.lit(0)))
+
+
+class PrunableDim:
+    """A dimension in a wide star view that may be eliminated when unused.
+
+    Join elimination is exact iff the join cannot change fact cardinality:
+    ``how='left'`` (never filters) against a dimension UNIQUE on the join
+    key (never multiplies). The caller declares uniqueness by constructing
+    this spec; ``plans/quality.py:assert_unique`` is the enforcement hook
+    for untrusted dims.
+    """
+
+    def __init__(self, df: DataFrame, on, how: str = "left", broadcast: bool = True):
+        if how != "left":
+            raise ValueError("join elimination requires how='left'")
+        self.df = df
+        self.on = on
+        self.broadcast = broadcast
+
+    def contributed(self) -> set[str]:
+        keys = {self.on} if isinstance(self.on, str) else set(self.on)
+        return set(self.df.columns) - keys
+
+
+def pruned_star(fact: DataFrame, dims: Sequence[PrunableDim], columns: Sequence[str]) -> DataFrame:
+    """Wide-view builder with LEFT-JOIN ELIMINATION: join only the
+    dimensions that contribute at least one requested column.
+
+    This is the optimizer move the dbt wide-mart pattern needs
+    (reference f_loan_contract.sql joins 4 dims into every row; most
+    downstream queries read 2-3 columns): a query over the view should
+    pay only for the dims it touches. Catalyst does not eliminate
+    unused joins on its own (it cannot know dims are unique), so the
+    uniqueness contract lives in the spec and the pruning here. At
+    100 TB this removes whole broadcast/shuffle stages, not just
+    columns; the certified-equivalence test is q_join_elim, whose
+    DuckDB oracle computes the UNPRUNED view.
+    """
+    want = set(columns)
+    out = fact
+    for d in dims:
+        if d.contributed() & want:
+            right = F.broadcast(d.df) if d.broadcast else d.df
+            out = out.join(right, on=d.on, how="left")
+    missing = want - set(out.columns)
+    if missing:
+        raise ValueError(f"columns not provided by fact or any dim: {sorted(missing)}")
+    return out.select(*columns)

@@ -5021,3 +5021,47 @@ def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b, allowMissingColumns=True).select(
         "k", "status", "source_priority"
     )
+
+
+@workload(
+    "q_join_elim",
+    oracle="""
+    SELECT l.l_orderkey AS orderkey,
+           CAST(SUM(CAST(l.l_quantity AS decimal(4,1))) AS DOUBLE) AS qty,
+           p.p_type AS part_type
+    FROM lineitem l
+    LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    LEFT JOIN part p   ON l.l_partkey = p.p_partkey
+    GROUP BY 1, 3
+    """,
+    tags=("ext-optimizer",),
+)
+def q_join_elim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-join elimination (operators/starjoin.py:pruned_star): the
+    oracle computes the FULL wide view (fact LEFT JOIN orders-dim and
+    part-dim), while Spark runs the PRUNED plan — the query requests no
+    orders column, the orders dim is unique on its key and left-joined,
+    so that join is provably a no-op and is eliminated before
+    execution. The hash match certifies the rewrite; the plan pin
+    (tests/test_physical_plans.py) asserts exactly one join survives.
+    This is the optimizer move Catalyst can't make itself: it cannot
+    know the dim is unique — the engine's spec carries that contract."""
+    from etl_demos_spark.operators.starjoin import PrunableDim, pruned_star
+
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"), "l_partkey", "l_quantity"
+    )
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"), "o_orderstatus", "o_orderpriority"
+    )
+    p = T(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_type").alias("part_type")
+    )
+    wide = pruned_star(
+        li,
+        [PrunableDim(o, on="orderkey"), PrunableDim(p, on="l_partkey")],
+        ["orderkey", "l_quantity", "part_type"],
+    )
+    return wide.groupBy("orderkey", "part_type").agg(
+        F.sum(F.col("l_quantity").cast("decimal(4,1)")).cast("double").alias("qty")
+    ).select("orderkey", "qty", "part_type")

@@ -459,3 +459,14 @@ def test_range_frame_single_window_pass(spark):
         if "Exchange" in line and "BroadcastExchange" not in line
     ]
     assert len(non_broadcast_exchanges) == 1, non_broadcast_exchanges
+
+
+def test_pruned_star_eliminates_unused_left_join(spark):
+    """q_join_elim requests no orders-dim column: the executed plan must
+    contain exactly ONE join (part), with the orders join eliminated
+    before Catalyst ever sees it."""
+    df = REGISTRY["q_join_elim"].fn(spark, SF_DIR)
+    plan = plan_of(df)
+    assert plan.count("Join") == 1, plan[:1500]
+    scans = plan.count("Scan parquet")
+    assert scans == 2, f"expected 2 scans (lineitem, part), saw {scans}"
