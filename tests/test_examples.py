@@ -14,6 +14,7 @@ EXAMPLES = [
     "web_curation.py",
     "tokenizer_pipeline.py",
     "vector_search.py",
+    "query_acceleration.py",
 ]
 EX_DIR = Path(__file__).resolve().parent.parent / "examples"
 
