@@ -152,3 +152,50 @@ def quantile_profile(
     if group_by is not None:
         return df.groupBy(group_by).agg(*aggs)
     return df.agg(*aggs)
+
+
+def drift_report(
+    base: DataFrame, candidate: DataFrame, columns: Sequence[str],
+    rel_threshold: float = 0.5,
+) -> DataFrame:
+    """Profile drift between two table versions (yesterday's load vs
+    today's): per column, the relative change in non-null count and
+    distinct count plus min/max boundary movement, with a ``drifted``
+    flag when a relative delta exceeds ``rel_threshold``.
+
+    Both sides reuse the one-pass ``profile_table`` (so the whole report
+    is TWO scans however many columns are profiled), and the comparison
+    join is on the column name — a |columns|-row broadcast. This is the
+    monitoring primitive the reference's dbt-test layer lacks: its tests
+    are point-in-time assertions; drift needs version-over-version
+    comparison.
+    """
+    b = profile_table(base, columns).select(
+        "col",
+        F.col("n_non_null").alias("base_n"),
+        F.col("n_distinct").alias("base_distinct"),
+        F.col("min_val").alias("base_min"),
+        F.col("max_val").alias("base_max"),
+    )
+    c = profile_table(candidate, columns).select(
+        "col",
+        F.col("n_non_null").alias("cand_n"),
+        F.col("n_distinct").alias("cand_distinct"),
+        F.col("min_val").alias("cand_min"),
+        F.col("max_val").alias("cand_max"),
+    )
+    def rel(new, old):
+        return F.when(old == 0, F.when(new == 0, F.lit(0.0)).otherwise(F.lit(1.0))) \
+                .otherwise(F.abs(new - old) / old.cast("double"))
+
+    j = b.join(c, "col")
+    n_rel = rel(F.col("cand_n"), F.col("base_n"))
+    d_rel = rel(F.col("cand_distinct"), F.col("base_distinct"))
+    return j.select(
+        "col",
+        "base_n", "cand_n", F.round(n_rel, 6).alias("n_rel_delta"),
+        "base_distinct", "cand_distinct", F.round(d_rel, 6).alias("distinct_rel_delta"),
+        (F.col("base_min") != F.col("cand_min")).alias("min_moved"),
+        (F.col("base_max") != F.col("cand_max")).alias("max_moved"),
+        ((n_rel > rel_threshold) | (d_rel > rel_threshold)).alias("drifted"),
+    )

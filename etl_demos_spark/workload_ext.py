@@ -5065,3 +5065,61 @@ def q_join_elim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.groupBy("orderkey", "part_type").agg(
         F.sum(F.col("l_quantity").cast("decimal(4,1)")).cast("double").alias("qty")
     ).select("orderkey", "qty", "part_type")
+
+
+@workload(
+    "q_drift_report",
+    oracle="""
+    WITH base AS (SELECT * FROM orders
+                  WHERE CAST(o_orderdate AS DATE) < DATE '1997-01-01'),
+    cand AS (SELECT * FROM orders),
+    b1 AS (SELECT CAST(COUNT(o_totalprice) AS BIGINT) n,
+                  CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) d,
+                  CAST(MIN(o_totalprice) AS VARCHAR) mn,
+                  CAST(MAX(o_totalprice) AS VARCHAR) mx FROM base),
+    c1 AS (SELECT CAST(COUNT(o_totalprice) AS BIGINT) n,
+                  CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) d,
+                  CAST(MIN(o_totalprice) AS VARCHAR) mn,
+                  CAST(MAX(o_totalprice) AS VARCHAR) mx FROM cand),
+    b2 AS (SELECT CAST(COUNT(o_orderpriority) AS BIGINT) n,
+                  CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) d,
+                  CAST(MIN(o_orderpriority) AS VARCHAR) mn,
+                  CAST(MAX(o_orderpriority) AS VARCHAR) mx FROM base),
+    c2 AS (SELECT CAST(COUNT(o_orderpriority) AS BIGINT) n,
+                  CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) d,
+                  CAST(MIN(o_orderpriority) AS VARCHAR) mn,
+                  CAST(MAX(o_orderpriority) AS VARCHAR) mx FROM cand)
+    SELECT 'o_totalprice' AS col, b1.n AS base_n, c1.n AS cand_n,
+           round(abs(c1.n - b1.n) / CAST(b1.n AS DOUBLE), 6) AS n_rel_delta,
+           b1.d AS base_distinct, c1.d AS cand_distinct,
+           round(abs(c1.d - b1.d) / CAST(b1.d AS DOUBLE), 6) AS distinct_rel_delta,
+           b1.mn <> c1.mn AS min_moved, b1.mx <> c1.mx AS max_moved,
+           (abs(c1.n - b1.n) / CAST(b1.n AS DOUBLE) > 0.1
+            OR abs(c1.d - b1.d) / CAST(b1.d AS DOUBLE) > 0.1) AS drifted
+    FROM b1, c1
+    UNION ALL
+    SELECT 'o_orderpriority', b2.n, c2.n,
+           round(abs(c2.n - b2.n) / CAST(b2.n AS DOUBLE), 6),
+           b2.d, c2.d,
+           round(abs(c2.d - b2.d) / CAST(b2.d AS DOUBLE), 6),
+           b2.mn <> c2.mn, b2.mx <> c2.mx,
+           (abs(c2.n - b2.n) / CAST(b2.n AS DOUBLE) > 0.1
+            OR abs(c2.d - b2.d) / CAST(b2.d AS DOUBLE) > 0.1)
+    FROM b2, c2
+    """,
+    tags=("ext-quality",),
+)
+def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-over-version profile drift (plans/quality.py:drift_report):
+    yesterday's load (orders before 1997) vs today's (all orders), two
+    columns profiled. The whole report is TWO one-pass profile scans
+    plus a |columns|-row join, regardless of column count. min/max
+    movement compares strings RENDERED BY THE SAME ENGINE on both
+    sides, so cross-engine float formatting can't leak into the
+    booleans. The monitoring layer the reference's point-in-time dbt
+    tests lack."""
+    from etl_demos_spark.plans.quality import drift_report
+
+    o = T(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderdate").cast("date") < F.lit("1997-01-01").cast("date"))
+    return drift_report(base, o, ["o_totalprice", "o_orderpriority"], rel_threshold=0.1)
