@@ -5123,3 +5123,88 @@ def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = T(spark, sf_dir, "orders")
     base = o.filter(F.col("o_orderdate").cast("date") < F.lit("1997-01-01").cast("date"))
     return drift_report(base, o, ["o_totalprice", "o_orderpriority"], rel_threshold=0.1)
+
+
+@workload(
+    "q_event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    tags=("ext-events",),
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-transition matrix (Markov-chain counts): per user, each
+    consecutive (event → next event) pair via ONE lead window, then a
+    tiny |types|² aggregation. Ordering ties broken on event_id so the
+    sequence — and therefore every count — is deterministic. Scales as
+    one shuffle on user_id; the transition matrix output is constant-
+    size. The sequence-analytics complement of q_event_funnel (which
+    only needs firsts) and q_cohort_retention (calendar grain)."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    return seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+
+
+@workload(
+    "q_twap",
+    oracle="""
+    WITH seg AS (
+        SELECT user_id,
+               CAST(value AS decimal(12,2)) AS v,
+               epoch_us(ts) AS t_us,
+               lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS next_us
+        FROM events
+    )
+    SELECT user_id,
+           round(CAST(SUM(CAST(v * CAST(next_us - t_us AS decimal(18,0))
+                         AS decimal(32,2))) AS DOUBLE)
+           / CAST(SUM(CAST(next_us - t_us AS decimal(18,0))) AS DOUBLE), 6)
+               AS twap
+    FROM seg WHERE next_us IS NOT NULL
+    GROUP BY 1
+    """,
+    tags=("ext-events",),
+)
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP): each observation's value is held
+    until the next observation, so the mean weights by holding duration
+    (micros), not by sample count — the correct aggregate for
+    irregularly-sampled series (sensor readings, prices). One lead
+    window per key, then value×duration and duration accumulate as
+    EXACT decimals (duration micros are integers; value is 2-dp), so
+    the ratio is one deterministic IEEE divide — order-independent at
+    any parallelism. Rounded to 6 dp: the scaled numerator can exceed
+    2^53, where decimal→double conversion may differ by one ulp across
+    engines (same mitigation as q_regression)."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    seg = ev.select(
+        "user_id",
+        money("value").alias("v"),
+        t_us.alias("t_us"),
+        F.lead(t_us).over(w).alias("next_us"),
+    ).filter(F.col("next_us").isNotNull())
+    dur = (F.col("next_us") - F.col("t_us")).cast("decimal(18,0)")
+    return seg.groupBy("user_id").agg(
+        F.round(
+            F.sum((F.col("v") * dur).cast("decimal(32,2)")).cast("double")
+            / F.sum(dur).cast("double"),
+            6,
+        ).alias("twap")
+    )
