@@ -5208,3 +5208,35 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("twap")
     )
+
+
+@workload(
+    "q_orc_roundtrip",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(s_suppkey) AS BIGINT) AS key_sum,
+           COUNT(DISTINCT s_nationkey) AS n_nations,
+           CAST(SUM(CAST(s_acctbal AS decimal(12,2))) AS DOUBLE) AS bal_sum
+    FROM supplier
+    """,
+    tags=("S1", "S4", "ext-sources"),
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan round-trip — the second columnar format Spark
+    ships natively (same vectorized reader + predicate pushdown class
+    as parquet). parquet → ORC → read back → aggregate; the oracle sees
+    the ORIGINAL table, so the round-trip must preserve every value
+    including doubles bit-exactly (ORC is a binary columnar format; no
+    inference lossiness like CSV). Widens the S1/S4 source/sink axis:
+    csv (inference), parquet (primary), json-in-column
+    (q_json_extract), REST (q_rest_json), now ORC."""
+    s = T(spark, sf_dir, "supplier")
+    path = f"{_SCRATCH}/orc_roundtrip_{sf_dir.strip('/').split('/')[-1]}"
+    s.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("s_suppkey").cast("bigint").alias("key_sum"),
+        F.countDistinct("s_nationkey").alias("n_nations"),
+        F.sum(money("s_acctbal")).cast("double").alias("bal_sum"),
+    )
