@@ -5240,3 +5240,36 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("s_nationkey").alias("n_nations"),
         F.sum(money("s_acctbal")).cast("double").alias("bal_sum"),
     )
+
+
+@workload(
+    "q_argmax",
+    oracle="""
+    SELECT user_id,
+           arg_max(event_type, ts) AS last_type,
+           CAST(CAST(arg_max(value, ts) AS decimal(12,2)) AS DOUBLE) AS last_value,
+           arg_min(event_type, ts) AS first_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("ext-agg",),
+)
+def q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax/argmin aggregates (max_by/min_by): latest- and first-event
+    retrieval per key as a PLAIN AGGREGATION — one combiner-friendly
+    shuffle with constant per-group state, versus the W1 window-dedup
+    formulation which must shuffle AND sort every row. At 100 TB this
+    is the cheaper plan whenever only the extreme row's columns are
+    needed (the partial aggregate keeps one candidate per group per
+    map task). Precondition for determinism: the ordering key is
+    unique per group (event timestamps here are; otherwise compose a
+    tie-broken ordering key — engines pick arbitrary winners on
+    ties)."""
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_type", F.col("ts")).alias("last_type"),
+        F.max_by(money("value"), F.col("ts")).cast("double").alias("last_value"),
+        F.min_by("event_type", F.col("ts")).alias("first_type"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
