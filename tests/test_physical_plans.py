@@ -470,3 +470,37 @@ def test_pruned_star_eliminates_unused_left_join(spark):
     assert plan.count("Join") == 1, plan[:1500]
     scans = plan.count("Scan parquet")
     assert scans == 2, f"expected 2 scans (lineitem, part), saw {scans}"
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
+    """Dynamic partition pruning: when the fact is partitioned on the
+    join key's functional image (order year) and the dim side carries a
+    selective filter, Spark must inject a runtime subquery that prunes
+    fact partitions BEFORE scanning them (dynamicpruningexpression in
+    the fact scan's PartitionFilters). At 100 TB this is the difference
+    between scanning one year and scanning the decade — and it cannot
+    be expressed statically because the surviving keys are only known
+    after the dim filter runs."""
+    path = str(tmp_path / "orders_by_year")
+    dim_path = str(tmp_path / "year_dim")
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    (o.withColumn("order_year", F.year("o_orderdate"))
+     .write.mode("overwrite").partitionBy("order_year").parquet(path))
+    fact = spark.read.parquet(path)
+    # The dim filter must be on a DIFFERENT column than the join key,
+    # else Catalyst statically infers the key constant through the join
+    # (InferFiltersFromConstraints) and no runtime pruning is needed.
+    (o.select(F.year("o_orderdate").alias("order_year")).distinct()
+     .withColumn("tag", F.when(F.col("order_year") == 1996, "keep").otherwise("drop"))
+     .write.mode("overwrite").parquet(dim_path))
+    dim = spark.read.parquet(dim_path).filter(F.col("tag") == "keep")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
+    try:
+        j = fact.join(dim, "order_year").agg(F.count(F.lit(1)).alias("n"))
+        plan = plan_of(j)
+        assert "dynamicpruning" in plan.lower(), plan[:3000]
+        n = j.collect()[0]["n"]
+        expect = o.filter(F.year("o_orderdate") == 1996).count()
+        assert n == expect
+    finally:
+        spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly")
