@@ -5273,3 +5273,36 @@ def q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("event_type", F.col("ts")).alias("first_type"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
     )
+
+
+@workload(
+    "q_bit_funcs",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           CAST(o_orderkey & 255 AS BIGINT) AS low_byte,
+           CAST(o_orderkey | 4096 AS BIGINT) AS with_flag,
+           CAST(xor(o_orderkey, o_custkey) AS BIGINT) AS key_xor,
+           CAST(o_orderkey << 2 AS BIGINT) AS shifted_l,
+           CAST(o_orderkey >> 3 AS BIGINT) AS shifted_r,
+           CAST(bit_count(o_orderkey) AS BIGINT) AS popcount
+    FROM orders WHERE o_orderkey <= 200
+    """,
+    tags=("ext-funcs",),
+)
+def q_bit_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar-function family (mask/flag/partition-id
+    arithmetic — the bit-level tools SimHash/bloom/Morton layouts use
+    internally, exposed as the user-facing surface): AND/OR/XOR,
+    shifts, population count. All codegen'd JVM intrinsics, identical
+    two's-complement semantics in both engines."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    k = F.col("o_orderkey")
+    return o.select(
+        k.alias("orderkey"),
+        k.bitwiseAND(F.lit(255)).cast("long").alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).cast("long").alias("with_flag"),
+        k.bitwiseXOR(F.col("o_custkey")).cast("long").alias("key_xor"),
+        F.shiftleft(k, 2).cast("long").alias("shifted_l"),
+        F.shiftright(k, 3).cast("long").alias("shifted_r"),
+        F.bit_count(k).cast("long").alias("popcount"),
+    )
