@@ -202,6 +202,33 @@ def jaccard_pairs(
 
 MERSENNE31 = (1 << 31) - 1
 
+# Bits of signal taken from the md5 digest for the portable base hash:
+# 15 hex chars = 60 bits — the widest slice whose conv() result fits a
+# signed long without overflow anywhere downstream (affine products stay
+# < 2^62 because h < 2^31 after mod p).
+MD5_HEX_CHARS = 15
+SIMHASH_BITS = 60
+
+
+def md5_long(col: Column, chars: int = MD5_HEX_CHARS) -> Column:
+    """Engine-portable 4·``chars``-bit hash: first ``chars`` hex digits of
+    md5 as a long. The repo's cross-engine hash idiom (sampling.py,
+    sketches.py `_cms_bucket`): DuckDB reproduces it bit-for-bit as
+    ``CAST('0x' || substr(md5(x), 1, chars) AS BIGINT)``, which is what
+    lets the MinHash/SimHash dedup family carry full driver hash oracles
+    instead of rows-only checks. ~2× the cost of xxhash64 per row
+    (still JVM codegen'd); pass ``base_hash="xxhash64"`` to the dedup
+    entry points when oracle portability is not needed."""
+    return F.conv(F.substring(F.md5(col), 1, chars), 16, 10).cast("long")
+
+
+def _base_hash(col: Column, base_hash: str) -> Column:
+    if base_hash == "md5":
+        return md5_long(col)
+    if base_hash == "xxhash64":
+        return F.xxhash64(col)
+    raise ValueError(f"unknown base_hash {base_hash!r}")
+
 
 def _affine_params(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
     """Deterministic universal-hash family h_i(x) = (a_i·x + b_i) mod p."""
@@ -219,16 +246,22 @@ def minhash_signatures(
     id_col: str = "id",
     shingles_col: str = "sh",
     num_hashes: int = 128,
+    base_hash: str = "md5",
 ) -> DataFrame:
     """Per-doc MinHash signature as array<long>, the scalable way.
 
     Performance note (measured at 5k docs × 52 shingles): evaluating the
     k-hash family inside higher-order lambdas is *interpreted* per element
     in Spark — 33M lambda evals took ~13s. Instead: ONE exploded pass
-    computes a base xxhash64 per (doc, shingle) — codegen'd — and the k
+    computes a base hash per (doc, shingle) — codegen'd — and the k
     hashes become k ``min()`` aggregate expressions over affine transforms
     of the base hash (universal hashing) — also codegen'd, with map-side
     partial aggregation. Same asymptotics, ~50× constant factor.
+
+    ``base_hash="md5"`` (default) uses the engine-portable md5_long hash,
+    making signatures — and everything derived from them — reproducible
+    in a DuckDB oracle. ``"xxhash64"`` is the marginally faster
+    non-portable variant.
 
     The mod-p arithmetic keeps every product < 2^62: safe under ANSI
     overflow checking.
@@ -241,7 +274,9 @@ def minhash_signatures(
     # non-empty, so the outer variant is semantically identical.
     base = df.select(
         F.col(id_col).alias("id"), F.explode_outer(shingles_col).alias("g")
-    ).filter(F.col("g").isNotNull()).select("id", F.pmod(F.xxhash64("g"), p).alias("h"))
+    ).filter(F.col("g").isNotNull()).select(
+        "id", F.pmod(_base_hash(F.col("g"), base_hash), p).alias("h")
+    )
     return _minhash_from_base(base, num_hashes)
 
 
@@ -250,13 +285,15 @@ def minhash_signatures_from_grams(
     id_col: str = "id",
     gram_col: str = "g",
     num_hashes: int = 128,
+    base_hash: str = "md5",
 ) -> DataFrame:
     """minhash_signatures over already-exploded (id, gram) rows (see
     exploded_shingles) — identical signatures, skips the array build and
     the interpreted shingle lambda entirely."""
     p = F.lit(MERSENNE31).cast("long")
     base = grams.select(
-        F.col(id_col).alias("id"), F.pmod(F.xxhash64(gram_col), p).alias("h")
+        F.col(id_col).alias("id"),
+        F.pmod(_base_hash(F.col(gram_col), base_hash), p).alias("h"),
     )
     return _minhash_from_base(base, num_hashes)
 
@@ -275,7 +312,13 @@ def _minhash_from_base(base: DataFrame, num_hashes: int) -> DataFrame:
 
 def banded_buckets(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
     """(id, band, bucket) LSH keys from an (id, sig) signature table —
-    16 B/row, the only thing the bucket join ever ships."""
+    16 B/row, the only thing the bucket join ever ships.
+
+    The bucket hash stays xxhash64 even when signatures are md5-portable:
+    two docs collide in a band iff their signature slices are EQUAL, and
+    xxhash64(slice_a) == xxhash64(slice_b) ⇔ slice_a == slice_b up to a
+    2^-64 collision — so a DuckDB oracle can band by joining on the raw
+    slice without reproducing this hash."""
     return sigs.select(
         "id",
         F.explode(
@@ -309,6 +352,7 @@ def incremental_minhash_dedup(
     num_hashes: int = 128,
     bands: int = 32,
     threshold: float = 0.5,
+    base_hash: str = "md5",
 ) -> tuple[DataFrame, DataFrame]:
     """Dedup a NEW batch against itself AND a persisted corpus signature
     store — the daily-increment form: the existing corpus text is never
@@ -330,12 +374,17 @@ def incremental_minhash_dedup(
     """
     rows = num_hashes // bands
     grams = exploded_shingles(new_df, id_col, text_col, n)
-    new_sigs = minhash_signatures_from_grams(grams, "id", "g", num_hashes).persist()
+    new_sigs = minhash_signatures_from_grams(
+        grams, "id", "g", num_hashes, base_hash
+    ).persist()
     new_b = banded_buckets(new_sigs, bands, rows)
 
     est = _sig_est_jaccard(num_hashes)
     if existing_sigs is not None:
-        ex_sigs = existing_sigs.select("id", "sig")
+        # Referenced by both the band probe and the verify join; if the
+        # caller passed a computed frame (not a parquet store) this stops
+        # the signature aggregation running twice.
+        ex_sigs = existing_sigs.select("id", "sig").persist()
         ex_b = banded_buckets(ex_sigs, bands, rows).select(
             F.col("id").alias("id2"), "band", "bucket"
         )
@@ -358,6 +407,13 @@ def incremental_minhash_dedup(
         fresh = new_sigs.join(cross_matched, "id", "left_anti")
     else:
         fresh = new_sigs
+    # fresh feeds the band self-join (2 sides), both verify joins, the
+    # survivor anti-join and the returned store. An eager localCheckpoint
+    # (not persist) both computes the corpus probe once AND truncates the
+    # plan, so the five downstream references duplicate a LogicalRDD leaf
+    # instead of the whole probe tree — self-join plan duplication is
+    # what blows up analysis otherwise.
+    fresh = fresh.localCheckpoint(eager=True)
 
     # within-batch: banded self-join over the docs that survived the
     # corpus probe, then min-id survivor per connected component
@@ -401,6 +457,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 128,
     bands: int = 32,
     threshold: float = 0.5,
+    base_hash: str = "md5",
 ) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash-LSH, verified with the
     signature-estimated Jaccard (matching fraction of the k min-hashes).
@@ -416,7 +473,7 @@ def minhash_lsh_pairs(
     """
     rows = num_hashes // bands
     grams = exploded_shingles(df, id_col, text_col, n)
-    sigs = minhash_signatures_from_grams(grams, "id", "g", num_hashes)
+    sigs = minhash_signatures_from_grams(grams, "id", "g", num_hashes, base_hash)
     sigs = sigs.persist()  # reused by banding + both verify fetches
     banded = banded_buckets(sigs, bands, rows)
     right = banded.select(F.col("id").alias("id2"), "band", "bucket")
@@ -450,24 +507,35 @@ def minhash_lsh_pairs(
 
 
 def simhash_signatures(
-    df: DataFrame, id_col: str = "id", shingles_col: str = "sh"
+    df: DataFrame,
+    id_col: str = "id",
+    shingles_col: str = "sh",
+    base_hash: str = "md5",
+    bits: int | None = None,
 ) -> DataFrame:
-    """Per-doc 64-bit SimHash as ``sig`` long: sign of per-bit vote sums
-    over feature hashes (bit set iff strictly more features have it than
-    not; deterministic). Bit 63 unused to stay within signed long.
+    """Per-doc SimHash as ``sig`` long: sign of per-bit vote sums over
+    feature hashes (bit set iff strictly more features have it than not;
+    deterministic). ``base_hash="md5"`` (default) votes over
+    SIMHASH_BITS=60 engine-portable bits (md5_long), so a DuckDB oracle
+    reproduces signatures and Hamming distances exactly;
+    ``"xxhash64"`` votes over 63 bits of the non-portable hash.
 
     Same explode+aggregate design as minhash_signatures (codegen'd vote
     sums, map-side combine) — per-bit voting inside higher-order lambdas
     is interpreted and ~50× slower (measured)."""
+    if bits is None:
+        bits = SIMHASH_BITS if base_hash == "md5" else 63
     base = df.select(
         F.col(id_col).alias("id"), F.explode_outer(shingles_col).alias("g")
-    ).filter(F.col("g").isNotNull()).select("id", F.xxhash64("g").alias("h"))  # see minhash_signatures
+    ).filter(F.col("g").isNotNull()).select(
+        "id", _base_hash(F.col("g"), base_hash).alias("h")
+    )  # see minhash_signatures for the explode_outer rationale
 
     aggs = [
         F.sum(
             F.when(F.col("h").bitwiseAND(F.lit(1 << i).cast("long")) != 0, 1).otherwise(-1)
         ).alias(f"__v{i}")
-        for i in range(63)
+        for i in range(bits)
     ]
     votes = base.groupBy("id").agg(*aggs)
     bit_terms = F.array(
@@ -475,7 +543,7 @@ def simhash_signatures(
             F.when(F.col(f"__v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
                 F.lit(0).cast("long")
             )
-            for i in range(63)
+            for i in range(bits)
         ]
     )
     return votes.select(
@@ -496,15 +564,23 @@ def simhash_pairs(
     text_col: str = "text",
     n: int = 3,
     max_hamming: int = 3,
+    base_hash: str = "md5",
 ) -> DataFrame:
     """Pairs within a Hamming ball via pigeonhole chunk join: split the
-    64-bit signature into max_hamming+1 chunks; any pair within distance
+    signature into max_hamming+1 chunks covering ALL signature bits (the
+    last chunk absorbs the remainder); any pair within distance
     max_hamming agrees on ≥1 chunk → equi-join per chunk, verify exactly.
+    Full-coverage chunking is what makes the join COMPLETE (recall 1
+    within the Hamming ball) — which is also why a DuckDB oracle can
+    verify the output with a plain all-pairs Hamming filter.
     """
     k = max_hamming + 1
-    chunk_bits = 64 // k
+    sig_bits = SIMHASH_BITS if base_hash == "md5" else 63
+    chunk_bits = sig_bits // k
+    # chunk i covers [starts[i], starts[i+1]); last chunk takes remainder
+    starts = [i * chunk_bits for i in range(k)] + [sig_bits]
     docs = shingled_docs(df, id_col, text_col, n)
-    sigs = simhash_signatures(docs, "id", "sh")
+    sigs = simhash_signatures(docs, "id", "sh", base_hash)
     sigs = sigs.persist()  # reused by both chunk-join sides
     chunked = sigs.select(
         "id",
@@ -514,8 +590,8 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk"),
-                        F.shiftrightunsigned("sig", i * chunk_bits)
-                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                        F.shiftrightunsigned("sig", starts[i])
+                        .bitwiseAND(F.lit((1 << (starts[i + 1] - starts[i])) - 1))
                         .alias("val"),
                     )
                     for i in range(k)
@@ -554,6 +630,7 @@ def dedup_by_minhash(
     bands: int = 32,
     threshold: float = 0.5,
     prefer: Column | None = None,
+    base_hash: str = "md5",
 ) -> DataFrame:
     """End-to-end near-dup dedup: MinHash-LSH pairs → connected
     components → keep one representative per cluster.
@@ -570,7 +647,9 @@ def dedup_by_minhash(
     the survivor choice production dedup actually wants."""
     from etl_demos_spark.operators.embedding_dedup import connected_components
 
-    pairs = minhash_lsh_pairs(df, id_col, text_col, n, num_hashes, bands, threshold)
+    pairs = minhash_lsh_pairs(
+        df, id_col, text_col, n, num_hashes, bands, threshold, base_hash
+    )
     comps = connected_components(pairs)
     if prefer is None:
         losers = comps.filter(F.col("node") != F.col("comp")).select(

@@ -184,6 +184,14 @@ def connected_components(
     edges = edges.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     ).distinct()
+    # The edge set is joined twice per round: without lineage truncation
+    # every iteration re-executes the FULL upstream pair-generation plan
+    # (for MinHash callers that is the banded LSH probe + the 128-agg
+    # signature computation), and the label plan compounds 3x per round —
+    # plan *compilation* itself OOMs a default-heap driver (the same trap
+    # graph.py documents for PageRank). Candidate pairs ∝ near-dups, so
+    # the materialized edge set is small by construction.
+    edges = edges.localCheckpoint(eager=True)
 
     labels = (
         edges.select(F.col("u").alias("node")).union(edges.select("v"))
@@ -205,7 +213,9 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
         )
-        new_labels = new_labels.persist()
+        # truncate the per-round lineage: persist alone keeps the logical
+        # plan nesting (3 label copies + 2 edge copies per round)
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -213,10 +223,6 @@ def connected_components(
             .limit(1)
             .count()
         )
-        # the convergence check above materialized new_labels, so the old
-        # generation is dead — release it instead of leaking one cached
-        # copy per iteration (no-op on the unpersisted iteration-0 labels)
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

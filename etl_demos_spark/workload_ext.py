@@ -256,19 +256,253 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@workload("q_dedup_minhash", oracle=None, tags=("ext-dedup",))
+# --- Generated MinHash/SimHash oracle SQL ----------------------------------
+# Signatures use the engine-portable md5_long base hash (dedup.md5_long):
+# DuckDB reproduces every signature value bit-for-bit, so the driver hash
+# certifies the LSH math itself — candidate generation, estimated Jaccard,
+# survivor selection — not just row counts. The oracle bands by joining on
+# the RAW signature slice; Spark bands on xxhash64(slice), identical up to
+# a 2^-64 hash collision (see dedup.banded_buckets). The affine params are
+# interpolated from the same _affine_params family Spark uses.
+
+_P31 = dedup.MERSENNE31
+
+
+def _minhash_sig_cte(
+    num_hashes: int = 128, n: int = 3, source: str = "documents"
+) -> str:
+    """CTE chain text: documents → toks → grams → base hash → sigs
+    (doc_id, sig LIST of num_hashes mins), mirroring
+    dedup.exploded_shingles + minhash_signatures_from_grams."""
+    mins = ", ".join(
+        f"min((h * {a} + {b}) % {_P31})"
+        for a, b in dedup._affine_params(num_hashes)
+    )
+    grams = ", ".join(f"t[i+{j+1}]" for j in range(n))
+    return f"""
+    toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        FROM {source}
+    ),
+    idx AS (
+        SELECT doc_id, t, unnest(range(len(t) - {n - 1})) AS i
+        FROM toks WHERE len(t) >= {n}
+    ),
+    base AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(concat_ws(' ', {grams})), 1,
+                                   {dedup.MD5_HEX_CHARS}) AS BIGINT)
+                   % {_P31} AS h
+        FROM idx
+    ),
+    sigs AS (
+        SELECT doc_id, [{mins}] AS sig FROM base GROUP BY doc_id
+    )"""
+
+
+def _minhash_pairs_sql(
+    num_hashes: int = 128, bands: int = 32, threshold: float = 0.4, n: int = 3
+) -> str:
+    rows = num_hashes // bands
+    est = (
+        f"len(list_filter(range({num_hashes}), "
+        f"i -> sa.sig[i+1] = sb.sig[i+1])) / {float(num_hashes)}"
+    )
+    return f"""
+    WITH {_minhash_sig_cte(num_hashes, n)},
+    bnd AS (
+        SELECT doc_id, sig, unnest(range({bands})) AS b FROM sigs
+    ),
+    keys AS (
+        SELECT doc_id, b, sig[b*{rows}+1 : b*{rows}+{rows}] AS sl FROM bnd
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM keys a JOIN keys b
+          ON a.b = b.b AND a.sl = b.sl AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b, {est} AS est_jaccard
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.id_a
+    JOIN sigs sb ON sb.doc_id = c.id_b
+    WHERE {est} >= {threshold}
+    """
+
+
+def _simhash_sig_cte(n: int = 3, bits: int = dedup.SIMHASH_BITS) -> str:
+    """documents → distinct doc shingles (set semantics — vote weights)
+    → 60-bit portable base hash → per-bit votes → sig long."""
+    grams = ", ".join(f"t[i+{j+1}]" for j in range(n))
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(bits)
+    )
+    sig = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+        for i in range(bits)
+    )
+    return f"""
+    toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, t, unnest(range(len(t) - {n - 1})) AS i
+        FROM toks WHERE len(t) >= {n}
+    ),
+    base AS (
+        SELECT DISTINCT doc_id,
+               CAST('0x' || substr(md5(concat_ws(' ', {grams})), 1,
+                                   {dedup.MD5_HEX_CHARS}) AS BIGINT) AS h
+        FROM idx
+    ),
+    votes AS (
+        SELECT doc_id, {votes} FROM base GROUP BY doc_id
+    ),
+    sigs AS (
+        SELECT doc_id, {sig} AS sig FROM votes
+    )"""
+
+
+def _simhash_pairs_sql(max_hamming: int = 8, n: int = 3) -> str:
+    # The oracle needs no pigeonhole machinery: the chunk join is complete
+    # (full bit coverage), so its output equals the all-pairs Hamming
+    # filter — which IS the semantic contract being certified.
+    return f"""
+    WITH {_simhash_sig_cte(n)}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+    """
+
+
+def _band_keys(name: str, src: str, num_hashes: int = 128, bands: int = 32) -> str:
+    """CTE pair emitting (doc_id, b, sl) band keys for a sig relation."""
+    rows = num_hashes // bands
+    return f"""
+    {name}_b AS (
+        SELECT doc_id, sig, unnest(range({bands})) AS b FROM {src}
+    ),
+    {name} AS (
+        SELECT doc_id, b, sig[b*{rows}+1 : b*{rows}+{rows}] AS sl FROM {name}_b
+    )"""
+
+
+# Connected components as a recursive reachability closure: comp(x) =
+# min(reachable ∪ {x}). UNION (not UNION ALL) dedups rows, so the
+# recursion terminates; candidate edges ∝ near-dups keep the closure
+# tiny. Semantically identical to embedding_dedup.connected_components'
+# small/large-star label (min id of the component).
+_CC_SQL = """
+    und AS (
+        SELECT id_a AS src, id_b AS dst FROM edges
+        UNION SELECT id_b, id_a FROM edges
+    ),
+    reach AS (
+        SELECT src, dst FROM und
+        UNION
+        SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+    ),
+    losers AS (
+        SELECT src AS node FROM reach GROUP BY src HAVING min(dst) < src
+    )"""
+
+
+def _dedup_e2e_sql(
+    num_hashes: int = 128, bands: int = 32, threshold: float = 0.4, n: int = 3
+) -> str:
+    est = (
+        f"len(list_filter(range({num_hashes}), "
+        f"i -> sa.sig[i+1] = sb.sig[i+1])) / {float(num_hashes)}"
+    )
+    return f"""
+    WITH RECURSIVE {_minhash_sig_cte(num_hashes, n)},
+    {_band_keys("keys", "sigs", num_hashes, bands)},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM keys a JOIN keys b
+          ON a.b = b.b AND a.sl = b.sl AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT c.id_a, c.id_b FROM cand c
+        JOIN sigs sa ON sa.doc_id = c.id_a
+        JOIN sigs sb ON sb.doc_id = c.id_b
+        WHERE {est} >= {threshold}
+    ),
+    {_CC_SQL}
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM documents
+    WHERE doc_id NOT IN (SELECT node FROM losers)
+    GROUP BY source
+    """
+
+
+def _dedup_incremental_sql(
+    num_hashes: int = 128, bands: int = 32, threshold: float = 0.5, n: int = 3
+) -> str:
+    est = (
+        f"len(list_filter(range({num_hashes}), "
+        f"i -> sa.sig[i+1] = sb.sig[i+1])) / {float(num_hashes)}"
+    )
+    return f"""
+    WITH RECURSIVE {_minhash_sig_cte(num_hashes, n)},
+    half AS (
+        SELECT CAST(floor(max(doc_id) / 2.0) AS BIGINT) AS h FROM documents
+    ),
+    nsig AS (SELECT s.doc_id, s.sig FROM sigs s, half WHERE s.doc_id > half.h),
+    esig AS (SELECT s.doc_id, s.sig FROM sigs s, half WHERE s.doc_id <= half.h),
+    {_band_keys("nk", "nsig", num_hashes, bands)},
+    {_band_keys("ek", "esig", num_hashes, bands)},
+    xcand AS (
+        SELECT DISTINCT nk.doc_id AS nid, ek.doc_id AS eid
+        FROM nk JOIN ek ON nk.b = ek.b AND nk.sl = ek.sl
+    ),
+    xmatch AS (
+        SELECT DISTINCT c.nid FROM xcand c
+        JOIN nsig sa ON sa.doc_id = c.nid
+        JOIN esig sb ON sb.doc_id = c.eid
+        WHERE {est} >= {threshold}
+    ),
+    fresh AS (
+        SELECT doc_id, sig FROM nsig
+        WHERE doc_id NOT IN (SELECT nid FROM xmatch)
+    ),
+    {_band_keys("fk", "fresh", num_hashes, bands)},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM fk a JOIN fk b
+          ON a.b = b.b AND a.sl = b.sl AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT c.id_a, c.id_b FROM cand c
+        JOIN fresh sa ON sa.doc_id = c.id_a
+        JOIN fresh sb ON sb.doc_id = c.id_b
+        WHERE {est} >= {threshold}
+    ),
+    {_CC_SQL}
+    SELECT doc_id FROM fresh
+    WHERE doc_id NOT IN (SELECT node FROM losers)
+    ORDER BY doc_id
+    """
+
+
+@workload("q_dedup_minhash", oracle=_minhash_pairs_sql(), tags=("ext-dedup",))
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(128)+LSH(32 bands) near-dup candidates — the 100 TB dedup
-    path (bucket-join, never n²). xxhash64 has no DuckDB twin → rows-only
-    here; recall/precision vs exact Jaccard asserted in tests/test_dedup.py.
-    """
+    path (bucket-join, never n²). Signatures use the portable md5 base
+    hash, so the DuckDB oracle recomputes them exactly and the driver
+    hash certifies candidates + estimated Jaccard; recall/precision vs
+    exact Jaccard additionally asserted in tests/test_dedup.py."""
     d = T(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(d, "doc_id", "text", n=3, threshold=0.4)
 
 
-@workload("q_dedup_simhash", oracle=None, tags=("ext-dedup",))
+@workload("q_dedup_simhash", oracle=_simhash_pairs_sql(), tags=("ext-dedup",))
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 Hamming-ball pairs via pigeonhole chunk join."""
+    """SimHash-60 Hamming-ball pairs via pigeonhole chunk join (full bit
+    coverage → complete within the ball, which is exactly what lets the
+    all-pairs DuckDB oracle hash-certify the output)."""
     d = T(spark, sf_dir, "documents")
     return dedup.simhash_pairs(d, "doc_id", "text", n=3, max_hamming=8)
 
@@ -1744,12 +1978,18 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", text.redact_pii(planted).alias("redacted"))
 
 
-@workload("q_dedup_text_e2e", oracle=None, tags=("ext-dedup", "ext-trainprep"))
+@workload(
+    "q_dedup_text_e2e",
+    oracle=_dedup_e2e_sql(),
+    tags=("ext-dedup", "ext-trainprep"),
+)
 def q_dedup_text_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end text near-dedup: MinHash-LSH pairs → connected
     components → one survivor per cluster (operators/dedup.py:
-    dedup_by_minhash). Rows-only (xxhash64 signatures have no DuckDB
-    twin); cluster-collapse semantics pinned in tests/test_dedup.py."""
+    dedup_by_minhash). The md5-portable signatures plus a recursive-CTE
+    reachability closure in the oracle hash-certify the whole chain,
+    clustering included; cluster-collapse semantics additionally pinned
+    in tests/test_dedup.py."""
     d = T(spark, sf_dir, "documents")
     kept = dedup.dedup_by_minhash(d, "doc_id", "text", n=3, threshold=0.4)
     return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
@@ -3459,7 +3699,9 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linkage.fuzzy_join(left, right, "doc_id", "text", threshold=0.5)
 
 
-@workload("q_dedup_incremental", oracle=None, tags=("ext-dedup",))
+@workload(
+    "q_dedup_incremental", oracle=_dedup_incremental_sql(), tags=("ext-dedup",)
+)
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental MinHash dedup (dedup.incremental_minhash_dedup): the
     daily-increment form — the first half of documents stands in for the
@@ -3468,8 +3710,10 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ships banded bucket keys only, and per-increment work is |batch|
     signatures + collisions. First-seen-wins policy; pinned behavioral
     tests (cross-batch drop, within-batch min-id, replay idempotency,
-    store ≡ batch signatures) in tests/test_dedup.py. xxhash64-based →
-    no cross-engine oracle."""
+    store ≡ batch signatures) in tests/test_dedup.py. md5-portable
+    signatures → the oracle replays the full two-stage probe (corpus
+    match, within-batch CC survivor) and the driver hash certifies the
+    kept-id set."""
     from etl_demos_spark.operators import dedup as dd
 
     d = T(spark, sf_dir, "documents")
