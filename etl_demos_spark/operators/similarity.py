@@ -196,7 +196,7 @@ def ann_topk_lsh(
     q_id_col: str = "query_id",
     q_vec_col: str = "query_vec",
     multiprobe: int = 0,
-    bucket_method: str = "expr",
+    bucket_method: str = "gemm",
 ) -> DataFrame:
     """Approximate top-k: exact cosine only within matching LSH buckets.
     Recall < 1 by construction; raise the plane count for precision, or
@@ -204,9 +204,11 @@ def ann_topk_lsh(
     on the first m signature bits (query-side fan-out only — the corpus is
     never re-bucketed, so cost grows with queries, not corpus).
 
-    ``bucket_method="gemm"`` assigns corpus buckets with the vectorized
-    numpy pass (rp_lsh_buckets_gemm) — the corpus-scale path; queries
-    always use the expression form (tiny, broadcast)."""
+    ``bucket_method="gemm"`` (default) assigns corpus buckets with the
+    vectorized numpy pass (rp_lsh_buckets_gemm) — the corpus-scale path;
+    queries always use the expression form (tiny, broadcast). The
+    interpreted expression form (``"expr"``) is kept as the oracle
+    cross-check; both pinned identical in tests/test_similarity.py."""
     if bucket_method == "gemm":
         c = rp_lsh_buckets_gemm(corpus, planes, vec_col)
     else:
@@ -279,7 +281,7 @@ def ivf_topk(
     the query's ``nprobe`` nearest. At scale the corpus is *written
     partitioned by cell*, so the probe is partition pruning — the scan
     itself skips (1 - nprobe/n_cells) of the data."""
-    c = ivf_assign(corpus, centroids, vec_col)
+    c = ivf_assign_gemm(corpus, centroids, vec_col)
     q = ivf_assign(
         queries.withColumnRenamed(q_vec_col, vec_col), centroids, vec_col, n_cells=nprobe
     ).withColumnRenamed(vec_col, q_vec_col)
@@ -311,7 +313,7 @@ def ivf_write(
     nprobe/n_cells of the files and never touches the rest
     (``PartitionFilters`` on ``cell``, asserted in
     tests/test_physical_plans.py)."""
-    ivf_assign(corpus, centroids, vec_col).write.mode("overwrite").partitionBy(
+    ivf_assign_gemm(corpus, centroids, vec_col).write.mode("overwrite").partitionBy(
         "cell"
     ).parquet(path)
 
@@ -360,12 +362,47 @@ def ivf_topk_indexed(
     )
 
 
+def ivf_assign_gemm(
+    df: DataFrame, centroids, vec_col: str = "embedding"
+) -> DataFrame:
+    """Corpus-side nearest-cell assignment as ONE Arrow-batch numpy GEMM
+    per batch (the |x|² − 2·x·C + |c|² identity), preserving the full
+    input schema plus an int ``cell`` column — the pass `ivf_write` /
+    `ivf_topk` run over the whole corpus. The expression form
+    (`ivf_assign`) evaluates k interpreted array-aggregates per row —
+    fine for query batches, wrong as a 100 TB map pass. `np.argmin`
+    takes the first minimum, matching the expression form's
+    array_position tiebreak; pinned identical in tests/test_similarity.py."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    spark = df.sparkSession
+    C = np.asarray([list(c) for c in centroids], dtype=np.float64)
+    cn = (C * C).sum(axis=1)
+    b_c = spark.sparkContext.broadcast((C, cn))
+    schema = StructType(list(df.schema.fields) + [StructField("cell", IntegerType())])
+
+    def assign(batches):
+        Cm, Cn = b_c.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(list(pdf[vec_col]), dtype=np.float64)
+            d = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ Cm.T) + Cn[None, :]
+            pdf = pdf.copy()
+            pdf["cell"] = d.argmin(axis=1).astype(np.int32)
+            yield pdf
+
+    return df.mapInPandas(assign, schema)
+
+
 def ivf_assign(
     df: DataFrame, centroids, vec_col: str = "embedding", n_cells: int = 1
 ) -> DataFrame:
     """Assign each vector to its nearest centroid cell(s) (argmin over
     literal centroid arrays — one narrow pass). ``n_cells=1`` adds an int
     ``cell`` column; ``n_cells>1`` adds a ``cells`` array (multi-probe).
+    This is the *expression* form — query batches and cross-engine
+    oracles; corpus-side passes route through :func:`ivf_assign_gemm`.
     At scale, write the corpus partitioned by ``cell`` so probes become
     partition pruning."""
     dists = F.array(

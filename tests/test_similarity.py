@@ -157,7 +157,24 @@ def test_lsh_gemm_buckets_match_expression_form(spark, vectors):
     q = df.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    a = sorted(map(tuple, similarity.ann_topk_lsh(df, q, planes, k=5).collect()))
+    a = sorted(map(tuple, similarity.ann_topk_lsh(
+        df, q, planes, k=5, bucket_method="expr").collect()))
     b = sorted(map(tuple, similarity.ann_topk_lsh(
         df, q, planes, k=5, bucket_method="gemm").collect()))
     assert a == b
+
+
+def test_ivf_gemm_assignment_matches_expression_form(spark, vectors):
+    """ivf_assign_gemm (the corpus-scale Arrow pass that ivf_write /
+    ivf_topk run) must be row-identical to the interpreted expression
+    form — same cells, same first-min tiebreak — and its plan must show
+    the Arrow mapInPandas pass, not interpreted array-aggregates."""
+    X, df = vectors
+    cents = similarity.ivf_build_centroids(df, n_cells=5, sample=200)
+    gemm_df = similarity.ivf_assign_gemm(df, cents)
+    expr = {r["vec_id"]: r["cell"] for r in similarity.ivf_assign(df, cents).collect()}
+    gemm = {r["vec_id"]: r["cell"] for r in gemm_df.collect()}
+    assert expr == gemm
+    # schema preserved + cell appended (ivf_write partitions on it)
+    assert gemm_df.columns == df.columns + ["cell"]
+    assert "MapInPandas" in gemm_df._jdf.queryExecution().toString()
