@@ -752,8 +752,14 @@ _LATE: tuple[str, ...] = (
                            # q_window_analytics (late) and
                            # q_window_dedup keep windows in-window
     "q_hybrid_search",     # registered late, locally hash-verified —
-                           # q_text_search keeps BM25 in-window,
-                           # q_semantic_dedup the cosine machinery
+                           # q_tfidf keeps the postings machinery
+                           # in-window, q_dedup_embedding the cosine
+    # -- round-4 displacements: slots freed for q_dedup_incremental and
+    #    the newly oracle-paired q_multimodal_decode (real codec decode)
+    "q_sketch_rollup",     # r03 in-window pass; q_heavy_hitters keeps
+                           # the CMS sketch family in-window
+    "q_text_search",       # r03 in-window pass; q_tfidf keeps the
+                           # search/postings family in-window
     "q_promo_share",       # registered late, locally hash-verified —
                            # q_market_share (late) is the same
                            # ratio-of-conditional-sums shape
@@ -768,7 +774,6 @@ _LATE: tuple[str, ...] = (
     "q_pagerank",
     "q_kmeans",
     "q_ann_lsh",
-    "q_multimodal_decode",
     "q_approx_distinct",
     "q_ann_ivf",
 )

@@ -598,14 +598,105 @@ def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@workload("q_multimodal_decode", oracle=None, tags=("ext-multimodal",))
+# Planted-image construction shared by the decode/feature queries: each
+# document becomes a REAL netpbm image (P5 gray for even ids, P6 RGB for
+# odd), dimensions varying with doc_id, raster bytes drawn from the
+# text's sha256 hex repeated — all JVM built-ins, byte-identical
+# reconstructible in DuckDB. The decoder must actually parse the header
+# to recover (width, height, mode), so the driver hash certifies the
+# codec, not the plumbing.
+_IMG_SPARK = """
+concat(
+  case when doc_id % 2 = 0 then 'P5' else 'P6' end, char(10),
+  cast(cast(4 + doc_id % 13 as int) as string), ' 8', char(10), '255', char(10),
+  substring(repeat(sha2(encode(text, 'UTF-8'), 256), 6), 1,
+            cast((4 + doc_id % 13) * 8 * (case when doc_id % 2 = 0 then 1 else 3 end) as int))
+)"""
+
+_IMG_DUCK = """
+    img AS (
+        SELECT doc_id,
+               CAST(4 + doc_id % 13 AS INT) AS w,
+               CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch,
+               substr(repeat(sha256(text), 6), 1,
+                      CAST((4 + doc_id % 13) * 8
+                           * (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END) AS INT))
+                   AS raster,
+               concat(CASE WHEN doc_id % 2 = 0 THEN 'P5' ELSE 'P6' END, chr(10),
+                      CAST(CAST(4 + doc_id % 13 AS INT) AS VARCHAR), ' 8', chr(10),
+                      '255', chr(10)) AS hdr
+        FROM documents
+    )"""
+
+
+@workload(
+    "q_multimodal_decode",
+    oracle=f"""
+    WITH {_IMG_DUCK}
+    SELECT doc_id AS id,
+           CAST(octet_length(encode(hdr || raster)) AS BIGINT) AS n_bytes,
+           sha256(hdr || raster) AS sha,
+           w AS width,
+           CAST(8 AS INT) AS height,
+           CASE WHEN ch = 1 THEN 'L' ELSE 'RGB' END AS mode
+    FROM img
+    """,
+    tags=("ext-multimodal",),
+)
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas decode over binary payloads (deterministic
-    stub decoder — real codecs are deployment-time; the schema, batch shape
-    and partition behavior are the real thing being exercised)."""
+    """Arrow-batched mapInPandas decode over REAL image payloads: every
+    document is rendered as a valid netpbm file (operators/multimodal.py
+    decode_ppm — one of the three in-repo dependency-free codecs) and
+    decoded for real; the oracle reconstructs the same bytes and knows
+    the planted (width, height, mode) ground truth, so the driver hash
+    certifies the codec's header parse, not just the plumbing."""
     d = T(spark, sf_dir, "documents")
-    bt = multimodal.make_binary_table(d, "doc_id", "text", "image")
-    return multimodal.extract_image_meta(bt, fake=True)
+    imgs = d.selectExpr("doc_id as id", f"encode({_IMG_SPARK}, 'UTF-8') as content")
+    return multimodal.extract_image_meta(imgs)
+
+
+@workload(
+    "q_image_features",
+    oracle=f"""
+    WITH {_IMG_DUCK},
+    px AS (
+        SELECT doc_id, ch, unnest(range(w * 8 * ch)) AS j FROM img
+    ),
+    vals AS (
+        SELECT p.doc_id, CAST(p.j % p.ch AS INT) AS c,
+               ord(substr(i.raster, CAST(p.j AS INT) + 1, 1)) AS v
+        FROM px p JOIN img i ON p.doc_id = i.doc_id
+    ),
+    stats AS (
+        SELECT doc_id, c,
+               round(sum(v) / count(*), 6) AS m,
+               round(sqrt(CAST(sum(v * v) AS DOUBLE) / count(*)
+                          - (sum(v) / count(*)) * (sum(v) / count(*))), 6) AS s
+        FROM vals GROUP BY doc_id, c
+    )
+    SELECT st.doc_id AS id, i.w AS width, CAST(8 AS INT) AS height,
+           CASE WHEN i.ch = 1 THEN 'L' ELSE 'RGB' END AS mode,
+           list(st.m ORDER BY st.c) AS ch_mean,
+           list(st.s ORDER BY st.c) AS ch_std
+    FROM stats st JOIN img i ON st.doc_id = i.doc_id
+    GROUP BY st.doc_id, i.w, i.ch
+    """,
+    tags=("ext-multimodal",),
+)
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode→featurize: per-channel pixel mean/std over the planted
+    netpbm images (multimodal.image_channel_stats — exact integer sums,
+    one double divide, so the SQL oracle reproduces the doubles
+    bit-for-bit; rounded 1e-6 to guard the sqrt ulp)."""
+    d = T(spark, sf_dir, "documents")
+    imgs = d.selectExpr("doc_id as id", f"encode({_IMG_SPARK}, 'UTF-8') as content")
+    feats = multimodal.image_channel_stats(imgs)
+    r6 = lambda c: F.transform(c, lambda x: F.round(x, 6))  # noqa: E731
+    return feats.select(
+        "id", "width", "height", "mode",
+        r6(F.col("ch_mean")).alias("ch_mean"),
+        r6(F.col("ch_std")).alias("ch_std"),
+    )
 
 
 # ---------------------------------------------------------------------------
