@@ -154,11 +154,23 @@ def cosine_pairs_tiled(
             )
         L = _norm_rows(np.array(list(L_pdf["_vec"]), dtype=np.float64))
         R = _norm_rows(np.array(list(R_pdf["_vec"]), dtype=np.float64))
-        S = L @ R.T  # one GEMM per tile
         l_ids = L_pdf["_id"].to_numpy()
         r_ids = R_pdf["_id"].to_numpy()
-        li, ri = np.nonzero(S >= threshold)
-        lid, rid, sim = l_ids[li], r_ids[ri], S[li, ri]
+        # GEMM in L-side chunks: a full |L|x|R| similarity matrix at the
+        # router's 100k block size would be an 80 GB allocation. Chunking
+        # caps the live S slab at ~256 MB regardless of block size while
+        # keeping each multiply a real dgemm. Same output, same flops.
+        chunk = max(1, 32_000_000 // max(len(R), 1))
+        lid_parts, rid_parts, sim_parts = [], [], []
+        for s in range(0, len(L), chunk):
+            S = L[s : s + chunk] @ R.T
+            li, ri = np.nonzero(S >= threshold)
+            lid_parts.append(l_ids[s : s + chunk][li])
+            rid_parts.append(r_ids[ri])
+            sim_parts.append(S[li, ri])
+        lid = np.concatenate(lid_parts)
+        rid = np.concatenate(rid_parts)
+        sim = np.concatenate(sim_parts)
         if ta == tb:  # both orientations present → keep one
             m = lid < rid
             lid, rid, sim = lid[m], rid[m], sim[m]

@@ -88,6 +88,17 @@ def get_spark(
         # 128 MiB input splits: good default for both local[32] and clusters.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Long-lived-session hygiene: the status store retains per-query
+        # plan graphs/metrics even with the UI disabled (defaults: 1000
+        # SQL executions, 1000 jobs/stages) — with this engine's wide
+        # plans that is hundreds of MB over a marathon session and was
+        # observed to OOM a single session late in a 460+-test run. Cap
+        # retention and GC cleaner-tracked state often enough to matter.
+        .config("spark.sql.ui.retainedExecutions", "50")
+        .config("spark.ui.retainedJobs", "200")
+        .config("spark.ui.retainedStages", "200")
+        .config("spark.ui.retainedTasks", "2000")
+        .config("spark.cleaner.periodicGC.interval", "2min")
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

@@ -29,6 +29,24 @@ def spark():
     spark.stop()
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _recycle_spark_state(request):
+    """Keep one SparkSession alive for the whole suite (startup is ~10 s)
+    but drop accumulated executor-side state between modules: operators
+    persist() reusable frames by design (signatures, LSH buckets, CC
+    labels) and a 460+-test marathon otherwise accumulates every cached
+    generation until the JVM dies late in the run."""
+    yield
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        try:
+            active.catalog.clearCache()
+        except Exception:
+            pass  # session already stopped by the owning fixture
+
+
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     """Mirror the driver's oracle setup: each table registered as a view."""
     con = duckdb.connect()
