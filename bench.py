@@ -20,6 +20,57 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# Module-level so the DuckDB head-to-head harness (tools/head2head.py)
+# times exactly the set the driver benches — no drift between the two.
+HEADLINE = [
+    # relational core (scales with sf)
+    "q_star_join",
+    "q_group_agg",
+    "q_join_agg",
+    "q_window_dedup",
+    "q_project_cast",
+    "q_date_join",
+    # training-data extensions
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_ann_cosine",
+    "q_text_quality",
+    "q_event_sessions",
+    "q_event_sliding",
+    "q_asof_join",
+    "q_top_unshipped",
+    "q_hash_split",
+    "q_dedup_embedding",
+    "q_ann_lsh",
+    "q_decontaminate",
+    "q_pack_sequences",
+    "q_corpus_shuffle",
+    "q_range_join",
+    "q_rollup_cascade",
+    "q_chunk_docs",
+    "q_lm_quality",
+    "q_snapshot_diff",
+    "q_sketch_rollup",
+    "q_text_search",
+    "q_url_curation",
+    "q_waiting_supplier",
+    "q_cust_distribution",
+    "q_fuzzy_join",
+    "q_semantic_dedup",
+    "q_market_share",
+    "q_interval_merge",
+    "q_gap_fill",
+    "q_cohort_retention",
+    "q_hierarchy",
+    "q_hybrid_search",
+    "q_local_volume",
+    "q_product_profit",
+    "q_disjunctive_rev",
+    "q_supplier_cnt",
+    "q_range_frame",
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -32,54 +83,7 @@ def main() -> None:
     spark = get_spark("etl-demos-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    headline = [
-        # relational core (scales with sf)
-        "q_star_join",
-        "q_group_agg",
-        "q_join_agg",
-        "q_window_dedup",
-        "q_project_cast",
-        "q_date_join",
-        # training-data extensions
-        "q_dedup_exact",
-        "q_dedup_minhash",
-        "q_ann_cosine",
-        "q_text_quality",
-        "q_event_sessions",
-        "q_event_sliding",
-        "q_asof_join",
-        "q_top_unshipped",
-        "q_hash_split",
-        "q_dedup_embedding",
-        "q_ann_lsh",
-        "q_decontaminate",
-        "q_pack_sequences",
-        "q_corpus_shuffle",
-        "q_range_join",
-        "q_rollup_cascade",
-        "q_chunk_docs",
-        "q_lm_quality",
-        "q_snapshot_diff",
-        "q_sketch_rollup",
-        "q_text_search",
-        "q_url_curation",
-        "q_waiting_supplier",
-        "q_cust_distribution",
-        "q_fuzzy_join",
-        "q_semantic_dedup",
-        "q_market_share",
-        "q_interval_merge",
-        "q_gap_fill",
-        "q_cohort_retention",
-        "q_hierarchy",
-        "q_hybrid_search",
-        "q_local_volume",
-        "q_product_profit",
-        "q_disjunctive_rev",
-        "q_supplier_cnt",
-        "q_range_frame",
-    ]
-    headline = [q for q in headline if q in REGISTRY]
+    headline = [q for q in HEADLINE if q in REGISTRY]
 
     # Warm the JVM + parquet footers with one cheap pass.
     force(REGISTRY["q_group_agg"].fn(spark, sf_dir).limit(1))

@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""DuckDB head-to-head over the FULL bench headline set (VERDICT r03 #7).
+
+For every query in bench.HEADLINE, times this engine (same methodology as
+bench.py: one untimed warm-up, then median of three cold runs with
+clearCache) against DuckDB running the query's own oracle SQL on the same
+parquet at the same scale factor, PRAGMA threads matched to the Spark
+local[] core count. Queries without a SQL-expressible oracle are reported
+as such rather than silently dropped.
+
+DuckDB is the strongest available single-node columnar baseline in this
+environment, and the reference's own design envelope ("a few thousand
+records", reference/README.md:18-19) publishes no numbers — so this table
+is the real denominator behind bench_vs_baseline: it shows where Spark's
+per-query scheduling floor loses at small scale (expected, amortizes away
+at real scale) and where the engine's algorithmic formulations (inverted
+index, banded LSH, GEMM tiles) win outright even at sf0.1.
+
+A 120 s interrupt guard bounds pathological oracle plans (the known case:
+DuckDB's planner runs the n-gram Jaccard shingle self-join at 36 s where
+the inverted-index formulation takes 1.5 s). Guarded queries report the
+single interrupted wall time with ">" semantics.
+
+Usage: python tools/head2head.py [sf_dir] > /tmp/h2h.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+from bench import HEADLINE, force  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+GUARD_SEC = 120.0
+RUNS = 3
+
+
+def time_duck(con: duckdb.DuckDBPyConnection, sql: str) -> dict:
+    """Median-of-3 DuckDB wall time; one guarded probe run first."""
+    timed_out = False
+
+    def probe() -> float:
+        nonlocal timed_out
+        timer = threading.Timer(GUARD_SEC, con.interrupt)
+        timer.start()
+        t0 = time.perf_counter()
+        try:
+            con.execute(sql).fetchall()
+        except duckdb.InterruptException:
+            timed_out = True
+        finally:
+            timer.cancel()
+        return time.perf_counter() - t0
+
+    first = probe()
+    if timed_out:
+        return {"sec": round(first, 3), "lower_bound": True}
+    runs = [first]
+    for _ in range(RUNS - 1):
+        t0 = time.perf_counter()
+        con.execute(sql).fetchall()
+        runs.append(time.perf_counter() - t0)
+    return {"sec": round(statistics.median(runs), 3), "lower_bound": False}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from etl_demos_spark.session import get_spark
+    import etl_demos_spark.workload_ext  # noqa: F401
+    from etl_demos_spark.workload import REGISTRY
+
+    spark = get_spark("head2head")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    con.execute(f"PRAGMA threads={cpus}")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    force(REGISTRY["q_group_agg"].fn(spark, sf_dir).limit(1))  # session warm
+
+    rows = []
+    for name in HEADLINE:
+        entry = REGISTRY.get(name)
+        if entry is None:
+            continue
+        force(entry.fn(spark, sf_dir))  # per-query warm-up (codegen)
+        runs = []
+        for _ in range(RUNS):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            force(entry.fn(spark, sf_dir))
+            runs.append(time.perf_counter() - t0)
+        spark_sec = round(statistics.median(runs), 3)
+
+        if entry.oracle:
+            duck = time_duck(con, entry.oracle)
+            duck_disp = (">" if duck["lower_bound"] else "") + f"{duck['sec']}"
+            ratio = round(spark_sec / duck["sec"], 2) if duck["sec"] else None
+        else:
+            duck, duck_disp, ratio = None, "n/a (no SQL oracle)", None
+        rows.append(
+            {
+                "query": name,
+                "spark_sec": spark_sec,
+                "duckdb_sec": duck["sec"] if duck else None,
+                "duckdb_lower_bound": bool(duck and duck["lower_bound"]),
+                "spark_over_duck": ratio,
+            }
+        )
+        print(
+            f"# {name}: spark={spark_sec}s duckdb={duck_disp}s",
+            file=sys.stderr,
+        )
+
+    print(json.dumps({"sf_dir": sf_dir, "threads": cpus, "rows": rows}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
