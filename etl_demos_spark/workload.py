@@ -766,6 +766,11 @@ _LATE: tuple[str, ...] = (
     "q_matview",           # registered late, locally hash-verified —
                            # q_rollup_cascade keeps rollup
                            # re-aggregation in-window
+    "q_binning",           # r03 in-window pass; rotated out round 4 to
+                           # admit the newly oracle-paired q_ann_lsh —
+                           # q_feature_scale keeps the feature-prep
+                           # family (same moment-shuffle machinery)
+                           # in-window
     # rows-only (no cross-engine oracle exists):
     "q_bpe_learn",     # iterative merge learning; pinned to a Python
                        # reference implementation in tests/test_bpe.py
@@ -773,9 +778,12 @@ _LATE: tuple[str, ...] = (
                        # search pinned in tests/test_pq.py
     "q_pagerank",
     "q_kmeans",
-    "q_ann_lsh",
     "q_approx_distinct",
     "q_ann_ivf",
+    # q_ann_lsh left this list round 4: the bucket→score pipeline is
+    # deterministic given the planes, so embedding the seeded plane
+    # constants in the oracle SQL makes even the *approximate* result
+    # hash-certifiable (workload_ext._ann_lsh_oracle_sql).
 )
 
 

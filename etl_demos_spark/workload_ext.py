@@ -3,11 +3,14 @@ reference surface (BASELINE.json north star) — text analysis, dedup
 families, similarity search, multimodal plumbing, event-time windows.
 
 Same oracle-parity conventions as workload.py (see its module docstring).
-Queries whose Spark implementation uses hashes DuckDB lacks (xxhash64 for
-MinHash/SimHash) or Python UDF plumbing (multimodal decode) register with
-``oracle=None`` → the driver records the weaker rows-only check; their
-semantics are instead property-tested against exact formulations in
-tests/test_dedup.py and tests/test_multimodal.py.
+Nearly everything here is oracle-paired — including the MinHash/SimHash
+dedup family (md5-derived signatures both engines compute, round 4) and
+the LSH ANN query (seeded plane constants embedded in the oracle SQL).
+The few queries whose results depend on iteratively-trained state that
+no SQL engine can reproduce (PQ codebooks, k-means, PageRank, BPE merge
+learning) register with ``oracle=None`` → the driver records the weaker
+rows-only check; their semantics are instead pinned to first-principles
+Python/numpy references in tests/.
 """
 
 from __future__ import annotations
@@ -554,20 +557,84 @@ def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@workload("q_ann_lsh", oracle=None, tags=("ext-sim",))
-def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via random-hyperplane LSH buckets (the scale
-    path: exact cosine only within candidate buckets). Recall vs the
-    brute-force baseline asserted in tests/test_similarity.py."""
+def _ann_lsh_planes() -> list[list[float]]:
+    """The registered LSH query's hyperplanes: seeded numpy constants,
+    shared verbatim between the Spark plan (as double literals) and the
+    DuckDB oracle SQL (as list literals via repr round-trip — shortest
+    repr reparses to the identical IEEE-754 double in both engines)."""
     import numpy as np
 
+    return np.random.default_rng(7).standard_normal((6, 64)).tolist()
+
+
+_LSH_PLANES = _ann_lsh_planes()
+
+
+def _ann_lsh_oracle_sql() -> str:
+    """All-literal DuckDB twin of q_ann_lsh. LSH is deterministic given
+    the planes, so the *approximate* result is still hash-certifiable:
+    both engines bucket by sign(v·plane_i), join on exact bucket equality,
+    and score candidates with exact cosine. Sign disagreement between the
+    engines' summation orders would need |v·plane| within ~1 ulp of zero
+    — measure-zero for Gaussian planes over real embeddings (same
+    argument as the GEMM/expression bucket pin in similarity.py)."""
+
+    def lst(p: list[float]) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    bucket = "\n             + ".join(
+        f"(CASE WHEN list_dot_product(v, {lst(p)}) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(_LSH_PLANES)
+    )
+    return f"""
+    WITH e2 AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    b AS (
+        SELECT vec_id, v,
+               {bucket} AS bucket
+        FROM e2
+    ),
+    q AS (
+        SELECT vec_id AS query_id, v AS qv, bucket
+        FROM b WHERE vec_id < 5
+    ),
+    scored AS (
+        SELECT q.query_id, c.vec_id,
+               list_cosine_similarity(c.v, q.qv) AS cs
+        FROM b c JOIN q ON c.bucket = q.bucket
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, cs,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cs DESC, vec_id) AS rn
+        FROM scored
+    )
+    SELECT query_id, vec_id, round(cs, 6) AS cos_sim
+    FROM ranked WHERE rn <= 10
+    """
+
+
+@workload("q_ann_lsh", oracle=_ann_lsh_oracle_sql(), tags=("ext-sim",))
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH buckets (the scale
+    path: exact cosine only within candidate buckets; corpus bucketing is
+    the vectorized GEMM pass). Recall vs the brute-force baseline is
+    asserted in tests/test_similarity.py; the deterministic bucket→score
+    pipeline itself is hash-certified against an all-literal DuckDB twin
+    (planes embedded as constants). Similarity rounded to 1e-6 after
+    ranking, as in q_ann_cosine."""
     e = T(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    rng = np.random.default_rng(7)
-    planes = rng.standard_normal((6, 64)).tolist()
-    return similarity.ann_topk_lsh(e, q, planes, k=10)
+    topk = similarity.ann_topk_lsh(e, q, _LSH_PLANES, k=10)
+    return topk.select(
+        "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim")
+    )
 
 
 # ---------------------------------------------------------------------------
