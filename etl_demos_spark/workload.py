@@ -771,6 +771,11 @@ _LATE: tuple[str, ...] = (
                            # q_feature_scale keeps the feature-prep
                            # family (same moment-shuffle machinery)
                            # in-window
+    "q_ann_ivf",           # newly paired round 4 (sample-seeded coarse
+                           # quantizer → deterministic, DuckDB-twinnable);
+                           # stays late: q_ann_cosine + q_ann_lsh keep
+                           # the ANN family in-window, and this is
+                           # hash-verified every local parity run
     # rows-only (no cross-engine oracle exists):
     "q_bpe_learn",     # iterative merge learning; pinned to a Python
                        # reference implementation in tests/test_bpe.py
@@ -779,11 +784,10 @@ _LATE: tuple[str, ...] = (
     "q_pagerank",
     "q_kmeans",
     "q_approx_distinct",
-    "q_ann_ivf",
-    # q_ann_lsh left this list round 4: the bucket→score pipeline is
-    # deterministic given the planes, so embedding the seeded plane
-    # constants in the oracle SQL makes even the *approximate* result
-    # hash-certifiable (workload_ext._ann_lsh_oracle_sql).
+    # q_ann_lsh and q_ann_ivf left this list round 4: both pipelines are
+    # deterministic once the planes / seed centroids are fixed, so the
+    # *approximate* results are hash-certifiable (plane constants
+    # embedded in the LSH oracle SQL; data-row-seeded IVF quantizer).
 )
 
 

@@ -1307,17 +1307,76 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@workload("q_ann_ivf", oracle=None, tags=("ext-sim",))
+_IVF_ORACLE = """
+    WITH e2 AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    cents AS (
+        SELECT vec_id AS cid, v AS cv FROM e2 WHERE vec_id < 8
+    ),
+    dist AS (
+        SELECT e.vec_id, e.v, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, e.v)
+                            - 2 * list_dot_product(e.v, c.cv)
+                            + list_dot_product(c.cv, c.cv),
+                            c.cid
+               ) AS rnk
+        FROM e2 e CROSS JOIN cents c
+    ),
+    corpus AS (
+        SELECT vec_id, v, cid AS cell FROM dist WHERE rnk = 1
+    ),
+    qcells AS (
+        SELECT vec_id AS query_id, v AS qv, cid AS cell
+        FROM dist WHERE vec_id < 5 AND rnk <= 4
+    ),
+    scored AS (
+        SELECT q.query_id, c.vec_id,
+               list_cosine_similarity(c.v, q.qv) AS cs
+        FROM corpus c JOIN qcells q ON c.cell = q.cell
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, cs,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cs DESC, vec_id) AS rn
+        FROM scored
+    )
+    SELECT query_id, vec_id, round(cs, 6) AS cos_sim
+    FROM ranked WHERE rn <= 10
+    """
+
+
+@workload("q_ann_ivf", oracle=_IVF_ORACLE, tags=("ext-sim",))
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k: sampled k-means coarse quantizer, nprobe=4
-    of 8 cells scored — the partition-pruning ANN path. Recall vs
-    brute-force asserted in tests/test_similarity.py."""
+    """IVF approximate top-k, nprobe=4 of 8 cells scored — the
+    partition-pruning ANN path. The coarse quantizer is sample-seeded
+    from the data itself (the embeddings of vec_id < 8; an 8-row bounded
+    driver fetch, the same contract as the centroid fit), which makes
+    the whole assign→probe→score pipeline deterministic and
+    hash-certified against a DuckDB twin — nearest-cell assignment
+    tiebreaks to the lowest centroid index in both engines. The trained
+    (sampled-k-means, ivf_build_centroids) quantizer variant remains
+    recall-tested in tests/test_similarity.py; k-means training itself
+    is driver-checked via q_kmeans_assign/q_kmeans."""
     e = T(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    cents = similarity.ivf_build_centroids(e, n_cells=8, sample=2000)
-    return similarity.ivf_topk(e, q, cents, k=10, nprobe=4)
+    cents = [
+        [float(x) for x in r[0]]
+        for r in e.filter(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    topk = similarity.ivf_topk(e, q, cents, k=10, nprobe=4)
+    return topk.select(
+        "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim")
+    )
 
 
 @workload(
