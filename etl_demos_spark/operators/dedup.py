@@ -688,3 +688,90 @@ def keep_best_per_cluster(
         .select(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-span detection (ExactSubstr)
+# ---------------------------------------------------------------------------
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 10,
+) -> DataFrame:
+    """Exact duplicated-SPAN detection — the ExactSubstr pass of Lee et
+    al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499) re-expressed Spark-first. The paper
+    builds a suffix array over the concatenated corpus; a distributed
+    engine gets the same detection guarantee from fingerprinted sliding
+    windows: every ``window``-token window is hashed (md5 → portable,
+    the whole pass is DuckDB-twinnable), a window is *duplicated* when
+    its fingerprint occurs more than once in the corpus (across or
+    within documents — both are repetition the paper removes), and
+    overlapping/adjacent duplicated windows merge into maximal
+    token-aligned spans per document (gaps-and-islands). Any repeated
+    substring of ≥ 2·window−1 tokens is guaranteed to be fully covered
+    by flagged windows; shorter repeats (≥ window) are detected at
+    window granularity. Downstream removal is one substring op per span.
+
+    Plan shape (the 100 TB argument): tokenize once; windows come from
+    ``arrays_zip`` of ``window`` shifted slice views + ``posexplode``
+    (codegen'd — the exploded_shingles pattern, no interpreted
+    higher-order lambdas); duplicate detection is ONE shuffle keyed on
+    the 16-byte fingerprint carrying (id, pos) — corpus text never
+    shuffles; span merge is ONE per-doc window pass. Cost ∝ corpus
+    tokens + duplicated windows; nothing quadratic, no driver state.
+
+    Returns ``(id, span_start, span_end, span_tokens)`` — token-index
+    spans, end-exclusive, maximal (non-overlapping, non-adjacent),
+    every span ≥ ``window`` tokens.
+    """
+    from pyspark.sql import Window as W
+
+    w = window
+    toked = df.select(
+        F.col(id_col).alias("id"), tokenize(text_col).alias("__toks")
+    ).filter(F.size("__toks") >= w)
+    m = F.size(F.col("__toks")) - F.lit(w - 1)
+    zipped = F.arrays_zip(
+        *[F.slice("__toks", i + 1, m).alias(f"t{i}") for i in range(w)]
+    )
+    wins = toked.select("id", F.posexplode(zipped).alias("i", "_z")).select(
+        "id",
+        F.col("i").cast("long").alias("i"),
+        F.md5(
+            F.concat_ws(" ", *[F.col(f"_z.t{i}") for i in range(w)])
+        ).alias("g"),
+    )
+    kept = (
+        wins.withColumn("c", F.count(F.lit(1)).over(W.partitionBy("g")))
+        .filter(F.col("c") > 1)
+        .select("id", "i")
+    )
+    byd = W.partitionBy("id").orderBy("i")
+    isl = kept.select(
+        "id",
+        "i",
+        F.when(F.col("i") > F.lag("i").over(byd) + w, 1)
+        .otherwise(0)
+        .alias("ni"),
+    )
+    grp = isl.withColumn(
+        "isl",
+        F.sum("ni").over(byd.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return (
+        grp.groupBy("id", "isl")
+        .agg(
+            F.min("i").alias("span_start"),
+            (F.max("i") + F.lit(w)).cast("long").alias("span_end"),
+        )
+        .select(
+            "id",
+            F.col("span_start").cast("long").alias("span_start"),
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+        )
+    )

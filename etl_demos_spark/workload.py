@@ -619,6 +619,12 @@ _LATE: tuple[str, ...] = (
     #    queries below are all hash-verified every local run.
     "q_semantic_dedup",    # r03 in-window pass; q_dedup_embedding keeps
                            # the embedding-dedup family in-window
+    "q_hash_split",        # r03 in-window pass; displaced by the new
+                           # q_kmv_distinct sketch slot — the md5-bucket
+                           # machinery stays covered by q_stratified_sample
+                           # (late, hash-verified locally) and the in-window
+                           # md5-hash discipline (q_dedup_minhash,
+                           # q_heavy_hitters, q_kmv_distinct)
     "q_fuzzy_join",        # r03 in-window pass; q_dedup_minhash keeps
                            # candidate-join dedup in-window, q_dedup_ngram
                            # (late) is the same gram machinery

@@ -510,6 +510,59 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(d, "doc_id", "text", n=3, max_hamming=8)
 
 
+_DUP_SPAN_W = 10
+
+_DUP_SPANS_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, t, unnest(range(len(t) - {_DUP_SPAN_W - 1})) AS i
+        FROM toks WHERE len(t) >= {_DUP_SPAN_W}
+    ),
+    wins AS (
+        SELECT doc_id, i,
+               md5(array_to_string(t[i+1 : i+{_DUP_SPAN_W}], ' ')) AS g
+        FROM pos
+    ),
+    cnt AS (
+        SELECT doc_id, i, COUNT(*) OVER (PARTITION BY g) AS c FROM wins
+    ),
+    kept AS (SELECT doc_id, i FROM cnt WHERE c > 1),
+    isl AS (
+        SELECT doc_id, i,
+               CASE WHEN i > lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+                            + {_DUP_SPAN_W}
+                    THEN 1 ELSE 0 END AS ni
+        FROM kept
+    ),
+    grp AS (
+        SELECT doc_id, i,
+               SUM(ni) OVER (PARTITION BY doc_id ORDER BY i
+                             ROWS UNBOUNDED PRECEDING) AS isl
+        FROM isl
+    )
+    SELECT doc_id,
+           CAST(MIN(i) AS BIGINT) AS span_start,
+           CAST(MAX(i) + {_DUP_SPAN_W} AS BIGINT) AS span_end,
+           CAST(MAX(i) + {_DUP_SPAN_W} - MIN(i) AS BIGINT) AS span_tokens
+    FROM grp GROUP BY doc_id, isl
+    """
+
+
+@workload("q_dup_spans", oracle=_DUP_SPANS_ORACLE, tags=("ext-dedup",))
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span detection (Lee et al. 2022 ExactSubstr,
+    arXiv:2107.06499): fingerprinted 10-token sliding windows → windows
+    whose fingerprint repeats anywhere in the corpus → maximal merged
+    token spans per document. md5 fingerprints make the whole pass
+    hash-certifiable against the DuckDB twin."""
+    d = T(spark, sf_dir, "documents")
+    spans = dedup.duplicated_spans(d, "doc_id", "text", window=_DUP_SPAN_W)
+    return spans.withColumnRenamed("id", "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -3034,6 +3087,66 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("exact_n").cast("long").alias("exact_n"),
         F.col("est").alias("est_n"),
         (F.col("est") - F.col("exact_n")).cast("long").alias("over_count"),
+    )
+
+
+_KMV_K = 64
+
+_KMV_ORACLE = f"""
+    WITH h AS (
+        SELECT DISTINCT o_orderpriority AS priority,
+               CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS h
+        FROM orders
+    ), rk AS (
+        SELECT priority, h,
+               row_number() OVER (PARTITION BY priority ORDER BY h) AS rn
+        FROM h
+    ), agg AS (
+        SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_kept, MAX(h) AS kth
+        FROM rk WHERE rn <= {_KMV_K} GROUP BY priority
+    ), ex AS (
+        SELECT o_orderpriority AS priority,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+        FROM orders GROUP BY 1
+    )
+    SELECT a.priority, a.n_kept,
+           ROUND(CASE WHEN a.n_kept < {_KMV_K}
+                      THEN CAST(a.n_kept AS DOUBLE)
+                      ELSE {float(_KMV_K - 1)} /
+                           (CAST(a.kth AS DOUBLE) / 1152921504606846976.0)
+                 END, 4) AS est_distinct,
+           e.exact_distinct
+    FROM agg a JOIN ex e USING (priority)
+    """
+
+
+@workload("q_kmv_distinct", oracle=_KMV_ORACLE, tags=("ext-sketch",))
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct sketch (operators/sketches.py kmv_sketch/
+    kmv_estimate): per-priority distinct-customer estimation where the
+    sketch is the k=64 smallest distinct 60-bit md5 hashes — every byte
+    engine-reproducible, so the driver hash certifies the sketch AND the
+    (k-1)/U_(k) estimator, not just an error bound (the portability
+    discipline of q_heavy_hitters, applied to distinct counting). Exact
+    distinct per group rides along as the error witness. Scale shape:
+    one distinct-hash combiner shuffle of 16-byte keys, then a rank-
+    pushdown top-k window — per-group state is k rows regardless of
+    cardinality, and sketches merge by union + re-take-k (pinned in
+    tests/test_properties.py)."""
+    from etl_demos_spark.operators import sketches as sk
+
+    o = T(spark, sf_dir, "orders")
+    sketch = sk.kmv_sketch(o, ("o_orderpriority",), "o_custkey", k=_KMV_K)
+    est = sk.kmv_estimate(sketch, ("o_orderpriority",), k=_KMV_K)
+    exact = o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, "o_orderpriority").select(
+        F.col("o_orderpriority").alias("priority"),
+        "n_kept",
+        "est_distinct",
+        "exact_distinct",
     )
 
 

@@ -283,3 +283,105 @@ def test_incremental_store_signatures_match_batch_form(spark):
     }
     got = {r["id"]: list(r["sig"]) for r in store.collect()}
     assert got == want
+
+
+def test_duplicated_spans_planted_cross_doc(spark):
+    """A 25-token run shared by two docs (≥ 2w−1 = 19 at w=10) must be
+    FULLY covered by a merged span in each doc at its known offset;
+    all-unique docs produce no spans."""
+    from etl_demos_spark.operators import dedup as dd
+
+    shared = " ".join(f"common{i}" for i in range(25))
+    rows = [
+        # doc 1: 5 unique tokens, then the shared run, then 5 unique
+        (1, " ".join(f"a{i}" for i in range(5)) + " " + shared + " "
+            + " ".join(f"b{i}" for i in range(5))),
+        # doc 2: shared run at position 0, then 8 unique tokens
+        (2, shared + " " + " ".join(f"c{i}" for i in range(8))),
+        # doc 3: fully unique — must emit nothing
+        (3, " ".join(f"z{i}" for i in range(40))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {
+        r["id"]: (r["span_start"], r["span_end"], r["span_tokens"])
+        for r in dd.duplicated_spans(df, window=10).collect()
+    }
+    assert 3 not in spans
+    # coverage guarantee: span ⊇ [start, start+25)
+    s1 = spans[1]
+    assert s1[0] <= 5 and s1[1] >= 30
+    s2 = spans[2]
+    assert s2[0] == 0 and s2[1] >= 25
+    # spans never spill past the document end
+    assert s1[1] <= 35 and s2[1] <= 33
+    for s in (s1, s2):
+        assert s[2] == s[1] - s[0]
+
+
+def test_duplicated_spans_within_doc_repeat(spark):
+    """Self-repetition counts: one doc repeating its own 15-token phrase
+    twice gets BOTH occurrences flagged (two spans or one merged span
+    covering both, depending on the gap)."""
+    from etl_demos_spark.operators import dedup as dd
+
+    phrase = " ".join(f"p{i}" for i in range(15))
+    gap = " ".join(f"g{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(7, phrase + " " + gap + " " + phrase)], "doc_id long, text string"
+    )
+    spans = sorted(
+        (r["span_start"], r["span_end"])
+        for r in dd.duplicated_spans(df, window=10).collect()
+    )
+    # occurrence 1 at tokens [0,15), occurrence 2 at [45,60)
+    assert len(spans) == 2
+    assert spans[0][0] == 0 and spans[0][1] >= 15 and spans[0][1] <= 24
+    assert spans[1][0] <= 45 and spans[1][1] == 60
+
+
+def test_duplicated_spans_matches_python_reference(spark):
+    """Window-for-window agreement with a first-principles Python sweep
+    (dict of window-tuple counts → flagged positions → merged islands)."""
+    import re as _re
+
+    from etl_demos_spark.operators import dedup as dd
+
+    w = 4
+    texts = {
+        10: "one two three four five one two three four six seven",
+        11: "alpha beta gamma delta alpha beta gamma delta epsilon",
+        12: "one two three four nine alpha beta gamma delta omega",
+        13: "unique tokens only here nothing repeats at all today",
+    }
+    # python reference
+    toks = {
+        k: _re.findall("[a-z0-9]+", v.lower()) for k, v in texts.items()
+    }
+    counts: dict[tuple, int] = {}
+    for t in toks.values():
+        for i in range(len(t) - w + 1):
+            key = tuple(t[i : i + w])
+            counts[key] = counts.get(key, 0) + 1
+    want = {}
+    for k, t in toks.items():
+        flagged = [
+            i
+            for i in range(len(t) - w + 1)
+            if counts[tuple(t[i : i + w])] > 1
+        ]
+        spans = []
+        for i in flagged:
+            if spans and i <= spans[-1][1]:  # overlap or adjacency
+                spans[-1][1] = max(spans[-1][1], i + w)
+            else:
+                spans.append([i, i + w])
+        for s in spans:
+            want[(k, s[0])] = s[1]
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {
+        (r["id"], r["span_start"]): r["span_end"]
+        for r in dd.duplicated_spans(df, window=w).collect()
+    }
+    assert got == want

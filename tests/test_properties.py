@@ -222,3 +222,69 @@ def test_fuzzy_join_matches_python_jaccard(spark, lt, rt):
     assert set(got) == set(want)
     for k, v in want.items():
         assert abs(got[k] - v) < 1e-12
+
+
+@given(
+    a=st.lists(st.integers(min_value=0, max_value=300), max_size=60),
+    b=st.lists(st.integers(min_value=0, max_value=300), max_size=60),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_kmv_sketch_merges_like_union(spark, a, b):
+    """KMV mergeability: union two groups' sketches and re-take the k
+    smallest ≡ sketching the concatenated input (set-min commutes with
+    union) — the property that makes per-day partial sketches safe to
+    roll up without re-reading raw data."""
+    from pyspark.sql import Window as W
+
+    from etl_demos_spark.operators.sketches import kmv_sketch
+
+    k = 8
+    da = spark.createDataFrame([("g", v) for v in a] or [("g", -1)], "g string, v long")
+    db = spark.createDataFrame([("g", v) for v in b] or [("g", -1)], "g string, v long")
+    ska = kmv_sketch(da, ("g",), "v", k=k).select("g", "h")
+    skb = kmv_sketch(db, ("g",), "v", k=k).select("g", "h")
+    wnd = W.partitionBy("g").orderBy("h")
+    merged = (
+        ska.unionByName(skb)
+        .distinct()
+        .withColumn("rn", F.row_number().over(wnd).cast("long"))
+        .filter(F.col("rn") <= k)
+    )
+    whole = kmv_sketch(
+        da.unionByName(db) if a or b else da, ("g",), "v", k=k
+    )
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in whole.collect()
+    }
+
+
+def test_kmv_estimate_exact_below_k(spark):
+    """Below k distinct values the estimator must return the EXACT
+    distinct count (n_kept is the full distinct-hash set)."""
+    from etl_demos_spark.operators.sketches import kmv_estimate, kmv_sketch
+
+    rows = [("x", v % 10) for v in range(100)] + [("y", v % 3) for v in range(30)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    sk = kmv_sketch(df, ("g",), "v", k=64)
+    got = {r["g"]: (r["n_kept"], r["est_distinct"]) for r in
+           kmv_estimate(sk, ("g",), k=64).collect()}
+    assert got == {"x": (10, 10.0), "y": (3, 3.0)}
+
+
+def test_kmv_estimate_tracks_true_cardinality(spark):
+    """Above k the (k-1)/U_(k) estimator lands within the ~1/sqrt(k-2)
+    error envelope of the true distinct count."""
+    from etl_demos_spark.operators.sketches import kmv_estimate, kmv_sketch
+
+    n_true = 5000
+    df = spark.createDataFrame(
+        [("g", v) for v in range(n_true)], "g string, v long"
+    )
+    sk = kmv_sketch(df, ("g",), "v", k=256)
+    est = kmv_estimate(sk, ("g",), k=256).collect()[0]
+    assert est["n_kept"] == 256
+    assert abs(est["est_distinct"] - n_true) / n_true < 0.25
