@@ -68,6 +68,8 @@ HEADLINE = [
     "q_disjunctive_rev",
     "q_supplier_cnt",
     "q_range_frame",
+    "q_dup_spans",
+    "q_kmv_distinct",
 ]
 
 
