@@ -731,27 +731,51 @@ def duplicated_spans(
     from pyspark.sql import Window as W
 
     w = window
+    _, wins = _window_fingerprints(df, id_col, text_col, w)
+    kept = (
+        wins.withColumn("c", F.count(F.lit(1)).over(W.partitionBy("g")))
+        .filter(F.col("c") > 1)
+        .select("id", "i")
+    )
+    return _merge_islands(kept, w)
+
+
+def _window_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, w: int
+) -> tuple[DataFrame, DataFrame]:
+    """(toked, wins): the tokenized corpus ``(id, __toks)`` and its
+    md5-fingerprinted ``w``-token sliding windows ``(id, i, g)`` — built
+    with arrays_zip over ``w`` shifted slice views + posexplode so the
+    whole pass stays in codegen (no interpreted higher-order lambdas).
+    ``toked`` keeps ALL docs (removal must pass short docs through);
+    windows only come from docs with ≥ w tokens."""
     toked = df.select(
         F.col(id_col).alias("id"), tokenize(text_col).alias("__toks")
-    ).filter(F.size("__toks") >= w)
+    )
+    eligible = toked.filter(F.size("__toks") >= w)
     m = F.size(F.col("__toks")) - F.lit(w - 1)
     zipped = F.arrays_zip(
         *[F.slice("__toks", i + 1, m).alias(f"t{i}") for i in range(w)]
     )
-    wins = toked.select("id", F.posexplode(zipped).alias("i", "_z")).select(
+    wins = eligible.select("id", F.posexplode(zipped).alias("i", "_z")).select(
         "id",
         F.col("i").cast("long").alias("i"),
         F.md5(
             F.concat_ws(" ", *[F.col(f"_z.t{i}") for i in range(w)])
         ).alias("g"),
     )
-    kept = (
-        wins.withColumn("c", F.count(F.lit(1)).over(W.partitionBy("g")))
-        .filter(F.col("c") > 1)
-        .select("id", "i")
-    )
+    return toked, wins
+
+
+def _merge_islands(flagged: DataFrame, w: int) -> DataFrame:
+    """Merge flagged window positions ``(id, i)`` into maximal token
+    spans per doc (gaps-and-islands): a window starts a new island iff it
+    begins past the previous flagged window's end. ONE per-doc window
+    pass."""
+    from pyspark.sql import Window as W
+
     byd = W.partitionBy("id").orderBy("i")
-    isl = kept.select(
+    isl = flagged.select(
         "id",
         "i",
         F.when(F.col("i") > F.lag("i").over(byd) + w, 1)
@@ -774,4 +798,77 @@ def duplicated_spans(
             "span_end",
             (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
         )
+    )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 10,
+) -> DataFrame:
+    """ExactSubstr span REMOVAL (Lee et al. 2022, arXiv:2107.06499) —
+    the action half of :func:`duplicated_spans`, with keep-FIRST
+    semantics: for every duplicated window fingerprint the globally
+    first occurrence (ordered by ``(id, position)``) survives; every
+    later occurrence is flagged, flagged windows merge into maximal
+    spans, and span tokens are cut from the document. Two identical
+    documents → the lower-id copy is untouched, the other collapses;
+    a self-repeating document keeps its first occurrence only. Output
+    text is the normalized token stream re-joined with single spaces
+    (the same stream every dedup operator scores on — byte-faithful
+    surgery would need character offsets, which regexp tokenization
+    does not expose engine-portably; declared, not hidden).
+
+    Plan shape: the fingerprint pass of duplicated_spans, then
+    keep-first = ONE row_number per fingerprint partition (16-byte
+    keys; corpus text never shuffles), islands merge, and ONE
+    anti-join of exploded token positions against the span table —
+    spans are ∝ duplicated windows, usually ≪ corpus, so AQE
+    broadcasts them. Reconstruction is a per-doc sort of surviving
+    (position, token) structs — no driver state, nothing quadratic.
+
+    Returns ``(id, clean_text, kept_tokens, removed_tokens)`` for
+    EVERY input document (short and untouched docs pass through)."""
+    from pyspark.sql import Window as W
+
+    w = window
+    toked, wins = _window_fingerprints(df, id_col, text_col, w)
+    order = W.partitionBy("g").orderBy("id", "i")
+    flagged = (
+        wins.withColumn("rn", F.row_number().over(order))
+        .filter(F.col("rn") > 1)
+        .select("id", "i")
+    )
+    spans = _merge_islands(flagged, w).select(
+        F.col("id").alias("sid"), "span_start", "span_end"
+    )
+    pos = toked.select(
+        "id", F.posexplode("__toks").alias("i", "tok")
+    ).select("id", F.col("i").cast("long").alias("i"), "tok")
+    surviving = pos.join(
+        spans,
+        (pos["id"] == spans["sid"])
+        & (pos["i"] >= spans["span_start"])
+        & (pos["i"] < spans["span_end"]),
+        "left_anti",
+    )
+    clean = surviving.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("kept_tokens"),
+    )
+    totals = toked.select("id", F.size("__toks").cast("long").alias("__n"))
+    return totals.join(clean, "id", "left").select(
+        "id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("kept_tokens", F.lit(0)).cast("long").alias("kept_tokens"),
+        (F.col("__n") - F.coalesce("kept_tokens", F.lit(0)))
+        .cast("long")
+        .alias("removed_tokens"),
     )

@@ -619,6 +619,9 @@ _LATE: tuple[str, ...] = (
     #    queries below are all hash-verified every local run.
     "q_semantic_dedup",    # r03 in-window pass; q_dedup_embedding keeps
                            # the embedding-dedup family in-window
+    "q_dup_span_removal",  # paired from birth; the ExactSubstr family's
+                           # in-window slot is q_dup_spans (same
+                           # fingerprint machinery, detection half)
     "q_hash_split",        # r03 in-window pass; displaced by the new
                            # q_kmv_distinct sketch slot — the md5-bucket
                            # machinery stays covered by q_stratified_sample

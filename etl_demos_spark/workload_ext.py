@@ -563,6 +563,86 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spans.withColumnRenamed("id", "doc_id")
 
 
+_DUP_REMOVAL_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, t, unnest(range(len(t) - {_DUP_SPAN_W - 1})) AS i
+        FROM toks WHERE len(t) >= {_DUP_SPAN_W}
+    ),
+    wins AS (
+        SELECT doc_id, i,
+               md5(array_to_string(t[i+1 : i+{_DUP_SPAN_W}], ' ')) AS g
+        FROM pos
+    ),
+    flag AS (
+        SELECT doc_id, i FROM (
+            SELECT doc_id, i,
+                   row_number() OVER (PARTITION BY g ORDER BY doc_id, i)
+                       AS rn
+            FROM wins
+        ) WHERE rn > 1
+    ),
+    isl AS (
+        SELECT doc_id, i,
+               CASE WHEN i > lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+                            + {_DUP_SPAN_W}
+                    THEN 1 ELSE 0 END AS ni
+        FROM flag
+    ),
+    grp AS (
+        SELECT doc_id, i,
+               SUM(ni) OVER (PARTITION BY doc_id ORDER BY i
+                             ROWS UNBOUNDED PRECEDING) AS isl
+        FROM isl
+    ),
+    spans AS (
+        SELECT doc_id, MIN(i) AS s, MAX(i) + {_DUP_SPAN_W} AS e
+        FROM grp GROUP BY doc_id, isl
+    ),
+    tokpos AS (
+        SELECT doc_id, unnest(range(len(t))) AS i, t FROM toks
+    ),
+    surviving AS (
+        SELECT p.doc_id, p.i, p.t[p.i + 1] AS tok
+        FROM tokpos p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM spans s
+            WHERE s.doc_id = p.doc_id AND p.i >= s.s AND p.i < s.e
+        )
+    ),
+    agg AS (
+        SELECT doc_id,
+               string_agg(tok, ' ' ORDER BY i) AS clean_text,
+               COUNT(*) AS kept_tokens
+        FROM surviving GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           COALESCE(a.clean_text, '') AS clean_text,
+           CAST(COALESCE(a.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+           CAST(len(t.t) - COALESCE(a.kept_tokens, 0) AS BIGINT)
+               AS removed_tokens
+    FROM toks t LEFT JOIN agg a USING (doc_id)
+    """
+
+
+@workload("q_dup_span_removal", oracle=_DUP_REMOVAL_ORACLE, tags=("ext-dedup",))
+def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span removal (operators/dedup.py
+    remove_duplicated_spans): keep-first semantics — the globally first
+    occurrence of every duplicated 10-token window survives, later
+    occurrences merge into spans and are cut from the normalized token
+    stream. The full detect→merge→cut pipeline is hash-certified
+    against the DuckDB twin, clean text byte-for-byte included.
+    Registered _LATE: the ExactSubstr family holds its in-window slot
+    via q_dup_spans; this is the action half of the same machinery."""
+    d = T(spark, sf_dir, "documents")
+    out = dedup.remove_duplicated_spans(d, "doc_id", "text", window=_DUP_SPAN_W)
+    return out.withColumnRenamed("id", "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

@@ -385,3 +385,96 @@ def test_duplicated_spans_matches_python_reference(spark):
         for r in dd.duplicated_spans(df, window=w).collect()
     }
     assert got == want
+
+
+def test_remove_duplicated_spans_keep_first(spark):
+    """Keep-first semantics: of two identical docs the lower id is
+    untouched, the higher collapses to empty; short docs (< w tokens)
+    pass through (normalized); unique docs lose nothing."""
+    from etl_demos_spark.operators import dedup as dd
+
+    body = " ".join(f"w{i}" for i in range(20))
+    rows = [
+        (1, body),
+        (2, body),
+        (3, "Tiny Doc!"),  # 2 tokens < w — must pass through normalized
+        (4, " ".join(f"u{i}" for i in range(15))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["id"]: (r["clean_text"], r["kept_tokens"], r["removed_tokens"])
+        for r in dd.remove_duplicated_spans(df, window=10).collect()
+    }
+    assert got[1] == (body, 20, 0)
+    assert got[2] == ("", 0, 20)
+    assert got[3] == ("tiny doc", 2, 0)
+    assert got[4][1:] == (15, 0)
+
+
+def test_remove_duplicated_spans_self_repeat(spark):
+    """A doc repeating its own 12-token phrase keeps the FIRST
+    occurrence and loses the second."""
+    from etl_demos_spark.operators import dedup as dd
+
+    phrase = " ".join(f"p{i}" for i in range(12))
+    gap = " ".join(f"g{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(9, phrase + " " + gap + " " + phrase)], "doc_id long, text string"
+    )
+    r = dd.remove_duplicated_spans(df, window=10).collect()[0]
+    assert r["clean_text"].startswith(phrase + " g0")
+    assert "g19" in r["clean_text"]
+    # exactly the second occurrence (12 tokens) is gone
+    assert (r["kept_tokens"], r["removed_tokens"]) == (32, 12)
+    assert r["clean_text"].endswith("g19")
+
+
+def test_remove_duplicated_spans_matches_python_reference(spark):
+    """Token-for-token agreement with a first-principles Python sweep of
+    keep-first flagging + island merge + cut."""
+    import re as _re
+
+    from etl_demos_spark.operators import dedup as dd
+
+    w = 4
+    texts = {
+        10: "one two three four five one two three four six seven",
+        11: "alpha beta gamma delta alpha beta gamma delta epsilon",
+        12: "one two three four nine alpha beta gamma delta omega",
+        13: "unique tokens only here nothing repeats at all today",
+        14: "hi",
+    }
+    toks = {k: _re.findall("[a-z0-9]+", v.lower()) for k, v in texts.items()}
+    first: dict[tuple, tuple] = {}
+    for k in sorted(toks):
+        t = toks[k]
+        for i in range(len(t) - w + 1):
+            first.setdefault(tuple(t[i : i + w]), (k, i))
+    want = {}
+    for k in sorted(toks):
+        t = toks[k]
+        flagged = [
+            i
+            for i in range(len(t) - w + 1)
+            if first[tuple(t[i : i + w])] != (k, i)
+        ]
+        spans = []
+        for i in flagged:
+            if spans and i <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], i + w)
+            else:
+                spans.append([i, i + w])
+        keep = [
+            tok
+            for i, tok in enumerate(t)
+            if not any(s[0] <= i < s[1] for s in spans)
+        ]
+        want[k] = (" ".join(keep), len(keep), len(t) - len(keep))
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {
+        r["id"]: (r["clean_text"], r["kept_tokens"], r["removed_tokens"])
+        for r in dd.remove_duplicated_spans(df, window=w).collect()
+    }
+    assert got == want
