@@ -246,3 +246,180 @@ def kmeans_lloyd(
         C = newC
     final = kmeans_assign_gemm(df, C, id_col, vec_col)
     return [list(map(float, c)) for c in C], final
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA: exact scaled Gram pass -> bounded driver eigh -> projection
+# ---------------------------------------------------------------------------
+
+# Elements are quantized to 1e-6 before the second-moment pass; all Gram
+# entries are then EXACT integers scaled by GRAM_SCALE² = 1e12.
+GRAM_SCALE = 1_000_000
+
+
+def gram_matrix(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Exact scaled second-moment (Gram) pass — the corpus-side of
+    distributed PCA / covariance. Every element is quantized to 1e-6
+    (``q = round(x·1e6)``, int64), each Arrow batch contributes ONE
+    d+1 × d+1 integer partial ``Qᵀ·Q`` (numpy int64 matmul — exact; the
+    vector is augmented with a constant GRAM_SCALE column so per-dim
+    sums land in row d and the row count in cell (d, d), all on the
+    same 1e12 scale), and partials merge with one DECIMAL(38,0) sum
+    keyed on (i, j) — exact, order-independent, engine-portable (DuckDB
+    reproduces every integer with a HUGEINT sum over the same rounded
+    products). Only the upper triangle i ≤ j is emitted (symmetry).
+
+    Overflow headroom: |x| < 2000 → |q| < 2^31, product < 2^62; batch
+    chunks are capped at 4096 rows so int64 partial sums stay exact for
+    any |x| < 2000 (unit-norm embeddings leave ~2^22 of slack).
+
+    Scale shape: one narrow corpus pass, then a shuffle of
+    (d+1)²/2 ≈ 2k keys per batch — cost ∝ batches, never ∝ rows², and
+    only d² cells ever reach the driver. Cited reference surface:
+    rytakahas/etl-demos keeps column statistics per staging model
+    (dbt/models/staging); this generalizes those per-column moments to
+    the full cross-moment matrix an embedding pipeline needs.
+
+    Returns ``(i, j, s)`` with s = Σ q_i·q_j as decimal(38,0),
+    0 ≤ i ≤ j ≤ d (index d = the augmented ones-dimension)."""
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        iu = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(list(pdf[vec_col]), dtype=np.float64)
+            Q = np.rint(X * GRAM_SCALE).astype(np.int64)
+            Q = np.hstack(
+                [Q, np.full((len(Q), 1), GRAM_SCALE, dtype=np.int64)]
+            )
+            if iu is None:
+                d1 = Q.shape[1]
+                iu = np.triu_indices(d1)
+            acc = None
+            for lo in range(0, len(Q), 4096):
+                part = Q[lo : lo + 4096]
+                G = part.T @ part
+                acc = G if acc is None else acc + G
+            yield pd.DataFrame(
+                {
+                    "i": iu[0].astype(np.int64),
+                    "j": iu[1].astype(np.int64),
+                    "ps": acc[iu],
+                }
+            )
+
+    raw = df.select(vec_col).mapInPandas(partials, "i long, j long, ps long")
+    return raw.groupBy("i", "j").agg(
+        F.sum(F.col("ps").cast("decimal(38,0)")).alias("s")
+    )
+
+
+def covariance_from_gram(gram: DataFrame, dim: int) -> DataFrame:
+    """Population covariance entries from the exact Gram pass, as a
+    deterministic double expression shared verbatim with the DuckDB
+    oracle: cov(i,j) = (S_ij/n − (S_i·/n)·(S_j·/n)) / 1e12 with every
+    operand an exact integer cast to double — both engines execute the
+    identical IEEE expression tree, so the driver hash certifies the
+    whole moment pipeline. Returns (i, j, cov) for 0 ≤ i ≤ j < dim."""
+    n = F.col("nn").cast("double")
+    sums = (
+        gram.filter((F.col("j") == dim) & (F.col("i") < dim))
+        .select("i", (F.col("s").cast("double") / F.lit(float(GRAM_SCALE))).alias("rowsum"))
+    )
+    cnt = gram.filter((F.col("i") == dim) & (F.col("j") == dim)).select(
+        (F.col("s") / F.lit(GRAM_SCALE * GRAM_SCALE)).cast("long").alias("nn")
+    )
+    pairs = gram.filter(F.col("j") < dim)
+    sa = sums.select(F.col("i").alias("i"), F.col("rowsum").alias("sum_i"))
+    sb = sums.select(F.col("i").alias("j"), F.col("rowsum").alias("sum_j"))
+    return (
+        pairs.join(sa, "i")
+        .join(sb, "j")
+        .crossJoin(F.broadcast(cnt))
+        .select(
+            "i",
+            "j",
+            (
+                F.round(
+                    (
+                        F.col("s").cast("double") / n
+                        - (F.col("sum_i") / n) * (F.col("sum_j") / n)
+                    )
+                    / F.lit(1.0e12),
+                    6,
+                )
+                + F.lit(0.0)  # IEEE -0.0 + 0.0 = +0.0: kill signed zero
+            ).alias("cov"),
+        )
+    )
+
+
+def pca_components(
+    df: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+):
+    """Top-k principal components from the distributed Gram pass: only
+    the (d+1)² exact integer cells reach the driver; the d×d eigen
+    problem is solved locally with numpy.linalg.eigh (deterministic for
+    a fixed matrix) and each component's sign is normalized so its
+    largest-|coordinate| entry is positive (eigh's sign is otherwise
+    arbitrary). Returns (components k×d row-major list, explained
+    variance ratios list) — bounded driver state, never corpus-sized."""
+    rows = gram_matrix(df, vec_col).collect()
+    if dim is None:
+        dim = max(r["j"] for r in rows)
+    G = np.zeros((dim + 1, dim + 1), dtype=np.float64)
+    for r in rows:
+        G[r["i"], r["j"]] = float(r["s"])
+        G[r["j"], r["i"]] = float(r["s"])
+    n = G[dim, dim] / (GRAM_SCALE * GRAM_SCALE)
+    sums = G[:dim, dim] / GRAM_SCALE
+    cov = (G[:dim, :dim] / n - np.outer(sums / n, sums / n)) / 1.0e12
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T.copy()
+    for c in comps:
+        if c[np.argmax(np.abs(c))] < 0:
+            c *= -1.0
+    total = float(vals.sum()) or 1.0
+    ratios = [float(vals[o]) / total for o in order]
+    return [list(map(float, c)) for c in comps], ratios
+
+
+def pca_project(
+    df: DataFrame,
+    components,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    center=None,
+) -> DataFrame:
+    """Project the corpus onto fitted components: ONE dgemm per Arrow
+    batch against the broadcast k×d component matrix (the
+    kmeans_assign_gemm discipline — no interpreted per-element lambdas,
+    no shuffle, no driver materialization). Optional ``center`` (the
+    mean vector) is subtracted first — classic PCA centering. Returns
+    (id, proj array<double> rounded 1e-6)."""
+    spark = df.sparkSession
+    W = np.asarray([list(c) for c in components], dtype=np.float64)
+    mu = None if center is None else np.asarray(list(center), dtype=np.float64)
+    b = spark.sparkContext.broadcast((W, mu))
+
+    def proj(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Wm, mv = b.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if mv is not None:
+                X = X - mv[None, :]
+            P = np.round(X @ Wm.T, 6)
+            yield pd.DataFrame({id_col: pdf[id_col], "proj": list(P)})
+
+    return df.select(id_col, vec_col).mapInPandas(
+        proj, f"{id_col} long, proj array<double>"
+    )

@@ -622,6 +622,14 @@ _LATE: tuple[str, ...] = (
     "q_dup_span_removal",  # paired from birth; the ExactSubstr family's
                            # in-window slot is q_dup_spans (same
                            # fingerprint machinery, detection half)
+    "q_pca_project",       # rows-only (eigendecomposition is not SQL-
+                           # expressible; numpy-pinned in
+                           # tests/test_embeddings.py); the PCA family's
+                           # driver slot is q_embed_covariance
+    "q_image_features",    # r03 in-window pass; displaced by the new
+                           # q_embed_covariance PCA slot — multimodal
+                           # stays in-window via q_binary_meta +
+                           # q_multimodal_decode
     "q_hash_split",        # r03 in-window pass; displaced by the new
                            # q_kmv_distinct sketch slot — the md5-bucket
                            # machinery stays covered by q_stratified_sample

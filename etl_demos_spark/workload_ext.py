@@ -2445,6 +2445,79 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.centroid_sums(e, F.col("vec_id") % 8, "embedding")
 
 
+_EMBED_DIM = 64
+
+_COV_ORACLE = """
+    WITH e AS (
+        -- unnest and generate_subscripts in the SAME select zip
+        -- positionally (one row per element); nesting them across
+        -- levels would cross-product every element with every index
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS i,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                    AS BIGINT) AS q
+        FROM embeddings
+    ), p AS (
+        SELECT a.i AS i, b.i AS j, SUM(a.q * b.q) AS s
+        FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY a.i, b.i
+    ), m AS (
+        -- mirror Spark's rowsum = double(1e6 * sum(q)) / 1e6 exactly:
+        -- Spark reads the augmented Gram row s(i,d) = 1e6*sum(q_i),
+        -- casts to double, then divides by the double literal 1e6
+        SELECT i, CAST(SUM(q) * 1000000 AS DOUBLE) / 1000000.0 AS rowsum
+        FROM e GROUP BY i
+    ), n AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM embeddings
+    )
+    SELECT p.i, p.j,
+           ROUND((CAST(p.s AS DOUBLE) / n.nn
+                  - (ma.rowsum / n.nn) * (mb.rowsum / n.nn)) / 1e12,
+                 6) + 0.0 AS cov  -- -0.0 + 0.0 = +0.0 on both engines
+    FROM p
+    JOIN m ma ON ma.i = p.i
+    JOIN m mb ON mb.i = p.j
+    CROSS JOIN n
+    """
+
+
+@workload("q_embed_covariance", oracle=_COV_ORACLE, tags=("ext-embed",))
+def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed covariance matrix (operators/embeddings.py
+    gram_matrix + covariance_from_gram) — the moment pass behind PCA:
+    elements quantized to 1e-6, ONE augmented int64 GEMM per Arrow
+    batch, exact DECIMAL(38,0) merge keyed on ~d²/2 cells, then the
+    identical IEEE double expression both engines evaluate — so the
+    driver hash certifies all 2080 covariance entries of the 64-dim
+    corpus, not a sample. Cost ∝ batches (never rows²); only d² cells
+    shuffle or reach downstream."""
+    from etl_demos_spark.operators import embeddings as emb
+
+    e = T(spark, sf_dir, "embeddings")
+    gram = emb.gram_matrix(e, "embedding")
+    return emb.covariance_from_gram(gram, _EMBED_DIM)
+
+
+@workload("q_pca_project", oracle=None, tags=("ext-embed",))
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA fit + project (operators/embeddings.py pca_components /
+    pca_project): the covariance comes from the exact distributed Gram
+    pass (only (d+1)² integer cells reach the driver), eigh runs on the
+    bounded d×d matrix, and projection is one dgemm per Arrow batch
+    against the broadcast k×d components. Rows-only: eigendecomposition
+    is not SQL-expressible — numpy-pinned end-to-end in
+    tests/test_embeddings.py instead. Registered _LATE (rows-only);
+    the family's driver slot is q_embed_covariance."""
+    from etl_demos_spark.operators import embeddings as emb
+
+    e = T(spark, sf_dir, "embeddings")
+    comps, _ = emb.pca_components(e, k=8, vec_col="embedding")
+    proj = emb.pca_project(e, comps)
+    return proj.select(
+        "vec_id", F.round(F.element_at("proj", 1), 4).alias("pc1_r")
+    )
+
+
 @workload(
     "q_kmeans_assign",
     oracle="""

@@ -207,3 +207,72 @@ def test_semantic_dedup_keeps_min_id_per_component(spark):
     assert pairs and kept_ids < {r["vec_id"] for r in df.collect()}
     for a, b in pairs:
         assert not (a in kept_ids and b in kept_ids)
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA: exact Gram pass, covariance, eigh pin, projection GEMM
+# ---------------------------------------------------------------------------
+
+
+def _rand_vecs(spark, n=300, d=12, seed=7):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    # correlated data so PCA has structure: low-rank + noise
+    W = rng.normal(size=(3, d))
+    X = rng.normal(size=(n, 3)) @ W + 0.05 * rng.normal(size=(n, d))
+    rows = [(i, [float(x) for x in X[i]]) for i in range(n)]
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+        X,
+    )
+
+
+def test_gram_matrix_exact_vs_numpy(spark):
+    import numpy as np
+
+    df, X = _rand_vecs(spark, n=200, d=6)
+    rows = emb.gram_matrix(df, "embedding").collect()
+    Q = np.rint(X * emb.GRAM_SCALE).astype(np.int64)
+    Q = np.hstack([Q, np.full((len(Q), 1), emb.GRAM_SCALE, dtype=np.int64)])
+    G = Q.T @ Q
+    got = {(r["i"], r["j"]): int(r["s"]) for r in rows}
+    for i in range(7):
+        for j in range(i, 7):
+            assert got[(i, j)] == int(G[i, j]), (i, j)
+
+
+def test_pca_components_match_numpy_eigh(spark):
+    import numpy as np
+
+    df, X = _rand_vecs(spark, n=300, d=12)
+    comps, ratios = emb.pca_components(df, k=4, vec_col="embedding")
+    # numpy reference on the SAME quantized data the operator sees
+    Xq = np.rint(X * emb.GRAM_SCALE) / emb.GRAM_SCALE
+    C = np.cov(Xq, rowvar=False, bias=True)
+    vals, vecs = np.linalg.eigh(C)
+    order = np.argsort(vals)[::-1][:4]
+    for k, o in enumerate(order):
+        v = vecs[:, o].copy()
+        if v[np.argmax(np.abs(v))] < 0:
+            v *= -1.0
+        assert np.allclose(comps[k], v, atol=1e-9), k
+    total = vals.sum()
+    assert np.allclose(ratios, [vals[o] / total for o in order], atol=1e-12)
+    assert ratios == sorted(ratios, reverse=True)
+    # low-rank planted structure: top-3 must explain nearly everything
+    assert sum(ratios[:3]) > 0.99
+
+
+def test_pca_project_matches_numpy_gemm(spark):
+    import numpy as np
+
+    df, X = _rand_vecs(spark, n=120, d=8, seed=11)
+    comps, _ = emb.pca_components(df, k=3, vec_col="embedding")
+    mu = X.mean(axis=0)
+    out = emb.pca_project(df, comps, center=[float(m) for m in mu])
+    got = {r["vec_id"]: list(r["proj"]) for r in out.collect()}
+    W = np.asarray(comps)
+    ref = np.round((X - mu) @ W.T, 6)
+    for i in range(len(X)):
+        assert np.allclose(got[i], ref[i], atol=1e-9), i
