@@ -207,3 +207,97 @@ def kmv_estimate(
         "n_kept",
         F.round(est, 4).alias("est_distinct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog — md5-derived registers, engine-reproducible
+# ---------------------------------------------------------------------------
+
+HLL_P = 8                       # 2^8 = 256 registers
+_HLL_REM_BITS = 60 - HLL_P      # 52 rho bits from the 60-bit md5 hash
+_HLL_MAX_RHO = _HLL_REM_BITS + 1
+
+
+def hll_registers(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    value_col: str,
+    p: int = HLL_P,
+) -> DataFrame:
+    """Per-group HyperLogLog registers (Flajolet et al. 2007) built from
+    the portable 60-bit md5 hash — every register value is an exact
+    integer any engine reproduces (``CAST('0x'||substr(md5(v),1,15) AS
+    BIGINT)``, bucket = h % m, rho = 1 + leading zeros of the remaining
+    60−p bits via ``length(bin(rem))`` — both Spark and DuckDB render
+    ``bin`` without leading zeros), unlike the DataSketches binaries in
+    :func:`distinct_sketches` whose estimate can only be bound-checked.
+
+    Scale shape: ONE combiner-friendly hash agg — partial max(rho) per
+    (group, bucket) map-side, so the shuffle carries ≤ m rows per group
+    per partition regardless of input rows. Mergeable by max (union of
+    register tables == registers of the union; property-tested).
+
+    Returns (group_cols..., bucket, r) with r = max rho ∈ [1, 61−p]."""
+    from etl_demos_spark.operators.dedup import md5_long
+
+    m = 1 << p
+    rem_bits = 60 - p
+    h = md5_long(F.col(value_col).cast("string"))
+    rem = F.shiftrightunsigned(h, p)
+    rho = F.when(rem == 0, F.lit(rem_bits + 1)).otherwise(
+        F.lit(rem_bits + 1) - F.length(F.bin(rem))
+    )
+    return (
+        df.select(
+            *group_cols,
+            (h % m).cast("long").alias("bucket"),
+            rho.cast("long").alias("rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: tuple[str, ...],
+    p: int = HLL_P,
+) -> DataFrame:
+    """Cardinality estimate from portable HLL registers, with the
+    harmonic sum kept EXACT: each register contributes the integer
+    2^(rmax − r) (rmax = 61−p ≥ r), absent registers contribute
+    2^rmax each — Σ < m·2^rmax < 2^63, so ``s_int`` is an exact int64
+    both engines agree on bit-for-bit; doubles appear only in the final
+    one-division estimate. Standard small-range correction: linear
+    counting m·ln(m/zeros) when E ≤ 2.5m and zeros > 0. ``est`` is
+    rounded to 4 decimals (the KMV discipline) so the division and the
+    libm ln hash identically across engines.
+
+    Returns (group_cols..., zeros, s_int, est)."""
+    m = 1 << p
+    rmax = 61 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("present"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {rmax} - r)"))
+        .cast("long")
+        .alias("s_present"),
+    )
+    zeros = (F.lit(m) - F.col("present")).cast("long")
+    s_int = (
+        F.col("s_present")
+        + zeros * F.lit(1 << rmax).cast("long")
+    ).cast("long")
+    raw = (
+        F.lit(alpha * m * m)
+        * F.lit(float(1 << rmax))
+        / F.col("s_int").cast("double")
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (F.col("zeros") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zeros").cast("double")),
+    ).otherwise(raw)
+    return (
+        agg.select(*group_cols, zeros.alias("zeros"), s_int.alias("s_int"))
+        .select(*group_cols, "zeros", "s_int", F.round(est, 4).alias("est"))
+    )

@@ -630,6 +630,10 @@ _LATE: tuple[str, ...] = (
                            # q_embed_covariance PCA slot — multimodal
                            # stays in-window via q_binary_meta +
                            # q_multimodal_decode
+    "q_event_funnel",      # r03 in-window pass; displaced by the new
+                           # q_hll_distinct portable-sketch slot — the
+                           # event family stays in-window via
+                           # q_event_sliding + q_event_sessions
     "q_hash_split",        # r03 in-window pass; displaced by the new
                            # q_kmv_distinct sketch slot — the md5-bucket
                            # machinery stays covered by q_stratified_sample

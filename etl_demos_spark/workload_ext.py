@@ -3346,6 +3346,58 @@ def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HLL_ORACLE = """
+    WITH h AS (
+        SELECT l_returnflag AS g,
+               CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS h
+        FROM lineitem
+    ), b AS (
+        SELECT g, h % 256 AS bucket,
+               CASE WHEN (h // 256) = 0 THEN 53
+                    ELSE 53 - length(bin(h // 256)) END AS rho
+        FROM h
+    ), reg AS (
+        SELECT g, bucket, MAX(rho) AS r FROM b GROUP BY g, bucket
+    ), a AS (
+        SELECT g,
+               CAST(256 - COUNT(*) AS BIGINT) AS zeros,
+               CAST(SUM(1::BIGINT << (53 - r))
+                    + (256 - COUNT(*)) * (1::BIGINT << 53) AS BIGINT) AS s_int
+        FROM reg GROUP BY g
+    )
+    SELECT g AS l_returnflag, zeros, s_int,
+           ROUND(CASE WHEN (4.707271267120224e4 * 9.007199254740992e15
+                            / CAST(s_int AS DOUBLE)) <= 640.0
+                       AND zeros > 0
+                      THEN 256.0 * ln(256.0 / CAST(zeros AS DOUBLE))
+                      ELSE 4.707271267120224e4 * 9.007199254740992e15
+                           / CAST(s_int AS DOUBLE) END,
+                 4) AS est
+    FROM a
+    """
+
+
+@workload("q_hll_distinct", oracle=_HLL_ORACLE, tags=("ext-sketch",))
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog (operators/sketches.py hll_registers /
+    hll_estimate): md5-derived registers any engine reproduces — unlike
+    q_sketch_rollup's DataSketches binaries (estimate only bound-checked
+    there), here the driver hash certifies the EXACT integer harmonic
+    sum s_int (every register collectively, absent buckets included)
+    AND the final estimate, both branches of the small-range correction
+    included. One combiner-friendly max-agg per (group, bucket): the
+    shuffle carries ≤ 256 rows per group per partition at any corpus
+    size. At sf0.001 the distinct count sits below 2.5m → linear
+    counting branch; at sf0.01 it clears it → raw harmonic branch, so
+    the two scales jointly exercise both code paths."""
+    from etl_demos_spark.operators import sketches as sk
+
+    li = T(spark, sf_dir, "lineitem")
+    regs = sk.hll_registers(li, ("l_returnflag",), "l_orderkey")
+    return sk.hll_estimate(regs, ("l_returnflag",))
+
+
 @workload(
     "q_tfidf",
     oracle="""

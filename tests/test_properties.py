@@ -288,3 +288,73 @@ def test_kmv_estimate_tracks_true_cardinality(spark):
     est = kmv_estimate(sk, ("g",), k=256).collect()[0]
     assert est["n_kept"] == 256
     assert abs(est["est_distinct"] - n_true) / n_true < 0.25
+
+
+@given(
+    a=st.lists(st.integers(min_value=0, max_value=500), max_size=60),
+    b=st.lists(st.integers(min_value=0, max_value=500), max_size=60),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_hll_registers_merge_like_union(spark, a, b):
+    """Portable-HLL mergeability: per-part register tables merged by
+    MAX ≡ registers of the concatenated input (max commutes with
+    union) — the property that makes per-day register partials safe to
+    roll up without re-reading raw data."""
+    from etl_demos_spark.operators.sketches import hll_registers
+
+    da = spark.createDataFrame([("g", v) for v in a] or [("g", -1)], "g string, v long")
+    db = spark.createDataFrame([("g", v) for v in b] or [("g", -1)], "g string, v long")
+    ra = hll_registers(da, ("g",), "v")
+    rb = hll_registers(db, ("g",), "v")
+    merged = (
+        ra.unionByName(rb)
+        .groupBy("g", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    whole = hll_registers(
+        da.unionByName(db) if a or b else da, ("g",), "v"
+    )
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in whole.collect()
+    }
+
+
+def test_hll_registers_match_python_reference(spark):
+    """Register values pinned to a first-principles Python md5
+    reference (bucket = h % 256, rho = 1 + leading zeros of the
+    remaining 52 bits), and the estimate lands within 3/sqrt(256)
+    ≈ 19% of truth on a 5k-distinct input (well past linear counting)."""
+    import hashlib
+
+    from etl_demos_spark.operators.sketches import hll_estimate, hll_registers
+
+    vals = list(range(5000))
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v long")
+    regs = {
+        (r["bucket"]): r["r"]
+        for r in hll_registers(df, ("g",), "v").collect()
+    }
+    ref: dict[int, int] = {}
+    for v in vals:
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        bucket, rem = h % 256, h >> 8
+        rho = 53 if rem == 0 else 53 - rem.bit_length()
+        ref[bucket] = max(ref.get(bucket, 0), rho)
+    assert regs == ref
+    est = hll_estimate(hll_registers(df, ("g",), "v"), ("g",)).collect()[0]
+    assert abs(est["est"] - 5000) / 5000 < 0.19
+    assert est["zeros"] == 256 - len(ref)
+
+
+def test_hll_estimate_linear_counting_small_range(spark):
+    """Small cardinalities take the linear-counting branch and land
+    within a few percent (m·ln(m/zeros) is near-exact when n << m)."""
+    from etl_demos_spark.operators.sketches import hll_estimate, hll_registers
+
+    df = spark.createDataFrame([("g", v % 40) for v in range(400)], "g string, v long")
+    est = hll_estimate(hll_registers(df, ("g",), "v"), ("g",)).collect()[0]
+    assert abs(est["est"] - 40) <= 4
