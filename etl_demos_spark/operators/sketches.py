@@ -301,3 +301,66 @@ def hll_estimate(
         agg.select(*group_cols, zeros.alias("zeros"), s_int.alias("s_int"))
         .select(*group_cols, "zeros", "s_int", F.round(est, 4).alias("est"))
     )
+
+
+def kmv_set_estimate(
+    sk_a: DataFrame,
+    sk_b: DataFrame,
+    join_cols: tuple[str, ...],
+    k: int = 64,
+) -> DataFrame:
+    """Set-operation estimates from two KMV sketches (Beyer et al.,
+    SIGMOD 2007): the scale answer to "how much do two corpora
+    overlap" — no distinct-join over raw data, just the two k-row
+    sketches. Combine both hash sets, keep the k smallest of the
+    union per group; with u_k = kth/2^60 and K∩ = survivors present
+    in BOTH sketches:
+
+        |A∪B| ≈ (k−1)/u_k       (exact = survivor count below k)
+        ρ = K∩ / kept           (Jaccard estimate; exact below k)
+        |A∩B| ≈ ρ · |A∪B|
+
+    Everything is deterministic integer/md5 state plus one rounded
+    division, so the estimates themselves are cross-engine
+    hash-certifiable — same discipline as :func:`kmv_estimate`.
+
+    Scale shape: a k-row-per-group full-outer join + one windowed
+    top-k — input ∝ sketches, never the underlying sets. Groups
+    present in only one sketch degrade gracefully (K∩ = 0).
+
+    Returns (join_cols..., kept, k_inter, jacc, est_union,
+    est_inter)."""
+    from pyspark.sql import Window as W
+
+    a = sk_a.select(*join_cols, "h").withColumn("in_a", F.lit(1))
+    b = sk_b.select(*join_cols, "h").withColumn("in_b", F.lit(1))
+    m = a.join(b, [*join_cols, "h"], "full_outer").select(
+        *join_cols,
+        "h",
+        F.coalesce("in_a", F.lit(0)).alias("in_a"),
+        F.coalesce("in_b", F.lit(0)).alias("in_b"),
+    )
+    wnd = W.partitionBy(*join_cols).orderBy("h")
+    topk = m.withColumn("rn", F.row_number().over(wnd)).filter(
+        F.col("rn") <= k
+    )
+    two60 = float(1 << 60)
+    agg = topk.groupBy(*join_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("kept"),
+        F.max("h").alias("kth"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("k_inter"),
+    )
+    est_union = F.when(
+        F.col("kept") < k, F.col("kept").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) / (F.col("kth").cast("double") / F.lit(two60))
+    )
+    jacc = F.col("k_inter").cast("double") / F.col("kept").cast("double")
+    return agg.select(
+        *join_cols,
+        "kept",
+        "k_inter",
+        F.round(jacc, 4).alias("jacc"),
+        F.round(est_union, 4).alias("est_union"),
+        F.round(jacc * est_union, 4).alias("est_inter"),
+    )

@@ -630,6 +630,9 @@ _LATE: tuple[str, ...] = (
                            # q_embed_covariance PCA slot — multimodal
                            # stays in-window via q_binary_meta +
                            # q_multimodal_decode
+    "q_kmv_overlap",       # paired from birth; KMV set-op estimates —
+                           # same sketch machinery as the in-window
+                           # q_kmv_distinct / q_hll_distinct slots
     "q_event_funnel",      # r03 in-window pass; displaced by the new
                            # q_hll_distinct portable-sketch slot — the
                            # event family stays in-window via

@@ -3398,6 +3398,79 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.hll_estimate(regs, ("l_returnflag",))
 
 
+_KMV_OVERLAP_ORACLE = """
+    WITH ha AS (
+        SELECT o_orderpriority AS g,
+               CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS h
+        FROM orders WHERE o_orderstatus = 'F' GROUP BY 1, 2
+    ), ka AS (
+        SELECT g, h FROM (
+            SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+            FROM ha) WHERE rn <= 64
+    ), hb AS (
+        SELECT o_orderpriority AS g,
+               CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS h
+        FROM orders WHERE o_orderstatus = 'O' GROUP BY 1, 2
+    ), kb AS (
+        SELECT g, h FROM (
+            SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+            FROM hb) WHERE rn <= 64
+    ), m AS (
+        SELECT COALESCE(ka.g, kb.g) AS g, COALESCE(ka.h, kb.h) AS h,
+               CASE WHEN ka.h IS NULL THEN 0 ELSE 1 END AS in_a,
+               CASE WHEN kb.h IS NULL THEN 0 ELSE 1 END AS in_b
+        FROM ka FULL OUTER JOIN kb ON ka.g = kb.g AND ka.h = kb.h
+    ), t AS (
+        SELECT g, h, in_a, in_b,
+               row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+        FROM m
+    ), a AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS kept, MAX(h) AS kth,
+               CAST(SUM(in_a * in_b) AS BIGINT) AS k_inter
+        FROM t WHERE rn <= 64 GROUP BY g
+    )
+    SELECT g AS o_orderpriority, kept, k_inter,
+           ROUND(CAST(k_inter AS DOUBLE) / CAST(kept AS DOUBLE), 4) AS jacc,
+           ROUND(CASE WHEN kept < 64 THEN CAST(kept AS DOUBLE)
+                 ELSE 63.0 / (CAST(kth AS DOUBLE) / 1.152921504606847e18)
+                 END, 4) AS est_union,
+           ROUND((CAST(k_inter AS DOUBLE) / CAST(kept AS DOUBLE))
+                 * (CASE WHEN kept < 64 THEN CAST(kept AS DOUBLE)
+                    ELSE 63.0 / (CAST(kth AS DOUBLE) / 1.152921504606847e18)
+                    END), 4) AS est_inter
+    FROM a
+    """
+
+
+@workload("q_kmv_overlap", oracle=_KMV_OVERLAP_ORACLE, tags=("ext-sketch",))
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-operation estimates (operators/sketches.py
+    kmv_set_estimate, Beyer et al. SIGMOD 2007): per order priority,
+    how much do the completed-order and open-order customer
+    populations overlap — answered from two 64-row sketches, never a
+    distinct-join over the raw sets (the corpus-overlap / train-eval
+    contamination-rate question at 100 TB). Jaccard, union and
+    intersection estimates are deterministic md5/integer state plus
+    rounded divisions, so the driver hash certifies them all; exact
+    below k. Registered _LATE (paired, hash-verified every local run);
+    the sketch family's in-window slots are q_kmv_distinct +
+    q_hll_distinct."""
+    from etl_demos_spark.operators import sketches as sk
+
+    o = T(spark, sf_dir, "orders")
+    a = sk.kmv_sketch(
+        o.filter(F.col("o_orderstatus") == "F"),
+        ("o_orderpriority",), "o_custkey", k=_KMV_K,
+    )
+    b = sk.kmv_sketch(
+        o.filter(F.col("o_orderstatus") == "O"),
+        ("o_orderpriority",), "o_custkey", k=_KMV_K,
+    )
+    return sk.kmv_set_estimate(a, b, ("o_orderpriority",), k=_KMV_K)
+
+
 @workload(
     "q_tfidf",
     oracle="""

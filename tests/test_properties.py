@@ -358,3 +358,45 @@ def test_hll_estimate_linear_counting_small_range(spark):
     df = spark.createDataFrame([("g", v % 40) for v in range(400)], "g string, v long")
     est = hll_estimate(hll_registers(df, ("g",), "v"), ("g",)).collect()[0]
     assert abs(est["est"] - 40) <= 4
+
+
+def test_kmv_set_estimate_exact_below_k(spark):
+    """Below k the combined hash set is complete, so Jaccard, union and
+    intersection are all EXACT — checked against python set math."""
+    from etl_demos_spark.operators.sketches import kmv_set_estimate, kmv_sketch
+
+    A = set(range(0, 30))
+    B = set(range(20, 45))
+    da = spark.createDataFrame([("g", v) for v in A], "g string, v long")
+    db = spark.createDataFrame([("g", v) for v in B], "g string, v long")
+    k = 64
+    out = kmv_set_estimate(
+        kmv_sketch(da, ("g",), "v", k=k),
+        kmv_sketch(db, ("g",), "v", k=k),
+        ("g",), k=k,
+    ).collect()[0]
+    assert out["kept"] == len(A | B)
+    assert out["k_inter"] == len(A & B)
+    assert out["est_union"] == float(len(A | B))
+    assert abs(out["est_inter"] - len(A & B)) < 1e-9
+    assert abs(out["jacc"] - len(A & B) / len(A | B)) < 1e-4
+
+
+def test_kmv_set_estimate_planted_overlap_accuracy(spark):
+    """5k-element sets with 50% planted overlap: k=256 estimates land
+    within ~3/sqrt(k) of truth for union, intersection, and Jaccard."""
+    from etl_demos_spark.operators.sketches import kmv_set_estimate, kmv_sketch
+
+    A = set(range(0, 5000))
+    B = set(range(2500, 7500))
+    da = spark.createDataFrame([("g", v) for v in A], "g string, v long")
+    db = spark.createDataFrame([("g", v) for v in B], "g string, v long")
+    k = 256
+    out = kmv_set_estimate(
+        kmv_sketch(da, ("g",), "v", k=k),
+        kmv_sketch(db, ("g",), "v", k=k),
+        ("g",), k=k,
+    ).collect()[0]
+    assert abs(out["est_union"] - 7500) / 7500 < 0.2
+    assert abs(out["est_inter"] - 2500) / 2500 < 0.35
+    assert abs(out["jacc"] - 2500 / 7500) < 0.12
