@@ -70,6 +70,9 @@ HEADLINE = [
     "q_range_frame",
     "q_dup_spans",
     "q_kmv_distinct",
+    "q_embed_covariance",
+    "q_hll_distinct",
+    "q_kmv_overlap",
 ]
 
 

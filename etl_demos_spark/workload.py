@@ -630,6 +630,15 @@ _LATE: tuple[str, ...] = (
                            # q_embed_covariance PCA slot — multimodal
                            # stays in-window via q_binary_meta +
                            # q_multimodal_decode
+    "q_train_classifier",  # rows-only (iterative GD is not SQL-
+                           # expressible; bit-identical sequential-
+                           # reference pin in tests/test_classifier.py);
+                           # the classifier family's driver slot is
+                           # q_linear_score
+    "q_snapshot_diff",     # r03+r04 in-window passes; displaced by the
+                           # new q_linear_score classifier slot — the
+                           # incremental family stays in-window via
+                           # q_incremental_merge
     "q_kmv_overlap",       # paired from birth; KMV set-op estimates —
                            # same sketch machinery as the in-window
                            # q_kmv_distinct / q_hll_distinct slots

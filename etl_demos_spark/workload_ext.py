@@ -3471,6 +3471,83 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.kmv_set_estimate(a, b, ("o_orderpriority",), k=_KMV_K)
 
 
+_LINSCORE_ORACLE = """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+        FROM documents
+    ), feats AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 4096
+                   AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM tok WHERE tok <> '' GROUP BY 1, 2
+    ), w AS (
+        SELECT i AS bucket,
+               CAST('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 15)
+                    AS BIGINT) % 2001 - 1000 AS w_int
+        FROM range(4096) t(i)
+    ), s AS (
+        SELECT doc_id,
+               CAST(SUM(cnt * w_int) AS BIGINT) AS score_milli
+        FROM feats JOIN w USING (bucket)
+        GROUP BY doc_id
+    )
+    SELECT doc_id, score_milli,
+           ROUND(1.0 / (1.0 + exp(-(CAST(score_milli AS DOUBLE) / 1000.0))),
+                 4) AS prob
+    FROM s
+    """
+
+
+@workload("q_linear_score", oracle=_LINSCORE_ORACLE, tags=("ext-classify",))
+def q_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear inference inside the pipeline
+    (operators/classifier.py): hashed bag-of-words (one codegen'd
+    explode → md5 bucket → count pass), broadcast dense weight join,
+    EXACT int64 milli-weight dot product — the only double op is the
+    final sigmoid, so the driver hash certifies model inference
+    end-to-end (score integers exactly, probability at 4 decimals).
+    Weights here are the deterministic seeded fixture model both
+    engines derive from md5 (seeded_milli_weights); a deployment swaps
+    in a trained table, same plan. No Python in the hot path."""
+    from etl_demos_spark.operators import classifier as clf
+
+    d = T(spark, sf_dir, "documents")
+    feats = clf.hashed_features(d, "text", "doc_id", 4096)
+    w = spark.range(4096).select(
+        F.col("id").alias("bucket"),
+        clf.seeded_milli_weights(F.col("id")).alias("w_int"),
+    )
+    return clf.linear_score_milli(feats, w, "doc_id")
+
+
+@workload("q_train_classifier", oracle=None, tags=("ext-classify",))
+def q_train_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression training + prediction
+    (operators/classifier.py train_logreg): batch GD over hashed
+    features with the int64 nano-weight discipline — margins and
+    gradients are exact order-independent integer sums, so the whole
+    3-iteration run is bit-deterministic on any partitioning
+    (replicated weight-for-weight by a sequential Python reference in
+    tests/test_classifier.py — that pin is the oracle; iterative
+    training itself is not SQL-expressible → rows-only). Per iteration:
+    one doc-keyed + one bucket-keyed combiner shuffle; only ≤ n_buckets
+    integers ever reach the driver (the k-means centroid pattern).
+    Trains y = (lang = 'en') on the documents corpus."""
+    from etl_demos_spark.operators import classifier as clf
+
+    d = T(spark, sf_dir, "documents")
+    feats = clf.hashed_features(d, "text", "doc_id", 512)
+    lab = d.select(
+        "doc_id", (F.col("lang") == "en").cast("long").alias("y")
+    )
+    w = clf.train_logreg(feats, lab, n_buckets=512, lr=0.5, iters=3)
+    return clf.predict(feats, w, "doc_id").select(
+        "doc_id", "prob", "pred"
+    )
+
+
 @workload(
     "q_tfidf",
     oracle="""

@@ -1,0 +1,148 @@
+"""Hashed-feature linear classifier: reference pins + learnability.
+
+The training loop's determinism rests on the integer discipline
+(int64 nano-weights, residuals quantized before aggregation), so the
+whole T-iteration run is replicable by a sequential Python reference —
+that replica IS the correctness oracle for the non-SQL-expressible
+training query (q_train_classifier, rows-only).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
+import pyspark.sql.functions as F
+
+from etl_demos_spark.operators import classifier as clf
+
+
+def _md5_long(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _feats_ref(docs: list[tuple[int, str]], n_buckets: int):
+    out: dict[tuple[int, int], int] = {}
+    for i, text in docs:
+        for tok in text.lower().split():
+            if tok:
+                b = _md5_long(tok) % n_buckets
+                out[(i, b)] = out.get((i, b), 0) + 1
+    return out
+
+
+def _spark_round0(x: float) -> int:
+    # Spark round(double, 0): BigDecimal.valueOf(d).setScale(0, HALF_UP)
+    return int(Decimal(repr(x)).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+
+def _train_ref(feats, labels, n_buckets, lr, iters):
+    n = len(labels)
+    w: dict[int, int] = {}
+    for _ in range(iters):
+        margins: dict[int, int] = {i: 0 for i in labels}
+        for (i, b), cnt in feats.items():
+            margins[i] = margins.get(i, 0) + cnt * w.get(b, 0)
+        r_int = {}
+        for i, y in labels.items():
+            p = 1.0 / (1.0 + math.exp(-(margins.get(i, 0) / 1.0e9)))
+            r_int[i] = _spark_round0((p - y) * 1.0e9)
+        grad: dict[int, int] = {}
+        for (i, b), cnt in feats.items():
+            grad[b] = grad.get(b, 0) + cnt * r_int[i]
+        for b, g_int in grad.items():
+            cur = w.get(b, 0) / 1.0e9
+            upd = cur - lr * ((g_int / 1.0e9) / n)
+            w[b] = int(round(upd * 1.0e9))
+    return w
+
+
+_DOCS = [
+    (0, "great solid excellent reliable fast"),
+    (1, "great good excellent shiny robust"),
+    (2, "excellent reliable delightful good fast"),
+    (3, "broken terrible slow awful flaky"),
+    (4, "awful broken flaky terrible sad"),
+    (5, "terrible slow broken awful noisy"),
+    (6, "good fast delightful robust shiny"),
+    (7, "flaky sad noisy slow broken"),
+]
+_LABELS = {0: 1, 1: 1, 2: 1, 3: 0, 4: 0, 5: 0, 6: 1, 7: 0}
+
+
+def test_hashed_features_match_python_reference(spark):
+    nb = 256
+    df = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["bucket"]): r["cnt"]
+        for r in clf.hashed_features(df, "text", "doc_id", nb).collect()
+    }
+    assert got == _feats_ref(_DOCS, nb)
+
+
+def test_train_logreg_bit_identical_to_sequential_reference(spark):
+    nb, lr, iters = 256, 0.8, 3
+    df = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    lab = spark.createDataFrame(
+        list(_LABELS.items()), "doc_id long, y long"
+    )
+    feats = clf.hashed_features(df, "text", "doc_id", nb)
+    # repartition shuffles row placement: determinism must survive it
+    w = {
+        r["bucket"]: r["w_int"]
+        for r in clf.train_logreg(
+            feats.repartition(7), lab, n_buckets=nb, lr=lr, iters=iters
+        ).collect()
+    }
+    ref = _train_ref(_feats_ref(_DOCS, nb), _LABELS, nb, lr, iters)
+    ref = {b: v for b, v in ref.items() if v != 0 or b in w}
+    assert w == ref
+
+
+def test_train_logreg_learns_separable_labels(spark):
+    # 120 docs, clean lexical separation: positive vocab vs negative
+    pos = ["great", "excellent", "reliable", "fast", "good"]
+    neg = ["broken", "terrible", "awful", "flaky", "slow"]
+    docs, labels = [], []
+    for i in range(120):
+        vocab = pos if i % 2 == 0 else neg
+        toks = [vocab[(i + j) % 5] for j in range(6)]
+        docs.append((i, " ".join(toks)))
+        labels.append((i, 1 if i % 2 == 0 else 0))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    lab = spark.createDataFrame(labels, "doc_id long, y long")
+    feats = clf.hashed_features(df, "text", "doc_id", 512)
+    w = clf.train_logreg(feats, lab, n_buckets=512, lr=1.0, iters=5)
+    pred = clf.predict(feats, w, "doc_id")
+    truth = dict(labels)
+    rows = pred.collect()
+    acc = sum(
+        1 for r in rows if int(r["pred"]) == truth[r["doc_id"]]
+    ) / len(rows)
+    assert acc >= 0.95
+    # probabilities must be meaningfully separated, not threshold noise
+    pos_p = [r["prob"] for r in rows if truth[r["doc_id"]] == 1]
+    neg_p = [r["prob"] for r in rows if truth[r["doc_id"]] == 0]
+    assert min(pos_p) > max(neg_p)
+
+
+def test_linear_score_milli_matches_python_reference(spark):
+    nb = 256
+    df = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    feats = clf.hashed_features(df, "text", "doc_id", nb)
+    wdf = spark.range(nb).select(
+        F.col("id").alias("bucket"),
+        clf.seeded_milli_weights(F.col("id")).alias("w_int"),
+    )
+    got = {
+        r["doc_id"]: (r["score_milli"], r["prob"])
+        for r in clf.linear_score_milli(feats, wdf, "doc_id").collect()
+    }
+    wref = {b: (_md5_long(str(b)) % 2001) - 1000 for b in range(nb)}
+    fref = _feats_ref(_DOCS, nb)
+    for i, _ in _DOCS:
+        s = sum(cnt * wref[b] for (d, b), cnt in fref.items() if d == i)
+        p = 1.0 / (1.0 + math.exp(-s / 1000.0))
+        assert got[i][0] == s
+        assert abs(got[i][1] - p) < 5e-5
