@@ -630,6 +630,10 @@ _LATE: tuple[str, ...] = (
                            # q_embed_covariance PCA slot — multimodal
                            # stays in-window via q_binary_meta +
                            # q_multimodal_decode
+    "q_pack_sequences",    # r03+r04 in-window passes; displaced by the
+                           # new q_dsir_select slot — trainprep stays
+                           # in-window via q_decontaminate +
+                           # q_chunk_docs
     "q_train_classifier",  # rows-only (iterative GD is not SQL-
                            # expressible; bit-identical sequential-
                            # reference pin in tests/test_classifier.py);

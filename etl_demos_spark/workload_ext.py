@@ -3548,6 +3548,82 @@ def q_train_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DSIR_ORACLE = """
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ), tok AS (
+        SELECT doc_id, generate_subscripts(t, 1) AS i, unnest(t) AS g FROM d
+    ), big AS (
+        SELECT a.doc_id, a.g || ' ' || b.g AS g
+        FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    ), grams AS (
+        SELECT doc_id, g FROM tok UNION ALL SELECT doc_id, g FROM big
+    ), feats AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 2048 AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM grams GROUP BY 1, 2
+    ), r AS (
+        SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS cr FROM feats GROUP BY bucket
+    ), t2 AS (
+        SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS ct
+        FROM feats JOIN documents USING (doc_id)
+        WHERE lang = 'en' GROUP BY bucket
+    ), j AS (
+        SELECT r.bucket, COALESCE(t2.ct, 0) AS ct, r.cr,
+               SUM(COALESCE(t2.ct, 0)) OVER () AS tott,
+               SUM(r.cr) OVER () AS totr
+        FROM r LEFT JOIN t2 USING (bucket)
+    ), lam AS (
+        SELECT bucket,
+               CAST(ROUND((ln(CAST(ct + 1 AS DOUBLE))
+                           - ln(CAST(tott + 2048 AS DOUBLE))
+                           - ln(CAST(cr + 1 AS DOUBLE))
+                           + ln(CAST(totr + 2048 AS DOUBLE))) * 1.0e6, 0)
+                    AS BIGINT) AS lr_unats
+        FROM j
+    ), s AS (
+        SELECT doc_id, CAST(SUM(cnt * lr_unats) AS BIGINT) AS score_unats
+        FROM feats JOIN lam USING (bucket) GROUP BY doc_id
+    ), keyed AS (
+        SELECT doc_id, score_unats,
+               CAST(score_unats AS DOUBLE) / 1.0e6
+               - ln(-ln(((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                             1, 15) AS BIGINT)
+                          % 4503599627370496) + 0.5)
+                        / 4503599627370496.0)) AS key
+        FROM s
+    )
+    SELECT doc_id, score_unats, CAST(rn AS BIGINT) AS rn FROM (
+        SELECT doc_id, score_unats,
+               row_number() OVER (ORDER BY key DESC, doc_id) AS rn
+        FROM keyed
+    ) sub WHERE rn <= 100
+    """
+
+
+@workload("q_dsir_select", oracle=_DSIR_ORACLE, tags=("ext-trainprep",))
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators/dsir.py, Xie et al. 2023):
+    hashed unigram+bigram features in one codegen'd pass, two
+    bucket-keyed combiner aggs collapse the corpus to a ≤ 2048-row
+    log-ratio table (quantized to integer micro-nats — the only libm
+    call sits behind a 1e-6 quantizer), per-doc importance scores as
+    exact int64 dot products against the broadcast table, and Gumbel
+    top-k selection keyed on the portable md5 uniform — deterministic,
+    replayable 'random' sampling ∝ exp(score). Target domain here:
+    lang='en' documents. The driver hash certifies features,
+    distributions, exact scores, AND the sampled selection itself."""
+    from etl_demos_spark.operators import dsir
+
+    d = T(spark, sf_dir, "documents")
+    tgt = d.filter(F.col("lang") == "en").select("doc_id")
+    return dsir.dsir_select(d, tgt, k=100, n_buckets=2048)
+
+
 @workload(
     "q_tfidf",
     oracle="""
