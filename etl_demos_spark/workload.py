@@ -630,6 +630,14 @@ _LATE: tuple[str, ...] = (
                            # q_embed_covariance PCA slot — multimodal
                            # stays in-window via q_binary_meta +
                            # q_multimodal_decode
+    "q_copurchase",        # paired from birth; co-occurrence family's
+                           # driver slot is q_ppmi (same pair machinery)
+    "q_triangles",         # paired from birth; graph primitive over the
+                           # q_copurchase edge list — same family slot
+    "q_repetition",        # r03+r04 in-window passes; displaced by the
+                           # new q_ppmi co-occurrence slot — text stays
+                           # in-window via q_text_quality + q_lang_id +
+                           # q_lm_quality
     "q_pack_sequences",    # r03+r04 in-window passes; displaced by the
                            # new q_dsir_select slot — trainprep stays
                            # in-window via q_decontaminate +

@@ -3624,6 +3624,130 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir.dsir_select(d, tgt, k=100, n_buckets=2048)
 
 
+_PPMI_ORACLE = """
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ), tok AS (
+        SELECT doc_id, generate_subscripts(t, 1) AS i, unnest(t) AS w FROM d
+    ), pr AS (
+        SELECT LEAST(a.w, b.w) AS w1, GREATEST(a.w, b.w) AS w2
+        FROM tok a
+        CROSS JOIN (VALUES (1), (2)) o(dd)
+        JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + o.dd
+    ), p AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_pair
+        FROM pr GROUP BY 1, 2
+        HAVING COUNT(*) >= 5
+    ), marg AS (
+        SELECT w, CAST(SUM(c_pair) AS BIGINT) AS c_w FROM (
+            SELECT w1 AS w, c_pair FROM p
+            UNION ALL SELECT w2 AS w, c_pair FROM p
+        ) GROUP BY w
+    ), tot AS (
+        SELECT CAST(SUM(c_pair) AS BIGINT) AS n_tot FROM p
+    )
+    SELECT p.w1, p.w2, p.c_pair,
+           ROUND(GREATEST(ln(CAST(p.c_pair * tot.n_tot AS DOUBLE)
+                             / CAST(m1.c_w * m2.c_w AS DOUBLE)), 0.0),
+                 6) AS ppmi
+    FROM p
+    JOIN marg m1 ON m1.w = p.w1
+    JOIN marg m2 ON m2.w = p.w2
+    CROSS JOIN tot
+    """
+
+
+@workload("q_ppmi", oracle=_PPMI_ORACLE, tags=("ext-cooccur",))
+def q_ppmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPMI token co-occurrence matrix (operators/cooccur.py, Church &
+    Hanks 1990 — the word2vec/GloVe distributional-embedding prep):
+    positions explode once, a bounded ±2 offset join replaces the
+    quadratic within-window self-join (pair rows ∝ tokens × window),
+    margins re-aggregate from the pair table (text read once), and the
+    single ln runs over exact integer ratios → the driver hash
+    certifies the whole matrix at 6 decimals."""
+    from etl_demos_spark.operators import cooccur
+
+    d = T(spark, sf_dir, "documents")
+    pairs = cooccur.token_pair_counts(d, "text", "doc_id", window=2)
+    return cooccur.ppmi_scores(pairs, min_pair=5)
+
+
+_COPURCHASE_ORACLE = """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+        FROM lineitem
+    ), sized AS (
+        SELECT basket FROM items GROUP BY basket HAVING COUNT(*) <= 64
+    ), kept AS (
+        SELECT i.basket, i.item FROM items i JOIN sized USING (basket)
+    )
+    SELECT a.item AS item_a, b.item AS item_b,
+           CAST(COUNT(*) AS BIGINT) AS support
+    FROM kept a JOIN kept b ON a.basket = b.basket AND a.item < b.item
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """
+
+
+@workload("q_copurchase", oracle=_COPURCHASE_ORACLE, tags=("ext-cooccur",))
+def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence (operators/cooccur.py basket_pairs):
+    distinct items per order, oversized baskets dropped (the standard
+    guard bounding the quadratic pair fan-out — at 100 TB a single
+    pathological session cannot blow up the join), one basket-keyed
+    self-join, combiner-friendly pair-count agg, support ≥ 2.
+    Registered _LATE; the co-occurrence family's driver slot is
+    q_ppmi."""
+    from etl_demos_spark.operators import cooccur
+
+    li = T(spark, sf_dir, "lineitem")
+    return cooccur.basket_pairs(
+        li, "l_orderkey", "l_partkey", max_basket=64, min_support=2
+    )
+
+
+_TRIANGLES_ORACLE = """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+        FROM lineitem
+    ), sized AS (
+        SELECT basket FROM items GROUP BY basket HAVING COUNT(*) <= 64
+    ), kept AS (
+        SELECT i.basket, i.item FROM items i JOIN sized USING (basket)
+    ), e AS (
+        SELECT a.item AS a, b.item AS b
+        FROM kept a JOIN kept b ON a.basket = b.basket AND a.item < b.item
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM e ab
+    JOIN e bc ON bc.a = ab.b
+    JOIN e ac ON ac.a = ab.a AND ac.b = bc.b
+    """
+
+
+@workload("q_triangles", oracle=_TRIANGLES_ORACLE, tags=("ext-cooccur",))
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count (operators/cooccur.py triangle_count) over the
+    support-≥2 co-purchase graph: the join-based algorithm on the
+    (a < b)-canonicalized edge list — wedges from e⋈e closed by a
+    third hash join, each triangle counted once via the total order.
+    Support pruning runs BEFORE the joins so wedge fan-out ∝ surviving
+    edges. Registered _LATE; family slot is q_ppmi."""
+    from etl_demos_spark.operators import cooccur
+
+    li = T(spark, sf_dir, "lineitem")
+    edges = cooccur.basket_pairs(
+        li, "l_orderkey", "l_partkey", max_basket=64, min_support=2
+    )
+    return cooccur.triangle_count(edges)
+
+
 @workload(
     "q_tfidf",
     oracle="""

@@ -1,0 +1,108 @@
+"""Co-occurrence analytics: reference pins for pairs, PPMI, triangles."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from etl_demos_spark.operators import cooccur
+
+
+def test_basket_pairs_counts_and_guards(spark):
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"), (1, "a"),   # dup item counts once
+        (2, "a"), (2, "b"),
+        (3, "b"), (3, "c"),
+        (4, "a"), (4, "b"),
+    ]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    got = {
+        (r["item_a"], r["item_b"]): r["support"]
+        for r in cooccur.basket_pairs(df, "basket", "item").collect()
+    }
+    assert got == {("a", "b"): 3, ("a", "c"): 1, ("b", "c"): 2}
+    # max_basket guard drops the big basket entirely
+    big = rows + [(9, f"x{i}") for i in range(5)]
+    dfb = spark.createDataFrame(big, "basket long, item string")
+    got2 = {
+        (r["item_a"], r["item_b"]): r["support"]
+        for r in cooccur.basket_pairs(dfb, "basket", "item", max_basket=4).collect()
+    }
+    assert got2 == got
+    got3 = {
+        (r["item_a"], r["item_b"]): r["support"]
+        for r in cooccur.basket_pairs(df, "basket", "item", min_support=2).collect()
+    }
+    assert got3 == {("a", "b"): 3, ("b", "c"): 2}
+
+
+def _pair_ref(docs, window):
+    c = Counter()
+    for _, text in docs:
+        toks = [t for t in text.lower().split() if t]
+        for i, w in enumerate(toks):
+            for d in range(1, window + 1):
+                if i + d < len(toks):
+                    a, b = sorted((w, toks[i + d]))
+                    c[(a, b)] += 1
+    return dict(c)
+
+
+_DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick red fox runs over the quick dog"),
+    (2, "a lazy dog sleeps under the brown tree"),
+]
+
+
+def test_token_pair_counts_match_python_reference(spark):
+    df = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    for w in (1, 2, 3):
+        got = {
+            (r["w1"], r["w2"]): r["c_pair"]
+            for r in cooccur.token_pair_counts(df, "text", "doc_id", w).collect()
+        }
+        assert got == _pair_ref(_DOCS, w), w
+
+
+def test_ppmi_matches_python_reference(spark):
+    df = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    pairs = cooccur.token_pair_counts(df, "text", "doc_id", 2)
+    got = {
+        (r["w1"], r["w2"]): (r["c_pair"], r["ppmi"])
+        for r in cooccur.ppmi_scores(pairs, min_pair=2).collect()
+    }
+    ref_pairs = {k: v for k, v in _pair_ref(_DOCS, 2).items() if v >= 2}
+    marg = Counter()
+    for (a, b), c in ref_pairs.items():
+        marg[a] += c
+        marg[b] += c
+    n = sum(ref_pairs.values())
+    for (a, b), c in ref_pairs.items():
+        pmi = math.log(c * n / (marg[a] * marg[b]))
+        want = round(max(pmi, 0.0), 6)
+        assert got[(a, b)][0] == c
+        assert abs(got[(a, b)][1] - want) < 1e-9, (a, b)
+    assert set(got) == set(ref_pairs)
+
+
+def test_triangle_count_known_graphs(spark):
+    # K4 has 4 triangles; adding a pendant edge changes nothing
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    df = spark.createDataFrame(
+        [(a, b) for a, b in k4] + [("d", "e")],
+        "item_a string, item_b string",
+    )
+    assert cooccur.triangle_count(df).collect()[0]["n_triangles"] == 4
+    # triangle-free bipartite-ish graph
+    df2 = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")],
+        "item_a string, item_b string",
+    )
+    assert cooccur.triangle_count(df2).collect()[0]["n_triangles"] == 0
+    # un-canonicalized + duplicated input is normalized internally
+    df3 = spark.createDataFrame(
+        [("b", "a"), ("a", "b"), ("c", "a"), ("b", "c")],
+        "item_a string, item_b string",
+    )
+    assert cooccur.triangle_count(df3).collect()[0]["n_triangles"] == 1
