@@ -181,3 +181,78 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     return closed.select(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
+
+
+def item_cosine_from_pairs(
+    pairs: DataFrame,
+    min_support: int = 1,
+) -> DataFrame:
+    """Item-item cosine similarity on implicit feedback, straight from
+    the co-occurrence pair table: sim(a,b) = support(a,b) /
+    √(deg(a)·deg(b)) where deg(x) = Σ support over pairs touching x —
+    margins re-aggregate from the (tiny relative to raw) pair table,
+    the PPMI discipline. One sqrt per surviving pair over exact
+    integers, rounded 6 → oracle-pairable. The classic
+    item-based-recommender scoring (Sarwar et al. 2001) without ever
+    materializing user×item vectors.
+
+    Returns (item_a, item_b, support, cosine)."""
+    p = pairs.filter(F.col("support") >= min_support)
+    m = (
+        p.select(F.col("item_a").alias("item"), "support")
+        .unionByName(p.select(F.col("item_b").alias("item"), "support"))
+        .groupBy("item")
+        .agg(F.sum("support").cast("long").alias("deg"))
+    )
+    j = (
+        p.join(m.select(F.col("item").alias("item_a"),
+                        F.col("deg").alias("deg_a")), "item_a")
+        .join(m.select(F.col("item").alias("item_b"),
+                       F.col("deg").alias("deg_b")), "item_b")
+    )
+    return j.select(
+        "item_a",
+        "item_b",
+        "support",
+        F.round(
+            F.col("support").cast("double")
+            / F.sqrt((F.col("deg_a") * F.col("deg_b")).cast("double")),
+            6,
+        ).alias("cosine"),
+    )
+
+
+def transition_counts(
+    df: DataFrame,
+    seq_col: str,
+    order_cols: tuple[str, ...],
+    state_col: str,
+) -> DataFrame:
+    """First-order Markov transition counts + conditional probabilities
+    over per-key ordered event sequences: one window lag per key (the
+    order is made total by ``order_cols`` — pass a tie-breaker id so
+    results are deterministic), exact pair counts, P(next|cur) =
+    c(cur,next)/c(cur·) as one rounded division. The sequence-model /
+    next-event-prediction prep shape; scales as one key-partitioned
+    window plus a combiner-friendly pair agg.
+
+    Returns (cur, nxt, c_trans, p_trans)."""
+    from pyspark.sql import Window as W
+
+    wnd = W.partitionBy(seq_col).orderBy(*order_cols)
+    lagged = df.select(
+        F.col(state_col).alias("cur"),
+        F.lead(state_col).over(wnd).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    c = lagged.groupBy("cur", "nxt").agg(
+        F.count(F.lit(1)).cast("long").alias("c_trans")
+    )
+    tot = c.groupBy("cur").agg(F.sum("c_trans").cast("long").alias("c_cur"))
+    return c.join(tot, "cur").select(
+        "cur",
+        "nxt",
+        "c_trans",
+        F.round(
+            F.col("c_trans").cast("double") / F.col("c_cur").cast("double"), 6
+        ).alias("p_trans"),
+    )

@@ -229,3 +229,72 @@ def equi_depth_hist_scale(
         )
         .select((F.col("bucket0") + 1).cast("long").alias("bucket"), "n", "lo", "hi")
     )
+
+
+def psi_drift(
+    ref: "DataFrame",
+    cur: "DataFrame",
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+) -> "DataFrame":
+    """Population Stability Index between a reference and a current
+    sample of ``value_col`` — THE deployed-model drift monitor:
+    PSI = Σ_bins (pᵢ − qᵢ)·ln(pᵢ/qᵢ). Fixed-width bins over [lo, hi]
+    (fixed cut points, not data-dependent quantiles, so two engines — 
+    and two days' runs — bin identically; out-of-range values clamp to
+    the edge bins) with +1 Laplace smoothing per bin so empty bins
+    stay finite, the DSIR smoothing discipline. Two combiner-friendly
+    bin-count aggs (output ∝ n_bins, never rows), proportions as exact
+    integer ratios, one ln per bin, per-bin terms rounded 9 and summed
+    — oracle-pairable end-to-end. Interpretation thresholds (industry
+    convention): < 0.1 stable, 0.1–0.25 moderate, > 0.25 shifted.
+
+    Returns a 1-row (psi, n_ref, n_cur) DataFrame."""
+    width = (hi - lo) / n_bins
+
+    def binned(df: "DataFrame", name: str) -> "DataFrame":
+        b = F.least(
+            F.lit(n_bins - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col(value_col).cast("double") - F.lit(lo))
+                    / F.lit(width)
+                ).cast("long"),
+            ),
+        )
+        return df.select(b.alias("bin")).groupBy("bin").agg(
+            F.count(F.lit(1)).cast("long").alias(name)
+        )
+    rb = binned(ref, "c_ref")
+    cb = binned(cur, "c_cur")
+    allbins = ref.sparkSession.range(n_bins).select(
+        F.col("id").alias("bin")
+    )
+    j = (
+        allbins.join(rb, "bin", "left")
+        .join(cb, "bin", "left")
+        .select(
+            "bin",
+            (F.coalesce("c_ref", F.lit(0)) + 1).alias("sr"),
+            (F.coalesce("c_cur", F.lit(0)) + 1).alias("sc"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    wall = W.partitionBy()
+    t = j.select(
+        "sr", "sc",
+        F.sum("sr").over(wall).alias("tr"),
+        F.sum("sc").over(wall).alias("tc"),
+    )
+    p = F.col("sr").cast("double") / F.col("tr").cast("double")
+    q = F.col("sc").cast("double") / F.col("tc").cast("double")
+    term = F.round((p - q) * F.log(p / q), 9)
+    return t.select(term.alias("term"), "tr", "tc").agg(
+        F.round(F.sum("term"), 9).alias("psi"),
+        (F.max("tr") - F.lit(n_bins)).cast("long").alias("n_ref"),
+        (F.max("tc") - F.lit(n_bins)).cast("long").alias("n_cur"),
+    )

@@ -630,6 +630,15 @@ _LATE: tuple[str, ...] = (
                            # q_embed_covariance PCA slot — multimodal
                            # stays in-window via q_binary_meta +
                            # q_multimodal_decode
+    "q_item_sim",          # paired from birth; recommender cosine over
+                           # the q_copurchase pair table (family slot
+                           # q_ppmi)
+    "q_markov_transitions",# paired from birth; sequence-prep window
+                           # lead — in-window relatives
+                           # q_event_sessions + q_event_sliding
+    "q_psi_drift",         # paired from birth; drift monitor — binning/
+                           # moment machinery in-window via
+                           # q_feature_scale
     "q_copurchase",        # paired from birth; co-occurrence family's
                            # driver slot is q_ppmi (same pair machinery)
     "q_triangles",         # paired from birth; graph primitive over the

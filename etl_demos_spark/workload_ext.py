@@ -3748,6 +3748,151 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cooccur.triangle_count(edges)
 
 
+_ITEMSIM_ORACLE = """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+        FROM lineitem
+    ), sized AS (
+        SELECT basket FROM items GROUP BY basket HAVING COUNT(*) <= 64
+    ), kept AS (
+        SELECT i.basket, i.item FROM items i JOIN sized USING (basket)
+    ), p AS (
+        SELECT a.item AS item_a, b.item AS item_b,
+               CAST(COUNT(*) AS BIGINT) AS support
+        FROM kept a JOIN kept b ON a.basket = b.basket AND a.item < b.item
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    ), marg AS (
+        SELECT item, CAST(SUM(support) AS BIGINT) AS deg FROM (
+            SELECT item_a AS item, support FROM p
+            UNION ALL SELECT item_b AS item, support FROM p
+        ) GROUP BY item
+    )
+    SELECT p.item_a, p.item_b, p.support,
+           ROUND(CAST(p.support AS DOUBLE)
+                 / sqrt(CAST(ma.deg * mb.deg AS DOUBLE)), 6) AS cosine
+    FROM p
+    JOIN marg ma ON ma.item = p.item_a
+    JOIN marg mb ON mb.item = p.item_b
+    """
+
+
+@workload("q_item_sim", oracle=_ITEMSIM_ORACLE, tags=("ext-cooccur",))
+def q_item_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-based recommender scoring (operators/cooccur.py
+    item_cosine_from_pairs, Sarwar et al. 2001): cosine on implicit
+    feedback computed entirely from the co-occurrence pair table —
+    degrees re-aggregate from pairs (raw baskets read once), one sqrt
+    per surviving pair over exact integers. Registered _LATE; family
+    slot q_ppmi."""
+    from etl_demos_spark.operators import cooccur
+
+    li = T(spark, sf_dir, "lineitem")
+    pairs = cooccur.basket_pairs(
+        li, "l_orderkey", "l_partkey", max_basket=64, min_support=2
+    )
+    return cooccur.item_cosine_from_pairs(pairs)
+
+
+_MARKOV_ORACLE = """
+    WITH seq AS (
+        SELECT user_id, event_type AS cur,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS nxt
+        FROM events
+    ), c AS (
+        SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS c_trans
+        FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ), tot AS (
+        SELECT cur, CAST(SUM(c_trans) AS BIGINT) AS c_cur FROM c GROUP BY cur
+    )
+    SELECT c.cur, c.nxt, c.c_trans,
+           ROUND(CAST(c.c_trans AS DOUBLE) / CAST(tot.c_cur AS DOUBLE), 6)
+               AS p_trans
+    FROM c JOIN tot ON tot.cur = c.cur
+    """
+
+
+@workload("q_markov_transitions", oracle=_MARKOV_ORACLE, tags=("ext-cooccur",))
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event streams
+    (operators/cooccur.py transition_counts) — the next-event-
+    prediction / session-model prep: one key-partitioned window lead
+    with a total order (ts, event_id tie-break → deterministic), exact
+    pair counts, conditional probabilities as one rounded division.
+    Registered _LATE; the sequence machinery's in-window relatives are
+    q_event_sessions + q_event_sliding."""
+    from etl_demos_spark.operators import cooccur
+
+    ev = T(spark, sf_dir, "events")
+    return cooccur.transition_counts(
+        ev, "user_id", ("ts", "event_id"), "event_type"
+    )
+
+
+_PSI_SPLIT = "2024-01-16 00:00:00"      # month midpoint (naive UTC)
+_PSI_ORACLE = """
+    WITH rb AS (
+        SELECT LEAST(9, GREATEST(0,
+                   CAST(floor(CAST(value AS DOUBLE) / 50.0) AS BIGINT)))
+                   AS bin,
+               CAST(COUNT(*) AS BIGINT) AS c_ref
+        FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+        GROUP BY 1
+    ), cb AS (
+        SELECT LEAST(9, GREATEST(0,
+                   CAST(floor(CAST(value AS DOUBLE) / 50.0) AS BIGINT)))
+                   AS bin,
+               CAST(COUNT(*) AS BIGINT) AS c_cur
+        FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+        GROUP BY 1
+    ), allbins AS (
+        SELECT i AS bin FROM range(10) t(i)
+    ), j AS (
+        SELECT allbins.bin,
+               COALESCE(rb.c_ref, 0) + 1 AS sr,
+               COALESCE(cb.c_cur, 0) + 1 AS sc
+        FROM allbins
+        LEFT JOIN rb USING (bin) LEFT JOIN cb USING (bin)
+    ), t AS (
+        SELECT sr, sc, SUM(sr) OVER () AS tr, SUM(sc) OVER () AS tc FROM j
+    ), terms AS (
+        SELECT ROUND((CAST(sr AS DOUBLE) / CAST(tr AS DOUBLE)
+                      - CAST(sc AS DOUBLE) / CAST(tc AS DOUBLE))
+                     * ln((CAST(sr AS DOUBLE) / CAST(tr AS DOUBLE))
+                          / (CAST(sc AS DOUBLE) / CAST(tc AS DOUBLE))),
+                     9) AS term,
+               tr, tc
+        FROM t
+    )
+    SELECT ROUND(SUM(term), 9) AS psi,
+           CAST(MAX(tr) - 10 AS BIGINT) AS n_ref,
+           CAST(MAX(tc) - 10 AS BIGINT) AS n_cur
+    FROM terms
+    """
+
+
+@workload("q_psi_drift", oracle=_PSI_ORACLE, tags=("ext-features",))
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift monitor (operators/features.py
+    psi_drift): events `value` in the first half of the month vs the
+    second — fixed-width bins over [0, 500] (fixed cuts, so engines
+    and days bin identically; edges clamp), +1 Laplace smoothing keeps
+    empty bins finite, two n_bins-row combiner aggs, per-bin
+    (p−q)·ln(p/q) terms rounded 9 then summed. The deployed-model
+    monitoring primitive at 100 TB: output ∝ bins, never rows.
+    Registered _LATE; the binning/moment machinery's in-window relative
+    is q_feature_scale."""
+    from etl_demos_spark.operators.features import psi_drift
+
+    ev = T(spark, sf_dir, "events")
+    split = F.lit(_PSI_SPLIT).cast("timestamp_ntz")
+    ref = ev.filter(F.col("ts") < split)
+    cur = ev.filter(F.col("ts") >= split)
+    return psi_drift(ref, cur, "value", lo=0.0, hi=500.0, n_bins=10)
+
+
 @workload(
     "q_tfidf",
     oracle="""

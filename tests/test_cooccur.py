@@ -106,3 +106,36 @@ def test_triangle_count_known_graphs(spark):
         "item_a string, item_b string",
     )
     assert cooccur.triangle_count(df3).collect()[0]["n_triangles"] == 1
+
+
+def test_item_cosine_matches_python_reference(spark):
+    import math
+
+    pairs = [("a", "b", 6), ("a", "c", 2), ("b", "c", 4)]
+    df = spark.createDataFrame(pairs, "item_a string, item_b string, support long")
+    got = {
+        (r["item_a"], r["item_b"]): (r["support"], r["cosine"])
+        for r in cooccur.item_cosine_from_pairs(df).collect()
+    }
+    deg = {"a": 8, "b": 10, "c": 6}
+    for a, b, s in pairs:
+        want = round(s / math.sqrt(deg[a] * deg[b]), 6)
+        assert got[(a, b)] == (s, want)
+
+
+def test_transition_counts_deterministic_and_exact(spark):
+    rows = [
+        # user 1: v -> c -> p ; user 2: v -> v -> c ; ties broken by id
+        (1, 10, 1, "v"), (1, 20, 2, "c"), (1, 30, 3, "p"),
+        (2, 10, 4, "v"), (2, 10, 5, "v"), (2, 40, 6, "c"),
+    ]
+    df = spark.createDataFrame(rows, "u long, ts long, eid long, et string")
+    got = {
+        (r["cur"], r["nxt"]): (r["c_trans"], r["p_trans"])
+        for r in cooccur.transition_counts(df, "u", ("ts", "eid"), "et").collect()
+    }
+    assert got == {
+        ("v", "c"): (2, 0.666667),
+        ("v", "v"): (1, 0.333333),
+        ("c", "p"): (1, 1.0),
+    }

@@ -82,3 +82,38 @@ def test_equi_depth_scale_is_distributed(spark):
     )._jdf.queryExecution().executedPlan().toString()
     # dense_ids plans a range exchange, not a SinglePartition window sort
     assert "rangepartitioning" in plan.lower()
+
+
+def test_psi_drift_identical_and_shifted(spark):
+    import math
+
+    from etl_demos_spark.operators.features import psi_drift
+
+    same = spark.createDataFrame([(float(v % 100),) for v in range(500)], "value double")
+    out = psi_drift(same, same, "value", lo=0.0, hi=100.0, n_bins=10).collect()[0]
+    assert out["psi"] == 0.0 and out["n_ref"] == 500 and out["n_cur"] == 500
+
+    lo_half = spark.createDataFrame([(float(v % 50),) for v in range(500)], "value double")
+    hi_half = spark.createDataFrame([(float(50 + v % 50),) for v in range(500)], "value double")
+    shifted = psi_drift(lo_half, hi_half, "value", lo=0.0, hi=100.0, n_bins=10).collect()[0]
+    assert shifted["psi"] > 0.25  # industry "significant shift" threshold
+
+    # python reference on a mixed case, including edge clamping
+    ref_vals = [(-5.0,), (3.0,), (17.0,), (42.0,), (99.0,), (150.0,)]
+    cur_vals = [(1.0,), (1.5,), (44.0,), (98.0,)]
+    rdf = spark.createDataFrame(ref_vals, "value double")
+    cdf = spark.createDataFrame(cur_vals, "value double")
+    got = psi_drift(rdf, cdf, "value", lo=0.0, hi=100.0, n_bins=10).collect()[0]
+    def bins(vals):
+        c = [0] * 10
+        for (v,) in vals:
+            c[min(9, max(0, math.floor(v / 10.0)))] += 1
+        return [x + 1 for x in c]
+    sr, sc = bins(ref_vals), bins(cur_vals)
+    tr, tc = sum(sr), sum(sc)
+    psi = round(sum(
+        round((a / tr - b / tc) * math.log((a / tr) / (b / tc)), 9)
+        for a, b in zip(sr, sc)
+    ), 9)
+    assert got["psi"] == psi
+    assert got["n_ref"] == len(ref_vals) and got["n_cur"] == len(cur_vals)
