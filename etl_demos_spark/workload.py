@@ -630,6 +630,12 @@ _LATE: tuple[str, ...] = (
                            # q_embed_covariance PCA slot — multimodal
                            # stays in-window via q_binary_meta +
                            # q_multimodal_decode
+    "q_ab_test",           # paired from birth; md5 hash-split +
+                           # two-proportion z — assignment machinery
+                           # in-window via the md5 discipline
+                           # (q_dedup_minhash, q_heavy_hitters)
+    "q_seasonal_naive",    # paired from birth; daily-agg date join —
+                           # relatives q_event_sliding, q_gap_fill
     "q_item_sim",          # paired from birth; recommender cosine over
                            # the q_copurchase pair table (family slot
                            # q_ppmi)

@@ -3893,6 +3893,150 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_drift(ref, cur, "value", lo=0.0, hi=500.0, n_bins=10)
 
 
+_ABTEST_ORACLE = """
+    WITH u AS (
+        SELECT user_id,
+               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) % 2 AS variant,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY user_id
+    ), v AS (
+        SELECT variant,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(converted) AS BIGINT) AS n_conv
+        FROM u GROUP BY variant
+    ), w AS (
+        SELECT
+            MAX(CASE WHEN variant = 0 THEN n_users END) AS n0,
+            MAX(CASE WHEN variant = 0 THEN n_conv END) AS c0,
+            MAX(CASE WHEN variant = 1 THEN n_users END) AS n1,
+            MAX(CASE WHEN variant = 1 THEN n_conv END) AS c1
+        FROM v
+    )
+    , se AS (
+        SELECT *,
+               sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                    * (1.0 - CAST(c0 + c1 AS DOUBLE)
+                             / CAST(n0 + n1 AS DOUBLE))
+                    * (1.0 / CAST(n0 AS DOUBLE)
+                       + 1.0 / CAST(n1 AS DOUBLE))) AS s
+        FROM w
+    )
+    SELECT n0, c0, n1, c1,
+           ROUND(CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) AS rate0,
+           ROUND(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS rate1,
+           ROUND(CASE WHEN s > 0
+                      THEN (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                            - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)) / s
+                      ELSE 0.0 END, 4) AS z,
+           CASE WHEN s > 0
+                THEN abs((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                          - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)) / s)
+                     > 1.96
+                ELSE FALSE END AS significant
+    FROM se
+    """
+
+
+@workload("q_ab_test", oracle=_ABTEST_ORACLE, tags=("ext-stats",))
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B test with deterministic assignment: variant =
+    md5(user) % 2 (the portable hash-split discipline — replayable,
+    engine-reproducible, no assignment table to store), conversion =
+    any purchase event, pooled two-proportion z-statistic and the 95%
+    significance verdict — exact integer counts everywhere, doubles
+    only in the final ratio/sqrt expression both engines share. One
+    user-keyed agg + one 2-row agg: experiment readout costs two
+    combiner shuffles at any corpus size."""
+    ev = T(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    )
+    from etl_demos_spark.operators.dedup import md5_long
+
+    u = u.select(
+        (md5_long(F.col("user_id").cast("string")) % 2).alias("variant"),
+        "converted",
+    )
+    v = u.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_conv"),
+    )
+    w = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_conv"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_conv"))).alias("c1"),
+    )
+    n0, c0 = F.col("n0").cast("double"), F.col("c0").cast("double")
+    n1, c1 = F.col("n1").cast("double"), F.col("c1").cast("double")
+    pooled = (c0 + c1) / (n0 + n1)
+    se = F.sqrt(
+        pooled * (F.lit(1.0) - pooled) * (F.lit(1.0) / n0 + F.lit(1.0) / n1)
+    )
+    # degenerate experiments (0% or 100% pooled conversion) have no
+    # defined z; report 0 / not-significant instead of dividing by zero
+    z = F.when(se > 0, (c1 / n1 - c0 / n0) / se).otherwise(F.lit(0.0))
+    return w.select(
+        "n0", "c0", "n1", "c1",
+        F.round(c0 / n0, 6).alias("rate0"),
+        F.round(c1 / n1, 6).alias("rate1"),
+        F.round(z, 4).alias("z"),
+        F.when(se > 0, F.abs(z) > 1.96).otherwise(F.lit(False)).alias("significant"),
+    )
+
+
+_SEASONAL_ORACLE = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), j AS (
+        SELECT a.event_type, a.d, a.n, b.n AS pred
+        FROM daily a JOIN daily b
+          ON b.event_type = a.event_type AND b.d = a.d - 7
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(CAST(SUM(abs(n - pred)) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS mae
+    FROM j GROUP BY event_type
+    """
+
+
+@workload("q_seasonal_naive", oracle=_SEASONAL_ORACLE, tags=("ext-stats",))
+def q_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast baseline + MAE evaluation: predict each
+    day's event count with the same weekday last week (an exact-offset
+    date join, robust to gaps where a window lag-7-rows is not), score
+    by mean absolute error — the forecasting-eval primitive every
+    metrics pipeline needs before anything fancier earns its keep.
+    Exact integer counts and |diffs|; one rounded division per group.
+    Daily pre-aggregation means the comparison costs days × types,
+    never raw rows."""
+    ev = T(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    pred = daily.select(
+        "event_type",
+        F.date_add("d", 7).alias("d"),
+        F.col("n").alias("pred"),
+    )
+    j = daily.join(pred, ["event_type", "d"])
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(
+            F.sum(F.abs(F.col("n") - F.col("pred"))).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mae"),
+    )
+
+
 @workload(
     "q_tfidf",
     oracle="""
