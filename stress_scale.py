@@ -164,6 +164,49 @@ def stress_incremental_minhash(spark, corpus_n=50_000, batch_n=10_000,
     }
 
 
+def stress_gram_covariance(spark, n=500_000, dim=64):
+    """Scenario C — the distributed PCA moment pass at 500k×64 (250×
+    the sf0.1 embeddings table): vectors generated in Spark, ONE
+    augmented int64 GEMM partial per Arrow batch, DECIMAL(38,0) merge.
+    Verifies (1) the count cell equals N exactly, (2) the whole
+    (d+1)²/2-cell Gram matrix is BIT-IDENTICAL across two different
+    partitionings (the decimal merge is order-independent — the claim
+    that makes the pass safe on any cluster layout), and records wall
+    time for the corpus pass."""
+    from etl_demos_spark.operators.embeddings import GRAM_SCALE, gram_matrix
+
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.pmod(F.xxhash64(F.concat_ws("g", F.col("id"), j)), 100_000)
+        / 50_000.0
+        - 1.0,
+    )
+    df = spark.range(n).select(
+        F.col("id").alias("vec_id"), vec.cast("array<double>").alias("embedding")
+    )
+    t0 = time.time()
+    g1 = {
+        (r["i"], r["j"]): str(r["s"])
+        for r in gram_matrix(df.repartition(64), "embedding").collect()
+    }
+    wall = time.time() - t0
+    g2 = {
+        (r["i"], r["j"]): str(r["s"])
+        for r in gram_matrix(df.repartition(17), "embedding").collect()
+    }
+    n_cell = int(g1[(dim, dim)]) // (GRAM_SCALE * GRAM_SCALE)
+    return {
+        "scenario": "gram_covariance_pass",
+        "n_vectors": n,
+        "dim": dim,
+        "wall_s": round(wall, 2),
+        "cells": len(g1),
+        "count_cell_exact": n_cell == n,
+        "bit_identical_across_partitionings": g1 == g2,
+        "ok": (n_cell == n) and g1 == g2 and len(g1) == (dim + 2) * (dim + 1) // 2,
+    }
+
+
 def main():
     quick = len(sys.argv) > 1 and sys.argv[1] == "quick"
     spark = get_spark("stress-scale")
@@ -171,12 +214,15 @@ def main():
     if quick:
         a = stress_tiled_embedding_dedup(spark, n=250_000)
         b = stress_incremental_minhash(spark, corpus_n=5_000, batch_n=1_000)
+        c = stress_gram_covariance(spark, n=100_000)
     else:
         a = stress_tiled_embedding_dedup(spark)
         b = stress_incremental_minhash(spark)
+        c = stress_gram_covariance(spark)
     print(json.dumps(a))
     print(json.dumps(b))
-    if not (a["ok"] and b["ok"]):
+    print(json.dumps(c))
+    if not (a["ok"] and b["ok"] and c["ok"]):
         sys.exit(1)
 
 
