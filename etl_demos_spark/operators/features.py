@@ -402,3 +402,93 @@ def poisson_bootstrap_ci(
         "n_rows", "mean", "ci_lo", "ci_hi",
         F.lit(n_replicas).cast("long").alias("n_replicas"),
     )
+
+
+def mad_outlier_counts(
+    df: "DataFrame",
+    group_col: str,
+    value_col: str,
+    k: float = 3.0,
+) -> "DataFrame":
+    """Robust anomaly detection per group: median + MAD (median
+    absolute deviation), flag |x − med| > k·1.4826·MAD (1.4826 makes
+    MAD a consistent σ estimator under normality). Two grouped exact
+    interpolated percentiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont`` — the repo's established pairing) with the tiny
+    per-group medians broadcast back between passes; at full corpus
+    swap in percentile_approx, same plan shape (the quantile_profile
+    discipline). Returns (group, med, mad, n, n_outliers)."""
+    med = df.groupBy(group_col).agg(
+        F.round(F.percentile(value_col, F.lit(0.5)), 6).alias("med")
+    )
+    dev = df.join(F.broadcast(med), group_col).select(
+        group_col, "med",
+        F.abs(F.col(value_col) - F.col("med")).alias("ad"),
+        F.col(value_col).alias("__v"),
+    )
+    mad = dev.groupBy(group_col).agg(
+        F.round(F.percentile("ad", F.lit(0.5)), 6).alias("mad")
+    )
+    j = dev.join(F.broadcast(mad), group_col)
+    thresh = F.lit(1.4826) * F.col("mad") * F.lit(k)
+    return (
+        j.groupBy(group_col, "med", "mad")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(F.abs(F.col("__v") - F.col("med")) > thresh, 1)
+                .otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+    )
+
+
+def groupwise_ols(
+    df: "DataFrame",
+    group_col: str,
+    x_col,
+    y_col,
+    scale: int = 100,
+) -> "DataFrame":
+    """Per-group simple linear regression (trend per key) in ONE
+    combiner-friendly pass — the moment trick: slope = (nΣxy − ΣxΣy) /
+    (nΣx² − (Σx)²), intercept = (Σy − slope·Σx)/n, r² from the same
+    five sums. Inputs are quantized to 1/``scale`` integers so every
+    moment is an EXACT int64/decimal sum (the Gram-pass discipline —
+    order-independent, engine-portable); doubles appear only in the
+    final closed-form division, rounded 6. Degenerate groups (zero x
+    variance) return NULL slope rather than dividing by zero.
+
+    Returns (group, n, slope, intercept, r2)."""
+    xq = F.round(F.col(x_col).cast("double") * scale, 0).cast("long")
+    yq = F.round(F.col(y_col).cast("double") * scale, 0).cast("long")
+    m = df.select(F.col(group_col).alias("g"), xq.alias("x"), yq.alias("y"))
+    agg = m.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    slope = F.when(vx > 0, cov / vx)
+    intercept = F.when(
+        vx > 0, (sy - (cov / vx) * sx) / n / F.lit(float(scale))
+    )
+    r2 = F.when((vx > 0) & (vy > 0), (cov * cov) / (vx * vy))
+    return agg.select(
+        F.col("g").alias(group_col),
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )

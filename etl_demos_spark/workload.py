@@ -630,6 +630,12 @@ _LATE: tuple[str, ...] = (
                            # q_embed_covariance PCA slot — multimodal
                            # stays in-window via q_binary_meta +
                            # q_multimodal_decode
+    "q_anomaly_mad",       # paired from birth; robust outlier monitor —
+                           # percentile pairing in-window via
+                           # q_feature_scale
+    "q_trend_ols",         # paired from birth; moment-sum OLS — exact-
+                           # decimal machinery in-window (money_sum,
+                           # q_embed_covariance)
     "q_bootstrap_ci",      # paired from birth; Poisson bootstrap —
                            # md5-uniform + decimal-exact machinery all
                            # in-window elsewhere (md5 discipline,

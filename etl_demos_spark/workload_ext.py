@@ -4109,6 +4109,98 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MAD_ORACLE = """
+    WITH med AS (
+        SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS med
+        FROM events GROUP BY 1
+    ), dev AS (
+        SELECT e.event_type, m.med, abs(e.value - m.med) AS ad,
+               e.value AS v
+        FROM events e JOIN med m USING (event_type)
+    ), mad AS (
+        SELECT event_type, ROUND(quantile_cont(ad, 0.5), 6) AS mad
+        FROM dev GROUP BY 1
+    )
+    SELECT d.event_type, d.med, m2.mad,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN abs(d.v - d.med) > 1.4826 * m2.mad * 3.0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m2 USING (event_type)
+    GROUP BY 1, 2, 3
+    """
+
+
+@workload("q_anomaly_mad", oracle=_MAD_ORACLE, tags=("ext-stats",))
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group anomaly counts (operators/features.py
+    mad_outlier_counts): median + MAD with the 1.4826 consistency
+    constant, |x − med| > 3σ̂ flags — the outlier monitor that survives
+    heavy tails where mean/stddev breaks. Exact interpolated
+    percentiles (Spark percentile ≡ DuckDB quantile_cont, the repo's
+    established pairing), per-group scalars broadcast back between the
+    two passes. Registered _LATE; relatives q_feature_scale (in-window)
+    + q_psi_drift."""
+    from etl_demos_spark.operators.features import mad_outlier_counts
+
+    ev = T(spark, sf_dir, "events")
+    return mad_outlier_counts(ev, "event_type", "value", k=3.0)
+
+
+_OLS_ORACLE = """
+    WITH m AS (
+        SELECT event_type AS g,
+               CAST(ROUND((CAST(ts AS DATE) - DATE '2024-01-01') * 100.0, 0)
+                    AS BIGINT) AS x,
+               CAST(ROUND(value * 100.0, 0) AS BIGINT) AS y
+        FROM events
+    ), agg AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx,
+               CAST(SUM(y * y) AS DOUBLE) AS syy
+        FROM m GROUP BY g
+    )
+    SELECT g AS event_type, n,
+           ROUND(CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+                      THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+                           / (CAST(n AS DOUBLE) * sxx - sx * sx) END,
+                 6) AS slope,
+           ROUND(CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+                      THEN (sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                                  / (CAST(n AS DOUBLE) * sxx - sx * sx))
+                                 * sx)
+                           / CAST(n AS DOUBLE) / 100.0 END,
+                 6) AS intercept,
+           ROUND(CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+                       AND CAST(n AS DOUBLE) * syy - sy * sy > 0
+                      THEN ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                            * (CAST(n AS DOUBLE) * sxy - sx * sy))
+                           / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+                              * (CAST(n AS DOUBLE) * syy - sy * sy)) END,
+                 6) AS r2
+    FROM agg
+    """
+
+
+@workload("q_trend_ols", oracle=_OLS_ORACLE, tags=("ext-stats",))
+def q_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group linear trend (operators/features.py groupwise_ols):
+    slope/intercept/r² of event value vs day index, closed-form from
+    five moment sums in ONE combiner-friendly pass — inputs quantized
+    to 1/100 integers so every moment is an exact order-independent
+    sum (the Gram-pass discipline) and both engines share the final
+    closed-form doubles verbatim. Zero-variance groups yield NULL,
+    not a division error. Registered _LATE; relative q_feature_scale
+    (in-window moment machinery)."""
+    from etl_demos_spark.operators.features import groupwise_ols
+
+    ev = T(spark, sf_dir, "events")
+    x = F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+    m = ev.select("event_type", x.alias("day_idx"), "value")
+    return groupwise_ols(m, "event_type", "day_idx", "value", scale=100)
+
+
 @workload(
     "q_tfidf",
     oracle="""
