@@ -504,3 +504,66 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
         assert n == expect
     finally:
         spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly")
+
+
+def test_linear_score_broadcasts_weights_no_smj(spark):
+    """Classifier inference: the dense weight table must broadcast —
+    a shuffled join on the bucket key would reshuffle the whole
+    feature table at corpus scale for a KB-sized model."""
+    df = REGISTRY["q_linear_score"].fn(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dsir_scoring_joins_are_broadcast(spark):
+    """DSIR: the ≤ n_buckets log-ratio table must broadcast into the
+    scoring join; the corpus-sized feature table must never be the
+    build side of anything."""
+    df = REGISTRY["q_dsir_select"].fn(spark, SF_DIR)
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_hll_registers_partial_aggregation(spark):
+    """Portable HLL: the register agg must run map-side partials
+    (HashAggregate partial_max before the exchange) so the shuffle
+    carries ≤ m rows per group per partition, not raw rows."""
+    from etl_demos_spark.data import load_table
+    from etl_demos_spark.operators.sketches import hll_registers
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    df = hll_registers(li, ("l_returnflag",), "l_orderkey")
+    plan = plan_of(df)
+    assert "partial_max" in plan or "partial" in plan.lower()
+    # exactly one shuffle: the (group, bucket) agg exchange
+    non_broadcast = [
+        line for line in plan.splitlines()
+        if "Exchange" in line and "BroadcastExchange" not in line
+    ]
+    assert len(non_broadcast) == 1, non_broadcast
+
+
+def test_basket_pairs_no_cartesian(spark):
+    """Co-occurrence self-join must stay an equi-join on the basket
+    key — a relation-level cartesian would be quadratic in baskets."""
+    df = REGISTRY["q_copurchase"].fn(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bootstrap_single_replica_shuffle(spark):
+    """Poisson bootstrap: raw rows explode ×B but must collapse through
+    ONE combiner-friendly replica-keyed aggregation — the whole point
+    of the Poisson formulation is no shuffle of the raw data."""
+    from etl_demos_spark.data import load_table
+    from etl_demos_spark.operators.features import poisson_bootstrap_ci
+
+    ev = load_table(spark, SF_DIR, "events")
+    df = poisson_bootstrap_ci(ev, "value", "event_id", n_replicas=10)
+    plan = plan_of(df)
+    assert "partial" in plan.lower()  # map-side combine on (b)
+    # no join of corpus-sized relations: every join input is ≤ B rows
+    assert "SortMergeJoin" not in plan
