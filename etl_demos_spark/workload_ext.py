@@ -3821,7 +3821,10 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     prediction / session-model prep: one key-partitioned window lead
     with a total order (ts, event_id tie-break → deterministic), exact
     pair counts, conditional probabilities as one rounded division.
-    Registered _LATE; the sequence machinery's in-window relatives are
+    Extends q_event_transitions (counts-only, inline) with the
+    normalized P(next|cur) matrix via the REUSABLE operator —
+    transition_counts works on any (key, order, state) triple, not
+    just events. Registered _LATE; in-window relatives
     q_event_sessions + q_event_sliding."""
     from etl_demos_spark.operators import cooccur
 
@@ -4143,8 +4146,11 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavy tails where mean/stddev breaks. Exact interpolated
     percentiles (Spark percentile ≡ DuckDB quantile_cont, the repo's
     established pairing), per-group scalars broadcast back between the
-    two passes. Registered _LATE; relatives q_feature_scale (in-window)
-    + q_psi_drift."""
+    two passes. The distributional complement of q_rolling_anomaly
+    (temporal z-score against a preceding frame): MAD flags global
+    heavy-tail outliers, the rolling form flags sudden local shifts.
+    Registered _LATE; relatives q_feature_scale (in-window) +
+    q_psi_drift."""
     from etl_demos_spark.operators.features import mad_outlier_counts
 
     ev = T(spark, sf_dir, "events")
