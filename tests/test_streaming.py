@@ -319,3 +319,53 @@ def test_stream_static_join_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) == 3  # 'c' has no dim row
+
+
+def test_streaming_hll_registers_match_batch(spark, tmp_path):
+    """Portable-HLL registers as a STREAMING aggregation: register
+    updates are max-ops (insertion-order-independent), so a complete-
+    mode streaming max-agg over the same rows must land on EXACTLY the
+    batch registers — the per-day-partials-forever pattern running
+    live. Uses the same md5 bucket/rho expressions as the batch
+    operator, certified byte-equal against it."""
+    from etl_demos_spark.operators.dedup import md5_long
+    from etl_demos_spark.operators.sketches import hll_registers
+
+    src = str(tmp_path / "hll_src")
+    ev = load_events(spark, SF_DIR).select("event_type", "user_id")
+    ev.coalesce(2).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    h = md5_long(F.col("user_id").cast("string"))
+    rem = F.shiftrightunsigned(h, 8)
+    rho = F.when(rem == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.bin(rem))
+    )
+    agg = (
+        stream.select(
+            "event_type",
+            (h % 256).cast("long").alias("bucket"),
+            rho.cast("long").alias("rho"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("hll_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["event_type"], r["bucket"]): r["r"]
+        for r in spark.sql("select * from hll_stream").collect()
+    }
+    q.stop()
+    want = {
+        (r["event_type"], r["bucket"]): r["r"]
+        for r in hll_registers(ev, ("event_type",), "user_id").collect()
+    }
+    assert got == want
