@@ -120,6 +120,7 @@ def train_logreg(
     lr: float = 0.5,
     iters: int = 3,
     l2: float = 0.0,
+    add_bias: bool = True,
 ) -> DataFrame:
     """Batch-GD logistic regression over hashed features, deterministic
     on any partitioning via the Gram-pass integer discipline
@@ -139,10 +140,23 @@ def train_logreg(
     far below 2^63 for any realistic doc. Iterative training is not
     SQL-expressible → the registered query is rows-only.
 
+    ``add_bias`` injects a virtual bucket −1 with count 1 per labeled
+    doc — the intercept, trained like any other weight (without it a
+    plain frequency threshold is not representable). `predict` applies
+    the same augmentation, so trained weights and scoring agree.
+
     Returns the final (bucket, w_int) int64 nano-weight DataFrame."""
     spark = feats.sparkSession
     n = labels.count()
     lab = labels.select(id_col, F.col(label_col).cast("double").alias("__y"))
+    if add_bias:
+        feats = feats.unionByName(
+            labels.select(
+                F.col(id_col),
+                F.lit(-1).cast("long").alias("bucket"),
+                F.lit(1).cast("long").alias("cnt"),
+            )
+        )
 
     # bounded dense weight state on the driver (≤ n_buckets ints)
     w: dict[int, int] = {}
@@ -208,10 +222,20 @@ def predict(
     weights: DataFrame,
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    add_bias: bool = True,
 ) -> DataFrame:
     """Probability + hard label from trained int64 nano-weights: exact
     integer margin sum (order-independent), one sigmoid, rounded 6.
-    Same broadcast-join shape as linear_score_milli."""
+    Same broadcast-join shape as linear_score_milli. ``add_bias`` must
+    match training (bucket −1 carries the intercept)."""
+    if add_bias:
+        feats = feats.unionByName(
+            feats.select(id_col).distinct().select(
+                F.col(id_col),
+                F.lit(-1).cast("long").alias("bucket"),
+                F.lit(1).cast("long").alias("cnt"),
+            )
+        )
     j = feats.join(F.broadcast(weights), "bucket", "left").select(
         feats[id_col].alias(id_col),
         (F.col("cnt") * F.coalesce(F.col("w_int"), F.lit(0)))

@@ -39,6 +39,9 @@ def _spark_round0(x: float) -> int:
 
 def _train_ref(feats, labels, n_buckets, lr, iters):
     n = len(labels)
+    feats = dict(feats)
+    for i in labels:  # bias: virtual bucket -1, count 1 per labeled doc
+        feats[(i, -1)] = 1
     w: dict[int, int] = {}
     for _ in range(iters):
         margins: dict[int, int] = {i: 0 for i in labels}

@@ -15,6 +15,7 @@ EXAMPLES = [
     "tokenizer_pipeline.py",
     "vector_search.py",
     "query_acceleration.py",
+    "data_selection.py",
 ]
 EX_DIR = Path(__file__).resolve().parent.parent / "examples"
 
