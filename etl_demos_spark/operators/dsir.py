@@ -94,15 +94,20 @@ def dsir_log_ratios(
     Returns (bucket, lr_unats long)."""
     from pyspark.sql import Window as W
 
-    t = (
-        feats.join(target_ids.select(id_col), id_col, "left_semi")
-        .groupBy("bucket")
-        .agg(F.sum("cnt").cast("long").alias("ct"))
+    # one pass computes BOTH distributions: flag target membership with
+    # a broadcastable left join, then a single bucket-keyed combiner agg
+    # carries (raw, target) sums together — half the shuffles of two
+    # separate aggregations
+    flagged = feats.join(
+        target_ids.select(id_col).withColumn("__t", F.lit(1)),
+        id_col,
+        "left",
     )
-    r = feats.groupBy("bucket").agg(F.sum("cnt").cast("long").alias("cr"))
-    joined = (
-        r.join(t, "bucket", "left")
-        .select("bucket", F.coalesce("ct", F.lit(0)).alias("ct"), "cr")
+    joined = flagged.groupBy("bucket").agg(
+        F.sum(
+            F.when(F.col("__t") == 1, F.col("cnt")).otherwise(0)
+        ).cast("long").alias("ct"),
+        F.sum("cnt").cast("long").alias("cr"),
     )
     wall = W.partitionBy()
     tot = joined.select(
