@@ -364,3 +364,128 @@ def kmv_set_estimate(
         F.round(est_union, 4).alias("est_union"),
         F.round(jacc * est_union, 4).alias("est_inter"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (membership pre-filter)
+# ---------------------------------------------------------------------------
+#
+# The 100 TB pattern: a set of "interesting" keys (eval-set fingerprints
+# for decontamination, deny-listed URLs, already-seen document ids) is
+# compressed to a few KB of bitmap that BROADCASTS to every executor, so
+# a full-corpus scan can drop non-candidates without a shuffle or a join
+# against the key set. Only the (tiny) candidate stream proceeds to the
+# exact check — the same two-phase shape Spark's own runtime bloom-join
+# pruning uses (reference point: InjectRuntimeFilter), here exposed as a
+# user-level, persistable, MERGEABLE artifact: word-wise bit_or of two
+# bloom tables is exactly the bloom of the union of their key sets, so
+# per-day/per-shard partials re-aggregate without re-reading keys.
+#
+# Portability: bit positions come from the repo's md5 idiom
+# (md5("i:key") first 8 hex digits → long, mod n_bits), and the bitmap
+# is packed as 32-bit words carried in BIGINTs — DuckDB's `<<` is
+# overflow-checked at bit 63, so 64-bit words would trap on the sign
+# bit; 32-bit words keep every value positive and bit-identical in both
+# engines. A DuckDB oracle therefore reproduces the filter — words,
+# probe verdicts, false positives — bit-for-bit, and the driver hash
+# certifies the sketch math itself (the cms_build discipline).
+
+
+def _bloom_pos(key, i: int, n_bits: int):
+    """Hash-i bit position for a key: md5("i:key") → first 8 hex → long
+    → mod n_bits. Same engine-portable idiom as _cms_bucket."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{i}:"), key.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % n_bits
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col,
+    n_bits: int = 4096,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Build a bloom bitmap over ``key_col`` as a (word, bits) table of
+    n_bits/32 rows. One exploded pass → word-keyed bit_or: the OR is
+    computed map-side per partition (combiner agg), so the shuffle
+    carries at most n_bits/32 rows per partition regardless of input
+    size. Absent words mean 0 (probe side coalesces)."""
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    pos = F.explode(
+        F.array(*[_bloom_pos(key, i, n_bits) for i in range(n_hashes)])
+    ).alias("p")
+    return (
+        df.select(pos)
+        .select(
+            F.shiftright("p", 5).alias("word"),
+            # 2^bit for bit<32 is exact in a double; F.shiftleft needs a
+            # literal shift amount, so pow is the column-friendly form
+            F.pow(F.lit(2.0), F.col("p").bitwiseAND(F.lit(31)))
+            .cast("long")
+            .alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    bloom: DataFrame,
+    key_col,
+    n_bits: int = 4096,
+    n_hashes: int = 4,
+    flag_col: str = "bloom_hit",
+) -> DataFrame:
+    """Append ``flag_col`` (1 = maybe member, 0 = definitely not) to
+    ``df``. No false negatives ever; false-positive rate ≈
+    (1 − e^(−kn/m))^k. The bloom side is ≤ n_bits/32 rows →
+    broadcast-hinted, so at corpus scale this is a map-only pass over
+    ``df`` (zero shuffle of the probe stream) — the property that makes
+    it a valid 100 TB pre-filter."""
+    from pyspark.sql import functions as _F
+
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    hit = None
+    probed = df
+    for i in range(n_hashes):
+        p = _bloom_pos(key, i, n_bits)
+        b = bloom.select(
+            F.col("word").alias(f"__w{i}"), F.col("bits").alias(f"__b{i}")
+        )
+        probed = probed.join(
+            _F.broadcast(b),
+            F.shiftright(p, 5) == F.col(f"__w{i}"),
+            "left",
+        )
+        this_hit = (
+            F.coalesce(F.col(f"__b{i}"), F.lit(0)).bitwiseAND(
+                F.pow(F.lit(2.0), p.bitwiseAND(F.lit(31))).cast("long")
+            )
+            != 0
+        )
+        hit = this_hit if hit is None else (hit & this_hit)
+    return probed.withColumn(flag_col, hit.cast("int")).drop(
+        *[c for i in range(n_hashes) for c in (f"__w{i}", f"__b{i}")]
+    )
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union two bloom bitmaps: full-outer word join + OR. Exactly the
+    bloom of the union of the key sets (property-tested), so per-shard
+    partials compose without re-reading keys."""
+    return (
+        a.select("word", F.col("bits").alias("ba"))
+        .join(b.select("word", F.col("bits").alias("bb")), "word", "full_outer")
+        .select(
+            "word",
+            (
+                F.coalesce("ba", F.lit(0)).bitwiseOR(F.coalesce("bb", F.lit(0)))
+            ).alias("bits"),
+        )
+    )

@@ -6899,3 +6899,99 @@ def q_bit_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 3).cast("long").alias("shifted_r"),
         F.bit_count(k).cast("long").alias("popcount"),
     )
+
+
+_BLOOM_BITS = 512
+_BLOOM_K = 4
+
+_BLOOM_ORACLE = f"""
+    WITH members AS (
+        SELECT DISTINCT o_custkey AS k FROM orders
+        WHERE o_orderdate >= DATE '1995-03-01'
+          AND o_orderdate < DATE '1995-04-01'
+    ), hs AS (
+        SELECT unnest([0, 1, 2, 3]) AS i
+    ), pos AS (
+        SELECT CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' ||
+                   CAST(k AS VARCHAR)), 1, 8) AS BIGINT) % {_BLOOM_BITS} AS p
+        FROM members CROSS JOIN hs
+    ), words AS (
+        SELECT (p >> 5) AS word,
+               bit_or(1::BIGINT << CAST(p & 31 AS INT)) AS bits
+        FROM pos GROUP BY 1
+    ), probe AS (
+        SELECT c_custkey AS k,
+               CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' ||
+                   CAST(c_custkey AS VARCHAR)), 1, 8) AS BIGINT) % {_BLOOM_BITS} AS p
+        FROM customer CROSS JOIN hs
+    ), hits AS (
+        SELECT k,
+               min(CASE WHEN (coalesce(w.bits, 0) &
+                              (1::BIGINT << CAST(p.p & 31 AS INT))) <> 0
+                        THEN 1 ELSE 0 END) AS hit
+        FROM probe p LEFT JOIN words w ON (p.p >> 5) = w.word
+        GROUP BY k
+    )
+    SELECT h.k AS custkey,
+           CAST(h.hit AS INT) AS bloom_hit,
+           CAST(CASE WHEN m.k IS NOT NULL THEN 1 ELSE 0 END AS INT) AS exact_member,
+           CAST(CASE WHEN h.hit = 1 AND m.k IS NULL THEN 1 ELSE 0 END AS INT) AS false_pos
+    FROM hits h LEFT JOIN members m ON h.k = m.k
+"""
+
+
+@workload("q_bloom_filter", oracle=_BLOOM_ORACLE, tags=("ext-sketch",))
+def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership pre-filter (operators/sketches.py:
+    bloom_build/bloom_probe): the March-1995-buyer key set collapses to
+    a 512-bit bitmap (16 BIGINT words of 32 bits), which then
+    broadcast-probes the full customer table — a map-only pass with zero
+    shuffle of the probe stream, the shape that pre-filters a 100 TB
+    corpus against an eval-set/deny-list before any exact join
+    (compose: bloom_probe → filter hit=1 → q_decontaminate's exact gram
+    match on the surviving sliver). md5 positions + 32-bit words make
+    the bitmap bit-identical in DuckDB (64-bit words would trap DuckDB's
+    overflow-checked << at the sign bit), so the driver hash certifies
+    words, verdicts, AND the false-positive set — no false negatives by
+    construction (probe of every inserted key is asserted hit=1 in
+    tests/test_properties.py, alongside bit_or mergeability).
+
+    Reference anchor: extends the reference's staging existence checks
+    (dbt relationships test, dbt/models/staging) to the sketch-
+    pre-filtered form that survives corpus scale. The bitmap is sized
+    small (512 bits vs 177 keys) deliberately so the driver window
+    certifies a NON-TRIVIAL false-positive set (~32% of non-members),
+    i.e. real bloom semantics rather than a perfect-hash accident."""
+    from etl_demos_spark.operators import sketches as sk
+
+    members = (
+        T(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-03-01"))
+            & (F.col("o_orderdate") < F.lit("1995-04-01"))
+        )
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    bloom = sk.bloom_build(members, "k", n_bits=_BLOOM_BITS, n_hashes=_BLOOM_K)
+    probed = sk.bloom_probe(
+        T(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey")),
+        bloom,
+        "custkey",
+        n_bits=_BLOOM_BITS,
+        n_hashes=_BLOOM_K,
+    )
+    exact = members.withColumn("__m", F.lit(1))
+    return (
+        probed.join(
+            F.broadcast(exact), probed["custkey"] == exact["k"], "left"
+        )
+        .select(
+            "custkey",
+            F.col("bloom_hit").cast("int").alias("bloom_hit"),
+            F.coalesce("__m", F.lit(0)).cast("int").alias("exact_member"),
+            (
+                (F.col("bloom_hit") == 1) & F.col("__m").isNull()
+            ).cast("int").alias("false_pos"),
+        )
+    )

@@ -567,3 +567,20 @@ def test_bootstrap_single_replica_shuffle(spark):
     assert "partial" in plan.lower()  # map-side combine on (b)
     # no join of corpus-sized relations: every join input is ≤ B rows
     assert "SortMergeJoin" not in plan
+
+
+def test_bloom_probe_is_broadcast_only(spark):
+    """Bloom probe: every word-lookup join must be a BroadcastHashJoin
+    (the bitmap is ≤ n_bits/32 rows) — a shuffled join would move the
+    100 TB probe stream to look up a KB-sized sketch, destroying the
+    whole point of the pre-filter. No SortMergeJoin anywhere in the
+    probe path."""
+    from etl_demos_spark.operators.sketches import bloom_build, bloom_probe
+
+    keys = spark.range(100).select(F.col("id").alias("k"))
+    probe = spark.range(1000).select(F.col("id").alias("k"))
+    df = bloom_probe(probe, bloom_build(keys, "k"), "k")
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

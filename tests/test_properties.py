@@ -400,3 +400,52 @@ def test_kmv_set_estimate_planted_overlap_accuracy(spark):
     assert abs(out["est_union"] - 7500) / 7500 < 0.2
     assert abs(out["est_inter"] - 2500) / 2500 < 0.35
     assert abs(out["jacc"] - 2500 / 7500) < 0.12
+
+
+@given(
+    members=st.sets(st.integers(0, 10**6), min_size=1, max_size=40),
+    probes=st.sets(st.integers(0, 10**6), min_size=1, max_size=40),
+)
+@SET
+def test_bloom_has_no_false_negatives(spark, members, probes):
+    """Every inserted key must probe hit=1 (the bloom guarantee that
+    makes it a safe pre-filter: dropped rows are PROVABLY non-members).
+    Probes outside the member set may hit (false positive) — allowed —
+    but a miss must imply true non-membership."""
+    from etl_demos_spark.operators.sketches import bloom_build, bloom_probe
+
+    m = spark.createDataFrame([(k,) for k in members], "k long")
+    p = spark.createDataFrame([(k,) for k in probes | members], "k long")
+    bloom = bloom_build(m, "k", n_bits=256, n_hashes=3)
+    got = {
+        r["k"]: r["bloom_hit"]
+        for r in bloom_probe(p, bloom, "k", n_bits=256, n_hashes=3).collect()
+    }
+    for k in members:
+        assert got[k] == 1, f"false negative for inserted key {k}"
+    for k, hit in got.items():
+        if hit == 0:
+            assert k not in members
+
+
+@given(
+    a=st.sets(st.integers(0, 10**6), min_size=1, max_size=30),
+    b=st.sets(st.integers(0, 10**6), min_size=1, max_size=30),
+)
+@SET
+def test_bloom_merge_equals_bloom_of_union(spark, a, b):
+    """Word-wise OR of two blooms ≡ bloom of the union of the key sets
+    (bit positions depend only on the key) — per-shard partials roll up
+    without re-reading keys, the HLL/KMV mergeability discipline."""
+    from etl_demos_spark.operators.sketches import bloom_build, bloom_merge
+
+    da = spark.createDataFrame([(k,) for k in a], "k long")
+    db = spark.createDataFrame([(k,) for k in b], "k long")
+    merged = bloom_merge(
+        bloom_build(da, "k", n_bits=256, n_hashes=3),
+        bloom_build(db, "k", n_bits=256, n_hashes=3),
+    )
+    whole = bloom_build(da.unionByName(db), "k", n_bits=256, n_hashes=3)
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in whole.collect()
+    }
