@@ -435,3 +435,97 @@ def ivf_assign(
         "cells",
         F.transform(F.slice(ranked, 1, n_cells), lambda s: s["idx"]),
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "query_vec",
+    q_label_col: str = "query_label",
+    method: str = "gemm",
+) -> DataFrame:
+    """Hard-negative mining for metric/contrastive training (the
+    triplet-loss data prep of Schroff et al. 2015 / SimCLR-style
+    batches): for each query, the k most-similar corpus vectors whose
+    ``label`` DIFFERS from the query's — maximally confusing negatives,
+    which train far better than random ones.
+
+    Same scale contract as brute_force_topk: one corpus pass, one GEMM
+    per Arrow batch. The label exclusion is applied INSIDE the scorer —
+    same-label scores are masked to −inf BEFORE the per-batch partial
+    top-k — so pre-pruning stays lossless (the global top-k over
+    non-matching labels is a subset of the union of per-batch top-ks
+    over non-matching labels). Filtering after a plain top-k would be
+    WRONG at scale: a batch's k slots could all be burned on same-label
+    rows, truncating away valid negatives.
+
+    ``method="hof"``: cross-join + label-filter + window — the
+    collect-free cross-check path, pinned identical in tests.
+    Ties broken by corpus id; cos_sim left unrounded (callers round).
+    """
+    if method == "hof":
+        joined = corpus.crossJoin(F.broadcast(queries))
+        scored = joined.filter(F.col(label_col) != F.col(q_label_col)).select(
+            F.col(q_id_col),
+            F.col(id_col),
+            F.col(label_col).alias("neg_label"),
+            cosine(F.col(vec_col), F.col(q_vec_col)).alias("cos_sim"),
+        )
+    else:
+        spark = corpus.sparkSession
+        q_rows = queries.select(q_id_col, q_vec_col, q_label_col).collect()
+        q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+        Qn = _np_norm_rows(np.array([r[1] for r in q_rows], dtype=np.float64))
+        q_labels = np.array([r[2] for r in q_rows], dtype=np.int64)
+        bq = spark.sparkContext.broadcast((q_ids, Qn, q_labels))
+
+        def score(batches):
+            qids, Q, qlab = bq.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                C = _np_norm_rows(
+                    np.array(list(pdf[vec_col]), dtype=np.float64)
+                )
+                S = C @ Q.T
+                c_ids = pdf[id_col].to_numpy()
+                c_lab = pdf[label_col].to_numpy()
+                out = []
+                for j in range(len(qids)):
+                    col = S[:, j].copy()
+                    valid = c_lab != qlab[j]
+                    col[~valid] = -np.inf
+                    kk = min(k, int(valid.sum()))
+                    if kk == 0:
+                        continue
+                    idx = np.lexsort((c_ids, -col))[:kk]
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                q_id_col: np.full(kk, qids[j]),
+                                id_col: c_ids[idx],
+                                "neg_label": c_lab[idx],
+                                "cos_sim": S[idx, j],
+                            }
+                        )
+                    )
+                if out:
+                    yield pd.concat(out, ignore_index=True)
+
+        scored = corpus.select(id_col, vec_col, label_col).mapInPandas(
+            score,
+            f"{q_id_col} long, {id_col} long, neg_label long, cos_sim double",
+        )
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )

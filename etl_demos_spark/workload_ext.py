@@ -6995,3 +6995,58 @@ def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("int").alias("false_pos"),
         )
     )
+
+
+@workload(
+    "q_hard_negatives",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv,
+               label AS qlab
+        FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               CAST(e.label AS BIGINT) AS neg_label,
+               list_cosine_similarity(
+                   list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv
+               ) AS cs
+        FROM embeddings e CROSS JOIN q
+        WHERE e.label <> q.qlab
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, neg_label, cs,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cs DESC, vec_id) AS rn
+        FROM scored
+    )
+    SELECT query_id, vec_id, neg_label, round(cs, 6) AS cos_sim
+    FROM ranked WHERE rn <= 10
+    """,
+    tags=("ext-sim", "ext-trainprep"),
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.py:hard_negatives —
+    the triplet/contrastive training-pair prep): for each query vector,
+    the 10 most-similar corpus vectors with a DIFFERENT label. The
+    label exclusion runs inside the Arrow-batch GEMM scorer (same-label
+    scores masked to −inf before the per-batch partial top-k), keeping
+    the batch pre-pruning lossless — filtering after a plain top-k
+    would silently under-fill when a batch's top slots are same-label.
+    One corpus pass regardless of query count; gemm ≡ hof cross-check
+    pinned in tests/test_similarity.py. Output cosine rounded 1e-6
+    (shared-expression convention)."""
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    out = similarity.hard_negatives(e, q, k=10)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.col("neg_label").cast("long").alias("neg_label"),
+        F.round("cos_sim", 6).alias("cos_sim"),
+    )

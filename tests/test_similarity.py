@@ -178,3 +178,42 @@ def test_ivf_gemm_assignment_matches_expression_form(spark, vectors):
     # schema preserved + cell appended (ivf_write partitions on it)
     assert gemm_df.columns == df.columns + ["cell"]
     assert "MapInPandas" in gemm_df._jdf.queryExecution().toString()
+
+
+def test_hard_negatives_gemm_matches_hof_and_excludes_labels(spark, vectors):
+    """Hard-negative mining: the masked-GEMM path and the cross-join
+    HOF path must agree pair-for-pair, no returned negative may share
+    the query's label, and each returned set must equal the
+    first-principles numpy answer (top-k over label-excluded cosines) —
+    proving the in-scorer mask loses nothing that post-filtering a
+    plain top-k would."""
+    X, df = vectors
+    lab = df.withColumn("label", (F.col("vec_id") % 4).cast("int"))
+    q = lab.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    gemm = similarity.hard_negatives(lab, q, k=7, method="gemm").collect()
+    hof = similarity.hard_negatives(lab, q, k=7, method="hof").collect()
+    assert [(r["query_id"], r["vec_id"], r["neg_label"]) for r in gemm] == [
+        (r["query_id"], r["vec_id"], r["neg_label"]) for r in hof
+    ]
+    for a, b in zip(gemm, hof):
+        assert abs(a["cos_sim"] - b["cos_sim"]) < 1e-9
+
+    Xd = X.astype(np.float64)
+    Xn = Xd / np.linalg.norm(Xd, axis=1, keepdims=True)
+    labels = np.arange(len(X)) % 4
+    by_q = {}
+    for r in gemm:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        assert all(r["neg_label"] != labels[qid] for r in rows)
+        sims = Xn @ Xn[qid]
+        order = [
+            i
+            for i in np.lexsort((np.arange(len(X)), -sims))
+            if labels[i] != labels[qid]
+        ][:7]
+        assert [r["vec_id"] for r in rows] == order
