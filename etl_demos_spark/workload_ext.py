@@ -7050,3 +7050,85 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("neg_label").cast("long").alias("neg_label"),
         F.round("cos_sim", 6).alias("cos_sim"),
     )
+
+
+_NEG_SAMPLE_ORACLE = """
+    WITH cnt AS (
+        SELECT l_partkey AS item, COUNT(*) AS c FROM lineitem GROUP BY 1
+    ), wt AS (
+        SELECT item,
+               CAST(round(pow(CAST(c AS DOUBLE), 0.75) * 1000, 0) AS BIGINT) AS w
+        FROM cnt
+    ), cdf AS (
+        SELECT item, w,
+               CAST(SUM(w) OVER (ORDER BY item
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS cum_hi
+        FROM wt
+    ), cdf2 AS (
+        SELECT item, cum_hi - w AS cum_lo, cum_hi FROM cdf
+    ), tot AS (
+        SELECT MAX(cum_hi) AS W FROM cdf2
+    ), anch AS (
+        SELECT DISTINCT o_custkey AS anchor FROM orders WHERE o_custkey < 100
+    ), draws AS (
+        SELECT anchor, slot,
+               CAST('0x' || substr(md5('neg0' || ':' ||
+                   CAST(anchor AS VARCHAR) || ':' ||
+                   CAST(slot AS VARCHAR)), 1, 15) AS BIGINT) % W AS u
+        FROM anch
+        CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5]) AS slot)
+        CROSS JOIN tot
+    ), hits AS (
+        SELECT d.anchor, d.slot, c.item, d.u
+        FROM draws d
+        JOIN cdf2 c ON d.u >= c.cum_lo AND d.u < c.cum_hi
+    ), pos AS (
+        SELECT DISTINCT o.o_custkey AS anchor, l.l_partkey AS item
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT h.anchor, CAST(h.slot AS BIGINT) AS slot, h.item, CAST(h.u AS BIGINT) AS u
+    FROM hits h
+    LEFT JOIN pos p ON p.anchor = h.anchor AND p.item = h.item
+    WHERE p.anchor IS NULL
+"""
+
+
+@workload("q_neg_sample", oracle=_NEG_SAMPLE_ORACLE, tags=("ext-trainprep",))
+def q_neg_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Popularity-weighted negative sampling (operators/negsample.py,
+    Mikolov et al. 2013 unigram^0.75): 5 deterministic draws per anchor
+    customer from the part-popularity CDF, accidental positives (parts
+    the customer actually bought) anti-joined away. Every draw is a
+    pure function of (seed, anchor, slot) via the portable md5 uniform,
+    so runs, backfills, and engines pick identical negatives — the
+    driver hash certifies the sampler end-to-end (weights → integer
+    CDF → draws → inversion → exclusion). The one libm pow() is
+    quantized at 1e-3 before the exact-int64 cumulative sum (DSIR
+    discipline). Spark inverts the CDF with a bucketed EQUI-join
+    (items replicate to the weight-line buckets their interval
+    touches; each draw computes one bucket) — hash-partitionable,
+    per-draw fan-out ≈ max(1, V/B), never a V-row range probe."""
+    from etl_demos_spark.operators import negsample as ns
+
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    counts = li.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    cdf = ns.popularity_cdf(counts, "item", "cnt", alpha=0.75, scale=1000)
+    anchors = o.filter(F.col("o_custkey") < 100).select(
+        F.col("o_custkey").alias("anchor")
+    )
+    positives = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("anchor"), F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    out = ns.sample_negatives(
+        anchors, cdf, k=5, anchor_col="anchor", seed="neg0",
+        positives=positives, pos_item_col="item",
+    )
+    return out.select(
+        "anchor", F.col("slot").cast("long").alias("slot"), "item", "u"
+    )

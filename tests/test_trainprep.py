@@ -245,3 +245,49 @@ def test_write_training_shards_replays_global_order(spark, tmp_path):
     assert list(replay["doc_id"]) == list(expect["doc_id"])
     sizes = [len(pd.read_parquet(f)) for f in files]
     assert min(sizes) > 0 and max(sizes) - min(sizes) < 500 * 0.5
+
+
+def test_negative_sampler_matches_python_reference(spark):
+    """Full-pipeline pin vs a first-principles single-node reference:
+    integer CDF by item order, u = md5('s:anchor:slot') 60-bit mod W,
+    searchsorted inversion, positive exclusion. Proves the bucketized
+    equi-join inversion is exactly CDF inversion (each draw resolves to
+    the unique containing interval) and survives repartitioning."""
+    import hashlib
+
+    import numpy as np
+
+    from etl_demos_spark.operators import negsample as ns
+
+    counts = [(10 * i + 3, (i % 7) + 1) for i in range(40)]
+    anchors = list(range(6))
+    positives = [(a, 10 * ((a * 3) % 40) + 3) for a in anchors]
+    k, seed = 4, "t1"
+
+    cdf_rows = sorted(counts)
+    ws = [int(round((c ** 0.75) * 1000)) for _, c in cdf_rows]
+    cum = np.cumsum(ws)
+    W = int(cum[-1])
+    expect = set()
+    pos_set = set(positives)
+    for a in anchors:
+        for j in range(1, k + 1):
+            h = int(hashlib.md5(f"{seed}:{a}:{j}".encode()).hexdigest()[:15], 16)
+            u = h % W
+            idx = int(np.searchsorted(cum, u, side="right"))
+            item = cdf_rows[idx][0]
+            if (a, item) not in pos_set:
+                expect.add((a, j, item, u))
+
+    cdx = ns.popularity_cdf(
+        spark.createDataFrame(counts, "item long, cnt long").repartition(5),
+        "item", "cnt",
+    )
+    got = ns.sample_negatives(
+        spark.createDataFrame([(a,) for a in anchors], "anchor long").repartition(3),
+        cdx, k=k, seed=seed, n_buckets=16,
+        positives=spark.createDataFrame(positives, "anchor long, item long"),
+    ).collect()
+    assert {(r["anchor"], r["slot"], r["item"], r["u"]) for r in got} == expect
+    # exactly one item per draw: no duplicate (anchor, slot)
+    assert len(got) == len({(r["anchor"], r["slot"]) for r in got})
