@@ -153,3 +153,65 @@ def flatten_hierarchy(
         if moved == 0:
             break
     return state.select("node", F.col("anc").alias("root"), "depth")
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 3,
+    src: str = "a",
+    dst: str = "b",
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007), made DETERMINISTIC: every node starts labeled with its
+    own id; each round it adopts the most frequent label among its
+    neighbors, ties broken by SMALLEST label. Classic async LPA depends
+    on visit order (engine-dependent, unreproducible); the synchronous
+    min-tie-break form is a pure function of the edge set, so the same
+    communities come out of any engine, any partitioning — and a SQL
+    oracle can replay it as unrolled CTE rounds.
+
+    Per round: ONE |E| join (labels onto undirected edge ends) + ONE
+    (node, label)-keyed count agg + ONE per-node window top-1 — all
+    hash-partitionable; the shuffled payload is (node, label) pairs,
+    ∝ |E|, never adjacency lists. Fixed ``iters`` (the paired-query
+    form); lineage stays linear in iters, and the undirected edge
+    table is persisted once and reused each round.
+
+    Isolated nodes never appear in an edge list and so keep their own
+    label by construction of the caller's node set.
+
+    Returns (node, community).
+    """
+    und = (
+        edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
+        .unionByName(
+            edges.select(F.col(dst).alias("n"), F.col(src).alias("m"))
+        )
+        .persist()
+    )
+    labels = und.select(F.col("n").alias("node")).distinct().select(
+        "node", F.col("node").alias("community")
+    )
+    from pyspark.sql import Window as W
+
+    for _ in range(iters):
+        neigh = und.join(
+            labels.select(
+                F.col("node").alias("m"), F.col("community").alias("nl")
+            ),
+            "m",
+        ).select(F.col("n").alias("node"), F.col("nl").alias("community"))
+        cnt = neigh.groupBy("node", "community").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        wnd = W.partitionBy("node").orderBy(
+            F.col("c").desc(), F.col("community").asc()
+        )
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(wnd))
+            .filter(F.col("rn") == 1)
+            .select("node", "community")
+            .localCheckpoint(eager=True)  # truncate per-round lineage
+        )
+    und.unpersist()
+    return labels

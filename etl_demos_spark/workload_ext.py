@@ -7132,3 +7132,69 @@ def q_neg_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "anchor", F.col("slot").cast("long").alias("slot"), "item", "u"
     )
+
+
+_LPA_ROUND = """
+    , r{i} AS (
+        SELECT u.n AS node, l.community, COUNT(*) AS c
+        FROM und u JOIN l{p} l ON l.node = u.m
+        GROUP BY 1, 2
+    ), l{i} AS (
+        SELECT node, community FROM (
+            SELECT node, community,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY c DESC, community) AS rn
+            FROM r{i}
+        ) WHERE rn = 1
+    )
+"""
+
+_LPA_ORACLE = (
+    """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+        FROM lineitem
+    ), sized AS (
+        SELECT basket FROM items GROUP BY basket HAVING COUNT(*) <= 64
+    ), kept AS (
+        SELECT i.basket, i.item FROM items i JOIN sized USING (basket)
+    ), e AS (
+        SELECT a.item AS a, b.item AS b
+        FROM kept a JOIN kept b ON a.basket = b.basket AND a.item < b.item
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    ), und AS (
+        SELECT a AS n, b AS m FROM e
+        UNION ALL
+        SELECT b AS n, a AS m FROM e
+    ), l0 AS (
+        SELECT DISTINCT n AS node, n AS community FROM und
+    )
+"""
+    + _LPA_ROUND.format(i=1, p=0)
+    + _LPA_ROUND.format(i=2, p=1)
+    + _LPA_ROUND.format(i=3, p=2)
+    + "SELECT node, community FROM l3"
+)
+
+
+@workload("q_label_prop", oracle=_LPA_ORACLE, tags=("ext-graph",))
+def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by deterministic synchronous label
+    propagation (operators/graph.py:label_propagation, Raghavan et al.
+    2007) over the support-≥2 co-purchase graph: 3 rounds of
+    most-frequent-neighbor-label with smallest-label tie-break. The
+    async textbook LPA depends on visit order; this synchronous
+    min-tie-break form is a pure function of the edge set, which is
+    what lets a DuckDB oracle replay it as three unrolled CTE rounds
+    and the driver hash certify the whole community assignment. Per
+    round: one |E| join + one (node,label) combiner agg + one per-node
+    window top-1, lineage truncated per round (the pagerank
+    localCheckpoint discipline)."""
+    from etl_demos_spark.operators import cooccur, graph
+
+    li = T(spark, sf_dir, "lineitem")
+    edges = cooccur.basket_pairs(
+        li, "l_orderkey", "l_partkey", max_basket=64, min_support=2
+    ).select(F.col("item_a").alias("a"), F.col("item_b").alias("b"))
+    return graph.label_propagation(edges, iters=3, src="a", dst="b")

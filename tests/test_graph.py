@@ -62,3 +62,58 @@ def test_flatten_hierarchy_chain_and_forest(spark):
     assert got[101] == (100, 1)
     assert got[102] == (100, 1)
     assert got[103] == (100, 2)
+
+
+def test_label_propagation_two_planted_cliques(spark):
+    """Two 5-cliques joined by one bridge edge: LPA must label each
+    clique with its smallest member id, and the bridge must not merge
+    them (a clique's internal majority beats one cross-edge). Result
+    identical under repartitioning (synchronous + min-tie-break =
+    order-free)."""
+    from etl_demos_spark.operators.graph import label_propagation
+
+    c1 = [(a, b) for a in range(5) for b in range(5) if a < b]
+    c2 = [(a, b) for a in range(10, 15) for b in range(10, 15) if a < b]
+    edges = c1 + c2 + [(4, 10)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(df, iters=4).collect()
+    }
+    assert {got[n] for n in range(5)} == {0}
+    assert {got[n] for n in range(10, 15)} == {10}
+    got2 = {
+        r["node"]: r["community"]
+        for r in label_propagation(df.repartition(7), iters=4).collect()
+    }
+    assert got == got2
+
+
+def test_label_propagation_matches_python_reference(spark):
+    """Synchronous LPA pinned move-for-move against a first-principles
+    Python sweep on an irregular graph (ring + chords): every round's
+    (majority, min-label) choice must agree."""
+    from collections import Counter
+
+    from etl_demos_spark.operators.graph import label_propagation
+
+    edges = [(i, (i + 1) % 12) for i in range(12)] + [(0, 6), (3, 9), (2, 7)]
+    adj: dict[int, list[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    labels = {n: n for n in adj}
+    for _ in range(3):
+        new = {}
+        for n, ns in adj.items():
+            cnt = Counter(labels[m] for m in ns)
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[n] = best[0]
+        labels = new
+
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(df, iters=3).collect()
+    }
+    assert got == labels
