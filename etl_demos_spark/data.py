@@ -65,3 +65,28 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for spark.sql() use."""
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Scale-safe parallelism floor for EXPLODE-AMPLIFIED passes.
+
+    A gram/shingle/n-gram pass multiplies its input ~50-100× before the
+    first shuffle, so its parallelism is pinned to the SCAN's partition
+    count — and a small single-row-group parquet file scans as ONE
+    partition, serializing the heaviest stage of the query onto one
+    core no matter how wide the cluster is (the classic
+    small-input/heavy-derivation trap).
+
+    Round-robin repartition to the session's default parallelism, but
+    ONLY when the scan is narrower than that: on a real multi-split
+    100 TB read (partitions ≫ cores) this is a no-op — it must never
+    coalesce or add a shuffle to an already-parallel scan. The added
+    shuffle moves the PRE-explosion bytes (the small side of the
+    amplification), which is exactly the cheap place to pay for
+    balance.
+    """
+    if min_parts is None:
+        min_parts = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min_parts:
+        return df.repartition(min_parts)
+    return df
