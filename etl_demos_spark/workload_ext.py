@@ -7198,3 +7198,89 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, "l_orderkey", "l_partkey", max_basket=64, min_support=2
     ).select(F.col("item_a").alias("a"), F.col("item_b").alias("b"))
     return graph.label_propagation(edges, iters=3, src="a", dst="b")
+
+
+_ATTRIBUTION_ORACLE = """
+    WITH ev AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type IN ('click', 'view', 'signup')
+                    THEN event_type END AS touch,
+               CASE WHEN event_type = 'purchase'
+                    THEN CAST(value AS DECIMAL(18,2)) END AS rev
+        FROM events
+    ), carried AS (
+        SELECT user_id, rev,
+               first_value(touch IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS first_touch,
+               last_value(touch IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS last_touch
+        FROM ev
+    ), purch AS (
+        SELECT coalesce(first_touch, 'none') AS first_touch,
+               coalesce(last_touch, 'none') AS last_touch,
+               rev
+        FROM carried WHERE rev IS NOT NULL
+    )
+    SELECT role, touch,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(rev) AS DOUBLE) AS revenue
+    FROM (
+        SELECT 'first' AS role, first_touch AS touch, rev FROM purch
+        UNION ALL
+        SELECT 'last' AS role, last_touch AS touch, rev FROM purch
+    )
+    GROUP BY role, touch
+"""
+
+
+@workload("q_attribution", oracle=_ATTRIBUTION_ORACLE, tags=("ext-events",))
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch revenue attribution in ONE window pass
+    (the union-and-carry as-of discipline of operators/asof.py, applied
+    to marketing attribution): touches (click/view/signup) and
+    purchases interleave per user ordered by (ts, event_id); first/last
+    ignorenulls carries attribute every purchase without any join —
+    at 100 TB this is one user-keyed shuffle, versus the naive
+    purchase×touch range join. Revenue sums are DECIMAL(18,2)-exact
+    (order-independent), cast to double only at output (money_sum
+    convention); purchases before any touch attribute to 'none'."""
+    e = T(spark, sf_dir, "events")
+    touch = F.when(
+        F.col("event_type").isin("click", "view", "signup"),
+        F.col("event_type"),
+    )
+    rev = F.when(
+        F.col("event_type") == "purchase",
+        F.col("value").cast("decimal(18,2)"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = e.select(
+        "user_id",
+        rev.alias("rev"),
+        F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
+        F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+    ).filter(F.col("rev").isNotNull())
+    purch = carried.select(
+        F.coalesce("first_touch", F.lit("none")).alias("first_touch"),
+        F.coalesce("last_touch", F.lit("none")).alias("last_touch"),
+        "rev",
+    )
+    roles = purch.select(
+        F.lit("first").alias("role"), F.col("first_touch").alias("touch"), "rev"
+    ).unionByName(
+        purch.select(
+            F.lit("last").alias("role"), F.col("last_touch").alias("touch"), "rev"
+        )
+    )
+    return roles.groupBy("role", "touch").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.sum("rev").cast("double").alias("revenue"),
+    )
