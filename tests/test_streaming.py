@@ -369,3 +369,63 @@ def test_streaming_hll_registers_match_batch(spark, tmp_path):
         for r in hll_registers(ev, ("event_type",), "user_id").collect()
     }
     assert got == want
+
+
+def test_streaming_bloom_words_match_batch(spark, tmp_path):
+    """Portable-bloom bitmap as a STREAMING aggregation: word updates
+    are bit_or ops (commutative, idempotent, insertion-order-
+    independent), so a complete-mode streaming bit_or over the same
+    keys must land on EXACTLY the batch bloom_build words — a live
+    deny-list/eval-set membership filter that any batch probe (or a
+    foreachBatch broadcast) can consume mid-stream."""
+    from etl_demos_spark.operators.sketches import _bloom_pos, bloom_build
+
+    src = str(tmp_path / "bloom_src")
+    ev = load_events(spark, SF_DIR).select("user_id")
+    ev.coalesce(2).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    n_bits, n_hashes = 512, 4
+    stream = spark.readStream.schema(schema).parquet(src)
+    pos = F.explode(
+        F.array(
+            *[
+                _bloom_pos(F.col("user_id"), i, n_bits)
+                for i in range(n_hashes)
+            ]
+        )
+    ).alias("p")
+    agg = (
+        stream.select(pos)
+        .select(
+            F.shiftright("p", 5).alias("word"),
+            F.pow(F.lit(2.0), F.col("p").bitwiseAND(F.lit(31)))
+            .cast("long")
+            .alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("bloom_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["word"], r["bits"])
+        for r in spark.sql("select * from bloom_stream").collect()
+    }
+    q.stop()
+    want = {
+        (r["word"], r["bits"])
+        for r in bloom_build(
+            ev.select(F.col("user_id").alias("k")),
+            "k",
+            n_bits=n_bits,
+            n_hashes=n_hashes,
+        ).collect()
+    }
+    assert got == want
