@@ -84,6 +84,15 @@ def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFr
     shuffle moves the PRE-explosion bytes (the small side of the
     amplification), which is exactly the cheap place to pay for
     balance.
+
+    Apply it ONLY where the floored frame feeds ONE consumer chain
+    (ideally one that persists its result — minhash/simhash signature
+    builds, DSIR features, LM gram passes). Multi-branch consumers
+    re-execute the exchange per branch and their joins reshuffle
+    anyway: measured at sf0.1, flooring the shared postings/position
+    passes made q_text_search 0.7→1.8 s and q_ppmi 1.5→2.1 s, while
+    the single-consumer passes gained 25-60% (q_dsir_select 5.7→2.4,
+    q_dedup_minhash 4.8→3.3, q_lm_quality 2.4→1.9).
     """
     if min_parts is None:
         min_parts = df.sparkSession.sparkContext.defaultParallelism

@@ -88,14 +88,10 @@ def token_pair_counts(
     window, never tokens². Counts are exact integers.
 
     Returns (w1, w2, c_pair)."""
-    from etl_demos_spark.data import ensure_min_partitions
-
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
     )
-    # position explosion pins this stage to the scan's partition count —
-    # floor it (no-op on an already-parallel scan)
-    pos = ensure_min_partitions(df).select(
+    pos = df.select(
         F.col(id_col).alias("__doc"), F.posexplode(toks).alias("p", "w")
     )
     offsets = F.explode(

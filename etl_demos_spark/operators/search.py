@@ -30,9 +30,7 @@ def build_term_index(
     """(term, doc_id, tf) postings from one tokenize pass (lowercased
     word tokens, the corpus-wide convention). Write this partitioned by
     a term hash bucket for point-lookup search at scale."""
-    from etl_demos_spark.data import ensure_min_partitions
-
-    toks = ensure_min_partitions(df).select(
+    toks = df.select(
         F.col(id_col),
         F.explode(
             F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), F.lit(0))

@@ -846,6 +846,22 @@ _LATE: tuple[str, ...] = (
                            # stays late: q_ann_cosine + q_ann_lsh keep
                            # the ANN family in-window, and this is
                            # hash-verified every local parity run
+    # -- round-4 session-4 rotation: five new operator families take
+    #    window slots (q_bloom_filter, q_hard_negatives, q_neg_sample,
+    #    q_label_prop, q_attribution); displaced certified queries below,
+    #    each with its family still in-window:
+    "q_binary_meta",       # r03+r04 in-window passes; multimodal stays
+                           # in-window via q_multimodal_decode
+    "q_event_sliding",     # r03+r04 in-window passes; event windows stay
+                           # via q_event_sessions + q_rollup_cascade
+    "q_date_arithmetic",   # r03+r04 in-window passes; date functions stay
+                           # via q_date_spine (+ bank pipeline date dims)
+    "q_kmv_distinct",      # r04 in-window pass; sketch family stays via
+                           # q_hll_distinct + q_heavy_hitters +
+                           # q_bloom_filter
+    "q_waiting_supplier",  # r03+r04 in-window passes; relational family
+                           # amply covered (q_star_join, q_join_agg,
+                           # q_top_unshipped, q_range_join)
     # rows-only (no cross-engine oracle exists):
     "q_bpe_learn",     # iterative merge learning; pinned to a Python
                        # reference implementation in tests/test_bpe.py

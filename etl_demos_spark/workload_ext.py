@@ -690,6 +690,62 @@ def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@workload(
+    "q_hard_negatives",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv,
+               label AS qlab
+        FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               CAST(e.label AS BIGINT) AS neg_label,
+               list_cosine_similarity(
+                   list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv
+               ) AS cs
+        FROM embeddings e CROSS JOIN q
+        WHERE e.label <> q.qlab
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, neg_label, cs,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cs DESC, vec_id) AS rn
+        FROM scored
+    )
+    SELECT query_id, vec_id, neg_label, round(cs, 6) AS cos_sim
+    FROM ranked WHERE rn <= 10
+    """,
+    tags=("ext-sim", "ext-trainprep"),
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.py:hard_negatives —
+    the triplet/contrastive training-pair prep): for each query vector,
+    the 10 most-similar corpus vectors with a DIFFERENT label. The
+    label exclusion runs inside the Arrow-batch GEMM scorer (same-label
+    scores masked to −inf before the per-batch partial top-k), keeping
+    the batch pre-pruning lossless — filtering after a plain top-k
+    would silently under-fill when a batch's top slots are same-label.
+    One corpus pass regardless of query count; gemm ≡ hof cross-check
+    pinned in tests/test_similarity.py. Output cosine rounded 1e-6
+    (shared-expression convention)."""
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    out = similarity.hard_negatives(e, q, k=10)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.col("neg_label").cast("long").alias("neg_label"),
+        F.round("cos_sim", 6).alias("cos_sim"),
+    )
+
 def _ann_lsh_planes() -> list[list[float]]:
     """The registered LSH query's hyperplanes: seeded numpy constants,
     shared verbatim between the Spark plan (as double literals) and the
@@ -1016,6 +1072,93 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Misc relational ops the reference lacks but the engine exposes
 # ---------------------------------------------------------------------------
+
+
+
+_ATTRIBUTION_ORACLE = """
+    WITH ev AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type IN ('click', 'view', 'signup')
+                    THEN event_type END AS touch,
+               CASE WHEN event_type = 'purchase'
+                    THEN CAST(value AS DECIMAL(18,2)) END AS rev
+        FROM events
+    ), carried AS (
+        SELECT user_id, rev,
+               first_value(touch IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS first_touch,
+               last_value(touch IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS last_touch
+        FROM ev
+    ), purch AS (
+        SELECT coalesce(first_touch, 'none') AS first_touch,
+               coalesce(last_touch, 'none') AS last_touch,
+               rev
+        FROM carried WHERE rev IS NOT NULL
+    )
+    SELECT role, touch,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(rev) AS DOUBLE) AS revenue
+    FROM (
+        SELECT 'first' AS role, first_touch AS touch, rev FROM purch
+        UNION ALL
+        SELECT 'last' AS role, last_touch AS touch, rev FROM purch
+    )
+    GROUP BY role, touch
+"""
+
+
+@workload("q_attribution", oracle=_ATTRIBUTION_ORACLE, tags=("ext-events",))
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch revenue attribution in ONE window pass
+    (the union-and-carry as-of discipline of operators/asof.py, applied
+    to marketing attribution): touches (click/view/signup) and
+    purchases interleave per user ordered by (ts, event_id); first/last
+    ignorenulls carries attribute every purchase without any join —
+    at 100 TB this is one user-keyed shuffle, versus the naive
+    purchase×touch range join. Revenue sums are DECIMAL(18,2)-exact
+    (order-independent), cast to double only at output (money_sum
+    convention); purchases before any touch attribute to 'none'."""
+    e = T(spark, sf_dir, "events")
+    touch = F.when(
+        F.col("event_type").isin("click", "view", "signup"),
+        F.col("event_type"),
+    )
+    rev = F.when(
+        F.col("event_type") == "purchase",
+        F.col("value").cast("decimal(18,2)"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = e.select(
+        "user_id",
+        rev.alias("rev"),
+        F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
+        F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+    ).filter(F.col("rev").isNotNull())
+    purch = carried.select(
+        F.coalesce("first_touch", F.lit("none")).alias("first_touch"),
+        F.coalesce("last_touch", F.lit("none")).alias("last_touch"),
+        "rev",
+    )
+    roles = purch.select(
+        F.lit("first").alias("role"), F.col("first_touch").alias("touch"), "rev"
+    ).unionByName(
+        purch.select(
+            F.lit("last").alias("role"), F.col("last_touch").alias("touch"), "rev"
+        )
+    )
+    return roles.groupBy("role", "touch").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.sum("rev").cast("double").alias("revenue"),
+    )
 
 
 @workload(
@@ -3243,6 +3386,103 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+_BLOOM_BITS = 512
+_BLOOM_K = 4
+
+_BLOOM_ORACLE = f"""
+    WITH members AS (
+        SELECT DISTINCT o_custkey AS k FROM orders
+        WHERE o_orderdate >= DATE '1995-03-01'
+          AND o_orderdate < DATE '1995-04-01'
+    ), hs AS (
+        SELECT unnest([0, 1, 2, 3]) AS i
+    ), pos AS (
+        SELECT CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' ||
+                   CAST(k AS VARCHAR)), 1, 8) AS BIGINT) % {_BLOOM_BITS} AS p
+        FROM members CROSS JOIN hs
+    ), words AS (
+        SELECT (p >> 5) AS word,
+               bit_or(1::BIGINT << CAST(p & 31 AS INT)) AS bits
+        FROM pos GROUP BY 1
+    ), probe AS (
+        SELECT c_custkey AS k,
+               CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' ||
+                   CAST(c_custkey AS VARCHAR)), 1, 8) AS BIGINT) % {_BLOOM_BITS} AS p
+        FROM customer CROSS JOIN hs
+    ), hits AS (
+        SELECT k,
+               min(CASE WHEN (coalesce(w.bits, 0) &
+                              (1::BIGINT << CAST(p.p & 31 AS INT))) <> 0
+                        THEN 1 ELSE 0 END) AS hit
+        FROM probe p LEFT JOIN words w ON (p.p >> 5) = w.word
+        GROUP BY k
+    )
+    SELECT h.k AS custkey,
+           CAST(h.hit AS INT) AS bloom_hit,
+           CAST(CASE WHEN m.k IS NOT NULL THEN 1 ELSE 0 END AS INT) AS exact_member,
+           CAST(CASE WHEN h.hit = 1 AND m.k IS NULL THEN 1 ELSE 0 END AS INT) AS false_pos
+    FROM hits h LEFT JOIN members m ON h.k = m.k
+"""
+
+
+@workload("q_bloom_filter", oracle=_BLOOM_ORACLE, tags=("ext-sketch",))
+def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership pre-filter (operators/sketches.py:
+    bloom_build/bloom_probe): the March-1995-buyer key set collapses to
+    a 512-bit bitmap (16 BIGINT words of 32 bits), which then
+    broadcast-probes the full customer table — a map-only pass with zero
+    shuffle of the probe stream, the shape that pre-filters a 100 TB
+    corpus against an eval-set/deny-list before any exact join
+    (compose: bloom_probe → filter hit=1 → q_decontaminate's exact gram
+    match on the surviving sliver). md5 positions + 32-bit words make
+    the bitmap bit-identical in DuckDB (64-bit words would trap DuckDB's
+    overflow-checked << at the sign bit), so the driver hash certifies
+    words, verdicts, AND the false-positive set — no false negatives by
+    construction (probe of every inserted key is asserted hit=1 in
+    tests/test_properties.py, alongside bit_or mergeability).
+
+    Reference anchor: extends the reference's staging existence checks
+    (dbt relationships test, dbt/models/staging) to the sketch-
+    pre-filtered form that survives corpus scale. The bitmap is sized
+    small (512 bits vs 177 keys) deliberately so the driver window
+    certifies a NON-TRIVIAL false-positive set (~32% of non-members),
+    i.e. real bloom semantics rather than a perfect-hash accident."""
+    from etl_demos_spark.operators import sketches as sk
+
+    members = (
+        T(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-03-01"))
+            & (F.col("o_orderdate") < F.lit("1995-04-01"))
+        )
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    bloom = sk.bloom_build(members, "k", n_bits=_BLOOM_BITS, n_hashes=_BLOOM_K)
+    probed = sk.bloom_probe(
+        T(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey")),
+        bloom,
+        "custkey",
+        n_bits=_BLOOM_BITS,
+        n_hashes=_BLOOM_K,
+    )
+    exact = members.withColumn("__m", F.lit(1))
+    return (
+        probed.join(
+            F.broadcast(exact), probed["custkey"] == exact["k"], "left"
+        )
+        .select(
+            "custkey",
+            F.col("bloom_hit").cast("int").alias("bloom_hit"),
+            F.coalesce("__m", F.lit(0)).cast("int").alias("exact_member"),
+            (
+                (F.col("bloom_hit") == 1) & F.col("__m").isNull()
+            ).cast("int").alias("false_pos"),
+        )
+    )
+
 _KMV_K = 64
 
 _KMV_ORACLE = f"""
@@ -3624,6 +3864,89 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir.dsir_select(d, tgt, k=100, n_buckets=2048)
 
 
+
+
+_NEG_SAMPLE_ORACLE = """
+    WITH cnt AS (
+        SELECT l_partkey AS item, COUNT(*) AS c FROM lineitem GROUP BY 1
+    ), wt AS (
+        SELECT item,
+               CAST(round(pow(CAST(c AS DOUBLE), 0.75) * 1000, 0) AS BIGINT) AS w
+        FROM cnt
+    ), cdf AS (
+        SELECT item, w,
+               CAST(SUM(w) OVER (ORDER BY item
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS cum_hi
+        FROM wt
+    ), cdf2 AS (
+        SELECT item, cum_hi - w AS cum_lo, cum_hi FROM cdf
+    ), tot AS (
+        SELECT MAX(cum_hi) AS W FROM cdf2
+    ), anch AS (
+        SELECT DISTINCT o_custkey AS anchor FROM orders WHERE o_custkey < 100
+    ), draws AS (
+        SELECT anchor, slot,
+               CAST('0x' || substr(md5('neg0' || ':' ||
+                   CAST(anchor AS VARCHAR) || ':' ||
+                   CAST(slot AS VARCHAR)), 1, 15) AS BIGINT) % W AS u
+        FROM anch
+        CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5]) AS slot)
+        CROSS JOIN tot
+    ), hits AS (
+        SELECT d.anchor, d.slot, c.item, d.u
+        FROM draws d
+        JOIN cdf2 c ON d.u >= c.cum_lo AND d.u < c.cum_hi
+    ), pos AS (
+        SELECT DISTINCT o.o_custkey AS anchor, l.l_partkey AS item
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT h.anchor, CAST(h.slot AS BIGINT) AS slot, h.item, CAST(h.u AS BIGINT) AS u
+    FROM hits h
+    LEFT JOIN pos p ON p.anchor = h.anchor AND p.item = h.item
+    WHERE p.anchor IS NULL
+"""
+
+
+@workload("q_neg_sample", oracle=_NEG_SAMPLE_ORACLE, tags=("ext-trainprep",))
+def q_neg_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Popularity-weighted negative sampling (operators/negsample.py,
+    Mikolov et al. 2013 unigram^0.75): 5 deterministic draws per anchor
+    customer from the part-popularity CDF, accidental positives (parts
+    the customer actually bought) anti-joined away. Every draw is a
+    pure function of (seed, anchor, slot) via the portable md5 uniform,
+    so runs, backfills, and engines pick identical negatives — the
+    driver hash certifies the sampler end-to-end (weights → integer
+    CDF → draws → inversion → exclusion). The one libm pow() is
+    quantized at 1e-3 before the exact-int64 cumulative sum (DSIR
+    discipline). Spark inverts the CDF with a bucketed EQUI-join
+    (items replicate to the weight-line buckets their interval
+    touches; each draw computes one bucket) — hash-partitionable,
+    per-draw fan-out ≈ max(1, V/B), never a V-row range probe."""
+    from etl_demos_spark.operators import negsample as ns
+
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    counts = li.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    cdf = ns.popularity_cdf(counts, "item", "cnt", alpha=0.75, scale=1000)
+    anchors = o.filter(F.col("o_custkey") < 100).select(
+        F.col("o_custkey").alias("anchor")
+    )
+    positives = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("anchor"), F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    out = ns.sample_negatives(
+        anchors, cdf, k=5, anchor_col="anchor", seed="neg0",
+        positives=positives, pos_item_col="item",
+    )
+    return out.select(
+        "anchor", F.col("slot").cast("long").alias("slot"), "item", "u"
+    )
+
 _PPMI_ORACLE = """
     WITH d AS (
         SELECT doc_id,
@@ -3675,6 +3998,73 @@ def q_ppmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = cooccur.token_pair_counts(d, "text", "doc_id", window=2)
     return cooccur.ppmi_scores(pairs, min_pair=5)
 
+
+
+
+_LPA_ROUND = """
+    , r{i} AS (
+        SELECT u.n AS node, l.community, COUNT(*) AS c
+        FROM und u JOIN l{p} l ON l.node = u.m
+        GROUP BY 1, 2
+    ), l{i} AS (
+        SELECT node, community FROM (
+            SELECT node, community,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY c DESC, community) AS rn
+            FROM r{i}
+        ) WHERE rn = 1
+    )
+"""
+
+_LPA_ORACLE = (
+    """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+        FROM lineitem
+    ), sized AS (
+        SELECT basket FROM items GROUP BY basket HAVING COUNT(*) <= 64
+    ), kept AS (
+        SELECT i.basket, i.item FROM items i JOIN sized USING (basket)
+    ), e AS (
+        SELECT a.item AS a, b.item AS b
+        FROM kept a JOIN kept b ON a.basket = b.basket AND a.item < b.item
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    ), und AS (
+        SELECT a AS n, b AS m FROM e
+        UNION ALL
+        SELECT b AS n, a AS m FROM e
+    ), l0 AS (
+        SELECT DISTINCT n AS node, n AS community FROM und
+    )
+"""
+    + _LPA_ROUND.format(i=1, p=0)
+    + _LPA_ROUND.format(i=2, p=1)
+    + _LPA_ROUND.format(i=3, p=2)
+    + "SELECT node, community FROM l3"
+)
+
+
+@workload("q_label_prop", oracle=_LPA_ORACLE, tags=("ext-graph",))
+def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by deterministic synchronous label
+    propagation (operators/graph.py:label_propagation, Raghavan et al.
+    2007) over the support-≥2 co-purchase graph: 3 rounds of
+    most-frequent-neighbor-label with smallest-label tie-break. The
+    async textbook LPA depends on visit order; this synchronous
+    min-tie-break form is a pure function of the edge set, which is
+    what lets a DuckDB oracle replay it as three unrolled CTE rounds
+    and the driver hash certify the whole community assignment. Per
+    round: one |E| join + one (node,label) combiner agg + one per-node
+    window top-1, lineage truncated per round (the pagerank
+    localCheckpoint discipline)."""
+    from etl_demos_spark.operators import cooccur, graph
+
+    li = T(spark, sf_dir, "lineitem")
+    edges = cooccur.basket_pairs(
+        li, "l_orderkey", "l_partkey", max_basket=64, min_support=2
+    ).select(F.col("item_a").alias("a"), F.col("item_b").alias("b"))
+    return graph.label_propagation(edges, iters=3, src="a", dst="b")
 
 _COPURCHASE_ORACLE = """
     WITH items AS (
@@ -6898,389 +7288,4 @@ def q_bit_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftleft(k, 2).cast("long").alias("shifted_l"),
         F.shiftright(k, 3).cast("long").alias("shifted_r"),
         F.bit_count(k).cast("long").alias("popcount"),
-    )
-
-
-_BLOOM_BITS = 512
-_BLOOM_K = 4
-
-_BLOOM_ORACLE = f"""
-    WITH members AS (
-        SELECT DISTINCT o_custkey AS k FROM orders
-        WHERE o_orderdate >= DATE '1995-03-01'
-          AND o_orderdate < DATE '1995-04-01'
-    ), hs AS (
-        SELECT unnest([0, 1, 2, 3]) AS i
-    ), pos AS (
-        SELECT CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' ||
-                   CAST(k AS VARCHAR)), 1, 8) AS BIGINT) % {_BLOOM_BITS} AS p
-        FROM members CROSS JOIN hs
-    ), words AS (
-        SELECT (p >> 5) AS word,
-               bit_or(1::BIGINT << CAST(p & 31 AS INT)) AS bits
-        FROM pos GROUP BY 1
-    ), probe AS (
-        SELECT c_custkey AS k,
-               CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' ||
-                   CAST(c_custkey AS VARCHAR)), 1, 8) AS BIGINT) % {_BLOOM_BITS} AS p
-        FROM customer CROSS JOIN hs
-    ), hits AS (
-        SELECT k,
-               min(CASE WHEN (coalesce(w.bits, 0) &
-                              (1::BIGINT << CAST(p.p & 31 AS INT))) <> 0
-                        THEN 1 ELSE 0 END) AS hit
-        FROM probe p LEFT JOIN words w ON (p.p >> 5) = w.word
-        GROUP BY k
-    )
-    SELECT h.k AS custkey,
-           CAST(h.hit AS INT) AS bloom_hit,
-           CAST(CASE WHEN m.k IS NOT NULL THEN 1 ELSE 0 END AS INT) AS exact_member,
-           CAST(CASE WHEN h.hit = 1 AND m.k IS NULL THEN 1 ELSE 0 END AS INT) AS false_pos
-    FROM hits h LEFT JOIN members m ON h.k = m.k
-"""
-
-
-@workload("q_bloom_filter", oracle=_BLOOM_ORACLE, tags=("ext-sketch",))
-def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bloom-filter membership pre-filter (operators/sketches.py:
-    bloom_build/bloom_probe): the March-1995-buyer key set collapses to
-    a 512-bit bitmap (16 BIGINT words of 32 bits), which then
-    broadcast-probes the full customer table — a map-only pass with zero
-    shuffle of the probe stream, the shape that pre-filters a 100 TB
-    corpus against an eval-set/deny-list before any exact join
-    (compose: bloom_probe → filter hit=1 → q_decontaminate's exact gram
-    match on the surviving sliver). md5 positions + 32-bit words make
-    the bitmap bit-identical in DuckDB (64-bit words would trap DuckDB's
-    overflow-checked << at the sign bit), so the driver hash certifies
-    words, verdicts, AND the false-positive set — no false negatives by
-    construction (probe of every inserted key is asserted hit=1 in
-    tests/test_properties.py, alongside bit_or mergeability).
-
-    Reference anchor: extends the reference's staging existence checks
-    (dbt relationships test, dbt/models/staging) to the sketch-
-    pre-filtered form that survives corpus scale. The bitmap is sized
-    small (512 bits vs 177 keys) deliberately so the driver window
-    certifies a NON-TRIVIAL false-positive set (~32% of non-members),
-    i.e. real bloom semantics rather than a perfect-hash accident."""
-    from etl_demos_spark.operators import sketches as sk
-
-    members = (
-        T(spark, sf_dir, "orders")
-        .filter(
-            (F.col("o_orderdate") >= F.lit("1995-03-01"))
-            & (F.col("o_orderdate") < F.lit("1995-04-01"))
-        )
-        .select(F.col("o_custkey").alias("k"))
-        .distinct()
-    )
-    bloom = sk.bloom_build(members, "k", n_bits=_BLOOM_BITS, n_hashes=_BLOOM_K)
-    probed = sk.bloom_probe(
-        T(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey")),
-        bloom,
-        "custkey",
-        n_bits=_BLOOM_BITS,
-        n_hashes=_BLOOM_K,
-    )
-    exact = members.withColumn("__m", F.lit(1))
-    return (
-        probed.join(
-            F.broadcast(exact), probed["custkey"] == exact["k"], "left"
-        )
-        .select(
-            "custkey",
-            F.col("bloom_hit").cast("int").alias("bloom_hit"),
-            F.coalesce("__m", F.lit(0)).cast("int").alias("exact_member"),
-            (
-                (F.col("bloom_hit") == 1) & F.col("__m").isNull()
-            ).cast("int").alias("false_pos"),
-        )
-    )
-
-
-@workload(
-    "q_hard_negatives",
-    oracle="""
-    WITH q AS (
-        SELECT vec_id AS query_id,
-               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv,
-               label AS qlab
-        FROM embeddings WHERE vec_id < 5
-    ),
-    scored AS (
-        SELECT q.query_id, e.vec_id,
-               CAST(e.label AS BIGINT) AS neg_label,
-               list_cosine_similarity(
-                   list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv
-               ) AS cs
-        FROM embeddings e CROSS JOIN q
-        WHERE e.label <> q.qlab
-    ),
-    ranked AS (
-        SELECT query_id, vec_id, neg_label, cs,
-               ROW_NUMBER() OVER (PARTITION BY query_id
-                                  ORDER BY cs DESC, vec_id) AS rn
-        FROM scored
-    )
-    SELECT query_id, vec_id, neg_label, round(cs, 6) AS cos_sim
-    FROM ranked WHERE rn <= 10
-    """,
-    tags=("ext-sim", "ext-trainprep"),
-)
-def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hard-negative mining (operators/similarity.py:hard_negatives —
-    the triplet/contrastive training-pair prep): for each query vector,
-    the 10 most-similar corpus vectors with a DIFFERENT label. The
-    label exclusion runs inside the Arrow-batch GEMM scorer (same-label
-    scores masked to −inf before the per-batch partial top-k), keeping
-    the batch pre-pruning lossless — filtering after a plain top-k
-    would silently under-fill when a batch's top slots are same-label.
-    One corpus pass regardless of query count; gemm ≡ hof cross-check
-    pinned in tests/test_similarity.py. Output cosine rounded 1e-6
-    (shared-expression convention)."""
-    e = T(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("query_vec"),
-        F.col("label").alias("query_label"),
-    )
-    out = similarity.hard_negatives(e, q, k=10)
-    return out.select(
-        "query_id",
-        "vec_id",
-        F.col("neg_label").cast("long").alias("neg_label"),
-        F.round("cos_sim", 6).alias("cos_sim"),
-    )
-
-
-_NEG_SAMPLE_ORACLE = """
-    WITH cnt AS (
-        SELECT l_partkey AS item, COUNT(*) AS c FROM lineitem GROUP BY 1
-    ), wt AS (
-        SELECT item,
-               CAST(round(pow(CAST(c AS DOUBLE), 0.75) * 1000, 0) AS BIGINT) AS w
-        FROM cnt
-    ), cdf AS (
-        SELECT item, w,
-               CAST(SUM(w) OVER (ORDER BY item
-                                 ROWS BETWEEN UNBOUNDED PRECEDING
-                                 AND CURRENT ROW) AS BIGINT) AS cum_hi
-        FROM wt
-    ), cdf2 AS (
-        SELECT item, cum_hi - w AS cum_lo, cum_hi FROM cdf
-    ), tot AS (
-        SELECT MAX(cum_hi) AS W FROM cdf2
-    ), anch AS (
-        SELECT DISTINCT o_custkey AS anchor FROM orders WHERE o_custkey < 100
-    ), draws AS (
-        SELECT anchor, slot,
-               CAST('0x' || substr(md5('neg0' || ':' ||
-                   CAST(anchor AS VARCHAR) || ':' ||
-                   CAST(slot AS VARCHAR)), 1, 15) AS BIGINT) % W AS u
-        FROM anch
-        CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5]) AS slot)
-        CROSS JOIN tot
-    ), hits AS (
-        SELECT d.anchor, d.slot, c.item, d.u
-        FROM draws d
-        JOIN cdf2 c ON d.u >= c.cum_lo AND d.u < c.cum_hi
-    ), pos AS (
-        SELECT DISTINCT o.o_custkey AS anchor, l.l_partkey AS item
-        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    )
-    SELECT h.anchor, CAST(h.slot AS BIGINT) AS slot, h.item, CAST(h.u AS BIGINT) AS u
-    FROM hits h
-    LEFT JOIN pos p ON p.anchor = h.anchor AND p.item = h.item
-    WHERE p.anchor IS NULL
-"""
-
-
-@workload("q_neg_sample", oracle=_NEG_SAMPLE_ORACLE, tags=("ext-trainprep",))
-def q_neg_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Popularity-weighted negative sampling (operators/negsample.py,
-    Mikolov et al. 2013 unigram^0.75): 5 deterministic draws per anchor
-    customer from the part-popularity CDF, accidental positives (parts
-    the customer actually bought) anti-joined away. Every draw is a
-    pure function of (seed, anchor, slot) via the portable md5 uniform,
-    so runs, backfills, and engines pick identical negatives — the
-    driver hash certifies the sampler end-to-end (weights → integer
-    CDF → draws → inversion → exclusion). The one libm pow() is
-    quantized at 1e-3 before the exact-int64 cumulative sum (DSIR
-    discipline). Spark inverts the CDF with a bucketed EQUI-join
-    (items replicate to the weight-line buckets their interval
-    touches; each draw computes one bucket) — hash-partitionable,
-    per-draw fan-out ≈ max(1, V/B), never a V-row range probe."""
-    from etl_demos_spark.operators import negsample as ns
-
-    li = T(spark, sf_dir, "lineitem")
-    o = T(spark, sf_dir, "orders")
-    counts = li.groupBy(F.col("l_partkey").alias("item")).agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    cdf = ns.popularity_cdf(counts, "item", "cnt", alpha=0.75, scale=1000)
-    anchors = o.filter(F.col("o_custkey") < 100).select(
-        F.col("o_custkey").alias("anchor")
-    )
-    positives = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(F.col("o_custkey").alias("anchor"), F.col("l_partkey").alias("item"))
-        .distinct()
-    )
-    out = ns.sample_negatives(
-        anchors, cdf, k=5, anchor_col="anchor", seed="neg0",
-        positives=positives, pos_item_col="item",
-    )
-    return out.select(
-        "anchor", F.col("slot").cast("long").alias("slot"), "item", "u"
-    )
-
-
-_LPA_ROUND = """
-    , r{i} AS (
-        SELECT u.n AS node, l.community, COUNT(*) AS c
-        FROM und u JOIN l{p} l ON l.node = u.m
-        GROUP BY 1, 2
-    ), l{i} AS (
-        SELECT node, community FROM (
-            SELECT node, community,
-                   row_number() OVER (PARTITION BY node
-                                      ORDER BY c DESC, community) AS rn
-            FROM r{i}
-        ) WHERE rn = 1
-    )
-"""
-
-_LPA_ORACLE = (
-    """
-    WITH items AS (
-        SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
-        FROM lineitem
-    ), sized AS (
-        SELECT basket FROM items GROUP BY basket HAVING COUNT(*) <= 64
-    ), kept AS (
-        SELECT i.basket, i.item FROM items i JOIN sized USING (basket)
-    ), e AS (
-        SELECT a.item AS a, b.item AS b
-        FROM kept a JOIN kept b ON a.basket = b.basket AND a.item < b.item
-        GROUP BY 1, 2
-        HAVING COUNT(*) >= 2
-    ), und AS (
-        SELECT a AS n, b AS m FROM e
-        UNION ALL
-        SELECT b AS n, a AS m FROM e
-    ), l0 AS (
-        SELECT DISTINCT n AS node, n AS community FROM und
-    )
-"""
-    + _LPA_ROUND.format(i=1, p=0)
-    + _LPA_ROUND.format(i=2, p=1)
-    + _LPA_ROUND.format(i=3, p=2)
-    + "SELECT node, community FROM l3"
-)
-
-
-@workload("q_label_prop", oracle=_LPA_ORACLE, tags=("ext-graph",))
-def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Community detection by deterministic synchronous label
-    propagation (operators/graph.py:label_propagation, Raghavan et al.
-    2007) over the support-≥2 co-purchase graph: 3 rounds of
-    most-frequent-neighbor-label with smallest-label tie-break. The
-    async textbook LPA depends on visit order; this synchronous
-    min-tie-break form is a pure function of the edge set, which is
-    what lets a DuckDB oracle replay it as three unrolled CTE rounds
-    and the driver hash certify the whole community assignment. Per
-    round: one |E| join + one (node,label) combiner agg + one per-node
-    window top-1, lineage truncated per round (the pagerank
-    localCheckpoint discipline)."""
-    from etl_demos_spark.operators import cooccur, graph
-
-    li = T(spark, sf_dir, "lineitem")
-    edges = cooccur.basket_pairs(
-        li, "l_orderkey", "l_partkey", max_basket=64, min_support=2
-    ).select(F.col("item_a").alias("a"), F.col("item_b").alias("b"))
-    return graph.label_propagation(edges, iters=3, src="a", dst="b")
-
-
-_ATTRIBUTION_ORACLE = """
-    WITH ev AS (
-        SELECT user_id, ts, event_id,
-               CASE WHEN event_type IN ('click', 'view', 'signup')
-                    THEN event_type END AS touch,
-               CASE WHEN event_type = 'purchase'
-                    THEN CAST(value AS DECIMAL(18,2)) END AS rev
-        FROM events
-    ), carried AS (
-        SELECT user_id, rev,
-               first_value(touch IGNORE NULLS)
-                   OVER (PARTITION BY user_id ORDER BY ts, event_id
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS first_touch,
-               last_value(touch IGNORE NULLS)
-                   OVER (PARTITION BY user_id ORDER BY ts, event_id
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS last_touch
-        FROM ev
-    ), purch AS (
-        SELECT coalesce(first_touch, 'none') AS first_touch,
-               coalesce(last_touch, 'none') AS last_touch,
-               rev
-        FROM carried WHERE rev IS NOT NULL
-    )
-    SELECT role, touch,
-           CAST(COUNT(*) AS BIGINT) AS n_purchases,
-           CAST(SUM(rev) AS DOUBLE) AS revenue
-    FROM (
-        SELECT 'first' AS role, first_touch AS touch, rev FROM purch
-        UNION ALL
-        SELECT 'last' AS role, last_touch AS touch, rev FROM purch
-    )
-    GROUP BY role, touch
-"""
-
-
-@workload("q_attribution", oracle=_ATTRIBUTION_ORACLE, tags=("ext-events",))
-def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-touch / last-touch revenue attribution in ONE window pass
-    (the union-and-carry as-of discipline of operators/asof.py, applied
-    to marketing attribution): touches (click/view/signup) and
-    purchases interleave per user ordered by (ts, event_id); first/last
-    ignorenulls carries attribute every purchase without any join —
-    at 100 TB this is one user-keyed shuffle, versus the naive
-    purchase×touch range join. Revenue sums are DECIMAL(18,2)-exact
-    (order-independent), cast to double only at output (money_sum
-    convention); purchases before any touch attribute to 'none'."""
-    e = T(spark, sf_dir, "events")
-    touch = F.when(
-        F.col("event_type").isin("click", "view", "signup"),
-        F.col("event_type"),
-    )
-    rev = F.when(
-        F.col("event_type") == "purchase",
-        F.col("value").cast("decimal(18,2)"),
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = e.select(
-        "user_id",
-        rev.alias("rev"),
-        F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
-        F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
-    ).filter(F.col("rev").isNotNull())
-    purch = carried.select(
-        F.coalesce("first_touch", F.lit("none")).alias("first_touch"),
-        F.coalesce("last_touch", F.lit("none")).alias("last_touch"),
-        "rev",
-    )
-    roles = purch.select(
-        F.lit("first").alias("role"), F.col("first_touch").alias("touch"), "rev"
-    ).unionByName(
-        purch.select(
-            F.lit("last").alias("role"), F.col("last_touch").alias("touch"), "rev"
-        )
-    )
-    return roles.groupBy("role", "touch").agg(
-        F.count(F.lit(1)).cast("long").alias("n_purchases"),
-        F.sum("rev").cast("double").alias("revenue"),
     )
