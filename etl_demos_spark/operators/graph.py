@@ -12,11 +12,15 @@ No adjacency matrix is ever materialized, no driver-side graph state —
 only two scalars (node count, per-iteration dangling mass) reach the
 driver.
 
-Determinism: contributions are summed as DECIMALs of 1e-12-rounded
-values (order-independent under any task scheduling — the repo-wide
-convention for cross-run-stable float aggregation), so the ranks are
-bit-identical run to run; the pytest suite pins them against a numpy
-power iteration on the same graph.
+Determinism: contributions are quantized ENGINE-PORTABLY —
+``floor(rank * 1e12 / deg)`` summed as exact BIGINTs (order-independent
+under any task scheduling, and bit-reproducible in any engine that has
+IEEE doubles + floor + integer sums, unlike decimal ``round`` whose
+half-up-on-exact-BigDecimal semantics differ from DuckDB's
+double-space rounding). Ranks are therefore bit-identical run to run
+AND replayable by a DuckDB oracle as unrolled CTE rounds (the
+q_label_prop treatment); the pytest suite additionally pins them
+against a numpy power iteration on the same graph.
 
 Scale notes: lineage is truncated per iteration with an eager
 ``localCheckpoint`` — persist alone keeps the logical plan compounding
@@ -31,8 +35,9 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-# 1e-12-rounded decimal contributions: exact, order-independent sums.
-_DEC = "decimal(32,12)"
+# floor(x * _Q) as BIGINT: exact, order-independent, engine-portable
+# quantization at 1e-12 (see module docstring).
+_Q = 1e12
 
 
 def pagerank(
@@ -70,19 +75,21 @@ def pagerank(
             ed.join(ranks, ed["src"] == ranks["node"])
             .select(
                 "dst",
-                F.round(F.col("rank") / F.col("deg"), 12).cast(_DEC).alias("c"),
+                F.floor(F.col("rank") * F.lit(_Q) / F.col("deg"))
+                .cast("long")
+                .alias("c"),
             )
             .groupBy("dst")
-            .agg(F.sum("c").cast("double").alias("contrib"))
+            .agg((F.sum("c").cast("double") / F.lit(_Q)).alias("contrib"))
         )
         # mass sitting on dangling nodes (rank with no out-edges) — one
-        # decimal-exact scalar to the driver per iteration
-        dangling = (
+        # integer-exact scalar to the driver per iteration
+        dangling_q = (
             ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
-            .agg(F.sum(F.round(F.col("rank"), 12).cast(_DEC)))
+            .agg(F.sum(F.floor(F.col("rank") * F.lit(_Q)).cast("long")))
             .collect()[0][0]
         )
-        dangling_share = damping * float(dangling or 0.0) / n
+        dangling_share = damping * (float(dangling_q or 0) / _Q) / n
         ranks = (
             nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
             .select(

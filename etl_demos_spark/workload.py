@@ -862,18 +862,27 @@ _LATE: tuple[str, ...] = (
     "q_waiting_supplier",  # r03+r04 in-window passes; relational family
                            # amply covered (q_star_join, q_join_agg,
                            # q_top_unshipped, q_range_join)
+    # -- round-4 session-5 rotation: q_pagerank left the rows-only list
+    #    (floor-int quantization made the power iteration engine-
+    #    portable; 8 rounds unrolled as CTEs in its oracle) and takes a
+    #    window slot:
+    "q_url_curation",      # r03+r04 in-window passes; regex/text family
+                           # stays in-window via q_pii_redact +
+                           # q_text_quality + q_lang_id
     # rows-only (no cross-engine oracle exists):
     "q_bpe_learn",     # iterative merge learning; pinned to a Python
                        # reference implementation in tests/test_bpe.py
     "q_pq_search",     # PQ codebooks are iteratively trained; encode/
                        # search pinned in tests/test_pq.py
-    "q_pagerank",
-    "q_kmeans",
+    "q_kmeans",        # Lloyd fixpoint over float centroids; numpy-
+                       # pinned in tests/test_embeddings.py (assign
+                       # E-step is paired via q_kmeans_assign)
     "q_approx_distinct",
     # q_ann_lsh and q_ann_ivf left this list round 4: both pipelines are
     # deterministic once the planes / seed centroids are fixed, so the
     # *approximate* results are hash-certifiable (plane constants
     # embedded in the LSH oracle SQL; data-row-seeded IVF quantizer).
+    # q_pagerank left it in session 5 (see the rotation note above).
 )
 
 

@@ -2706,15 +2706,91 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@workload("q_pagerank", oracle=None, tags=("ext-graph",))
+_PR_EDGE_SQL = """
+    WITH nd AS (SELECT COUNT(*) AS n FROM documents),
+    e0 AS (
+        SELECT doc_id AS src, hj AS dst FROM (
+            SELECT d.doc_id,
+                   CAST('0x' || substr(md5('e' || CAST(h.j AS VARCHAR) || ':' ||
+                       CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % nd.n AS hj
+            FROM documents d
+            CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) h
+            CROSS JOIN nd
+        ) WHERE doc_id <> hj
+    ),
+    ed0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0),
+    deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM ed0 GROUP BY src),
+    ed AS MATERIALIZED (
+        SELECT e.src, e.dst, g.deg FROM ed0 e JOIN deg g USING (src)
+    ),
+    nodes AS MATERIALIZED (
+        SELECT DISTINCT node FROM (
+            SELECT src AS node FROM ed0 UNION ALL SELECT dst FROM ed0
+        )
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS MATERIALIZED (
+        SELECT node, CAST(1 AS DOUBLE) / nn.n AS rank FROM nodes CROSS JOIN nn
+    )
+"""
+
+# One unrolled power-iteration round, replaying graph.pagerank()'s exact
+# float quantization: floor((rank * 1e12) / deg) summed as BIGINT, the
+# dangling mass as floor(rank * 1e12) summed, and the identical IEEE
+# operation tree for the rank update — see operators/graph.py docstring.
+# r{i} MUST be MATERIALIZED: each round reads its predecessor twice
+# (dangling scan + contribution join), and DuckDB inlines plain CTEs,
+# which would re-expand the whole upstream pipeline 2^rounds times.
+_PR_ROUND = """
+    , d{i} AS (
+        SELECT COALESCE(SUM(CAST(FLOOR(r.rank * 1e12) AS BIGINT)), 0) AS dq
+        FROM r{p} r LEFT JOIN deg g ON g.src = r.node
+        WHERE g.src IS NULL
+    ), c{i} AS (
+        SELECT e.dst AS node,
+               CAST(SUM(CAST(FLOOR(r.rank * 1e12 / e.deg) AS BIGINT)) AS DOUBLE)
+                   / 1e12 AS contrib
+        FROM ed e JOIN r{p} r ON r.node = e.src
+        GROUP BY e.dst
+    ), r{i} AS MATERIALIZED (
+        SELECT n.node,
+               (((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n)
+                + ((CAST(0.85 AS DOUBLE) * (CAST(d.dq AS DOUBLE) / 1e12)) / nn.n))
+               + CAST(0.85 AS DOUBLE) * COALESCE(c.contrib, CAST(0 AS DOUBLE))
+                   AS rank
+        FROM nodes n
+        CROSS JOIN nn
+        CROSS JOIN d{i} d
+        LEFT JOIN c{i} c ON c.node = n.node
+    )
+"""
+
+_PR_ORACLE = (
+    _PR_EDGE_SQL
+    + "".join(_PR_ROUND.format(i=i, p=i - 1) for i in range(1, 9))
+    + """
+    SELECT node AS doc_id, round(rank, 6) AS rank_r FROM (
+        SELECT node, rank,
+               row_number() OVER (ORDER BY rank DESC, node) AS rn
+        FROM r8
+    ) WHERE rn <= 10
+"""
+)
+
+
+@workload("q_pagerank", oracle=_PR_ORACLE, tags=("ext-graph",))
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-graph PageRank (operators/graph.py) — the web-curation
     quality prior: rank pages before sampling training data from them.
     The corpus carries no real hyperlinks, so the edge list is
     deterministically synthesized (3 md5-derived out-links per doc, the
     q_url_curation approach). Per iteration ONE |V|-sized keyed shuffle;
-    decimal-exact contribution sums make ranks bit-stable run-to-run.
-    Rows-only (iterative fixpoint); numpy-pinned in tests/test_graph.py.
+    contributions quantized as floor(rank*1e12/deg) exact-BIGINT sums —
+    order-independent AND engine-portable, which is what lets the
+    DuckDB oracle replay all 8 damped power-iteration rounds as
+    unrolled CTEs (the q_label_prop treatment, extended from integer
+    label counts to IEEE-double rank arithmetic) and the driver hash
+    certify ranks end-to-end. Also numpy-pinned in tests/test_graph.py.
     Output: top-10 docs by rank."""
     from etl_demos_spark.operators.graph import pagerank
 
