@@ -864,11 +864,17 @@ _LATE: tuple[str, ...] = (
                            # q_top_unshipped, q_range_join)
     # -- round-4 session-5 rotation: q_pagerank left the rows-only list
     #    (floor-int quantization made the power iteration engine-
-    #    portable; 8 rounds unrolled as CTEs in its oracle) and takes a
-    #    window slot:
+    #    portable; 8 rounds unrolled as CTEs in its oracle) and the new
+    #    q_bfs_dist (all-integer multi-source BFS) registered paired —
+    #    both take window slots:
     "q_url_curation",      # r03+r04 in-window passes; regex/text family
                            # stays in-window via q_pii_redact +
                            # q_text_quality + q_lang_id
+    "q_pandas_udf",        # r03+r04 in-window passes; Arrow/pandas-UDF
+                           # machinery stays in-window via
+                           # q_multimodal_decode's decode UDFs and the
+                           # ANN GEMM mapInPandas passes (q_ann_cosine,
+                           # q_hard_negatives)
     # rows-only (no cross-engine oracle exists):
     "q_bpe_learn",     # iterative merge learning; pinned to a Python
                        # reference implementation in tests/test_bpe.py

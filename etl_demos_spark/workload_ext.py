@@ -4142,6 +4142,82 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("item_a").alias("a"), F.col("item_b").alias("b"))
     return graph.label_propagation(edges, iters=3, src="a", dst="b")
 
+
+# One unrolled BFS round: relax (min over in-neighbors of dist+1), then
+# merge with the carried distances. d{i} MUST be MATERIALIZED — each
+# round reads its predecessor twice (carry + relax), and plain-CTE
+# inlining would re-expand the pipeline 2^rounds times (the q_pagerank
+# lesson). All-integer state: nothing to quantize, nothing to tie-break.
+_BFS_INF = 1 << 62
+_BFS_ROUND = f"""
+    , x{{i}} AS (
+        SELECT u.n AS node, MIN(d.dist + 1) AS d
+        FROM und u JOIN d{{p}} d ON d.node = u.m
+        GROUP BY u.n
+    ), d{{i}} AS MATERIALIZED (
+        SELECT node,
+               LEAST(COALESCE(a.dist, {_BFS_INF}),
+                     COALESCE(x.d, {_BFS_INF})) AS dist
+        FROM d{{p}} a FULL JOIN x{{i}} x USING (node)
+    )
+"""
+
+_BFS_ORACLE = (
+    """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+        FROM lineitem
+    ), sized AS (
+        SELECT basket FROM items GROUP BY basket HAVING COUNT(*) <= 64
+    ), kept AS (
+        SELECT i.basket, i.item FROM items i JOIN sized USING (basket)
+    ), e AS (
+        SELECT a.item AS a, b.item AS b
+        FROM kept a JOIN kept b ON a.basket = b.basket AND a.item < b.item
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    ), und AS MATERIALIZED (
+        SELECT a AS n, b AS m FROM e
+        UNION ALL
+        SELECT b AS n, a AS m FROM e
+    ), d0 AS MATERIALIZED (
+        SELECT node, CAST(0 AS BIGINT) AS dist FROM (
+            SELECT DISTINCT n AS node FROM und ORDER BY node LIMIT 3
+        )
+    )
+"""
+    + "".join(_BFS_ROUND.format(i=i, p=i - 1) for i in range(1, 5))
+    + "SELECT node, dist FROM d4"
+)
+
+
+@workload("q_bfs_dist", oracle=_BFS_ORACLE, tags=("ext-graph",))
+def q_bfs_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-bounded multi-source BFS (operators/graph.py:bfs_distances)
+    over the support-≥2 co-purchase graph: shortest-path distance from
+    the 3 smallest item ids within 4 hops — the 'within-k-hops of a
+    trusted seed set' curation prior (grade a link graph by proximity
+    to a vetted whitelist before sampling from it). All-integer
+    synchronous Bellman-Ford rounds: a pure function of (edges, seeds,
+    hops) with no quantization or tie-break care at all, so the DuckDB
+    oracle replays every round as unrolled materialized CTEs and the
+    driver hash certifies the full distance table. Per round one |E|
+    join + one node-keyed min agg; unreached nodes are absent (bounded
+    frontier — the transitive closure is never materialized)."""
+    from etl_demos_spark.operators import cooccur, graph
+
+    li = T(spark, sf_dir, "lineitem")
+    edges = cooccur.basket_pairs(
+        li, "l_orderkey", "l_partkey", max_basket=64, min_support=2
+    ).select(F.col("item_a").alias("a"), F.col("item_b").alias("b"))
+    und_nodes = (
+        edges.select(F.col("a").alias("node"))
+        .unionByName(edges.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    seeds = und_nodes.orderBy("node").limit(3)
+    return graph.bfs_distances(edges, seeds, iters=4, src="a", dst="b")
+
 _COPURCHASE_ORACLE = """
     WITH items AS (
         SELECT DISTINCT l_orderkey AS basket, l_partkey AS item

@@ -117,3 +117,50 @@ def test_label_propagation_matches_python_reference(spark):
         for r in label_propagation(df, iters=3).collect()
     }
     assert got == labels
+
+
+def test_bfs_distances_matches_python_reference(spark):
+    """Path + branch + unreachable island; 3-hop bound. Reference is a
+    textbook frontier BFS over the same undirected edges."""
+    from collections import deque
+
+    from etl_demos_spark.operators.graph import bfs_distances
+
+    E = [(0, 1), (1, 2), (2, 3), (3, 4), (1, 5), (5, 6), (100, 101)]
+    adj: dict[int, list[int]] = {}
+    for a, b in E:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    ref = {0: 0}
+    q = deque([0])
+    while q:
+        u = q.popleft()
+        if ref[u] >= 3:
+            continue
+        for v in adj[u]:
+            if v not in ref:
+                ref[v] = ref[u] + 1
+                q.append(v)
+    edges = spark.createDataFrame(E, "a long, b long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(edges, seeds, iters=3).collect()
+    }
+    assert got == ref  # exact: hop-bounded reachable set and distances
+    # nodes 4 (hop 4) and the 100-101 island must be absent
+    assert 4 not in got and 100 not in got and 101 not in got
+
+
+def test_bfs_distances_multi_source_takes_min(spark):
+    from etl_demos_spark.operators.graph import bfs_distances
+
+    # line 0-1-2-3-4 with seeds at both ends: dist = min(from 0, from 4)
+    E = [(i, i + 1) for i in range(4)]
+    edges = spark.createDataFrame(E, "a long, b long")
+    seeds = spark.createDataFrame([(0,), (4,)], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(edges, seeds, iters=4).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 0}
