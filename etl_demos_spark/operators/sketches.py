@@ -489,3 +489,78 @@ def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
             ).alias("bits"),
         )
     )
+
+
+def bottomk_sample(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    value_col: str,
+    key_col,
+    k: int = 256,
+) -> DataFrame:
+    """Per-group bottom-k row sample (Cohen & Kaplan 2007): the k rows
+    whose md5-derived 60-bit hash of a UNIQUE row key is smallest. A
+    deterministic uniform sample without replacement — the hash is the
+    'random' tag, so every engine, run, backfill, and shard picks the
+    IDENTICAL sample (the md5 discipline of kmv_sketch, applied to row
+    sampling instead of distinct counting).
+
+    Mergeable: bottom-k of the union == bottom-k over each shard's
+    bottom-k, re-ranked (set-min commutes with union) — per-shard
+    partials compose without re-reading rows, the property that makes
+    the sketch a one-pass corpus operator at 100 TB. Scale shape: one
+    combiner-friendly (group, hash) shuffle + one per-group top-k
+    window (WindowGroupLimit keeps per-group state at k rows).
+
+    Returns (group_cols..., h, rn, value_col) with rn ∈ [1, k]
+    ascending by hash.
+    """
+    from etl_demos_spark.operators.dedup import md5_long
+    from pyspark.sql import Window as W
+
+    key = key_col if not isinstance(key_col, str) else F.col(key_col)
+    d = df.select(
+        *group_cols,
+        md5_long(key.cast("string")).alias("h"),
+        F.col(value_col),
+    )
+    wnd = W.partitionBy(*group_cols).orderBy("h")
+    return d.withColumn("rn", F.row_number().over(wnd).cast("long")).filter(
+        F.col("rn") <= k
+    )
+
+
+def sample_quantiles(
+    sample: DataFrame,
+    group_cols: tuple[str, ...],
+    value_col: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+) -> DataFrame:
+    """Per-group quantile estimates from a ``bottomk_sample``: the
+    p-quantile estimate is the sample value at rank ``ceil(p·m)`` (m =
+    group sample size; type-1 / lower-step quantile, exactly
+    SQL-replayable — no interpolation arithmetic to diverge on). With a
+    uniform size-k sample the rank error is O(1/√k) of the population,
+    the standard sample-quantile bound, independent of corpus size.
+
+    Returns (group_cols..., p, est) — one row per group × prob.
+    """
+    from pyspark.sql import Window as W
+
+    wnd = W.partitionBy(*group_cols).orderBy(value_col, "h")
+    m = W.partitionBy(*group_cols)
+    ranked = sample.select(
+        *group_cols,
+        "h",
+        F.col(value_col),
+        F.row_number().over(wnd).cast("long").alias("vr"),
+        F.count(F.lit(1)).over(m).cast("long").alias("m"),
+    )
+    probe = F.explode(
+        F.array(*[F.lit(float(p)) for p in probs])
+    ).alias("p")
+    return (
+        ranked.select(*group_cols, "vr", "m", F.col(value_col), probe)
+        .filter(F.col("vr") == F.ceil(F.col("p") * F.col("m")).cast("long"))
+        .select(*group_cols, "p", F.col(value_col).alias("est"))
+    )

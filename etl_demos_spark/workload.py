@@ -875,6 +875,10 @@ _LATE: tuple[str, ...] = (
                            # q_multimodal_decode's decode UDFs and the
                            # ANN GEMM mapInPandas passes (q_ann_cosine,
                            # q_hard_negatives)
+    "q_quantile_sketch",   # registered late, locally hash-verified —
+                           # the sketch family is triple-covered
+                           # in-window (q_hll_distinct, q_heavy_hitters,
+                           # q_bloom_filter)
     # rows-only (no cross-engine oracle exists):
     "q_bpe_learn",     # iterative merge learning; pinned to a Python
                        # reference implementation in tests/test_bpe.py

@@ -3619,6 +3619,71 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QSK_K = 256
+
+_QSK_ORACLE = f"""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+                   CAST(l_linenumber AS VARCHAR)), 1, 15) AS BIGINT) AS h,
+               CAST(l_extendedprice AS DOUBLE) AS v
+        FROM lineitem
+    ), topk AS (
+        SELECT l_returnflag, h, v FROM (
+            SELECT l_returnflag, h, v,
+                   row_number() OVER (PARTITION BY l_returnflag
+                                      ORDER BY h) AS rn
+            FROM s
+        ) WHERE rn <= {_QSK_K}
+    ), ranked AS (
+        SELECT l_returnflag, v,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY v, h) AS vr,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS m
+        FROM topk
+    )
+    SELECT l_returnflag, p, v AS est
+    FROM ranked
+    CROSS JOIN (
+        SELECT CAST(p AS DOUBLE) AS p
+        FROM (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS p)
+    )
+    WHERE vr = CAST(ceil(p * m) AS BIGINT)
+"""
+
+
+@workload("q_quantile_sketch", oracle=_QSK_ORACLE, tags=("ext-sketch",))
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (operators/sketches.py bottomk_sample/
+    sample_quantiles): per-returnflag price quantiles estimated from the
+    k=256 rows with the smallest md5 row-key hashes — a deterministic
+    bottom-k uniform sample (Cohen & Kaplan 2007), the md5 discipline
+    applied to ROW sampling. Because the 'randomness' is the portable
+    hash, every engine picks the identical sample and the driver hash
+    certifies sample AND estimates end-to-end (where KLL/t-digest
+    internals would be engine-private). Estimates are type-1 sample
+    quantiles at rank ceil(p·m) — no interpolation arithmetic to
+    diverge on; error is the standard O(1/√k) sample-quantile bound,
+    independent of corpus size. Scale shape: one combiner-friendly
+    (group, hash) shuffle + one rank-pushdown top-k window (per-group
+    state = k rows); shards merge by union + re-rank (set-min commutes
+    with union — pinned in tests/test_properties.py)."""
+    from etl_demos_spark.operators import sketches as sk
+
+    li = T(spark, sf_dir, "lineitem")
+    li = li.withColumn("__v", F.col("l_extendedprice").cast("double"))
+    sample = sk.bottomk_sample(
+        li,
+        ("l_returnflag",),
+        "__v",
+        F.concat_ws(":", "l_orderkey", "l_linenumber"),
+        k=_QSK_K,
+    )
+    return sk.sample_quantiles(
+        sample, ("l_returnflag",), "__v", probs=(0.25, 0.5, 0.75, 0.95)
+    ).select("l_returnflag", "p", F.col("est").alias("est"))
+
+
 @workload(
     "q_sketch_rollup",
     oracle="""

@@ -449,3 +449,84 @@ def test_bloom_merge_equals_bloom_of_union(spark, a, b):
     assert {tuple(r) for r in merged.collect()} == {
         tuple(r) for r in whole.collect()
     }
+
+
+@given(
+    a=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.integers(min_value=-50, max_value=50),
+        ),
+        max_size=80,
+        unique_by=lambda t: t[0],
+    ),
+    b=st.lists(
+        st.tuples(
+            st.integers(min_value=10_001, max_value=20_000),
+            st.integers(min_value=-50, max_value=50),
+        ),
+        max_size=80,
+        unique_by=lambda t: t[0],
+    ),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bottomk_sample_merges_like_union(spark, a, b):
+    """Bottom-k row sampling: per-shard bottom-k samples re-ranked ≡
+    bottom-k of the union (set-min commutes with union) — shard
+    partials compose without re-reading rows."""
+    from pyspark.sql import Window as W
+
+    from etl_demos_spark.operators.sketches import bottomk_sample
+
+    k = 8
+    mk = lambda rows: spark.createDataFrame(
+        [("g", i, v) for i, v in rows] or [("g", -1, 0)],
+        "g string, id long, v long",
+    )
+    da, db = mk(a), mk(b)
+    sa = bottomk_sample(da, ("g",), "v", "id", k=k).select("g", "h", "v")
+    sb = bottomk_sample(db, ("g",), "v", "id", k=k).select("g", "h", "v")
+    wnd = W.partitionBy("g").orderBy("h")
+    merged = (
+        sa.unionByName(sb)
+        .withColumn("rn", F.row_number().over(wnd).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("g", "h", "v")
+    )
+    whole = bottomk_sample(
+        da.unionByName(db) if a or b else da, ("g",), "v", "id", k=k
+    ).select("g", "h", "v")
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in whole.collect()
+    }
+
+
+def test_sample_quantiles_exact_when_sample_is_population(spark):
+    """With k ≥ |group| the bottom-k sample IS the population, so the
+    type-1 sample quantile must equal the exact type-1 quantile."""
+    from etl_demos_spark.operators.sketches import (
+        bottomk_sample,
+        sample_quantiles,
+    )
+
+    vals = [3.0, 1.0, 4.0, 1.5, 9.0, 2.6, 5.0, 3.5]  # 8 values
+    df = spark.createDataFrame(
+        [("g", i, v) for i, v in enumerate(vals)], "g string, id long, v double"
+    )
+    s = bottomk_sample(df, ("g",), "v", "id", k=100)
+    got = {
+        (r["p"]): r["est"]
+        for r in sample_quantiles(s, ("g",), "v", probs=(0.25, 0.5, 1.0)).collect()
+    }
+    sv = sorted(vals)
+    import math
+
+    assert got == {
+        0.25: sv[math.ceil(0.25 * 8) - 1],
+        0.5: sv[math.ceil(0.5 * 8) - 1],
+        1.0: sv[-1],
+    }
