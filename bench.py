@@ -78,6 +78,7 @@ HEADLINE = [
     "q_linear_score",
     "q_psi_drift",
     "q_trend_ols",
+    "q_quantile_sketch",
 ]
 
 

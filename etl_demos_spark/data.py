@@ -92,7 +92,10 @@ def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFr
     anyway: measured at sf0.1, flooring the shared postings/position
     passes made q_text_search 0.7→1.8 s and q_ppmi 1.5→2.1 s, while
     the single-consumer passes gained 25-60% (q_dsir_select 5.7→2.4,
-    q_dedup_minhash 4.8→3.3, q_lm_quality 2.4→1.9).
+    q_dedup_minhash 4.8→3.3, q_lm_quality 2.4→1.9 in that session's
+    conditions; steady-state medians settle at ~4.2 / ~4.0 / ~2.5 —
+    the gain direction holds, the absolute numbers drift with the
+    documented ±30% band).
     """
     if min_parts is None:
         min_parts = df.sparkSession.sparkContext.defaultParallelism

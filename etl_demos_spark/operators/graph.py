@@ -238,19 +238,23 @@ def bfs_distances(
     graph twin of the bloom pre-filter: grade a 100 TB link graph by
     proximity to a vetted whitelist).
 
-    Synchronous Bellman-Ford rounds on unit weights over the UNDIRECTED
-    edge set: dist_{i+1}(v) = min(dist_i(v), 1 + min over neighbors u of
-    dist_i(u)). All-integer state — no float anywhere — so the fixpoint
-    prefix is a pure function of (edges, sources, iters) and a SQL
-    oracle replays it as unrolled CTE rounds (the label_propagation /
-    pagerank treatment, with none of their tie-break or quantization
-    care needed). Per round: ONE |E| join + ONE node-keyed min agg +
-    ONE left join back onto the frontier table; shuffled payload is
-    (node, dist) pairs, ∝ |E|; per-round lineage truncated with an
-    eager localCheckpoint (the module-wide iterative-plan discipline —
-    see pagerank's OOM note). ``iters`` bounds the hop radius, which is
-    the point: beyond a few hops the prior is flat, and a bounded
-    frontier never materializes the transitive closure.
+    Classic frontier expansion on unit weights over the UNDIRECTED edge
+    set: round i expands ONLY the nodes first discovered in round i−1
+    (on unit weights a later discovery can never improve an earlier
+    one, so expanding settled nodes is pure waste), and newly reached
+    nodes join the distance table at dist = i. All-integer state — no
+    float anywhere — so the result is a pure function of (edges,
+    sources, iters) and a SQL oracle replays it as unrolled CTE rounds
+    (the label_propagation / pagerank treatment, with none of their
+    tie-break or quantization care needed; the oracle uses the
+    equivalent relax-everything form — same fixpoint). Per round: ONE
+    edge join against the (typically tiny, AQE-broadcast) frontier +
+    ONE node-keyed dedup + ONE anti-join against the settled set;
+    per-round lineage truncated with an eager localCheckpoint (the
+    module-wide iterative-plan discipline — see pagerank's OOM note).
+    ``iters`` bounds the hop radius, which is the point: beyond a few
+    hops the prior is flat, and a bounded frontier never materializes
+    the transitive closure.
 
     Nodes not reached within ``iters`` hops are absent from the result
     (callers coalesce to an 'unreachable' sentinel if needed).
@@ -265,29 +269,27 @@ def bfs_distances(
         .persist()
     )
     und.count()
-    dist = sources.select(
-        F.col(node_col).cast("long").alias("node"), F.lit(0).cast("long").alias("dist")
-    ).distinct()
-    for _ in range(iters):
-        relaxed = (
-            und.join(
-                dist.select(F.col("node").alias("m"), F.col("dist").alias("dm")),
-                "m",
-            )
-            .select(F.col("n").alias("node"), (F.col("dm") + F.lit(1)).alias("d"))
-            .groupBy("node")
-            .agg(F.min("d").alias("d"))
+    dist = (
+        sources.select(
+            F.col(node_col).cast("long").alias("node"),
+            F.lit(0).cast("long").alias("dist"),
         )
-        dist = (
-            dist.join(relaxed, "node", "full")
-            .select(
-                "node",
-                F.least(
-                    F.coalesce(F.col("dist"), F.lit(1 << 62)),
-                    F.coalesce(F.col("d"), F.lit(1 << 62)),
-                ).alias("dist"),
-            )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for i in range(iters):
+        reached = (
+            und.join(frontier.select(F.col("node").alias("m")), "m")
+            .select(F.col("n").alias("node"))
+            .distinct()
+        )
+        new = (
+            reached.join(dist, "node", "left_anti")
+            .select("node", F.lit(i + 1).cast("long").alias("dist"))
             .localCheckpoint(eager=True)  # truncate per-round lineage
         )
+        dist = dist.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
     und.unpersist()
     return dist

@@ -207,6 +207,55 @@ def stress_gram_covariance(spark, n=500_000, dim=64):
     }
 
 
+def stress_bfs_frontier(spark, n=5_000_000, hops=10):
+    """Scenario D — hop-bounded BFS on a 5M-node binary-heap tree
+    (edges i -> 2i+1, 2i+2): the iterative-graph flagship above
+    testdata scale. The analytic ground truth is exact — from seed 0
+    the undirected distance to node v IS floor(log2(v+1)) — so the
+    scenario asserts the ENTIRE distance table, not just wall time.
+    The scale property under test: per-round cost must track the
+    (tiny) frontier, not |V| — AQE broadcasts the dist side of each
+    relax join, so every round is a map-only pass over the persisted
+    edge table with no |V|-sized shuffle."""
+    from etl_demos_spark.operators.graph import bfs_distances
+
+    half = n // 2
+    kids = spark.range(half).select(
+        F.col("id").alias("a"),
+        F.explode(
+            F.array(F.col("id") * 2 + 1, F.col("id") * 2 + 2)
+        ).alias("b"),
+    ).filter(F.col("b") < n)
+    seeds = spark.range(1).select(F.col("id").alias("node"))
+    t0 = time.time()
+    dist = bfs_distances(kids, seeds, iters=hops, src="a", dst="b")
+    mismatches, reached = (
+        dist.select(
+            "node",
+            "dist",
+            F.floor(F.log2(F.col("node") + 1)).cast("long").alias("want"),
+        )
+        .agg(
+            F.sum((F.col("dist") != F.col("want")).cast("long")).alias("bad"),
+            F.count(F.lit(1)).alias("m"),
+        )
+        .collect()[0]
+    )
+    wall = time.time() - t0
+    expect = (1 << (hops + 1)) - 1  # full levels 0..hops
+    return {
+        "scenario": "bfs_frontier_5M",
+        "n_nodes": n,
+        "n_edges": n - 1,
+        "hops": hops,
+        "wall_s": round(wall, 2),
+        "reached": int(reached),
+        "reached_expected": expect,
+        "distance_mismatches": int(mismatches),
+        "ok": int(mismatches) == 0 and int(reached) == expect,
+    }
+
+
 def main():
     quick = len(sys.argv) > 1 and sys.argv[1] == "quick"
     spark = get_spark("stress-scale")
@@ -215,14 +264,17 @@ def main():
         a = stress_tiled_embedding_dedup(spark, n=250_000)
         b = stress_incremental_minhash(spark, corpus_n=5_000, batch_n=1_000)
         c = stress_gram_covariance(spark, n=100_000)
+        d = stress_bfs_frontier(spark, n=500_000, hops=8)
     else:
         a = stress_tiled_embedding_dedup(spark)
         b = stress_incremental_minhash(spark)
         c = stress_gram_covariance(spark)
+        d = stress_bfs_frontier(spark)
     print(json.dumps(a))
     print(json.dumps(b))
     print(json.dumps(c))
-    if not (a["ok"] and b["ok"] and c["ok"]):
+    print(json.dumps(d))
+    if not (a["ok"] and b["ok"] and c["ok"] and d["ok"]):
         sys.exit(1)
 
 
