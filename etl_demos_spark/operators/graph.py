@@ -7,10 +7,10 @@ label propagation — lives in operators/embedding_dedup.py.
 
 PageRank here is the classic damped power iteration expressed as keyed
 DataFrame shuffles: per iteration, ONE join (ranks onto edges, rank/deg
-contribution) + ONE groupBy(dst) sum + a constant-folded rank update.
-No adjacency matrix is ever materialized, no driver-side graph state —
-only two scalars (node count, per-iteration dangling mass) reach the
-driver.
+contribution) + ONE groupBy(dst) sum + a rank update whose dangling-mass
+term rides along as a broadcast 1-row aggregate — no per-round driver
+round-trip. No adjacency matrix is ever materialized, no driver-side
+graph state — only ONE scalar (node count) ever reaches the driver.
 
 Determinism: contributions are quantized ENGINE-PORTABLY —
 ``floor(rank * 1e12 / deg)`` summed as exact BIGINTs (order-independent
@@ -82,20 +82,28 @@ def pagerank(
             .groupBy("dst")
             .agg((F.sum("c").cast("double") / F.lit(_Q)).alias("contrib"))
         )
-        # mass sitting on dangling nodes (rank with no out-edges) — one
-        # integer-exact scalar to the driver per iteration
-        dangling_q = (
-            ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
-            .agg(F.sum(F.floor(F.col("rank") * F.lit(_Q)).cast("long")))
-            .collect()[0][0]
+        # mass sitting on dangling nodes (rank with no out-edges) — an
+        # integer-exact 1-row aggregate, broadcast into the update (no
+        # driver round-trip; the IEEE op tree matches the oracle SQL:
+        # (base + ((d*(dq/Q))/n)) + d*contrib, evaluated left-to-right)
+        dangling = ranks.join(
+            deg, ranks["node"] == deg["src"], "left_anti"
+        ).agg(
+            F.coalesce(
+                F.sum(F.floor(F.col("rank") * F.lit(_Q)).cast("long")),
+                F.lit(0),
+            ).alias("__dq")
         )
-        dangling_share = damping * (float(dangling_q or 0) / _Q) / n
+        dangling_share = (
+            F.lit(damping) * (F.col("__dq").cast("double") / F.lit(_Q))
+        ) / F.lit(float(n))
         ranks = (
             nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 (
-                    F.lit(base + dangling_share)
+                    (F.lit(base) + dangling_share)
                     + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
                 ).alias("rank"),
             )
