@@ -564,3 +564,28 @@ def sample_quantiles(
         .filter(F.col("vr") == F.ceil(F.col("p") * F.col("m")).cast("long"))
         .select(*group_cols, "p", F.col(value_col).alias("est"))
     )
+
+
+def bottomk_merge(
+    store: DataFrame,
+    batch: DataFrame,
+    group_cols: tuple[str, ...],
+    k: int = 256,
+) -> DataFrame:
+    """Fold a new shard/micro-batch of bottom-k rows into an existing
+    store: union + re-take the k smallest hashes per group. Because
+    set-min commutes with union (property-pinned for bottomk_sample),
+    the merged store is IDENTICAL to sampling the concatenated input —
+    the foreachBatch streaming form and the per-shard rollup form are
+    the same operator. Inputs are (group_cols..., h, ...payload) as
+    produced by ``bottomk_sample``; ``rn`` is recomputed."""
+    from pyspark.sql import Window as W
+
+    cols = [c for c in store.columns if c != "rn"]
+    wnd = W.partitionBy(*group_cols).orderBy("h")
+    return (
+        store.select(*cols)
+        .unionByName(batch.select(*cols))
+        .withColumn("rn", F.row_number().over(wnd).cast("long"))
+        .filter(F.col("rn") <= k)
+    )

@@ -429,3 +429,63 @@ def test_streaming_bloom_words_match_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_streaming_bottomk_quantile_sample_matches_batch(spark, tmp_path):
+    """Bottom-k quantile sample as a STREAM: foreachBatch folds each
+    micro-batch's bottom-k into the store via bottomk_merge (set-min
+    commutes with union), so the final store — and therefore every
+    quantile estimate — must be IDENTICAL to batch-sampling all rows
+    at once. The live form of the per-shard rollup."""
+    from etl_demos_spark.operators.sketches import (
+        bottomk_merge,
+        bottomk_sample,
+        sample_quantiles,
+    )
+
+    src = str(tmp_path / "bk_src")
+    ev = load_events(spark, SF_DIR).select("event_type", "event_id", "value")
+    ev.coalesce(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    store = {"df": None}
+
+    def fold(batch_df, batch_id):
+        sk = bottomk_sample(batch_df, ("event_type",), "value", "event_id", k=32)
+        if store["df"] is None:
+            merged = sk
+        else:
+            merged = bottomk_merge(store["df"], sk, ("event_type",), k=32)
+        # materialize the store off the micro-batch plan
+        store["df"] = spark.createDataFrame(
+            merged.collect(), schema=merged.schema
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force multiple micro-batches
+        .parquet(src)
+        .writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    want_sample = bottomk_sample(ev, ("event_type",), "value", "event_id", k=32)
+    got = {tuple(r) for r in store["df"].select("event_type", "h", "value").collect()}
+    want = {tuple(r) for r in want_sample.select("event_type", "h", "value").collect()}
+    assert got == want
+    got_q = {
+        (r["event_type"], r["p"]): r["est"]
+        for r in sample_quantiles(
+            store["df"], ("event_type",), "value", probs=(0.5, 0.9)
+        ).collect()
+    }
+    want_q = {
+        (r["event_type"], r["p"]): r["est"]
+        for r in sample_quantiles(
+            want_sample, ("event_type",), "value", probs=(0.5, 0.9)
+        ).collect()
+    }
+    assert got_q == want_q
