@@ -879,6 +879,11 @@ _LATE: tuple[str, ...] = (
                            # the sketch family is triple-covered
                            # in-window (q_hll_distinct, q_heavy_hitters,
                            # q_bloom_filter)
+    # -- session-5 continued: q_pyds_scan (Spark 4 Python Data Source
+    #    API — new source machinery) takes a window slot:
+    "q_top_unshipped",     # r03+r04 in-window passes; relational family
+                           # amply covered (q_star_join, q_join_agg,
+                           # q_range_join, q_market_share machinery)
     # rows-only (no cross-engine oracle exists):
     "q_bpe_learn",     # iterative merge learning; pinned to a Python
                        # reference implementation in tests/test_bpe.py

@@ -1303,6 +1303,45 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "q_pyds_scan",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    tags=("S3", "S5"),
+)
+def q_pyds_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python Data Source API (sources/pyds.py): the customer
+    table read through the registered ``arrow_parquet`` source — one
+    InputPartition per parquet row group, Arrow RecordBatches end to
+    end — then aggregated. The oracle reads the same file natively, so
+    the driver hash certifies the custom-source machinery is LOSSLESS
+    (schema, values, decimals). This is the idiomatic Spark-4 port of
+    the reference's hand-rolled Python ingest
+    (include/auto_data_adapter.py:16-172, exampledag.py:49-75): driver
+    plans partitions from metadata, executors fetch pages/row-groups in
+    parallel; swap the pyarrow call for any in-house format or paged
+    API and the scale shape is unchanged."""
+    from etl_demos_spark.sources.pyds import register_python_sources
+
+    register_python_sources(spark)
+    c = (
+        spark.read.format("arrow_parquet")
+        .option("path", f"{sf_dir}/customer.parquet")
+        .load()
+    )
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("bal_sum"),
+    )
+
+
+@workload(
     "q_rest_json",
     oracle="""
     SELECT * FROM (VALUES

@@ -282,3 +282,36 @@ def test_orc_source(spark, tmp_path):
     reg.add(Source(name="oc", path=p, fmt="orc"))
     df = reg.load(spark, "oc")
     assert df.count() == 2 and set(df.columns) == {"a", "b"}
+
+
+def test_arrow_parquet_source_matches_native_scan(spark):
+    """The Python DataSource read must be byte-identical to Spark's
+    native parquet scan, with one input partition per row group."""
+    import pyarrow.parquet as pq
+
+    from etl_demos_spark.sources.pyds import register_python_sources
+
+    register_python_sources(spark)
+    path = "/root/testdata/sf0.001/customer.parquet"
+    df = spark.read.format("arrow_parquet").option("path", path).load()
+    native = spark.read.parquet(path)
+    assert df.schema == native.schema
+    assert {tuple(r) for r in df.collect()} == {
+        tuple(r) for r in native.collect()
+    }
+    assert df.rdd.getNumPartitions() == max(
+        pq.ParquetFile(path).num_row_groups, 1
+    )
+
+
+def test_paged_api_source_one_partition_per_page(spark):
+    from etl_demos_spark.sources.pyds import register_python_sources
+
+    register_python_sources(spark)
+    df = spark.read.format("paged_api").option("pages", "3").load()
+    assert df.rdd.getNumPartitions() == 3
+    rows = df.collect()
+    assert len(rows) == 9
+    # page assignment is the partition plan, deterministically
+    assert {r["page"] for r in rows} == {0, 1, 2}
+    assert all(r["craft"] in ("ISS", "Tiangong") for r in rows)
