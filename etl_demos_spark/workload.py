@@ -880,10 +880,15 @@ _LATE: tuple[str, ...] = (
                            # in-window (q_hll_distinct, q_heavy_hitters,
                            # q_bloom_filter)
     # -- session-5 continued: q_pyds_scan (Spark 4 Python Data Source
-    #    API — new source machinery) takes a window slot:
+    #    API) and q_variant_shred (Spark 4 VARIANT semi-structured
+    #    round-trip) are new machinery families — both take window
+    #    slots:
     "q_top_unshipped",     # r03+r04 in-window passes; relational family
                            # amply covered (q_star_join, q_join_agg,
                            # q_range_join, q_market_share machinery)
+    "q_pii_redact",        # r03+r04 in-window passes; text family stays
+                           # in-window via q_text_quality + q_lang_id +
+                           # q_lm_quality
     # rows-only (no cross-engine oracle exists):
     "q_bpe_learn",     # iterative merge learning; pinned to a Python
                        # reference implementation in tests/test_bpe.py

@@ -1240,6 +1240,61 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "q_variant_shred",
+    oracle="""
+    SELECT o_orderpriority AS tag0,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS id_sum,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt_sum,
+           CAST(0 AS BIGINT) AS n_bad_coerce
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("ext-semistructured",),
+)
+def q_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT round-trip: orders rows encode to nested JSON →
+    ``parse_json`` into the binary VARIANT type → typed path extraction
+    (nested object, array subscript, decimal coercion) → shred back to
+    columns and aggregate. The oracle aggregates the RAW columns, so
+    the driver hash certifies the entire encode→parse→extract loop is
+    LOSSLESS — ids, decimal amounts, array elements all survive. The
+    ``try_variant_get`` mis-coercion column (a date string asked for as
+    bigint) must be NULL on every row — counted and certified 0. At
+    scale VARIANT is the semi-structured ingest path: binary shredded
+    storage, no per-query JSON re-parse, pushdown-friendly typed
+    extraction."""
+    o = T(spark, sf_dir, "orders")
+    payload = F.to_json(
+        F.struct(
+            F.col("o_orderkey").alias("id"),
+            F.struct(
+                F.col("o_orderdate").cast("string").alias("d"),
+                F.col("o_totalprice").alias("amt"),
+            ).alias("meta"),
+            F.array(
+                F.col("o_orderpriority"), F.col("o_orderstatus")
+            ).alias("tags"),
+        )
+    )
+    v = o.select(F.parse_json(payload).alias("v"))
+    shredded = v.select(
+        F.variant_get("v", "$.id", "bigint").alias("id"),
+        F.variant_get("v", "$.meta.amt", "decimal(18,2)").alias("amt"),
+        F.variant_get("v", "$.tags[0]", "string").alias("tag0"),
+        F.try_variant_get("v", "$.meta.d", "bigint").alias("bad"),
+    )
+    return shredded.groupBy("tag0").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("id").cast("long").alias("id_sum"),
+        F.sum("amt").cast("double").alias("amt_sum"),
+        F.sum(F.col("bad").isNotNull().cast("long")).cast("long").alias(
+            "n_bad_coerce"
+        ),
+    )
+
+
+@workload(
     "q_age_band",
     oracle="""
     SELECT (1998 - year(o_orderdate)) AS order_age,
