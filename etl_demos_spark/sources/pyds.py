@@ -31,7 +31,12 @@ Two sources:
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class ArrowParquetDataSource(DataSource):
@@ -106,6 +111,9 @@ class PagedApiDataSource(DataSource):
     def reader(self, schema) -> DataSourceReader:
         return _PagedApiReader(int(self.options.get("pages", "3")))
 
+    def simpleStreamReader(self, schema):
+        return _PagedApiStreamReader(int(self.options.get("pages", "3")))
+
 
 class _PagedApiReader(DataSourceReader):
     def __init__(self, pages: int):
@@ -124,3 +132,34 @@ def register_python_sources(spark) -> None:
     """Idempotent registration of both sources on a session."""
     spark.dataSource.register(ArrowParquetDataSource)
     spark.dataSource.register(PagedApiDataSource)
+
+
+class _PagedApiStreamReader(SimpleDataSourceStreamReader):
+    """SimpleDataSourceStreamReader for ``paged_api``: the offset IS the
+    page token — each ``read`` drains exactly one page and hands back
+    the next token, so one micro-batch == one API page and failure
+    recovery replays pages deterministically via readBetweenOffsets
+    (the page fetch is a pure function of the token). Past the last
+    page the reader returns an empty slice with an unmoved offset —
+    a live deployment would keep polling the API for new pages."""
+
+    def __init__(self, pages: int):
+        self.pages = pages
+
+    def initialOffset(self) -> dict:
+        return {"page": 0}
+
+    def read(self, start: dict):
+        p = int(start["page"])
+        if p >= self.pages:
+            return iter([]), start
+        rows = [(p, craft, name) for craft, name in _fetch_page(p)]
+        return iter(rows), {"page": p + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        for p in range(int(start["page"]), int(end["page"])):
+            for craft, name in _fetch_page(p):
+                yield (p, craft, name)
+
+    def commit(self, end: dict) -> None:
+        pass

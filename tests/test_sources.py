@@ -315,3 +315,40 @@ def test_paged_api_source_one_partition_per_page(spark):
     # page assignment is the partition plan, deterministically
     assert {r["page"] for r in rows} == {0, 1, 2}
     assert all(r["craft"] in ("ISS", "Tiangong") for r in rows)
+
+
+def test_paged_api_streams_one_page_per_microbatch(spark):
+    """The streaming half of the Python Data Source API: offset == page
+    token, so each micro-batch drains exactly one page and the full
+    stream lands on the same 9 rows as the batch read."""
+    import time
+
+    from etl_demos_spark.sources.pyds import register_python_sources
+
+    register_python_sources(spark)
+    q = (
+        spark.readStream.format("paged_api")
+        .option("pages", "3")
+        .load()
+        .writeStream.format("memory")
+        .queryName("api_stream_t")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        n = 0
+        while time.time() < deadline and n < 9:
+            n = spark.sql("select count(*) c from api_stream_t").collect()[0]["c"]
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    got = {
+        tuple(r)
+        for r in spark.sql("select page, craft, name from api_stream_t").collect()
+    }
+    want = {
+        tuple(r)
+        for r in spark.read.format("paged_api").option("pages", "3").load().collect()
+    }
+    assert got == want and len(got) == 9
