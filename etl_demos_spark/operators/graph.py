@@ -40,6 +40,15 @@ from pyspark.sql import DataFrame
 _Q = 1e12
 
 
+def _undirected(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Both directions of an edge list as (n, m) — the shared expansion
+    under label_propagation and bfs_distances (and replayed verbatim in
+    their oracles' `und` CTEs)."""
+    return edges.select(F.col(src).alias("n"), F.col(dst).alias("m")).unionByName(
+        edges.select(F.col(dst).alias("n"), F.col(src).alias("m"))
+    )
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = 10,
@@ -63,7 +72,10 @@ def pagerank(
         .persist()
     )
     n = nodes.count()
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # deg is read twice per round (contribution denominators via ed,
+    # dangling anti-join directly) — persist it or every round's
+    # anti-join re-runs the whole edges.distinct() + groupBy chain
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     # edges annotated with out-degree once, reused every iteration
     ed = e.join(deg, "src").persist()
     ed.count()
@@ -114,6 +126,7 @@ def pagerank(
             # slightly SLOWER than paying the eager job up front)
         )
     ed.unpersist()
+    deg.unpersist()
     nodes.unpersist()
     return ranks
 
@@ -201,13 +214,7 @@ def label_propagation(
 
     Returns (node, community).
     """
-    und = (
-        edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
-        .unionByName(
-            edges.select(F.col(dst).alias("n"), F.col(src).alias("m"))
-        )
-        .persist()
-    )
+    und = _undirected(edges, src, dst).persist()
     labels = und.select(F.col("n").alias("node")).distinct().select(
         "node", F.col("node").alias("community")
     )
@@ -273,13 +280,7 @@ def bfs_distances(
 
     Returns (node, dist).
     """
-    und = (
-        edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
-        .unionByName(
-            edges.select(F.col(dst).alias("n"), F.col(src).alias("m"))
-        )
-        .persist()
-    )
+    und = _undirected(edges, src, dst).persist()
     und.count()
     dist = (
         sources.select(
@@ -301,7 +302,13 @@ def bfs_distances(
             .select("node", F.lit(i + 1).cast("long").alias("dist"))
             .localCheckpoint(eager=True)  # truncate per-round lineage
         )
-        dist = dist.unionByName(new).localCheckpoint(eager=True)
+        # dist stays the LAZY union of already-checkpointed deltas:
+        # re-checkpointing the settled set every round would rewrite it
+        # O(rounds × |settled|) times at the 100 TB design point, while
+        # the union's plan depth grows only linearly in rounds (every
+        # constituent is a checkpointed RDD). A/B-measured equal at
+        # 500k nodes (5.4-6.7 s both, interleaved in one session).
+        dist = dist.unionByName(new)
         frontier = new
     und.unpersist()
     return dist

@@ -512,8 +512,13 @@ def bottomk_sample(
     combiner-friendly (group, hash) shuffle + one per-group top-k
     window (WindowGroupLimit keeps per-group state at k rows).
 
-    Returns (group_cols..., h, rn, value_col) with rn ∈ [1, k]
-    ascending by hash.
+    The key string rides along as ``kk`` and breaks hash ties in every
+    ordering: at corpus scale a 60-bit collision straddling rank k is a
+    birthday certainty, and without a total order the 'identical
+    everywhere' guarantee would silently fail exactly there.
+
+    Returns (group_cols..., kk, h, rn, value_col) with rn ∈ [1, k]
+    ascending by (hash, key).
     """
     from etl_demos_spark.operators.dedup import md5_long
     from pyspark.sql import Window as W
@@ -521,10 +526,12 @@ def bottomk_sample(
     key = key_col if not isinstance(key_col, str) else F.col(key_col)
     d = df.select(
         *group_cols,
-        md5_long(key.cast("string")).alias("h"),
+        key.cast("string").alias("kk"),
         F.col(value_col),
+    ).select(
+        *group_cols, "kk", md5_long(F.col("kk")).alias("h"), F.col(value_col)
     )
-    wnd = W.partitionBy(*group_cols).orderBy("h")
+    wnd = W.partitionBy(*group_cols).orderBy("h", "kk")
     return d.withColumn("rn", F.row_number().over(wnd).cast("long")).filter(
         F.col("rn") <= k
     )
@@ -547,7 +554,7 @@ def sample_quantiles(
     """
     from pyspark.sql import Window as W
 
-    wnd = W.partitionBy(*group_cols).orderBy(value_col, "h")
+    wnd = W.partitionBy(*group_cols).orderBy(value_col, "h", "kk")
     m = W.partitionBy(*group_cols)
     ranked = sample.select(
         *group_cols,
@@ -582,7 +589,7 @@ def bottomk_merge(
     from pyspark.sql import Window as W
 
     cols = [c for c in store.columns if c != "rn"]
-    wnd = W.partitionBy(*group_cols).orderBy("h")
+    wnd = W.partitionBy(*group_cols).orderBy("h", "kk")
     return (
         store.select(*cols)
         .unionByName(batch.select(*cols))

@@ -692,12 +692,15 @@ _LATE: tuple[str, ...] = (
     "q_fuzzy_join",        # r03 in-window pass; q_dedup_minhash keeps
                            # candidate-join dedup in-window, q_dedup_ngram
                            # (late) is the same gram machinery
-    "q_idle_accounts",     # r03 in-window pass; q_waiting_supplier keeps
-                           # subquery decorrelation in-window
+    "q_idle_accounts",     # r03 in-window pass; subquery decorrelation
+                           # family certified r03+r04 in-window via
+                           # q_waiting_supplier (itself rotated late in
+                           # session 4), hash-verified every local run
     "q_cust_distribution", # r03 in-window pass; q_group_agg keeps
                            # two-level aggregation in-window
-    "q_scalar_subquery",   # r03 in-window pass; q_waiting_supplier keeps
-                           # the subquery family in-window
+    "q_scalar_subquery",   # r03 in-window pass; subquery family
+                           # certified r03+r04 (q_waiting_supplier,
+                           # late since session 4), locally verified
     "q_string_funcs",      # r03 in-window pass; q_date_arithmetic keeps
                            # scalar families in-window
     "q_array_funcs",       # r03 in-window pass; q_bit_funcs/q_map_funcs
@@ -771,7 +774,8 @@ _LATE: tuple[str, ...] = (
                            # (q_pack_sequences keeps trainprep ordering
                            # in-window; q_hash_split late, same buckets)
     "q_exists_subquery",   # EXISTS semi-join decorrelation — strict
-                           # subset of q_waiting_supplier's
+                           # subset of q_waiting_supplier's (late since
+                           # session 4, r03+r04 certified)
                            # EXISTS + NOT EXISTS window decorrelation
     "q_having_subquery",   # IN + HAVING agg-derived key-set join
                            # (q_scalar_subquery keeps the agg-join-back
@@ -868,8 +872,8 @@ _LATE: tuple[str, ...] = (
     #    q_bfs_dist (all-integer multi-source BFS) registered paired —
     #    both take window slots:
     "q_url_curation",      # r03+r04 in-window passes; regex/text family
-                           # stays in-window via q_pii_redact +
-                           # q_text_quality + q_lang_id
+                           # stays in-window via q_text_quality +
+                           # q_lang_id + q_lm_quality
     "q_pandas_udf",        # r03+r04 in-window passes; Arrow/pandas-UDF
                            # machinery stays in-window via
                            # q_multimodal_decode's decode UDFs and the
@@ -882,10 +886,12 @@ _LATE: tuple[str, ...] = (
     # -- session-5 continued: q_pyds_scan (Spark 4 Python Data Source
     #    API) and q_variant_shred (Spark 4 VARIANT semi-structured
     #    round-trip) are new machinery families — both take window
-    #    slots:
-    "q_top_unshipped",     # r03+r04 in-window passes; relational family
-                           # amply covered (q_star_join, q_join_agg,
-                           # q_range_join, q_market_share machinery)
+    #    slots. q_top_unshipped deliberately KEPT in-window: several
+    #    rotation rationales above cite it as the family slot.
+    "q_chunk_docs",        # r03+r04 in-window passes; q_chunk_udtf
+                           # (late) is pinned identical, and trainprep
+                           # stays in-window via q_decontaminate +
+                           # q_dsir_select + q_neg_sample
     "q_pii_redact",        # r03+r04 in-window passes; text family stays
                            # in-window via q_text_quality + q_lang_id +
                            # q_lm_quality

@@ -3718,21 +3718,23 @@ _QSK_K = 256
 _QSK_ORACLE = f"""
     WITH s AS (
         SELECT l_returnflag,
+               CAST(l_orderkey AS VARCHAR) || ':' ||
+                   CAST(l_linenumber AS VARCHAR) AS kk,
                CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
                    CAST(l_linenumber AS VARCHAR)), 1, 15) AS BIGINT) AS h,
                CAST(l_extendedprice AS DOUBLE) AS v
         FROM lineitem
     ), topk AS (
-        SELECT l_returnflag, h, v FROM (
-            SELECT l_returnflag, h, v,
+        SELECT l_returnflag, kk, h, v FROM (
+            SELECT l_returnflag, kk, h, v,
                    row_number() OVER (PARTITION BY l_returnflag
-                                      ORDER BY h) AS rn
+                                      ORDER BY h, kk) AS rn
             FROM s
         ) WHERE rn <= {_QSK_K}
     ), ranked AS (
         SELECT l_returnflag, v,
                row_number() OVER (PARTITION BY l_returnflag
-                                  ORDER BY v, h) AS vr,
+                                  ORDER BY v, h, kk) AS vr,
                COUNT(*) OVER (PARTITION BY l_returnflag) AS m
         FROM topk
     )
