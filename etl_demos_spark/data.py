@@ -85,17 +85,22 @@ def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFr
     amplification), which is exactly the cheap place to pay for
     balance.
 
-    Apply it ONLY where the floored frame feeds ONE consumer chain
-    (ideally one that persists its result — minhash/simhash signature
-    builds, DSIR features, LM gram passes). Multi-branch consumers
-    re-execute the exchange per branch and their joins reshuffle
-    anyway: measured at sf0.1, flooring the shared postings/position
-    passes made q_text_search 0.7→1.8 s and q_ppmi 1.5→2.1 s, while
-    the single-consumer passes gained 25-60% (q_dsir_select 5.7→2.4,
-    q_dedup_minhash 4.8→3.3, q_lm_quality 2.4→1.9 in that session's
-    conditions; steady-state medians settle at ~4.2 / ~4.0 / ~2.5 —
-    the gain direction holds, the absolute numbers drift with the
-    documented ±30% band).
+    HISTORY — currently unused by the built-in operators, kept for
+    callers with genuinely huge single-split inputs. Round 4 first
+    applied it to the single-consumer gram passes (minhash/simhash
+    signatures, DSIR features, LM n-grams) based on cold-session
+    measurements claiming 25-60% gains, then REMOVED it after
+    interleaved same-session A/Bs showed those gains were session
+    noise: floored vs unfloored medians at sf0.1 were lm_quality
+    2.4 vs 1.6, dsir_select 4.1-6.0 vs 3.6-4.7, dedup_minhash a wash —
+    the repartition shuffle of full text bodies costs as much as the
+    parallelism it buys even on a 1-partition scan of 5k docs, and on
+    any real multi-split corpus the floor is a no-op by construction.
+    (Flooring SHARED multi-branch passes was always a loss: each
+    branch re-executes the exchange — q_text_search 0.7→1.8 s,
+    q_ppmi 1.5→2.1 s.) Lesson recorded: A/B perf claims must be
+    interleaved in one session; cold-session drift is ~2×, larger
+    than most effect sizes.
     """
     if min_parts is None:
         min_parts = df.sparkSession.sparkContext.defaultParallelism

@@ -372,12 +372,8 @@ def incremental_minhash_dedup(
     (one column, named ``id_col``) and the signature store to persist
     for the next increment (existing ∪ survivors).
     """
-    from etl_demos_spark.data import ensure_min_partitions
-
     rows = num_hashes // bands
-    grams = exploded_shingles(
-        ensure_min_partitions(new_df), id_col, text_col, n
-    )
+    grams = exploded_shingles(new_df, id_col, text_col, n)
     new_sigs = minhash_signatures_from_grams(
         grams, "id", "g", num_hashes, base_hash
     ).persist()
@@ -475,16 +471,12 @@ def minhash_lsh_pairs(
     is keyed rows, not n·bands signature copies (measured ~60× smaller at
     k=128/32 bands), and the verify joins move only candidate-count rows.
     """
-    from etl_demos_spark.data import ensure_min_partitions
-
     rows = num_hashes // bands
-    # the shingle explode + 128 min-aggs are pinned to the scan's
-    # partition count until the first shuffle — floor the parallelism
-    # on the cheap pre-explosion side (no-op on a multi-split scan).
-    # Applied HERE, not in exploded_shingles: grams here feed one
-    # persisted consumer, so the extra exchange is paid once, whereas
-    # multi-branch consumers (fuzzy_join) would re-pay it per branch.
-    grams = exploded_shingles(ensure_min_partitions(df), id_col, text_col, n)
+    # No parallelism floor on the pre-explosion side: interleaved A/B at
+    # sf0.1 showed the repartition shuffle of full text bodies costs as
+    # much as it buys even on a single-row-group scan, and on any real
+    # multi-split corpus the floor is a no-op anyway (see data.py).
+    grams = exploded_shingles(df, id_col, text_col, n)
     sigs = minhash_signatures_from_grams(grams, "id", "g", num_hashes, base_hash)
     sigs = sigs.persist()  # reused by banding + both verify fetches
     banded = banded_buckets(sigs, bands, rows)
@@ -591,10 +583,7 @@ def simhash_pairs(
     chunk_bits = sig_bits // k
     # chunk i covers [starts[i], starts[i+1]); last chunk takes remainder
     starts = [i * chunk_bits for i in range(k)] + [sig_bits]
-    from etl_demos_spark.data import ensure_min_partitions
-
-    # single persisted consumer → pay the parallelism-floor exchange once
-    docs = shingled_docs(ensure_min_partitions(df), id_col, text_col, n)
+    docs = shingled_docs(df, id_col, text_col, n)
     sigs = simhash_signatures(docs, "id", "sh", base_hash)
     sigs = sigs.persist()  # reused by both chunk-join sides
     chunked = sigs.select(

@@ -53,17 +53,12 @@ def hashed_ngram_features(
     strings dropped BEFORE bigram formation (positions re-pack, so the
     oracle's filtered-array subscripts line up). All codegen'd:
     transform/sequence builds bigrams without a self-join."""
-    from etl_demos_spark.data import ensure_min_partitions
     from etl_demos_spark.operators.dedup import md5_long
 
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
     )
-    # gram explosion amplifies ~70×: floor the parallelism BEFORE the
-    # heavy projection (no-op on an already-parallel scan)
-    d = ensure_min_partitions(df.select(id_col, F.col(text_col))).select(
-        id_col, toks.alias("t")
-    )
+    d = df.select(id_col, F.col(text_col)).select(id_col, toks.alias("t"))
     bigrams = F.when(
         F.size("t") >= 2,
         F.transform(

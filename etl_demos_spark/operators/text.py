@@ -247,16 +247,10 @@ def exploded_word_ngrams(
     to ``explode(word_ngrams(...))`` (pinned in tests). Use this wherever
     grams become rows; keep word_ngrams for array-context expressions.
     """
-    from etl_demos_spark.data import ensure_min_partitions
-
     tokens = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), F.lit(0))
     m = F.size(tokens) - F.lit(n - 1)
     zipped = F.arrays_zip(*[F.slice(tokens, i + 1, m).alias(f"t{i}") for i in range(n)])
-    # explode amplification pins this stage to the scan's partition
-    # count — floor it (no-op on an already-parallel scan)
-    rows = ensure_min_partitions(df).filter(m >= 1).select(
-        *keep_cols, F.explode(zipped).alias("_z")
-    )
+    rows = df.filter(m >= 1).select(*keep_cols, F.explode(zipped).alias("_z"))
     gram = F.concat_ws(" ", *[F.col(f"_z.t{i}") for i in range(n)])
     return rows.select(*keep_cols, gram.alias("gram"))
 
