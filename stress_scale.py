@@ -13,6 +13,14 @@ probed by a 10k-doc batch (5k exact dups of the corpus, 5k fresh with
 within-batch min-id survivors, records wall time and the widest
 intermediate (exploded grams) with its max-partition row count.
 
+Scenario C — distributed PCA Gram pass: 500k 64-dim vectors, the full
+DECIMAL(38,0) Gram matrix asserted bit-identical across partitionings.
+
+Scenario D — hop-bounded multi-source BFS: 5M-node binary-heap tree,
+the ENTIRE 10-hop distance table asserted against the closed form
+floor(log2(v+1)) — frontier expansion, per-round shuffle ∝ frontier
+adjacency, never |V|.
+
 All data is GENERATED IN SPARK (spark.range + JVM expressions) — the
 driver never materializes the corpus. Run:
 
