@@ -58,7 +58,7 @@ def hashed_ngram_features(
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
     )
-    d = df.select(id_col, F.col(text_col)).select(id_col, toks.alias("t"))
+    d = df.select(id_col, toks.alias("t"))
     bigrams = F.when(
         F.size("t") >= 2,
         F.transform(

@@ -584,8 +584,10 @@ def bottomk_merge(
     set-min commutes with union (property-pinned for bottomk_sample),
     the merged store is IDENTICAL to sampling the concatenated input —
     the foreachBatch streaming form and the per-shard rollup form are
-    the same operator. Inputs are (group_cols..., h, ...payload) as
-    produced by ``bottomk_sample``; ``rn`` is recomputed."""
+    the same operator. Inputs MUST carry the (h, kk) pair exactly as
+    produced by ``bottomk_sample`` — kk is the tie-break that makes the
+    bottom-k order total (see its docstring); a store persisted without
+    it cannot be folded. ``rn`` is recomputed."""
     from pyspark.sql import Window as W
 
     cols = [c for c in store.columns if c != "rn"]

@@ -666,7 +666,7 @@ _LATE: tuple[str, ...] = (
     "q_pack_sequences",    # r03+r04 in-window passes; displaced by the
                            # new q_dsir_select slot — trainprep stays
                            # in-window via q_decontaminate +
-                           # q_chunk_docs
+                           # q_dsir_select + q_neg_sample
     "q_train_classifier",  # rows-only (iterative GD is not SQL-
                            # expressible; bit-identical sequential-
                            # reference pin in tests/test_classifier.py);
@@ -747,7 +747,8 @@ _LATE: tuple[str, ...] = (
     "q_top_terms",         # vocabulary counts (q_text_search's postings
                            # are the same explode+count shape)
     "q_chunk_udtf",        # UDTF chunker, pinned row-identical to the
-                           # in-window q_chunk_docs built-in form
+                           # q_chunk_docs built-in form (itself late
+                           # since session 5, r03+r04 certified)
     "q_embed_quantize",    # int8 quantize roundtrip (q_embed_norms keeps
                            # the embedding-functions family in-window)
     "q_mixture_sample",    # weighted hash-threshold sampling

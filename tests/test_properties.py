@@ -475,12 +475,11 @@ def test_bloom_merge_equals_bloom_of_union(spark, a, b):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 def test_bottomk_sample_merges_like_union(spark, a, b):
-    """Bottom-k row sampling: per-shard bottom-k samples re-ranked ≡
-    bottom-k of the union (set-min commutes with union) — shard
-    partials compose without re-reading rows."""
-    from pyspark.sql import Window as W
-
-    from etl_demos_spark.operators.sketches import bottomk_sample
+    """Bottom-k row sampling: folding per-shard samples through the
+    REAL bottomk_merge (h, kk total order) ≡ bottom-k of the union
+    (set-min commutes with union) — shard partials compose without
+    re-reading rows, hash ties broken identically on both paths."""
+    from etl_demos_spark.operators.sketches import bottomk_merge, bottomk_sample
 
     k = 8
     mk = lambda rows: spark.createDataFrame(
@@ -488,18 +487,12 @@ def test_bottomk_sample_merges_like_union(spark, a, b):
         "g string, id long, v long",
     )
     da, db = mk(a), mk(b)
-    sa = bottomk_sample(da, ("g",), "v", "id", k=k).select("g", "h", "v")
-    sb = bottomk_sample(db, ("g",), "v", "id", k=k).select("g", "h", "v")
-    wnd = W.partitionBy("g").orderBy("h")
-    merged = (
-        sa.unionByName(sb)
-        .withColumn("rn", F.row_number().over(wnd).cast("long"))
-        .filter(F.col("rn") <= k)
-        .select("g", "h", "v")
-    )
+    sa = bottomk_sample(da, ("g",), "v", "id", k=k)
+    sb = bottomk_sample(db, ("g",), "v", "id", k=k)
+    merged = bottomk_merge(sa, sb, ("g",), k=k).select("g", "kk", "h", "v")
     whole = bottomk_sample(
         da.unionByName(db) if a or b else da, ("g",), "v", "id", k=k
-    ).select("g", "h", "v")
+    ).select("g", "kk", "h", "v")
     assert {tuple(r) for r in merged.collect()} == {
         tuple(r) for r in whole.collect()
     }

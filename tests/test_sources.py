@@ -337,9 +337,14 @@ def test_paged_api_streams_one_page_per_microbatch(spark):
     )
     try:
         deadline = time.time() + 120
-        n = 0
-        while time.time() < deadline and n < 9:
+        n, batch_rows = 0, []
+        while time.time() < deadline and (n < 9 or len(batch_rows) < 3):
             n = spark.sql("select count(*) c from api_stream_t").collect()[0]["c"]
+            batch_rows = [
+                p["numInputRows"]
+                for p in (q.recentProgress or [])
+                if p["numInputRows"] > 0
+            ]
             time.sleep(0.5)
     finally:
         q.stop()
@@ -352,3 +357,6 @@ def test_paged_api_streams_one_page_per_microbatch(spark):
         for r in spark.read.format("paged_api").option("pages", "3").load().collect()
     }
     assert got == want and len(got) == 9
+    # the offset-pacing contract: each data-bearing micro-batch drained
+    # exactly ONE page (3 rows), three of them in total
+    assert batch_rows == [3, 3, 3], batch_rows
