@@ -123,7 +123,11 @@ def pagerank(
             # (eager deliberately: a lazy checkpoint lets the next
             # round's two consumers — contribution join and dangling
             # agg — race to materialize it concurrently; measured
-            # slightly SLOWER than paying the eager job up front)
+            # slightly SLOWER than paying the eager job up front.
+            # EVERY round deliberately too: interleaved A/B at sf0.01,
+            # 8 iters — checkpoint every 1/2/4 rounds = 5.4/6.1/12.1 s;
+            # two consumers re-analyze the compounding plan, so lineage
+            # must stay one round deep)
         )
     ed.unpersist()
     deg.unpersist()
