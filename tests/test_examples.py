@@ -16,6 +16,7 @@ EXAMPLES = [
     "vector_search.py",
     "query_acceleration.py",
     "data_selection.py",
+    "graph_analytics.py",
 ]
 EX_DIR = Path(__file__).resolve().parent.parent / "examples"
 
