@@ -646,3 +646,33 @@ def test_hard_negatives_single_corpus_pass(spark):
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_variant_shred_single_scan_single_agg_exchange(spark):
+    """The VARIANT round-trip must stay one scan → one partial/final
+    agg pair: encode, parse_json and every variant_get are row-local
+    expressions, so the ONLY exchange is the groupBy's."""
+    df = REGISTRY["q_variant_shred"].fn(spark, SF_DIR)
+    plan = plan_of(df)
+    assert plan.count("Scan parquet") == 1
+    exchanges = [l for l in plan.splitlines() if "Exchange" in l]
+    assert len(exchanges) == 1, exchanges
+
+
+def test_pyds_scan_plans_one_partition_per_row_group(spark):
+    """The Python DataSource scan must parallelize by its planned
+    InputPartitions (one per parquet row group) — partition planning on
+    the driver, per-task Arrow reads on executors."""
+    import pyarrow.parquet as pq
+
+    from etl_demos_spark.sources.pyds import register_python_sources
+
+    register_python_sources(spark)
+    path = f"{SF_DIR}/customer.parquet"
+    df = (
+        spark.read.format("arrow_parquet").option("path", path).load()
+    )
+    assert "PythonDataSource" in plan_of(df) or "BatchScan" in plan_of(df)
+    assert df.rdd.getNumPartitions() == max(
+        pq.ParquetFile(path).num_row_groups, 1
+    )

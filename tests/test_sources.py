@@ -360,3 +360,20 @@ def test_paged_api_streams_one_page_per_microbatch(spark):
     # the offset-pacing contract: each data-bearing micro-batch drained
     # exactly ONE page (3 rows), three of them in total
     assert batch_rows == [3, 3, 3], batch_rows
+
+
+def test_arrow_parquet_source_reads_nanos_timestamps(spark):
+    """events.parquet is TIMESTAMP(NANOS) — Spark's native scan needs
+    spark.sql.legacy.parquet.nanosAsLong (and then yields LONG); the
+    Python Arrow source reads it directly as a real timestamp column
+    (Arrow truncates nanos to micros in the batch transfer). Pin the
+    graceful path: typed schema, full row count."""
+    from etl_demos_spark.sources.pyds import register_python_sources
+
+    register_python_sources(spark)
+    path = "/root/testdata/sf0.001/events.parquet"
+    df = spark.read.format("arrow_parquet").option("path", path).load()
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    from etl_demos_spark.data import load_table
+
+    assert df.count() == load_table(spark, "/root/testdata/sf0.001", "events").count()
