@@ -111,6 +111,7 @@ def exploded_shingles(
     text_col: str,
     n: int = 3,
     extra: tuple[str, ...] = (),
+    short_docs: str = "drop",
 ) -> DataFrame:
     """(id, g) shingle rows WITHOUT per-doc dedup — the codegen'd hot
     path for consumers insensitive to shingle multiplicity (MinHash: the
@@ -121,22 +122,40 @@ def exploded_shingles(
     transform (interpreted; measured 8× slower on the bigram path, see
     text.exploded_word_ngrams). Tokens stay a separate projection for the
     same alias-substitution reasons as shingled_docs. NOT for exact
-    Jaccard or SimHash, where set semantics / vote weights matter."""
+    Jaccard or SimHash, where set semantics / vote weights matter.
+
+    ``short_docs``: documents with fewer than n tokens produce no
+    n-shingle. ``"drop"`` (default) omits them — right for cross-corpus
+    matching (decontamination, fuzzy join), where a sub-n doc simply
+    has nothing to match on. ``"whole"`` emits ONE degenerate gram (the
+    whole token sequence, '' for empty docs) — required by consumers
+    whose CONTRACT covers every input row (the MinHash dedup family:
+    without it, sub-n docs get no signature and incremental dedup would
+    silently drop unique short documents from its kept set; with it,
+    identical short texts dedup exactly and distinct ones survive)."""
     toked = df.select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in extra],
         tokenize(text_col).alias("__toks"),
-    ).filter(F.size("__toks") >= n)
+    )
+    long_toked = toked.filter(F.size("__toks") >= n)
     m = F.size(F.col("__toks")) - F.lit(n - 1)
     zipped = F.arrays_zip(
         *[F.slice("__toks", i + 1, m).alias(f"t{i}") for i in range(n)]
     )
-    rows = toked.select("id", *extra, F.explode(zipped).alias("_z"))
-    return rows.select(
+    rows = long_toked.select("id", *extra, F.explode(zipped).alias("_z"))
+    out = rows.select(
         "id",
         *extra,
         F.concat_ws(" ", *[F.col(f"_z.t{i}") for i in range(n)]).alias("g"),
     )
+    if short_docs == "whole":
+        out = out.unionByName(
+            toked.filter(F.size("__toks") < n).select(
+                "id", *extra, F.concat_ws(" ", "__toks").alias("g")
+            )
+        )
+    return out
 
 
 def word_shingles(text: Column | str, n: int = 3) -> Column:
@@ -373,7 +392,7 @@ def incremental_minhash_dedup(
     for the next increment (existing ∪ survivors).
     """
     rows = num_hashes // bands
-    grams = exploded_shingles(new_df, id_col, text_col, n)
+    grams = exploded_shingles(new_df, id_col, text_col, n, short_docs="whole")
     new_sigs = minhash_signatures_from_grams(
         grams, "id", "g", num_hashes, base_hash
     ).persist()
@@ -476,7 +495,10 @@ def minhash_lsh_pairs(
     # sf0.1 showed the repartition shuffle of full text bodies costs as
     # much as it buys even on a single-row-group scan, and on any real
     # multi-split corpus the floor is a no-op anyway (see data.py).
-    grams = exploded_shingles(df, id_col, text_col, n)
+    # short_docs="whole": sub-n-token docs carry a degenerate whole-text
+    # gram so identical short texts pair and the incremental kept-set
+    # contract covers every input row (see exploded_shingles).
+    grams = exploded_shingles(df, id_col, text_col, n, short_docs="whole")
     sigs = minhash_signatures_from_grams(grams, "id", "g", num_hashes, base_hash)
     sigs = sigs.persist()  # reused by banding + both verify fetches
     banded = banded_buckets(sigs, bands, rows)

@@ -256,6 +256,10 @@ def kmeans_lloyd(
 # entries are then EXACT integers scaled by GRAM_SCALE² = 1e12.
 GRAM_SCALE = 1_000_000
 
+# Largest |q| for which a 4096-row chunk's int64 Q^T.Q stays exact:
+# 4096 * qmax^2 <= 2^63 - 1  ->  qmax = isqrt((2^63-1)//4096) ~= 4.7e7
+_GRAM_CHUNK_QMAX = 47453132
+
 
 def gram_matrix(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
@@ -271,9 +275,13 @@ def gram_matrix(
     reproduces every integer with a HUGEINT sum over the same rounded
     products). Only the upper triangle i ≤ j is emitted (symmetry).
 
-    Overflow headroom: |x| < 2000 → |q| < 2^31, product < 2^62; batch
-    chunks are capped at 4096 rows so int64 partial sums stay exact for
-    any |x| < 2000 (unit-norm embeddings leave ~2^22 of slack).
+    Overflow discipline: each 4096-row chunk emits its OWN partial (the
+    cross-chunk sum happens in the decimal(38,0) aggregation, never in
+    int64), so the int64 bound is per-chunk: 4096·q² < 2^63 → |q| ≤
+    4.7e7 → |x| ≤ ~47. That bound is ENFORCED — a chunk whose max |q|
+    exceeds it raises ValueError instead of silently wrapping (unit-norm
+    embeddings sit 7 orders of magnitude below it; rescale first if
+    your vectors genuinely exceed ±47).
 
     Scale shape: one narrow corpus pass, then a shuffle of
     (d+1)²/2 ≈ 2k keys per batch — cost ∝ batches, never ∝ rows², and
@@ -298,18 +306,25 @@ def gram_matrix(
             if iu is None:
                 d1 = Q.shape[1]
                 iu = np.triu_indices(d1)
-            acc = None
             for lo in range(0, len(Q), 4096):
                 part = Q[lo : lo + 4096]
+                qmax = int(np.abs(part).max())
+                if qmax > _GRAM_CHUNK_QMAX:
+                    raise ValueError(
+                        f"gram_matrix: |quantized element| {qmax} exceeds the "
+                        f"int64-exact per-chunk bound {_GRAM_CHUNK_QMAX} "
+                        f"(|x| ≲ 47 at the 1e-6 scale) — rescale the vectors"
+                    )
+                # one partial PER CHUNK: the cross-chunk sum happens in
+                # the exact decimal aggregation, never in int64
                 G = part.T @ part
-                acc = G if acc is None else acc + G
-            yield pd.DataFrame(
-                {
-                    "i": iu[0].astype(np.int64),
-                    "j": iu[1].astype(np.int64),
-                    "ps": acc[iu],
-                }
-            )
+                yield pd.DataFrame(
+                    {
+                        "i": iu[0].astype(np.int64),
+                        "j": iu[1].astype(np.int64),
+                        "ps": G[iu],
+                    }
+                )
 
     raw = df.select(vec_col).mapInPandas(partials, "i long, j long, ps long")
     return raw.groupBy("i", "j").agg(

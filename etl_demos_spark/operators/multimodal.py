@@ -113,6 +113,27 @@ def decode_bmp(buf: bytes):
     compression = struct.unpack_from("<I", buf, 30)[0]
     if compression not in (0, 3) or bpp not in (24, 32):
         raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
+    if compression == 3:
+        # BI_BITFIELDS: the masks define the channel layout. This decoder
+        # hard-codes BGR(A) byte order below, so accept ONLY masks that
+        # declare exactly that (the overwhelmingly common case — e.g.
+        # 32bpp screenshots) and refuse anything else rather than decode
+        # with channels silently swapped.
+        if bpp != 32:
+            raise NotImplementedError("BI_BITFIELDS only supported for 32bpp")
+        # masks sit at absolute offset 54 for every header size (appended
+        # after a 40-byte BITMAPINFOHEADER; embedded at the same spot in
+        # V2/V3/V4/V5); the alpha mask exists from V3 (hdr >= 56) on
+        r_mask, g_mask, b_mask = struct.unpack_from("<III", buf, 54)
+        a_mask = struct.unpack_from("<I", buf, 66)[0] if hdr_size >= 56 else 0xFF000000
+        if (r_mask, g_mask, b_mask) != (0x00FF0000, 0x0000FF00, 0x000000FF) or a_mask not in (
+            0xFF000000,
+            0,
+        ):
+            raise NotImplementedError(
+                f"BI_BITFIELDS masks {(r_mask, g_mask, b_mask, a_mask)} are not "
+                "the standard BGRA layout this decoder assumes"
+            )
     top_down, h = h < 0, abs(h)
     ch = bpp // 8
     stride = (w * ch + 3) & ~3

@@ -84,13 +84,6 @@ def popularity_cdf(
     )
 
 
-def _with_total(cdf: DataFrame) -> DataFrame:
-    """Attach W (the line length) as a broadcast 1-row cross join —
-    the scalar-subquery shape, no driver action."""
-    total = cdf.agg(F.max("cum_hi").alias("line_w"))
-    return cdf.crossJoin(F.broadcast(total))
-
-
 def sample_negatives(
     anchors: DataFrame,
     cdf: DataFrame,
@@ -105,7 +98,12 @@ def sample_negatives(
     (anchor, slot, item, u). ``positives`` (anchor_col, pos_item_col)
     removes accidental positives. Deterministic: same inputs → same
     rows, on any engine, any partitioning."""
-    cdf_t = _with_total(cdf)
+    # the CDF (a vocabulary-wide single-partition cumulative sum — the
+    # operator's one serialized pass) feeds the bucket index AND both
+    # total aggregations: persist it so it runs once per job
+    cdf = cdf.persist()
+    total = cdf.agg(F.max("cum_hi").alias("line_w"))
+    cdf_t = cdf.crossJoin(F.broadcast(total))
     # item → every bucket its interval touches (≈ V + B rows)
     item_buckets = cdf_t.select(
         "item",
@@ -120,7 +118,6 @@ def sample_negatives(
         ).alias("bucket"),
     )
     slots = F.explode(F.sequence(F.lit(1), F.lit(k))).alias("slot")
-    total = cdf.agg(F.max("cum_hi").alias("line_w"))
     draws = (
         anchors.select(F.col(anchor_col).alias("anchor"))
         .distinct()

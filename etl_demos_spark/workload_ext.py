@@ -282,6 +282,9 @@ def _minhash_sig_cte(
         for a, b in dedup._affine_params(num_hashes)
     )
     grams = ", ".join(f"t[i+{j+1}]" for j in range(n))
+    # the second base branch mirrors exploded_shingles(short_docs="whole"):
+    # sub-n-token docs hash ONE degenerate whole-text gram, so every doc
+    # carries a signature and the incremental kept-set contract is total
     return f"""
     toks AS (
         SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
@@ -297,6 +300,12 @@ def _minhash_sig_cte(
                                    {dedup.MD5_HEX_CHARS}) AS BIGINT)
                    % {_P31} AS h
         FROM idx
+        UNION ALL
+        SELECT doc_id,
+               CAST('0x' || substr(md5(array_to_string(t, ' ')), 1,
+                                   {dedup.MD5_HEX_CHARS}) AS BIGINT)
+                   % {_P31} AS h
+        FROM toks WHERE len(t) < {n}
     ),
     sigs AS (
         SELECT doc_id, [{mins}] AS sig FROM base GROUP BY doc_id

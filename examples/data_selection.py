@@ -61,7 +61,11 @@ def main() -> int:
     #    top-k over exact integer importance scores
     k = max(10, n0 // 4)
     target_ids = docs.filter(F.col("lang") == "en").select("doc_id")
-    selected = dsir.dsir_select(docs, target_ids, k=k, n_buckets=2048)
+    # persisted: drives the overlap sketch, PSI, bootstrap and two
+    # counts below — without it the full feature/score/top-k pipeline
+    # re-executes per consumer
+    selected = dsir.dsir_select(docs, target_ids, k=k, n_buckets=2048).persist()
+    n_selected = selected.count()
     sel_ids = selected.select("doc_id")
 
     # 3. how target-like IS the selection? KMV sketch overlap between
@@ -86,7 +90,7 @@ def main() -> int:
 
     print(f"corpus docs            : {n0}")
     print(f"classifier train acc   : {acc:.3f}")
-    print(f"DSIR selected          : {selected.count()} (k={k})")
+    print(f"DSIR selected          : {n_selected} (k={k})")
     print(
         "selection∩target (KMV) : "
         f"jacc={overlap['jacc']} est_inter={overlap['est_inter']}"
@@ -99,7 +103,7 @@ def main() -> int:
 
     ok = (
         acc >= 0.6
-        and selected.count() == k
+        and n_selected == k
         and overlap["jacc"] > 0
         and ci_row["ci_lo"] <= ci_row["mean"] <= ci_row["ci_hi"]
     )

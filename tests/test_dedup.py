@@ -478,3 +478,36 @@ def test_remove_duplicated_spans_matches_python_reference(spark):
         for r in dd.remove_duplicated_spans(df, window=w).collect()
     }
     assert got == want
+
+
+def test_incremental_minhash_keeps_unique_short_docs(spark):
+    """The kept-set contract is TOTAL: a unique document with fewer than
+    n tokens must survive (sub-n docs carry a degenerate whole-text
+    gram, so they get signatures instead of silently vanishing), and an
+    identical short text arriving in a later batch must dedup against
+    the store (first-seen wins)."""
+    from etl_demos_spark.operators.dedup import incremental_minhash_dedup
+
+    b1 = spark.createDataFrame(
+        [
+            (1, "hello world"),            # 2 tokens < n=3: unique, must survive
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, ""),                        # empty: unique (degenerate '' gram)
+        ],
+        "doc_id long, text string",
+    )
+    kept1, store1 = incremental_minhash_dedup(b1, None, n=3, threshold=0.5)
+    ids1 = {r["doc_id"] for r in kept1.collect()}
+    assert ids1 == {1, 2, 3}, ids1
+
+    b2 = spark.createDataFrame(
+        [
+            (10, "hello world"),           # exact short dup of doc 1 → dropped
+            (11, "completely new text here today"),
+            (12, ""),                       # empty dup of doc 3 → dropped
+        ],
+        "doc_id long, text string",
+    )
+    kept2, _ = incremental_minhash_dedup(b2, store1, n=3, threshold=0.5)
+    ids2 = {r["doc_id"] for r in kept2.collect()}
+    assert ids2 == {11}, ids2

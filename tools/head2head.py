@@ -115,7 +115,14 @@ def main() -> None:
         if entry.oracle:
             duck = time_duck(con, entry.oracle)
             duck_disp = (">" if duck["lower_bound"] else "") + f"{duck['sec']}"
-            ratio = round(spark_sec / duck["sec"], 2) if duck["sec"] else None
+            # an interrupted DuckDB run is only a LOWER bound on its time,
+            # so the ratio would be an upper bound — report null rather
+            # than a number indistinguishable from a real ratio
+            ratio = (
+                round(spark_sec / duck["sec"], 2)
+                if duck["sec"] and not duck["lower_bound"]
+                else None
+            )
         else:
             duck, duck_disp, ratio = None, "n/a (no SQL oracle)", None
         rows.append(
