@@ -76,6 +76,10 @@ def cosine_pairs_broadcast(
     driver/executor memory — the router keeps it to small corpora."""
     spark = df.sparkSession
     rows = df.select(id_col, vec_col).collect()
+    if not rows:
+        return spark.createDataFrame(
+            [], "id_a long, id_b long, cos_sim double"
+        )
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     Mn = _norm_rows(np.array([r[1] for r in rows], dtype=np.float64))
     b_ids = spark.sparkContext.broadcast(ids)
@@ -184,11 +188,18 @@ def cosine_pairs_tiled(
 
 
 def connected_components(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 50
 ) -> DataFrame:
-    """(node, component) where component = min node id reachable —
-    alternating large-star/small-star until fixpoint. Each round is two
-    keyed shuffles over the (shrinking) edge set."""
+    """(node, component) where component = min node id reachable, by
+    synchronous min-label propagation: each round every node adopts the
+    minimum label among itself and its neighbors, so convergence takes
+    O(graph diameter) rounds (NOT the O(log n) of small-star/large-star
+    — near-dup clusters are short-diameter by construction, which is
+    why the simpler propagation wins here; each round early-exits the
+    moment nothing changes). A component whose diameter exceeds
+    ``max_iter`` raises RuntimeError rather than silently returning a
+    split cluster (silent under-dedup is the one unacceptable failure
+    mode). Each round is two keyed shuffles over the edge set."""
     edges = pairs.select(
         F.col(id_a).alias("u"), F.col(id_b).alias("v")
     ).filter(F.col("u") != F.col("v"))
@@ -238,6 +249,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds — "
+            "a duplicate cluster has diameter beyond the bound; raise "
+            "max_iter (rounds are cheap: the loop exits early on fixpoint)"
+        )
     return labels
 
 
@@ -300,26 +317,53 @@ def semantic_pairs_clustered(
     )
 
     if use_gemm:
-        cents = [r[1] for r in sorted(
+        crows = sorted(
             centroids_df.select("cell", "cvec").collect(), key=lambda r: r[0]
-        )]
+        )
+        cents = [r[1] for r in crows]
+        cell_ids = [int(r[0]) for r in crows]
         tagged = kmeans_assign_gemm(
             df, cents, id_col=id_col, vec_col=vec_col, keep_vec=True
         ).select(id_col, "cell", vec_col)
+        # kmeans_assign_gemm emits POSITIONS into the sorted centroid
+        # list; remap to the caller's actual cell ids so non-contiguous
+        # id sets ({2,5,7} after dropping empty cells) keep the same
+        # labels as the expression path and join back to centroids_df
+        if cell_ids != list(range(len(cell_ids))):
+            id_arr = F.array(*[F.lit(i) for i in cell_ids])
+            tagged = tagged.withColumn(
+                "cell",
+                F.element_at(
+                    id_arr, (F.col("cell") + 1).cast("int")
+                ).cast("int"),
+            )
 
         def cell_pairs(key, pdf):
             ids = pdf[id_col].to_numpy()
             M = _norm_rows(np.array(list(pdf[vec_col]), dtype=np.float64))
-            S = M @ M.T  # one GEMM per cluster
-            li, ri = np.nonzero(np.round(S, 6) >= threshold)
-            m = ids[li] < ids[ri]
-            return pd.DataFrame(
-                {
-                    "id_a": ids[li][m],
-                    "id_b": ids[ri][m],
-                    "cell": np.full(int(m.sum()), key[0], dtype=np.int64),
-                    "cos_sim": np.round(S[li, ri][m], 6),
-                }
+            # chunk the similarity slab exactly like cosine_pairs_tiled:
+            # the full |cluster|² matrix is 320 GB at 200k rows — cap
+            # the in-flight S block instead of trusting cluster balance
+            max_cells = (256 << 20) // 8
+            step = max(1, max_cells // max(len(M), 1))
+            out = []
+            for lo in range(0, len(M), step):
+                S = M[lo : lo + step] @ M.T
+                li, ri = np.nonzero(np.round(S, 6) >= threshold)
+                gi = li + lo
+                m = ids[gi] < ids[ri]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": ids[gi][m],
+                            "id_b": ids[ri][m],
+                            "cell": np.full(int(m.sum()), key[0], dtype=np.int64),
+                            "cos_sim": np.round(S[li, ri][m], 6),
+                        }
+                    )
+                )
+            return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+                {"id_a": [], "id_b": [], "cell": [], "cos_sim": []}
             )
 
         return tagged.groupBy("cell").applyInPandas(

@@ -95,11 +95,14 @@ def bm25_search(
     )
     if require_all:
         agg = agg.filter(F.col("n_terms_matched") == len(set(t.lower() for t in terms)))
+    # TakeOrdered pre-prune BEFORE the ranking window: a partitionless
+    # row_number gets no WindowGroupLimit pushdown (verified on the
+    # physical plan), so without this every matched doc would funnel
+    # through ONE partition for ranking — orderBy+limit runs as
+    # per-partition partial top-k and the window then ranks k rows
+    topk = agg.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(k)
     w = Window.orderBy(F.col("bm25").desc(), F.col(id_col).asc())
-    return (
-        agg.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-    )
+    return topk.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
 def tfidf_vectors(

@@ -93,6 +93,12 @@ def brute_force_topk(
     else:
         spark = corpus.sparkSession
         q_rows = queries.select(q_id_col, q_vec_col).collect()
+        if not q_rows:
+            # empty query set: the hof path returns empty naturally; the
+            # gemm path would feed a 0-d array into the norm/GEMM chain
+            return spark.createDataFrame(
+                [], f"{q_id_col} long, {id_col} long, cos_sim double"
+            )
         q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
         Qn = _np_norm_rows(np.array([r[1] for r in q_rows], dtype=np.float64))
         bq = spark.sparkContext.broadcast((q_ids, Qn))
@@ -249,15 +255,30 @@ def ivf_build_centroids(
 ):
     """Sampled k-means (driver-side numpy — the FAISS coarse-quantizer
     recipe; the sample is bounded, never the corpus). Returns a list of
-    centroid vectors."""
+    centroid vectors.
+
+    The sample is the bottom-``sample`` rows by a content hash — a
+    deterministic UNIFORM sample (the bottom-k discipline of
+    sketches.bottomk_sample), not ``limit()``: a bare limit takes
+    whatever rows the scan reaches first, and on a corpus written
+    sorted/partitioned by cell (exactly the layout ivf_write produces)
+    that fits centroids to one region of embedding space and collapses
+    recall everywhere else. TakeOrdered keeps it one partial-top-k
+    pass, no full sort."""
     import numpy as np
 
-    frac_rows = corpus.select(vec_col).limit(sample).collect()
+    h = F.xxhash64(F.col(vec_col).cast("string"), F.lit(seed))
+    frac_rows = (
+        corpus.select(vec_col).orderBy(h).limit(sample).collect()
+    )
     X = np.array([r[0] for r in frac_rows], dtype=np.float64)
     rng = np.random.default_rng(seed)
     cents = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
+    xn = (X * X).sum(axis=1)
     for _ in range(iters):
-        d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        # |x|² − 2·x·C + |c|²: (sample × cells) result, never the
+        # (sample × cells × dim) broadcast intermediate
+        d = xn[:, None] - 2.0 * (X @ cents.T) + (cents * cents).sum(axis=1)[None, :]
         assign = d.argmin(1)
         for j in range(len(cents)):
             members = X[assign == j]
@@ -285,6 +306,9 @@ def ivf_topk(
     q = ivf_assign(
         queries.withColumnRenamed(q_vec_col, vec_col), centroids, vec_col, n_cells=nprobe
     ).withColumnRenamed(vec_col, q_vec_col)
+    if nprobe == 1:
+        # ivf_assign's n_cells=1 contract emits a scalar `cell`
+        q = q.withColumn("cells", F.array("cell"))
     q = q.select(q_id_col, q_vec_col, F.explode("cells").alias("cell"))
     cand = c.join(F.broadcast(q), "cell")
     scored = cand.select(
@@ -342,6 +366,9 @@ def ivf_topk_indexed(
     q = ivf_assign(
         queries.withColumnRenamed(q_vec_col, vec_col), centroids, vec_col, n_cells=nprobe
     ).withColumnRenamed(vec_col, q_vec_col)
+    if nprobe == 1:
+        # ivf_assign's n_cells=1 contract emits a scalar `cell`
+        q = q.withColumn("cells", F.array("cell"))
     q = q.select(q_id_col, q_vec_col, F.explode("cells").alias("cell"))
     # Bounded driver work: |queries| * nprobe cell ids, same contract as
     # the centroid fit. A literal IN list is what makes the pruning
@@ -479,8 +506,22 @@ def hard_negatives(
     else:
         spark = corpus.sparkSession
         q_rows = queries.select(q_id_col, q_vec_col, q_label_col).collect()
+        if not q_rows:
+            return spark.createDataFrame(
+                [],
+                f"{q_id_col} long, {id_col} long, neg_label long, cos_sim double",
+            )
         q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
         Qn = _np_norm_rows(np.array([r[1] for r in q_rows], dtype=np.float64))
+        if not isinstance(q_rows[0][2], (int, np.integer)):
+            # fail at the operator boundary with the contract, not deep
+            # inside numpy: the gemm path (and its long output schema)
+            # requires integer labels; the hof path accepts any type
+            raise TypeError(
+                "hard_negatives(method='gemm') requires integer labels "
+                f"(got {type(q_rows[0][2]).__name__}); hash string labels "
+                "to ids first, or pass method='hof'"
+            )
         q_labels = np.array([r[2] for r in q_rows], dtype=np.int64)
         bq = spark.sparkContext.broadcast((q_ids, Qn, q_labels))
 

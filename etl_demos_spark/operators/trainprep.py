@@ -182,13 +182,11 @@ def mixture_sample(
     copies = F.when(
         n_copies >= 1, F.sequence(F.lit(1), n_copies)
     ).otherwise(F.array().cast("array<int>"))
-    out = df.withColumn("__rate", rate).withColumn(
-        copy_col, F.explode(copies)
-    )
+    out = df.withColumn(copy_col, F.explode(copies))
     keep = (F.col(copy_col) <= n_full) | (
         hash_bucket(F.col(key), buckets) < frac_thr
     )
-    return out.filter(keep).drop("__rate")
+    return out.filter(keep)
 
 
 def temperature_rates(

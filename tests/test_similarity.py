@@ -217,3 +217,62 @@ def test_hard_negatives_gemm_matches_hof_and_excludes_labels(spark, vectors):
             if labels[i] != labels[qid]
         ][:7]
         assert [r["vec_id"] for r in rows] == order
+
+
+def test_ivf_topk_nprobe_one(spark):
+    """nprobe=1 (the fastest standard probe) must work: ivf_assign's
+    n_cells=1 contract emits a scalar `cell`, which the probe sites
+    wrap into the array the explode expects."""
+    from etl_demos_spark.operators import similarity
+
+    df = spark.range(60).selectExpr(
+        "id AS vec_id",
+        "array(cast(id % 7 as double), cast(id % 5 as double), 1.0d) AS embedding",
+    )
+    cents = similarity.ivf_build_centroids(df, n_cells=4, sample=60)
+    q = df.filter("vec_id < 2").selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+    out = similarity.ivf_topk(df, q, cents, k=3, nprobe=1).collect()
+    assert len(out) > 0
+    assert {r["query_id"] for r in out} == {0, 1}
+
+
+def test_brute_force_topk_empty_queries(spark):
+    from etl_demos_spark.operators import similarity
+
+    df = spark.range(10).selectExpr(
+        "id AS vec_id", "array(1.0d, cast(id as double)) AS embedding"
+    )
+    q = df.filter("vec_id < 0").selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+    assert similarity.brute_force_topk(df, q, k=3).count() == 0
+
+
+def test_semantic_gemm_noncontiguous_cell_ids(spark):
+    """use_gemm must emit the caller's ACTUAL cell ids, not sorted-list
+    positions, when the centroid id set is non-contiguous."""
+    from etl_demos_spark.operators.embedding_dedup import (
+        semantic_pairs_clustered,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.001]), (3, [0.0, 1.0]), (4, [0.001, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(5, [1.0, 0.0]), (9, [0.0, 1.0])], "cell int, cvec array<double>"
+    )
+    expr_pairs = {
+        (r["id_a"], r["id_b"], r["cell"])
+        for r in semantic_pairs_clustered(df, cents, threshold=0.9).collect()
+    }
+    gemm_pairs = {
+        (r["id_a"], r["id_b"], r["cell"])
+        for r in semantic_pairs_clustered(
+            df, cents, threshold=0.9, use_gemm=True
+        ).collect()
+    }
+    assert expr_pairs == gemm_pairs
+    assert {c for _, _, c in gemm_pairs} <= {5, 9}
