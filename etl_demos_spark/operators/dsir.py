@@ -186,11 +186,18 @@ def dsir_select(
     key = gumbel_key(
         F.col(id_col), F.col("score_unats").cast("double") / F.lit(float(_UNATS))
     )
+    # TakeOrdered pre-prune BEFORE the ranking window (the search.py
+    # BM25 discipline): a partitionless row_number gets no
+    # WindowGroupLimit pushdown (verified on the physical plan), so
+    # ranking the raw score table would funnel one row PER CORPUS DOC
+    # through a single partition. orderBy+limit instead runs as
+    # per-partition partial top-k (TakeOrderedAndProject), and the
+    # window then ranks only the k surviving rows. The (key, id) order
+    # is total (id tie-break), so membership and rank are unchanged.
+    keyed = scores.select(id_col, "score_unats", key.alias("key"))
+    topk = keyed.orderBy(F.desc("key"), F.col(id_col).asc()).limit(k)
     wnd = W.partitionBy().orderBy(F.desc("key"), id_col)
-    out = (
-        scores.select(id_col, "score_unats", key.alias("key"))
-        .withColumn("rn", F.row_number().over(wnd).cast("long"))
-        .filter(F.col("rn") <= k)
+    return (
+        topk.withColumn("rn", F.row_number().over(wnd).cast("long"))
         .select(id_col, "score_unats", "rn")
     )
-    return out

@@ -526,6 +526,27 @@ def test_dsir_scoring_joins_are_broadcast(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_dsir_topk_is_takeordered_not_global_window(spark):
+    """DSIR final selection: the Gumbel top-k must pre-prune with
+    orderBy+limit (TakeOrderedAndProject — per-partition partial top-k)
+    BEFORE the ranking window, the search.py BM25 discipline. A
+    partitionless row_number over the per-doc score table gets no
+    WindowGroupLimit pushdown, so every corpus doc's (id, score, key)
+    row would funnel through ONE partition to be ranked."""
+    df = REGISTRY["q_dsir_select"].fn(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    # the one remaining Window ranks only the k pre-pruned rows: it must
+    # sit ABOVE the TakeOrderedAndProject in the plan text (physical
+    # plans print top-down, so the consumer Window appears first)
+    win_ops = [i for i, ln in enumerate(plan.splitlines()) if " Window " in ln
+               or ln.strip().startswith("Window ")]
+    take_ops = [i for i, ln in enumerate(plan.splitlines())
+                if "TakeOrderedAndProject" in ln]
+    assert win_ops and take_ops
+    assert min(win_ops) < min(take_ops), plan
+
+
 def test_hll_registers_partial_aggregation(spark):
     """Portable HLL: the register agg must run map-side partials
     (HashAggregate partial_max before the exchange) so the shuffle
