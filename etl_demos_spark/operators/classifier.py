@@ -223,14 +223,24 @@ def predict(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     add_bias: bool = True,
+    ids: DataFrame | None = None,
 ) -> DataFrame:
     """Probability + hard label from trained int64 nano-weights: exact
     integer margin sum (order-independent), one sigmoid, rounded 6.
     Same broadcast-join shape as linear_score_milli. ``add_bias`` must
-    match training (bucket −1 carries the intercept)."""
+    match training (bucket −1 carries the intercept).
+
+    ``ids`` (optional, one ``id_col`` per doc): the full document
+    universe to score. Without it, bias rows are derived from docs that
+    produced ≥1 feature row — documents whose text tokenized to nothing
+    (empty/whitespace-only) would be silently absent from the output,
+    while training gives every LABELED doc an intercept. Pass the doc
+    table itself to make the train/predict augmentation contract total:
+    empty docs then score sigmoid(bias)."""
     if add_bias:
+        universe = (ids if ids is not None else feats).select(id_col).distinct()
         feats = feats.unionByName(
-            feats.select(id_col).distinct().select(
+            universe.select(
                 F.col(id_col),
                 F.lit(-1).cast("long").alias("bucket"),
                 F.lit(1).cast("long").alias("cnt"),

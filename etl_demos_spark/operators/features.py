@@ -476,13 +476,23 @@ def groupwise_ols(
     xq = F.round(F.col(x_col).cast("double") * scale, 0).cast("long")
     yq = F.round(F.col(y_col).cast("double") * scale, 0).cast("long")
     m = df.select(F.col(group_col).alias("g"), xq.alias("x"), yq.alias("y"))
+    # cast the OPERAND, not the result: a cast applied after F.sum(long)
+    # would let the accumulation itself run in wrapping int64 — with
+    # quantized values ~1e8·scale and large groups the sum (and the
+    # x·y products, ~1e20) exceed 2^63 long before the cast. decimal
+    # inside the sum keeps every moment exact, matching the DuckDB
+    # oracle's HUGEINT sums (the gram_matrix discipline,
+    # embeddings.py:331). decimal(19,0)² → decimal(38,0) product fits:
+    # two int64 operands multiply to < 8.6e37 < 1e38.
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
     agg = m.groupBy("g").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x").cast("decimal(38,0)").alias("sx"),
-        F.sum("y").cast("decimal(38,0)").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum((xd * yd).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((xd * xd).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((yd * yd).cast("decimal(38,0)")).alias("syy"),
     )
     n = F.col("n").cast("double")
     sx = F.col("sx").cast("double")

@@ -104,6 +104,16 @@ def sample_negatives(
     cdf = cdf.persist()
     total = cdf.agg(F.max("cum_hi").alias("line_w"))
     cdf_t = cdf.crossJoin(F.broadcast(total))
+    # bucket = v·B div W, computed through decimal(38,0): the plain
+    # int64 product v*B overflows once W > 2^63/B (~9e15 at B=1024 —
+    # reachable with billions of items at scale=1000) and silently
+    # corrupts routing under non-ANSI semantics. Bucketing only routes
+    # the join — the result filter is the exact [cum_lo, cum_hi)
+    # interval — so any monotone bucket function is correct as long as
+    # probe and build use the SAME one; decimal makes it exact at any W.
+    def _bucket(v: str) -> str:
+        return f"CAST(CAST(({v}) AS DECIMAL(38,0)) * {n_buckets} div line_w AS BIGINT)"
+
     # item → every bucket its interval touches (≈ V + B rows)
     item_buckets = cdf_t.select(
         "item",
@@ -112,8 +122,8 @@ def sample_negatives(
         "line_w",
         F.explode(
             F.sequence(
-                F.expr(f"cum_lo * {n_buckets} div line_w"),
-                F.expr(f"(cum_hi - 1) * {n_buckets} div line_w"),
+                F.expr(_bucket("cum_lo")),
+                F.expr(_bucket("cum_hi - 1")),
             )
         ).alias("bucket"),
     )
@@ -131,7 +141,7 @@ def sample_negatives(
                 seed, F.col("anchor"), F.col("slot"), mod_col=F.col("line_w")
             ).alias("u"),
         )
-        .withColumn("bucket", F.expr(f"u * {n_buckets} div line_w"))
+        .withColumn("bucket", F.expr(_bucket("u")))
         .drop("line_w")
     )
     hits = (

@@ -504,7 +504,21 @@ def hard_negatives(
             cosine(F.col(vec_col), F.col(q_vec_col)).alias("cos_sim"),
         )
     else:
+        from pyspark.sql.types import IntegralType
+
         spark = corpus.sparkSession
+        # validate the CORPUS label dtype at the operator boundary too —
+        # otherwise non-integer labels sail into the mapInPandas
+        # 'neg_label long' schema and die as an opaque Arrow conversion
+        # error deep inside execution (the query side is value-checked
+        # below after the collect)
+        c_label_type = corpus.schema[label_col].dataType
+        if not isinstance(c_label_type, IntegralType):
+            raise TypeError(
+                "hard_negatives(method='gemm') requires integer corpus "
+                f"labels (column {label_col!r} is {c_label_type.simpleString()}); "
+                "hash string labels to ids first, or pass method='hof'"
+            )
         q_rows = queries.select(q_id_col, q_vec_col, q_label_col).collect()
         if not q_rows:
             return spark.createDataFrame(

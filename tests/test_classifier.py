@@ -149,3 +149,28 @@ def test_linear_score_milli_matches_python_reference(spark):
         p = 1.0 / (1.0 + math.exp(-s / 1000.0))
         assert got[i][0] == s
         assert abs(got[i][1] - p) < 5e-5
+
+
+def test_predict_with_ids_scores_featureless_docs_at_bias(spark):
+    """predict(ids=...) makes the augmentation contract total: a doc
+    whose text produced zero feature rows (empty/whitespace) must still
+    appear, scoring exactly sigmoid(bias) — matching training, which
+    gives every labeled doc an intercept row."""
+    import math
+
+    docs = [(0, "good fast"), (1, "bad slow"), (2, "   "), (3, "")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    feats = clf.hashed_features(df, "text", "doc_id", 64)
+    # hand-built weights: bias bucket −1 carries 0.25 in nano units
+    w = spark.createDataFrame(
+        [(-1, int(0.25 * 1e9)), (0, int(1e9))], "bucket long, w_int long"
+    )
+    # without ids: featureless docs silently absent
+    bare = clf.predict(feats, w, "doc_id").collect()
+    assert {r["doc_id"] for r in bare} <= {0, 1}
+    # with ids: every doc appears; empty ones at sigmoid(bias)
+    full = {r["doc_id"]: r["prob"]
+            for r in clf.predict(feats, w, "doc_id", ids=df).collect()}
+    assert set(full) == {0, 1, 2, 3}
+    expect = round(1.0 / (1.0 + math.exp(-0.25)), 6)
+    assert full[2] == expect and full[3] == expect

@@ -177,3 +177,25 @@ def test_poisson_bootstrap_xxhash_fast_path(spark):
     assert abs(out["mean"] - round(true_mean, 6)) < 1e-9
     assert out["ci_lo"] <= out["mean"] <= out["ci_hi"]
     assert 0.1 < out["ci_hi"] - out["ci_lo"] < 2.5
+
+
+def test_groupwise_ols_no_int64_overflow_on_large_values(spark):
+    """Moment sums must accumulate in decimal, not wrapping int64: with
+    values ~1e8 and scale=100 the quantized x·y products are ~1e20,
+    past 2^63 — a post-sum cast would wrap silently (non-ANSI) and
+    corrupt the slope. Exact closed form cross-checked in Python ints."""
+    from etl_demos_spark.operators.features import groupwise_ols
+
+    # y = 2x + 5e8 exactly, with x around 3e8 — slope must come out 2.0
+    xs = [3.0e8 + 1000.0 * i for i in range(8)]
+    rows = [("g", x, 2.0 * x + 5.0e8) for x in xs]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = groupwise_ols(df, "g", "x", "y", scale=100).collect()[0]
+    assert out["n"] == 8
+    # the moments are exact; the closed-form division in double space
+    # loses ~5e-6 to cancellation (n·sxx vs sx² agree to 15 digits) —
+    # an int64 wrap by contrast is off by ORDERS OF MAGNITUDE
+    assert abs(out["slope"] - 2.0) < 1e-4
+    assert abs(out["r2"] - 1.0) < 1e-4
+    # intercept in ORIGINAL units (5e8); slope error × x̄ ≈ 1.5e3 slack
+    assert abs(out["intercept"] - 5.0e8) < 1.0e4

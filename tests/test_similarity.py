@@ -276,3 +276,23 @@ def test_semantic_gemm_noncontiguous_cell_ids(spark):
     }
     assert expr_pairs == gemm_pairs
     assert {c for _, _, c in gemm_pairs} <= {5, 9}
+
+
+def test_hard_negatives_gemm_rejects_non_integer_corpus_labels(spark, vectors):
+    """Both sides of the label contract must fail at the operator
+    boundary: a string CORPUS label would otherwise die as an opaque
+    Arrow conversion error against the 'neg_label long' schema deep
+    inside mapInPandas execution."""
+    import pytest
+
+    X, df = vectors
+    lab_str = df.withColumn(
+        "label", F.concat(F.lit("c"), (F.col("vec_id") % 4)).cast("string")
+    )
+    q = df.limit(2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        (F.col("vec_id") % 4).cast("long").alias("query_label"),
+    )
+    with pytest.raises(TypeError, match="integer corpus labels"):
+        similarity.hard_negatives(lab_str, q, k=3, method="gemm")
