@@ -610,306 +610,148 @@ def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_oracle_parity.py at sf0.001 and (slow marker) sf0.01 — the
 # same compare the driver runs.
 _LATE: tuple[str, ...] = (
-    # paired, sacrificed from the window (in-window relative in parens):
-    # -- round-4 rotation: q_filter_notnull / q_filter_eq / q_distinct /
-    #    q_date_spine rotated BACK IN (per the §2-core re-certification
-    #    policy); the newly oracle-paired dedup family (q_dedup_minhash,
-    #    q_dedup_simhash, q_dedup_incremental, q_dedup_text_e2e) left the
-    #    rows-only list and takes window slots. Displaced r03-certified
-    #    queries below are all hash-verified every local run.
-    "q_semantic_dedup",    # r03 in-window pass; q_dedup_embedding keeps
-                           # the embedding-dedup family in-window
-    "q_dup_span_removal",  # paired from birth; the ExactSubstr family's
-                           # in-window slot is q_dup_spans (same
-                           # fingerprint machinery, detection half)
-    "q_pca_project",       # rows-only (eigendecomposition is not SQL-
-                           # expressible; numpy-pinned in
-                           # tests/test_embeddings.py); the PCA family's
-                           # driver slot is q_embed_covariance
-    "q_image_features",    # r03 in-window pass; displaced by the new
-                           # q_embed_covariance PCA slot — multimodal
-                           # stays in-window via q_binary_meta +
-                           # q_multimodal_decode
-    "q_anomaly_mad",       # paired from birth; robust outlier monitor —
-                           # percentile pairing in-window via
-                           # q_feature_scale
-    "q_trend_ols",         # paired from birth; moment-sum OLS — exact-
-                           # decimal machinery in-window (money_sum,
-                           # q_embed_covariance)
-    "q_bootstrap_ci",      # paired from birth; Poisson bootstrap —
-                           # md5-uniform + decimal-exact machinery all
-                           # in-window elsewhere (md5 discipline,
-                           # money_sum decimal sums)
-    "q_ab_test",           # paired from birth; md5 hash-split +
-                           # two-proportion z — assignment machinery
-                           # in-window via the md5 discipline
-                           # (q_dedup_minhash, q_heavy_hitters)
-    "q_seasonal_naive",    # paired from birth; daily-agg date join —
-                           # relatives q_event_sliding, q_gap_fill
-    "q_item_sim",          # paired from birth; recommender cosine over
-                           # the q_copurchase pair table (family slot
-                           # q_ppmi)
-    "q_markov_transitions",# paired from birth; sequence-prep window
-                           # lead — in-window relatives
-                           # q_event_sessions + q_event_sliding
-    "q_psi_drift",         # paired from birth; drift monitor — binning/
-                           # moment machinery in-window via
-                           # q_feature_scale
-    "q_copurchase",        # paired from birth; co-occurrence family's
-                           # driver slot is q_ppmi (same pair machinery)
-    "q_triangles",         # paired from birth; graph primitive over the
-                           # q_copurchase edge list — same family slot
-    "q_repetition",        # r03+r04 in-window passes; displaced by the
-                           # new q_ppmi co-occurrence slot — text stays
-                           # in-window via q_text_quality + q_lang_id +
-                           # q_lm_quality
-    "q_pack_sequences",    # r03+r04 in-window passes; displaced by the
-                           # new q_dsir_select slot — trainprep stays
-                           # in-window via q_decontaminate +
-                           # q_dsir_select + q_neg_sample
-    "q_train_classifier",  # rows-only (iterative GD is not SQL-
-                           # expressible; bit-identical sequential-
-                           # reference pin in tests/test_classifier.py);
-                           # the classifier family's driver slot is
-                           # q_linear_score
-    "q_snapshot_diff",     # r03+r04 in-window passes; displaced by the
-                           # new q_linear_score classifier slot — the
-                           # incremental family stays in-window via
-                           # q_incremental_merge
-    "q_kmv_overlap",       # paired from birth; KMV set-op estimates —
-                           # same sketch machinery as the in-window
-                           # q_kmv_distinct / q_hll_distinct slots
-    "q_event_funnel",      # r03 in-window pass; displaced by the new
-                           # q_hll_distinct portable-sketch slot — the
-                           # event family stays in-window via
-                           # q_event_sliding + q_event_sessions
-    "q_hash_split",        # r03 in-window pass; displaced by the new
-                           # q_kmv_distinct sketch slot — the md5-bucket
-                           # machinery stays covered by q_stratified_sample
-                           # (late, hash-verified locally) and the in-window
-                           # md5-hash discipline (q_dedup_minhash,
-                           # q_heavy_hitters, q_kmv_distinct)
-    "q_fuzzy_join",        # r03 in-window pass; q_dedup_minhash keeps
-                           # candidate-join dedup in-window, q_dedup_ngram
-                           # (late) is the same gram machinery
-    "q_idle_accounts",     # r03 in-window pass; subquery decorrelation
-                           # family certified r03+r04 in-window via
-                           # q_waiting_supplier (itself rotated late in
-                           # session 4), hash-verified every local run
-    "q_cust_distribution", # r03 in-window pass; q_group_agg keeps
-                           # two-level aggregation in-window
-    "q_scalar_subquery",   # r03 in-window pass; subquery family
-                           # certified r03+r04 (q_waiting_supplier,
-                           # late since session 4), locally verified
-    "q_string_funcs",      # r03 in-window pass; q_date_arithmetic keeps
-                           # scalar families in-window
-    "q_array_funcs",       # r03 in-window pass; q_bit_funcs/q_map_funcs
-                           # (late) cover collection functions
-    "q_grouped_agg_udf",   # r03 in-window pass; q_pandas_udf keeps the
-                           # Arrow-UDF machinery in-window
-    "q_extract_parts",     # date-part extraction (q_date_arithmetic)
-    "q_event_tumbling",    # tumbling windows (q_rollup_cascade's finest
-                           # level IS 15m tumbling; q_event_sliding stays)
-    "q_count_distinct",    # distinct aggregation (q_distinct, q_group_agg)
-    "q_topk",              # windowed top-k (q_top_terms, q_top_unshipped)
-    "q_json_extract",      # JSON path extraction (q_rest_json)
-    "q_salted_agg",        # skew-salted agg, same result as q_group_agg
-    "q_stats_agg",         # stddev/corr/median family (q_group_agg)
-    "q_pivot",             # pivot (q_rollup / q_cube grouping sets)
-    "q_window_analytics",  # lag/lead/running sums (q_window_dedup, q_surrogate_key)
-    "q_set_ops",           # intersect/except (q_union_literal, q_semi_anti_join)
-    "q_union_literal",     # UNION ALL literal seed (q_incremental_merge union path)
-    "q_date_key",          # format_date key (q_safe_parse_date, q_date_arithmetic)
-    "q_age_band",          # date_diff banding (q_date_arithmetic, q_case_banding)
-    "q_cube",              # CUBE grouping sets (q_rollup, same machinery)
-    "q_profile_table",     # profiling summary (q_schema_report)
-    "q_stratified_sample", # md5-bucket downsample (q_hash_split, same machinery)
-    "q_fingerprint",       # md5 normalized fingerprint (q_dedup_exact, same expr)
-    "q_text_stats",        # token/char stats (q_text_quality, q_repetition)
-    "q_safe_parse_date",   # SAFE.PARSE_DATE (q_date_arithmetic, q_extract_parts)
-    "q_schema_report",     # schema sniff (q_rest_json source path; q_quantiles,
-                           # q_profile_table profiling family)
-    "q_semi_anti_join",    # semi/anti joins (q_incremental_merge anti path,
-                           # q_snapshot_diff full-outer classification)
-    "q_returned_revenue",  # TPC-H-shaped revenue agg (q_top_unshipped,
-                           # q_star_join exercise the same join+agg shape)
-    "q_rollup",            # ROLLUP grouping sets (q_cube notes same
-                           # machinery; q_rollup_cascade covers rollup
-                           # re-aggregation end-to-end)
-    "q_date_join",         # date-dim join (q_bank_mart's f_loan_contract
-                           # does a broadcast date-dim join inside the
-                           # driver gate; q_date_arithmetic in window)
-    "q_null_funcs",        # coalesce/nullif family (q_case_banding,
-                           # q_filter_notnull-late; q_string_funcs stays)
-    "q_csv_roundtrip",     # CSV sink+scan (q_bank_mart ingests the
-                           # reference CSVs through the registry
-                           # in-window; q_rest_json keeps JSON)
-    "q_top_terms",         # vocabulary counts (q_text_search's postings
-                           # are the same explode+count shape)
-    "q_chunk_udtf",        # UDTF chunker, pinned row-identical to the
-                           # q_chunk_docs built-in form (itself late
-                           # since session 5, r03+r04 certified)
-    "q_embed_quantize",    # int8 quantize roundtrip (q_embed_norms keeps
-                           # the embedding-functions family in-window)
-    "q_mixture_sample",    # weighted hash-threshold sampling
-                           # (q_hash_split, same md5-bucket machinery)
-    "q_embed_centroid",    # per-group centroid sums (q_kmeans_assign
-                           # drives the same centroid machinery through
-                           # the assignment E-step; q_embed_norms stays)
-    "q_math_funcs",        # scalar math family (q_string_funcs,
-                           # q_date_arithmetic keep the scalar-function
-                           # families in-window)
-    "q_quantiles",         # exact percentile profile (q_feature_scale
-                           # drives the same interpolated-percentile
-                           # aggregate through winsorization)
-    "q_scd2_dim",          # SCD2 versioning (q_snapshot_diff keeps the
-                           # CDC family in-window; q_incremental_merge
-                           # covers the merge-upsert machinery)
-    "q_winnow_fingerprint", # winnowing selection (q_dedup_ngram keeps
-                           # the gram machinery in-window; q_fingerprint
-                           # late covers the md5 form)
-    "q_embed_norms",       # per-vector L2 norm (q_kmeans_assign keeps
-                           # the embedding-distance machinery in-window;
-                           # q_embed_quantize late covers array exprs)
-    "q_corpus_shuffle",    # md5-rank deterministic shuffle
-                           # (q_pack_sequences keeps trainprep ordering
-                           # in-window; q_hash_split late, same buckets)
-    "q_exists_subquery",   # EXISTS semi-join decorrelation — strict
-                           # subset of q_waiting_supplier's (late since
-                           # session 4, r03+r04 certified)
-                           # EXISTS + NOT EXISTS window decorrelation
-    "q_having_subquery",   # IN + HAVING agg-derived key-set join
-                           # (q_scalar_subquery keeps the agg-join-back
-                           # shape in-window; q_idle_accounts covers the
-                           # threshold-subquery semantics)
-    "q_rest_json",         # JSON literal-fallback source — certified in
-                           # r02 in-window; q_json_extract late covers
-                           # JSON path extraction, q_bank_mart keeps the
-                           # source registry under the driver gate
-    "q_kmeans_assign",     # nearest-centroid E-step — strict subset of
-                           # q_semantic_dedup's oracle (same assignment
-                           # CTE, plus in-cluster cosine pairs)
-    "q_dedup_ngram",       # within-table gram-set Jaccard — same
-                           # machinery as q_fuzzy_join's cross-table
-                           # linkage form (strict subset of its oracle)
-    "q_null_safe_join",    # registered late, locally hash-verified —
-                           # q_snapshot_diff keeps the null-safe compare
-                           # machinery in-window
-    "q_edit_distance",     # registered late, locally hash-verified —
-                           # q_fuzzy_join keeps the linkage family
-                           # in-window
-    "q_market_share",      # registered late, locally hash-verified —
-                           # ratio-of-conditional-aggregates; q_group_agg
-                           # and q_star_join keep the machinery in-window
-    "q_interval_merge",    # registered late, locally hash-verified —
-                           # gaps-and-islands window pass; q_scd2_dim
-                           # (late) and q_event_sessions share the family
-    "q_hierarchy",         # registered late, locally hash-verified —
-                           # recursive-CTE twin of the pointer-jumping
-                           # loop (q_pagerank keeps iterative-graph work
-                           # represented; driver window stays stable)
-    "q_weighted_sample",   # registered late, locally hash-verified —
-                           # q_hash_split/q_mixture_sample keep the
-                           # deterministic-sampling family covered
-    "q_gap_fill",          # registered late, locally hash-verified —
-                           # q_asof_join keeps the carry-forward
-                           # time-series machinery in-window
-    "q_cohort_retention",  # registered late, locally hash-verified —
-                           # q_cust_distribution keeps the two-level
-                           # customer-aggregation shape in-window
-    "q_rolling_anomaly",   # registered late, locally hash-verified —
-                           # frame-bounded moving aggregates;
-                           # q_rollup_cascade keeps hourly series work
-                           # in-window
-    "q_unpivot",           # registered late, locally hash-verified —
-                           # the inverse reshape of q_pivot (late)
-    "q_rank_family",       # registered late, locally hash-verified —
-                           # q_window_analytics (late) and
-                           # q_window_dedup keep windows in-window
-    "q_hybrid_search",     # registered late, locally hash-verified —
-                           # q_tfidf keeps the postings machinery
-                           # in-window, q_dedup_embedding the cosine
-    # -- round-4 displacements: slots freed for q_dedup_incremental and
-    #    the newly oracle-paired q_multimodal_decode (real codec decode)
-    "q_sketch_rollup",     # r03 in-window pass; q_heavy_hitters keeps
-                           # the CMS sketch family in-window
-    "q_text_search",       # r03 in-window pass; q_tfidf keeps the
-                           # search/postings family in-window
-    "q_promo_share",       # registered late, locally hash-verified —
-                           # q_market_share (late) is the same
-                           # ratio-of-conditional-sums shape
-    "q_matview",           # registered late, locally hash-verified —
-                           # q_rollup_cascade keeps rollup
-                           # re-aggregation in-window
-    "q_binning",           # r03 in-window pass; rotated out round 4 to
-                           # admit the newly oracle-paired q_ann_lsh —
-                           # q_feature_scale keeps the feature-prep
-                           # family (same moment-shuffle machinery)
-                           # in-window
-    "q_ann_ivf",           # newly paired round 4 (sample-seeded coarse
-                           # quantizer → deterministic, DuckDB-twinnable);
-                           # stays late: q_ann_cosine + q_ann_lsh keep
-                           # the ANN family in-window, and this is
-                           # hash-verified every local parity run
-    # -- round-4 session-4 rotation: five new operator families take
-    #    window slots (q_bloom_filter, q_hard_negatives, q_neg_sample,
-    #    q_label_prop, q_attribution); displaced certified queries below,
-    #    each with its family still in-window:
-    "q_binary_meta",       # r03+r04 in-window passes; multimodal stays
-                           # in-window via q_multimodal_decode
-    "q_event_sliding",     # r03+r04 in-window passes; event windows stay
-                           # via q_event_sessions + q_rollup_cascade
-    "q_date_arithmetic",   # r03+r04 in-window passes; date functions stay
-                           # via q_date_spine (+ bank pipeline date dims)
-    "q_kmv_distinct",      # r04 in-window pass; sketch family stays via
-                           # q_hll_distinct + q_heavy_hitters +
-                           # q_bloom_filter
-    "q_waiting_supplier",  # r03+r04 in-window passes; relational family
-                           # amply covered (q_star_join, q_join_agg,
-                           # q_top_unshipped, q_range_join)
-    # -- round-4 session-5 rotation: q_pagerank left the rows-only list
-    #    (floor-int quantization made the power iteration engine-
-    #    portable; 8 rounds unrolled as CTEs in its oracle) and the new
-    #    q_bfs_dist (all-integer multi-source BFS) registered paired —
-    #    both take window slots:
-    "q_url_curation",      # r03+r04 in-window passes; regex/text family
-                           # stays in-window via q_text_quality +
-                           # q_lang_id + q_lm_quality
-    "q_pandas_udf",        # r03+r04 in-window passes; Arrow/pandas-UDF
-                           # machinery stays in-window via
-                           # q_multimodal_decode's decode UDFs and the
-                           # ANN GEMM mapInPandas passes (q_ann_cosine,
-                           # q_hard_negatives)
-    "q_quantile_sketch",   # registered late, locally hash-verified —
-                           # the sketch family is triple-covered
-                           # in-window (q_hll_distinct, q_heavy_hitters,
-                           # q_bloom_filter)
-    # -- session-5 continued: q_pyds_scan (Spark 4 Python Data Source
-    #    API) and q_variant_shred (Spark 4 VARIANT semi-structured
-    #    round-trip) are new machinery families — both take window
-    #    slots. q_top_unshipped deliberately KEPT in-window: several
-    #    rotation rationales above cite it as the family slot.
-    "q_chunk_docs",        # r03+r04 in-window passes; q_chunk_udtf
-                           # (late) is pinned identical, and trainprep
-                           # stays in-window via q_decontaminate +
-                           # q_dsir_select + q_neg_sample
-    "q_pii_redact",        # r03+r04 in-window passes; text family stays
-                           # in-window via q_text_quality + q_lang_id +
-                           # q_lm_quality
-    # rows-only (no cross-engine oracle exists):
-    "q_bpe_learn",     # iterative merge learning; pinned to a Python
-                       # reference implementation in tests/test_bpe.py
-    "q_pq_search",     # PQ codebooks are iteratively trained; encode/
-                       # search pinned in tests/test_pq.py
-    "q_kmeans",        # Lloyd fixpoint over float centroids; numpy-
-                       # pinned in tests/test_embeddings.py (assign
-                       # E-step is paired via q_kmeans_assign)
+    # ---- round-5 rotation policy: the 50-slot driver window, rebuilt.
+    # In-window this round: the nine r02-era §2 queries (re-certification
+    # finish, VERDICT r4 rec 4), q_dsir_select (post TakeOrdered fix) and
+    # q_bank_mart (§2 flagship anchors), the six displaced paired queries
+    # the judge named (rec 6), and 33 never-driver-certified paired
+    # queries chosen for operator-family breadth. Everything below is
+    # annotated with its latest driver-certified round ("r0N"; "local"
+    # = hash-verified only by tests/test_oracle_parity.py, queued for the
+    # r06/r07 windows). Rolling cadence: a paired query must re-enter the
+    # window within 2 rounds of its last certificate.
+    # -- certified r04 (displaced this round; due back by r06):
+    "q_ann_cosine",
+    "q_ann_lsh",
+    "q_asof_join",
+    "q_attribution",
+    "q_bfs_dist",
+    "q_bloom_filter",
+    "q_bpe_tokens",
+    "q_case_banding",
+    "q_date_spine",
+    "q_decontaminate",
+    "q_dedup_embedding",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_dedup_text_e2e",
+    "q_distinct",
+    "q_dup_spans",
+    "q_embed_covariance",
+    "q_event_sessions",
+    "q_feature_scale",
+    "q_filter_eq",
+    "q_filter_notnull",
+    "q_group_agg",
+    "q_hard_negatives",
+    "q_heavy_hitters",
+    "q_hll_distinct",
+    "q_incremental_merge",
+    "q_join_agg",
+    "q_label_prop",
+    "q_lang_id",
+    "q_linear_score",
+    "q_lm_quality",
+    "q_multimodal_decode",
+    "q_neg_sample",
+    "q_pagerank",
+    "q_ppmi",
+    "q_project_cast",
+    "q_pyds_scan",
+    "q_quality_report",
+    "q_range_join",
+    "q_rollup_cascade",
+    "q_star_join",
+    "q_surrogate_key",
+    "q_text_quality",
+    "q_tfidf",
+    "q_top_unshipped",
+    "q_variant_shred",
+    "q_window_dedup",
+    # -- certified r03 (due back by r06 under the cadence):
+    "q_array_funcs",
+    "q_binary_meta",
+    "q_binning",
+    "q_cust_distribution",
+    "q_date_arithmetic",
+    "q_event_funnel",
+    "q_event_sliding",
+    "q_fuzzy_join",
+    "q_grouped_agg_udf",
+    "q_hash_split",
+    "q_idle_accounts",
+    "q_pack_sequences",
+    "q_repetition",
+    "q_scalar_subquery",
+    "q_sketch_rollup",
+    "q_snapshot_diff",
+    "q_string_funcs",
+    "q_text_search",
+    "q_waiting_supplier",
+    # -- certified r02 (the few not picked this round):
+    "q_ann_ivf",
+    "q_count_distinct",
+    "q_dedup_ngram",
+    "q_event_tumbling",
+    "q_fingerprint",
+    "q_json_extract",
+    "q_pivot",
+    "q_rollup",
+    "q_salted_agg",
+    "q_semi_anti_join",
+    "q_set_ops",
+    "q_stats_agg",
+    "q_text_stats",
+    "q_topk",
+    "q_window_analytics",
+    # -- never driver-certified — locally hash-verified every run; queued r06/r07:
+    "q_argmax",
+    "q_bit_funcs",
+    "q_cube",
+    "q_disjunctive_rev",
+    "q_dominant_suppliers",
+    "q_drift_report",
+    "q_event_transitions",
+    "q_exists_subquery",
+    "q_forecast_revenue",
+    "q_having_subquery",
+    "q_important_parts",
+    "q_join_elim",
+    "q_local_volume",
+    "q_map_funcs",
+    "q_math_funcs",
+    "q_min_cost_supplier",
+    "q_nation_volume",
+    "q_null_funcs",
+    "q_null_safe_join",
+    "q_orc_roundtrip",
+    "q_priority_class",
+    "q_product_profit",
+    "q_profile_table",
+    "q_promo_share",
+    "q_quantiles",
+    "q_range_frame",
+    "q_rank_family",
+    "q_regression",
+    "q_returned_revenue",
+    "q_seasonal_naive",
+    "q_stratified_sample",
+    "q_string_agg",
+    "q_supplier_cnt",
+    "q_top_supplier",
+    "q_top_terms",
+    "q_twap",
+    "q_union_by_name",
+    "q_unpivot",
+    "q_winnow_fingerprint",
+    # -- rows-only (no cross-engine oracle; property/reference-pinned):
     "q_approx_distinct",
-    # q_ann_lsh and q_ann_ivf left this list round 4: both pipelines are
-    # deterministic once the planes / seed centroids are fixed, so the
-    # *approximate* results are hash-certifiable (plane constants
-    # embedded in the LSH oracle SQL; data-row-seeded IVF quantizer).
-    # q_pagerank left it in session 5 (see the rotation note above).
+    "q_bpe_learn",
+    "q_kmeans",
+    "q_pca_project",
+    "q_pq_search",
+    "q_train_classifier",
 )
 
 
