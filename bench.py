@@ -99,32 +99,61 @@ def main() -> None:
     # Warm the JVM + parquet footers with one cheap pass.
     force(REGISTRY["q_group_agg"].fn(spark, sf_dir).limit(1))
 
-    # Steady-state methodology: one untimed warm-up execution per query
-    # (pays one-time codegen/classload), then median of three timed runs —
-    # single-iteration timings showed ±30% run-to-run drift, which made
-    # real regressions indistinguishable from noise.
+    # Steady-state, drift-resistant methodology (PERF.md session-5
+    # lesson: only interleaved same-session measurements are
+    # load-bearing — cold-session drift is ±30%, bigger than most real
+    # effects):
+    #   sweep 0 (untimed): every query once — pays one-time codegen /
+    #     classload / footer reads.
+    #   sweeps 1..3 (timed): every query once PER SWEEP, A-B-C-A-B-C —
+    #     slow session drift (JVM heap shape, GC cadence) lands evenly
+    #     on all queries instead of on whichever ran last.
+    # Per query we report the MEDIAN of the three interleaved timings
+    # (the round-over-round headline, backward-comparable) and the MIN
+    # (the stabler cross-boot estimator: the least-interfered run).
     # Cleared cache per timed run: several operators persist() reusable
-    # intermediates (minhash/simhash signatures, LSH buckets); without the
-    # clear, timed runs hit the previous run's cache until eviction — an
-    # eviction-dependent mix that showed up as ±30% round-over-round drift.
-    # Each timed run below does the query's full work from the parquet scan.
-    timings: dict[str, float] = {}
+    # intermediates (minhash/simhash signatures, LSH buckets); without
+    # the clear, timed runs hit the previous run's cache until eviction.
+    # Each timed run does the query's full work from the parquet scan.
+    n_sweeps = 3
+    runs: dict[str, list[float]] = {name: [] for name in headline}
     for name in headline:
         force(REGISTRY[name].fn(spark, sf_dir))
-        runs = []
-        for _ in range(3):
+    for _ in range(n_sweeps):
+        for name in headline:
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             force(REGISTRY[name].fn(spark, sf_dir))
-            runs.append(time.perf_counter() - t0)
-        timings[name] = round(sorted(runs)[1], 3)
+            runs[name].append(time.perf_counter() - t0)
+
+    timings = {n: round(sorted(rs)[len(rs) // 2], 3) for n, rs in runs.items()}
+    mins = {n: round(min(rs), 3) for n, rs in runs.items()}
+    # dispersion: per-query relative spread (max−min)/median across the
+    # interleaved sweeps, summarized by its median over queries — the
+    # self-reported noise floor a round-over-round comparison must beat
+    spreads = [
+        (max(rs) - min(rs)) / sorted(rs)[len(rs) // 2]
+        for rs in runs.values()
+        if sorted(rs)[len(rs) // 2] > 0
+    ]
+    dispersion = round(sorted(spreads)[len(spreads) // 2], 4) if spreads else 0.0
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as fh:
+            boot_id = fh.read().strip()
+    except OSError:
+        boot_id = "unknown"
 
     out = {
-        "metric": "headline query wall time (noop sink, warm per-query)",
+        "metric": "headline query wall time (noop sink, interleaved sweeps)",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "queries_min": mins,
+        "value_min": round(sum(mins.values()), 3),
+        "sweeps": n_sweeps,
+        "dispersion_median_rel_spread": dispersion,
+        "boot_id": boot_id,
     }
     print(json.dumps(out))
     spark.stop()
