@@ -98,7 +98,18 @@ def get_spark(
         .config("spark.ui.retainedJobs", "200")
         .config("spark.ui.retainedStages", "200")
         .config("spark.ui.retainedTasks", "2000")
-        .config("spark.cleaner.periodicGC.interval", "2min")
+        # Periodic full GC: 10min default. The round-4 value (2min) was
+        # marathon-test OOM protection, but a measured interleaved
+        # A-B-A-B (tools/ab_periodic_gc.py, PERF.md round 5) showed it
+        # taxes a bench-length session ~6% — System.gc() pauses land
+        # inside whichever query is running. 10min still bounds cleaner
+        # state on multi-hour sessions; the pytest conftest opts back
+        # into 2min for the 25-minute marathon suite where the OOM risk
+        # lives. Override per-process via SPARK_GRAFT_PERIODIC_GC.
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "10min"),
+        )
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

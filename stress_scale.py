@@ -264,25 +264,187 @@ def stress_bfs_frontier(spark, n=5_000_000, hops=10):
     }
 
 
+_A_TEXTS = [
+    "alpha beta gamma delta epsilon zeta",
+    "beta gamma alpha zeta delta eta",
+    "gamma delta eta alpha epsilon beta",
+    "delta epsilon beta eta zeta alpha",
+]
+_B_TEXTS = [
+    "omega sigma tau rho kappa lambda",
+    "sigma tau omega lambda rho mu",
+    "tau rho mu omega kappa sigma",
+    "rho kappa sigma mu lambda omega",
+    "kappa lambda omega tau mu rho",
+    "lambda mu rho sigma omega tau",
+    "mu omega kappa lambda tau sigma",
+    "omega tau lambda kappa sigma rho",
+]
+
+
+def _cycle_text(col, texts):
+    return F.element_at(
+        F.array(*[F.lit(t) for t in texts]), (col % len(texts) + 1).cast("int")
+    )
+
+
+def stress_dsir_select(spark, n=1_000_000, n_target=2_000, plant_every=1_000):
+    """Scenario E1 — DSIR data selection at 1M docs, exact-membership
+    asserted. Planted construction: target docs (ids < n_target) and
+    planted raw docs (id % plant_every == 7) draw from vocabulary A;
+    everything else from disjoint vocabulary B. The importance margin
+    between an A-doc and a B-doc is ~150 nats — far beyond the Gumbel
+    key's worst-case spread over 1M draws (≈ 40 nats with the 52-bit
+    md5 uniform) — so the EXACT selected id set is forced: all A-docs,
+    nothing else. This also stress-proves the post-round-4 top-k shape:
+    the TakeOrdered pre-prune ranks k rows instead of funneling all 1M
+    (id, score, key) rows through one partition."""
+    from etl_demos_spark.operators.dsir import dsir_select
+
+    is_a = (F.col("id") < n_target) | (F.col("id") % plant_every == 7)
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(is_a, _cycle_text(F.col("id"), _A_TEXTS))
+        .otherwise(_cycle_text(F.col("id"), _B_TEXTS))
+        .alias("text"),
+    )
+    target = spark.range(n_target).select(F.col("id").alias("doc_id"))
+    n_planted = len([i for i in range(n_target, n) if i % plant_every == 7])
+    k = n_target + n_planted
+    t0 = time.time()
+    sel = dsir_select(docs, target, k=k).select("doc_id", "rn").collect()
+    wall = time.time() - t0
+    got = {r["doc_id"] for r in sel}
+    want = set(range(n_target)) | {
+        i for i in range(n_target, n) if i % plant_every == 7
+    }
+    ranks_ok = sorted(r["rn"] for r in sel) == list(range(1, k + 1))
+    return {
+        "scenario": "dsir_select_1M",
+        "n_docs": n,
+        "k": k,
+        "wall_s": round(wall, 2),
+        "selected": len(got),
+        "membership_exact": got == want,
+        "ranks_contiguous": ranks_ok,
+        # widest intermediate: the exploded gram table (≈ 11 grams/doc)
+        "widest_rows": n * 11,
+        "ok": got == want and ranks_ok,
+    }
+
+
+def stress_train_classifier(spark, n=1_000_000, n_buckets=1024, lr=0.5,
+                            iters=3):
+    """Scenario E2 — logistic-regression training at 1M labeled docs,
+    EXACT weights asserted. The corpus is 40 distinct texts (20 per
+    class, disjoint vocabularies) replicated 25k× each; because the
+    per-doc residual depends only on the doc's features, a sequential
+    Python reference over the 40 distinct docs with multiplicity
+    weighting reproduces the distributed gradient EXACTLY (the integer
+    discipline makes the sum order-independent), so all trained
+    nano-weights are asserted bit-identical — the scenarios-A-D
+    standard, not a loss-goes-down smoke check."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+    import hashlib
+
+    from etl_demos_spark.operators import classifier as clf
+
+    texts = []  # 40 distinct docs: 20 class-A, 20 class-B, disjoint vocab
+    for v in range(20):
+        texts.append(_A_TEXTS[v % len(_A_TEXTS)] + f" mark{v}")
+    for v in range(20):
+        texts.append(_B_TEXTS[v % len(_B_TEXTS)] + f" mark{20 + v}")
+    mult = n // 40
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        _cycle_text(F.col("id"), texts).alias("text"),
+    )
+    labels = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 40 < 20).cast("long").alias("y"),
+    )
+    feats = clf.hashed_features(docs, "text", "doc_id", n_buckets)
+    t0 = time.time()
+    w_got = {
+        r["bucket"]: r["w_int"]
+        for r in clf.train_logreg(
+            feats, labels, n_buckets=n_buckets, lr=lr, iters=iters
+        ).collect()
+    }
+    wall = time.time() - t0
+
+    # -- sequential reference over the 40 distinct docs, multiplicity-
+    # weighted (mult identical copies of each → weight the gradient)
+    def md5_long(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def round0(x):
+        return int(Decimal(repr(x)).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+    dfeats: dict[tuple[int, int], int] = {}
+    for v, text in enumerate(texts):
+        for tok in text.lower().split():
+            b = md5_long(tok) % n_buckets
+            dfeats[(v, b)] = dfeats.get((v, b), 0) + 1
+    for v in range(40):
+        dfeats[(v, -1)] = 1  # bias
+    y = {v: (1.0 if v < 20 else 0.0) for v in range(40)}
+    w_ref: dict[int, int] = {}
+    for _ in range(iters):
+        margins = {v: 0 for v in range(40)}
+        for (v, b), cnt in dfeats.items():
+            margins[v] += cnt * w_ref.get(b, 0)
+        r_int = {}
+        for v in range(40):
+            p = 1.0 / (1.0 + math.exp(-(margins[v] / 1.0e9)))
+            r_int[v] = round0((p - y[v]) * 1.0e9)
+        grad: dict[int, int] = {}
+        for (v, b), cnt in dfeats.items():
+            grad[b] = grad.get(b, 0) + mult * cnt * r_int[v]
+        for b, g_int in grad.items():
+            cur = w_ref.get(b, 0) / 1.0e9
+            upd = cur - lr * ((g_int / 1.0e9) / n)
+            w_ref[b] = int(round(upd * 1.0e9))
+    w_ref = {b: v for b, v in w_ref.items() if v != 0 or b in w_got}
+    return {
+        "scenario": "train_classifier_1M",
+        "n_docs": n,
+        "iters": iters,
+        "wall_s": round(wall, 2),
+        "n_weights": len(w_got),
+        "weights_bit_identical": w_got == w_ref,
+        # widest intermediate: the per-doc feature rows (≈ 7 buckets/doc)
+        "widest_rows": n * 7,
+        "ok": w_got == w_ref,
+    }
+
+
 def main():
     quick = len(sys.argv) > 1 and sys.argv[1] == "quick"
     spark = get_spark("stress-scale")
     spark.sparkContext.setLogLevel("ERROR")
     if quick:
-        a = stress_tiled_embedding_dedup(spark, n=250_000)
-        b = stress_incremental_minhash(spark, corpus_n=5_000, batch_n=1_000)
-        c = stress_gram_covariance(spark, n=100_000)
-        d = stress_bfs_frontier(spark, n=500_000, hops=8)
+        results = [
+            stress_tiled_embedding_dedup(spark, n=250_000),
+            stress_incremental_minhash(spark, corpus_n=5_000, batch_n=1_000),
+            stress_gram_covariance(spark, n=100_000),
+            stress_bfs_frontier(spark, n=500_000, hops=8),
+            stress_dsir_select(spark, n=100_000, n_target=500),
+            stress_train_classifier(spark, n=100_000),
+        ]
     else:
-        a = stress_tiled_embedding_dedup(spark)
-        b = stress_incremental_minhash(spark)
-        c = stress_gram_covariance(spark)
-        d = stress_bfs_frontier(spark)
-    print(json.dumps(a))
-    print(json.dumps(b))
-    print(json.dumps(c))
-    print(json.dumps(d))
-    if not (a["ok"] and b["ok"] and c["ok"] and d["ok"]):
+        results = [
+            stress_tiled_embedding_dedup(spark),
+            stress_incremental_minhash(spark),
+            stress_gram_covariance(spark),
+            stress_bfs_frontier(spark),
+            stress_dsir_select(spark),
+            stress_train_classifier(spark),
+        ]
+    for r in results:
+        print(json.dumps(r))
+    if not all(r["ok"] for r in results):
         sys.exit(1)
 
 

@@ -24,7 +24,15 @@ TABLES = (
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = get_spark("etl-demos-spark-tests", cpus=8, shuffle_partitions=8)
+    # 2min periodic GC here (vs the 10min engine default): the 25-minute
+    # marathon suite is where cleaner-state OOM was observed; bench and
+    # driver sessions keep the lighter default (PERF.md round-5 A/B).
+    spark = get_spark(
+        "etl-demos-spark-tests",
+        cpus=8,
+        shuffle_partitions=8,
+        extra_confs={"spark.cleaner.periodicGC.interval": "2min"},
+    )
     yield spark
     spark.stop()
 

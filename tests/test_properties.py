@@ -523,3 +523,58 @@ def test_sample_quantiles_exact_when_sample_is_population(spark):
         0.5: sv[math.ceil(0.5 * 8) - 1],
         1.0: sv[-1],
     }
+
+
+# ---------------------------------------------------------------------------
+# Rows-only determinism contract: the six queries without a DuckDB oracle
+# are rows-only because SQL replay would diverge on FLOAT-FIXPOINT op
+# ordering between engines — NOT because the Spark side is partition-
+# sensitive. That claim becomes a tested invariant here: each query must
+# return bit-identical rows when every partitioning knob the planner
+# honors is changed (shuffle partitions 32 → 7, scan splits forced tiny).
+# q_train_classifier additionally has a sequential-reference bit pin in
+# tests/test_classifier.py; this covers the whole family uniformly.
+
+import pytest as _pytest
+
+
+def _stable_rows(df):
+    def freeze(v):
+        if isinstance(v, list):
+            return tuple(freeze(x) for x in v)
+        if isinstance(v, dict):
+            return tuple(sorted((k, freeze(x)) for k, x in v.items()))
+        return v
+
+    return sorted((tuple(freeze(v) for v in row) for row in df.collect()),
+                  key=repr)
+
+
+@_pytest.mark.parametrize(
+    "name",
+    [
+        "q_bpe_learn",
+        "q_kmeans",
+        "q_pq_search",
+        "q_pca_project",
+        "q_train_classifier",
+        "q_approx_distinct",
+    ],
+)
+def test_rows_only_queries_bit_stable_across_partitionings(spark, name):
+    import etl_demos_spark.workload_ext  # noqa: F401
+    from etl_demos_spark.workload import REGISTRY
+    from tests.conftest import SF_DIR
+
+    fn = REGISTRY[name].fn
+    base = _stable_rows(fn(spark, SF_DIR))
+    shuffle0 = spark.conf.get("spark.sql.shuffle.partitions")
+    split0 = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(256 * 1024))
+        alt = _stable_rows(fn(spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle0)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", split0)
+    assert len(base) == len(alt) and base == alt
