@@ -118,6 +118,10 @@ def main() -> None:
     n_sweeps = 3
     runs: dict[str, list[float]] = {name: [] for name in headline}
     for name in headline:
+        # clearCache inside the warm-up sweep too: without it every
+        # persisting operator's intermediates accumulate simultaneously
+        # before the first timed clear — eviction thrash at larger SFs
+        spark.catalog.clearCache()
         force(REGISTRY[name].fn(spark, sf_dir))
     for _ in range(n_sweeps):
         for name in headline:

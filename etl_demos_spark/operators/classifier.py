@@ -236,9 +236,17 @@ def predict(
     (empty/whitespace-only) would be silently absent from the output,
     while training gives every LABELED doc an intercept. Pass the doc
     table itself to make the train/predict augmentation contract total:
-    empty docs then score sigmoid(bias)."""
+    empty docs then score sigmoid(bias). When given, ``ids`` defines
+    the output EXACTLY — feature rows of docs outside it are dropped
+    (otherwise an eval-split ids with full-corpus feats would emit
+    out-of-universe rows scored WITHOUT an intercept, the same
+    augmentation mismatch this parameter exists to fix)."""
+    if ids is not None:
+        universe = ids.select(id_col).distinct()
+        feats = feats.join(universe, id_col, "semi")
+    else:
+        universe = feats.select(id_col).distinct()
     if add_bias:
-        universe = (ids if ids is not None else feats).select(id_col).distinct()
         feats = feats.unionByName(
             universe.select(
                 F.col(id_col),

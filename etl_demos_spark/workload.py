@@ -618,9 +618,13 @@ _LATE: tuple[str, ...] = (
     # queries chosen for operator-family breadth. Everything below is
     # annotated with its latest driver-certified round ("r0N"; "local"
     # = hash-verified only by tests/test_oracle_parity.py, queued for the
-    # r06/r07 windows). Rolling cadence: a paired query must re-enter the
-    # window within 2 rounds of its last certificate.
-    # -- certified r04 (displaced this round; due back by r06):
+    # r06/r07 windows). Rolling cadence: 171 paired queries over 50
+    # window slots means a full re-certification cycle is ~3.5 rounds,
+    # so the honest invariant is: every paired query re-enters the
+    # window within 3 rounds of its last certificate, with OVERDUE
+    # entries (the r02/r03 blocks below) taking priority slots in r06
+    # ahead of the remaining never-certified backlog.
+    # -- certified r04 (displaced this round; due back by r07):
     "q_ann_cosine",
     "q_ann_lsh",
     "q_asof_join",
@@ -669,7 +673,7 @@ _LATE: tuple[str, ...] = (
     "q_top_unshipped",
     "q_variant_shred",
     "q_window_dedup",
-    # -- certified r03 (due back by r06 under the cadence):
+    # -- certified r03 (OVERDUE at r06 — priority slots next round):
     "q_array_funcs",
     "q_binary_meta",
     "q_binning",
@@ -689,7 +693,7 @@ _LATE: tuple[str, ...] = (
     "q_string_funcs",
     "q_text_search",
     "q_waiting_supplier",
-    # -- certified r02 (the few not picked this round):
+    # -- certified r02 (OVERDUE — first in line for the r06 window):
     "q_ann_ivf",
     "q_count_distinct",
     "q_dedup_ngram",

@@ -350,6 +350,11 @@ def stress_train_classifier(spark, n=1_000_000, n_buckets=1024, lr=0.5,
 
     from etl_demos_spark.operators import classifier as clf
 
+    # the sequential reference weights every distinct text's gradient by
+    # the UNIFORM multiplicity n // 40 — with n % 40 != 0 the cycle gives
+    # some texts one extra copy and the reference silently diverges,
+    # misreporting a harness artifact as an engine determinism bug
+    assert n % 40 == 0, f"n must be a multiple of 40 (got {n})"
     texts = []  # 40 distinct docs: 20 class-A, 20 class-B, disjoint vocab
     for v in range(20):
         texts.append(_A_TEXTS[v % len(_A_TEXTS)] + f" mark{v}")

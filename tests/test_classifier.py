@@ -167,7 +167,7 @@ def test_predict_with_ids_scores_featureless_docs_at_bias(spark):
     )
     # without ids: featureless docs silently absent
     bare = clf.predict(feats, w, "doc_id").collect()
-    assert {r["doc_id"] for r in bare} <= {0, 1}
+    assert {r["doc_id"] for r in bare} == {0, 1}
     # with ids: every doc appears; empty ones at sigmoid(bias)
     full = {r["doc_id"]: r["prob"]
             for r in clf.predict(feats, w, "doc_id", ids=df).collect()}
