@@ -16,10 +16,11 @@ Three related shapes a large-scale data platform needs:
 Scale shapes:
 
 - Basket pairs: ONE basket-keyed self-join — pair rows ∝ Σ b_i² over
-  baskets, bounded by ``max_basket`` (oversized baskets are dropped,
+  baskets, bounded by ``max_basket`` (oversized baskets are dropped —
   the standard market-basket guard against quadratic blowup on
-  pathological sessions; dropped counts are reported via log, not
-  silently). Combiner-friendly (pair-keyed) count agg.
+  pathological sessions). The drop itself is silent; audit it with
+  ``dropped_baskets`` below when the pipeline needs the number.
+  Combiner-friendly (pair-keyed) count agg.
 - Token pairs: positions explode once, a bounded offset join (≤ w
   offsets per token) replaces the quadratic within-window self-join.
 - Triangles: two hash joins over the (a < b)-canonicalized edge list —
@@ -75,6 +76,34 @@ def basket_pairs(
     return pairs
 
 
+def dropped_baskets(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_basket: int = 64,
+) -> DataFrame:
+    """Audit twin of ``basket_pairs``'s size guard: one row
+    (n_dropped_baskets, n_dropped_items) counting the baskets the
+    max_basket cap excludes — the no-silent-caps discipline. Run it
+    alongside basket_pairs when the pipeline must KNOW what the
+    quadratic guard cost, instead of trusting that pathological
+    sessions are rare."""
+    sizes = (
+        df.select(
+            F.col(basket_col).alias("__basket"),
+            F.col(item_col).alias("__item"),
+        )
+        .distinct()
+        .groupBy("__basket")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > max_basket)
+    )
+    return sizes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_dropped_baskets"),
+        F.coalesce(F.sum("__n"), F.lit(0)).cast("long").alias("n_dropped_items"),
+    )
+
+
 def token_pair_counts(
     df: DataFrame,
     text_col: str = "text",
@@ -87,7 +116,17 @@ def token_pair_counts(
     folded into one join on (doc, pos + d) — pair rows ∝ tokens ×
     window, never tokens². Counts are exact integers.
 
+    Tokens are lowercased whitespace splits — deliberately the same
+    contract as dsir.hashed_ngram_features (and its oracle), NOT the
+    WORD_RE tokenizer dedup/trainprep use: distributional stats keep
+    punctuation-attached forms distinct. Join PPMI output against other
+    token tables only after normalizing to one contract.
+
     Returns (w1, w2, c_pair)."""
+    if window < 1:
+        # F.sequence(1, 0) silently DESCENDS ([1, 0]) — a zero/negative
+        # window would emit self-pairs instead of nothing
+        raise ValueError(f"window must be >= 1 (got {window})")
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
     )
@@ -127,8 +166,6 @@ def ppmi_scores(
     matrix.
 
     Returns (w1, w2, c_pair, ppmi)."""
-    from pyspark.sql import Window as W
-
     p = pair_counts.filter(F.col("c_pair") >= min_pair)
     m1 = p.select(F.col("w1").alias("w"), "c_pair")
     m2 = p.select(F.col("w2").alias("w"), "c_pair")
@@ -143,9 +180,14 @@ def ppmi_scores(
         .join(marg.select(F.col("w").alias("w2"), F.col("c_w").alias("c2")), "w2")
         .crossJoin(F.broadcast(tot))
     )
+    # cast the OPERANDS, not the product: long·long wraps past 2^63
+    # (c_pair·N exceeds it long before a 100 TB corpus does) — double
+    # products are exact to 2^53 per factor and degrade gracefully
+    # instead of going negative into the ln. Oracle SQL mirrors the
+    # same expression tree (IEEE op order is part of the contract).
     pmi = F.log(
-        (F.col("c_pair") * F.col("n_tot")).cast("double")
-        / (F.col("c1") * F.col("c2")).cast("double")
+        (F.col("c_pair").cast("double") * F.col("n_tot").cast("double"))
+        / (F.col("c1").cast("double") * F.col("c2").cast("double"))
     )
     return j.select(
         "w1",
@@ -216,7 +258,9 @@ def item_cosine_from_pairs(
         "support",
         F.round(
             F.col("support").cast("double")
-            / F.sqrt((F.col("deg_a") * F.col("deg_b")).cast("double")),
+            / F.sqrt(
+                F.col("deg_a").cast("double") * F.col("deg_b").cast("double")
+            ),
             6,
         ).alias("cosine"),
     )

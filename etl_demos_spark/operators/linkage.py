@@ -45,8 +45,15 @@ def fuzzy_join(
     """(id_a, id_b, jaccard) — pairs across the two inputs whose distinct
     word n-gram sets have Jaccard ≥ threshold; ``block_cols`` must match
     exactly (they ride the gram join as extra equi-keys)."""
-    gl = exploded_shingles(left, id_col, text_col, n, extra=block_cols).distinct()
-    gr = exploded_shingles(right, id_col, text_col, n, extra=block_cols).distinct()
+    # persist the shingle tables: each feeds 2 consumers in the plain
+    # branch (per-id counts + candidate join) and 4 in the max_df branch
+    # (counts, pruned candidate join, document-frequency union, full-gram
+    # rejoin) — without this Spark re-tokenizes and re-shingles both
+    # corpora once per consumer, and shingling is the dominant cost of
+    # the family. Eviction left to the LRU (the dedup.py convention); at
+    # corpus scale checkpoint to parquet instead.
+    gl = exploded_shingles(left, id_col, text_col, n, extra=block_cols).distinct().persist()
+    gr = exploded_shingles(right, id_col, text_col, n, extra=block_cols).distinct().persist()
     na = gl.groupBy("id").agg(F.count(F.lit(1)).alias("n_a"))
     nb = gr.groupBy("id").agg(F.count(F.lit(1)).alias("n_b"))
     a = gl.select(F.col("id").alias("id_a"), *block_cols, "g")

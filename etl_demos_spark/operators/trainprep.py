@@ -94,12 +94,17 @@ def contamination_report_split(
     n: int = 3,
 ) -> DataFrame:
     """contamination_report for a corpus-internal split (train and eval
-    rows in ONE table, distinguished by ``test_flag``): tokenizes and
-    shingles the corpus ONCE instead of once per side — shingling is the
-    dominant cost of decontamination (regex tokenize + n-gram build per
-    document), so self-split callers should always come through here."""
+    rows in ONE table, distinguished by ``test_flag``). Convenience
+    shape, not a perf win: the two differently-filtered consumers of
+    the shingle lineage get their ``__is_test`` filters pushed BELOW
+    the shingling by Catalyst, so each surviving row is shingled once
+    per side it belongs to — the same total work as calling
+    contamination_report on two pre-filtered frames. NULL flags are
+    treated as train (coalesced false): a row must land on exactly one
+    side, never vanish from both."""
     g = _gram_hashes(
-        df.withColumn("__is_test", test_flag), id_col, text_col, n, ("__is_test",)
+        df.withColumn("__is_test", F.coalesce(test_flag, F.lit(False))),
+        id_col, text_col, n, ("__is_test",),
     )
     tr = g.filter(~F.col("__is_test")).select(F.col("id").alias("train_id"), "gh")
     te = g.filter(F.col("__is_test")).select("gh").distinct()
@@ -284,10 +289,15 @@ def chunk_documents_udtf(
                 piece = t[i * stride : i * stride + size]
                 yield doc_id, i, piece, len(piece)
 
+    # carry the id column's ACTUAL type through the UDTF schema — the
+    # sibling chunk_documents preserves any id type, and a hardcoded
+    # long would make string ids die in Arrow conversion
+    id_type = df.schema[id_col].dataType.simpleString()
     chunker = udtf(
         _Chunk,
         returnType=(
-            f"{id_col}: long, chunk_idx: int, chunk: string, chunk_chars: int"
+            f"{id_col}: {id_type}, chunk_idx: int, chunk: string, "
+            f"chunk_chars: int"
         ),
     )
     spark.udtf.register("chunk_doc_udtf", chunker)

@@ -4219,8 +4219,8 @@ _PPMI_ORACLE = """
         SELECT CAST(SUM(c_pair) AS BIGINT) AS n_tot FROM p
     )
     SELECT p.w1, p.w2, p.c_pair,
-           ROUND(GREATEST(ln(CAST(p.c_pair * tot.n_tot AS DOUBLE)
-                             / CAST(m1.c_w * m2.c_w AS DOUBLE)), 0.0),
+           ROUND(GREATEST(ln((CAST(p.c_pair AS DOUBLE) * CAST(tot.n_tot AS DOUBLE))
+                             / (CAST(m1.c_w AS DOUBLE) * CAST(m2.c_w AS DOUBLE))), 0.0),
                  6) AS ppmi
     FROM p
     JOIN marg m1 ON m1.w = p.w1
@@ -4482,7 +4482,7 @@ _ITEMSIM_ORACLE = """
     )
     SELECT p.item_a, p.item_b, p.support,
            ROUND(CAST(p.support AS DOUBLE)
-                 / sqrt(CAST(ma.deg * mb.deg AS DOUBLE)), 6) AS cosine
+                 / sqrt(CAST(ma.deg AS DOUBLE) * CAST(mb.deg AS DOUBLE)), 6) AS cosine
     FROM p
     JOIN marg ma ON ma.item = p.item_a
     JOIN marg mb ON mb.item = p.item_b

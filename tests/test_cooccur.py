@@ -139,3 +139,28 @@ def test_transition_counts_deterministic_and_exact(spark):
         ("v", "v"): (1, 0.333333),
         ("c", "p"): (1, 1.0),
     }
+
+
+def test_token_pair_counts_rejects_nonpositive_window(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="window"):
+        cooccur.token_pair_counts(df, window=0)
+    with pytest.raises(ValueError, match="window"):
+        cooccur.token_pair_counts(df, window=-2)
+
+
+def test_dropped_baskets_audits_the_size_guard(spark):
+    rows = [("b1", f"i{k}") for k in range(5)] + [("b2", "x"), ("b2", "y")] \
+        + [("b3", f"j{k}") for k in range(4)]
+    df = spark.createDataFrame(rows, "basket string, item string")
+    audit = cooccur.dropped_baskets(df, "basket", "item", max_basket=3).collect()[0]
+    assert audit["n_dropped_baskets"] == 2       # b1 (5) and b3 (4)
+    assert audit["n_dropped_items"] == 9
+    # pairs over the same cap exclude exactly those baskets
+    pairs = cooccur.basket_pairs(df, "basket", "item", max_basket=3).collect()
+    assert {(r["item_a"], r["item_b"]) for r in pairs} == {("x", "y")}
+    # nothing dropped → zero row, not an empty frame
+    none = cooccur.dropped_baskets(df, "basket", "item", max_basket=10).collect()[0]
+    assert none["n_dropped_baskets"] == 0 and none["n_dropped_items"] == 0

@@ -291,3 +291,33 @@ def test_negative_sampler_matches_python_reference(spark):
     assert {(r["anchor"], r["slot"], r["item"], r["u"]) for r in got} == expect
     # exactly one item per draw: no duplicate (anchor, slot)
     assert len(got) == len({(r["anchor"], r["slot"]) for r in got})
+
+
+def test_chunk_udtf_preserves_string_id_type(spark):
+    docs = spark.createDataFrame(
+        [("d-1", "abcdefghij" * 30), ("d-2", "xyz")], "doc_id string, text string"
+    )
+    got = trainprep.chunk_documents_udtf(
+        spark, docs, size=128, stride=96
+    ).collect()
+    assert {r["doc_id"] for r in got} == {"d-1", "d-2"}
+    builtin = trainprep.chunk_documents(docs, size=128, stride=96).collect()
+    assert sorted((r["doc_id"], r["chunk_idx"], r["chunk"]) for r in got) == \
+        sorted((r["doc_id"], r["chunk_idx"], r["chunk"]) for r in builtin)
+
+
+def test_contamination_split_null_flag_lands_on_train_side(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", "train"),
+            (2, "alpha beta gamma delta", "test"),
+            (3, "alpha beta gamma delta", None),  # NULL split
+        ],
+        "doc_id long, text string, split string",
+    )
+    rep = trainprep.contamination_report_split(
+        df, F.col("split") == "test", n=3
+    ).collect()
+    # doc 3 must be checked as TRAIN (flagged contaminated vs doc 2),
+    # not vanish from both sides
+    assert {r["train_id"] for r in rep} == {1, 3}
