@@ -433,6 +433,15 @@ def incremental_minhash_dedup(
     # instead of the whole probe tree — self-join plan duplication is
     # what blows up analysis otherwise.
     fresh = fresh.localCheckpoint(eager=True)
+    # the checkpoint materialized everything upstream: release the two
+    # scoped persists NOW. Cached plans live in the CacheManager until
+    # explicitly unpersisted (driver GC never frees them), so a
+    # long-running caller — the streaming near-dedup processor invokes
+    # this once per micro-batch — would otherwise leak two cache entries
+    # per batch, one of them store-sized, until executors thrash.
+    new_sigs.unpersist()
+    if existing_sigs is not None:
+        ex_sigs.unpersist()
 
     # within-batch: banded self-join over the docs that survived the
     # corpus probe, then min-id survivor per connected component

@@ -37,11 +37,15 @@ def dedup_stream_within_watermark(
     horizon: str = "1 hour",
 ) -> DataFrame:
     """Watermark-bounded streaming dedup (state expires with the
-    watermark). ``keys`` should NOT include the timestamp — replays
-    carry the same event time, and including it would only narrow the
-    match to exact-timestamp replays anyway, which is what we want for
-    idempotent re-delivery: (key..., same content) collapses, a new
-    reading of the same key at a later event time survives."""
+    watermark). The match is on ``keys`` ALONE: any later record with
+    the same key inside the horizon is dropped too, not just
+    exact-timestamp replays — so ``keys`` must uniquely identify the
+    EVENT (an event id, or key + ts, or key + content hash), not just
+    the entity. Passing a bare entity key (e.g. sensor_id) silently
+    drops that entity's genuinely new readings for the whole horizon.
+    For replay-only dedup of an unkeyed feed, include ``ts_col`` in
+    ``keys``: replays carry the same event time, so (key, ts)
+    collapses redelivery while later readings survive."""
     return stream.withWatermark(ts_col, horizon).dropDuplicatesWithinWatermark(
         list(keys)
     )
@@ -81,16 +85,38 @@ def near_dedup_batch_processor(
     bound it by sweeping old ids out of the store on your retention
     policy if the corpus is append-forever.
 
+    Crash-safety (foreachBatch is at-least-once, so every write here
+    must tolerate a replay of the same batch_id):
+
+    - survivors land under a ``__batch_id`` partition via DYNAMIC
+      partition overwrite — a replay replaces its own partition instead
+      of appending duplicates;
+    - the signature store updates through the staging-then-swap
+      discipline (plans/incremental.merge_upsert's), so a crash mid-
+      write leaves the OLD store intact, never a deleted/partial one;
+    - replay after a completed store swap is also safe: the batch's
+      docs now match their own stored signatures, kept comes back
+      empty, the (dynamic) overwrite touches no partition, and the
+      store union is a no-op — the previously-written output stands.
+
     Returns the ``(batch_df, batch_id) -> None`` closure for
     ``writeStream.foreachBatch``; also usable directly on batch
     DataFrames (the semantics tests drive it that way, deterministically
     ordered)."""
+    import shutil
     from pathlib import Path
 
     from etl_demos_spark.operators.dedup import incremental_minhash_dedup
+    from etl_demos_spark.plans.incremental import backfill_partitions
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
         spark = batch_df.sparkSession
+        # an at-least-once source can deliver the same doc twice WITHIN
+        # one micro-batch: signatures collapse to one row but a join
+        # back against the raw batch would multiply the survivor
+        batch_df = batch_df.dropDuplicates([id_col])
         store = (
             spark.read.parquet(store_path)
             if Path(store_path).exists()
@@ -100,9 +126,23 @@ def near_dedup_batch_processor(
             batch_df, store, id_col=id_col, text_col=text_col,
             threshold=threshold,
         )
-        batch_df.join(kept, id_col).write.mode("append").parquet(out_path)
-        # materialize BEFORE overwriting the path it was read from
-        updated.localCheckpoint().write.mode("overwrite").parquet(store_path)
+        survivors = batch_df.join(kept, id_col).withColumn(
+            "__batch_id", F.lit(batch_id)
+        )
+        backfill_partitions(spark, survivors, out_path, ["__batch_id"])
+        # store swap: write the new store BESIDE the old one, then move —
+        # mode('overwrite') on the live path would delete the old store
+        # before the new one exists (also: materialize before touching
+        # the path the plan was read from)
+        staging = f"{store_path}__staging"
+        updated.localCheckpoint().write.mode("overwrite").parquet(staging)
+        if Path(store_path).exists():
+            old = f"{store_path}__old"
+            shutil.move(store_path, old)
+            shutil.move(staging, store_path)
+            shutil.rmtree(old)
+        else:
+            shutil.move(staging, store_path)
 
     return process
 

@@ -82,10 +82,18 @@ def _update_user_counts(
 
 
 def user_running_counts(stream_df: DataFrame, ts_col: str = "ts") -> DataFrame:
-    """Apply the stateful per-user counter to a streaming events frame."""
+    """Apply the stateful per-user counter to a streaming events frame.
+
+    The state function reads the literal column name ``ts`` (Arrow
+    worker code can't see this wrapper's parameters), so a non-default
+    ``ts_col`` is renamed here at the boundary — without this the
+    executor dies with a KeyError on the first micro-batch."""
     import pyspark.sql.functions as F
 
     df = stream_df
+    if ts_col != "ts":
+        df = df.withColumnRenamed(ts_col, "ts")
+        ts_col = "ts"
     if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
         df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return (

@@ -22,26 +22,6 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 
-def tumbling_agg(
-    df: DataFrame,
-    ts_col: str = "ts",
-    width: str = "1 hour",
-    keys: tuple[str, ...] = ("event_type",),
-    aggs: tuple = None,
-) -> DataFrame:
-    """Tumbling event-time windows via native F.window (works identically
-    on batch and streaming input)."""
-    aggs = aggs or (F.count(F.lit(1)).alias("n_events"),)
-    out = df.groupBy(F.window(ts_col, width).alias("w"), *keys).agg(*aggs)
-    agg_cols = [c for c in out.columns if c not in ("w", *keys)]
-    return out.select(
-        F.col("w.start").alias("window_start"),
-        F.col("w.end").alias("window_end"),
-        *keys,
-        *agg_cols,
-    )
-
-
 def sliding_agg(
     df: DataFrame,
     ts_col: str = "ts",
@@ -50,6 +30,8 @@ def sliding_agg(
     keys: tuple[str, ...] = ("event_type",),
     aggs: tuple = None,
 ) -> DataFrame:
+    """Sliding event-time windows via native F.window (works identically
+    on batch and streaming input)."""
     aggs = aggs or (F.count(F.lit(1)).alias("n_events"),)
     out = df.groupBy(F.window(ts_col, width, slide).alias("w"), *keys).agg(*aggs)
     agg_cols = [c for c in out.columns if c not in ("w", *keys)]
@@ -59,6 +41,18 @@ def sliding_agg(
         *keys,
         *agg_cols,
     )
+
+
+def tumbling_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    width: str = "1 hour",
+    keys: tuple[str, ...] = ("event_type",),
+    aggs: tuple = None,
+) -> DataFrame:
+    """Tumbling windows — the slide == width special case of
+    :func:`sliding_agg` (one shaping implementation to maintain)."""
+    return sliding_agg(df, ts_col, width, width, keys, aggs)
 
 
 def sessionize_batch(
@@ -172,8 +166,13 @@ def stream_stream_join(
     right rows match left rows with ts in [left_ts - within, left_ts].
     Watermarks on BOTH sides bound the join state; rows outside the
     horizon are evicted (Spark's state cleanup needs the interval bound +
-    both watermarks, else state grows forever)."""
-    import pyspark.sql.functions as F
+    both watermarks, else state grows forever).
+
+    Output columns are UNAMBIGUOUS by construction: the right side's
+    join key is dropped (equal to the left's) and any remaining right
+    column colliding with a left name — the shared default ts most
+    commonly — comes back prefixed ``right_`` (a raw join would return
+    duplicate names, making the frame unselectable by name)."""
 
     def tsfix(df, col):
         if dict(df.dtypes).get(col) == "timestamp_ntz":
@@ -187,7 +186,16 @@ def stream_stream_join(
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
         & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") - F.expr(f"interval {within}"))
     )
-    return l.join(r, cond, "inner")
+    joined = l.join(r, cond, "inner")
+    left_cols = left_stream.columns
+    out = [F.col(f"l.{c}").alias(c) for c in left_cols]
+    for c in right_stream.columns:
+        if c == key:
+            continue
+        out.append(
+            F.col(f"r.{c}").alias(f"right_{c}" if c in left_cols else c)
+        )
+    return joined.select(*out)
 
 
 _UNIT_SECS = {
@@ -201,6 +209,17 @@ def _interval_secs(width: str) -> int:
     if unit not in _UNIT_SECS:
         raise ValueError(f"unsupported interval unit: {unit!r}")
     return int(qty) * _UNIT_SECS[unit]
+
+
+def _check_nesting(levels: tuple[str, ...]) -> None:
+    """Every cascade level must be an integer multiple of the previous,
+    so each fine window nests in exactly one coarse window."""
+    secs = [_interval_secs(w) for w in levels]
+    for fine, coarse in zip(secs, secs[1:]):
+        if coarse % fine:
+            raise ValueError(
+                f"levels must nest: {coarse}s not a multiple of {fine}s"
+            )
 
 
 def rollup_cascade(
@@ -229,12 +248,7 @@ def rollup_cascade(
     sums would make coarser totals shuffle-order-dependent — and is cast
     to double only by the caller at the output boundary.
     """
-    secs = [_interval_secs(w) for w in levels]
-    for fine, coarse in zip(secs, secs[1:]):
-        if coarse % fine:
-            raise ValueError(
-                f"levels must nest: {coarse}s not a multiple of {fine}s"
-            )
+    _check_nesting(levels)
 
     def shape(grouped: DataFrame) -> DataFrame:
         return grouped.select(
@@ -301,10 +315,7 @@ def stream_rollup_cascade(
     form."""
     from etl_demos_spark.plans.incremental import merge_upsert
 
-    secs = [_interval_secs(w) for w in levels]
-    for fine, coarse in zip(secs, secs[1:]):
-        if coarse % fine:
-            raise ValueError(f"levels must nest: {coarse}s not a multiple of {fine}s")
+    _check_nesting(levels)
 
     df = stream_df
     if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
@@ -334,7 +345,16 @@ def stream_rollup_cascade(
             return
         spark = batch_df.sparkSession
         batch_df.persist()
-        batch_df.write.mode("append").parquet(lvl_paths[0])
+        # Level 0 goes through merge_upsert, NOT a bare append:
+        # foreachBatch is at-least-once, and a replayed micro-batch
+        # appending the same closed fine windows would double-count them
+        # in level 0 and (via re-derivation) every coarser level forever.
+        # Append-mode emits each closed window exactly once, so on first
+        # delivery the upsert inserts; on a replay it replaces the
+        # identical rows — idempotent either way.
+        merge_upsert(
+            spark, batch_df, lvl_paths[0], keys=["window_start", *keys]
+        )
         cur = batch_df
         for i, width in enumerate(levels[1:], start=1):
             coarse_start = F.window("window_start", width).getField("start")
@@ -362,6 +382,11 @@ def stream_rollup_cascade(
                     "max_value",
                 )
             )
+            # materialize once: re_agg feeds BOTH the upsert write and
+            # the next level's affected-set derivation — lazy, it would
+            # re-scan and re-aggregate the finer table a second time per
+            # level, defeating the work-∝-windows-closed contract
+            re_agg = re_agg.localCheckpoint(eager=True)
             merge_upsert(
                 spark, re_agg, lvl_paths[i], keys=["window_start", *keys]
             )

@@ -489,3 +489,46 @@ def test_streaming_bottomk_quantile_sample_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got_q == want_q
+
+
+def test_near_dedup_processor_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying the SAME batch_id —
+    both before and after the store swap landed — must leave the output
+    row set and the signature store unchanged (no appended duplicates,
+    no emptied partitions)."""
+    from etl_demos_spark.streaming.dedup import near_dedup_batch_processor
+
+    out = str(tmp_path / "out")
+    store = str(tmp_path / "store")
+    proc = near_dedup_batch_processor(out, store, threshold=0.5)
+
+    b1 = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta"),
+            (0, "alpha beta gamma delta epsilon zeta eta theta"),  # same-batch replay
+            (1, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    proc(b1, 0)
+    first = sorted(
+        (r["doc_id"], r["text"]) for r in spark.read.parquet(out).collect()
+    )
+    # within-batch physical duplicate collapsed to ONE output row
+    assert [d for d, _ in first] == [0, 1]
+    # full replay of the same batch AFTER the store swap completed
+    proc(b1, 0)
+    again = sorted(
+        (r["doc_id"], r["text"]) for r in spark.read.parquet(out).collect()
+    )
+    assert again == first
+    store_ids = sorted(r["id"] for r in spark.read.parquet(store).collect())
+    assert store_ids == [0, 1]
+    # a new batch still dedups against the store
+    b2 = spark.createDataFrame(
+        [(5, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    proc(b2, 1)
+    final = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert final == {0, 1}
