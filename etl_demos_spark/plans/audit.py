@@ -61,8 +61,14 @@ def plan_report(df: DataFrame, execute: bool = False) -> dict:
     formatted = qe.explainString(mode.fromString("formatted"))
     codegen = qe.explainString(mode.fromString("codegen"))
     joins = sorted(set(re.findall(r"(\w*(?:HashJoin|MergeJoin|NestedLoopJoin|CartesianProduct)\w*)", plan)))
+    # count only real shuffle Exchange operators: 'ReusedExchange' and
+    # 'BroadcastExchange' both contain the substring, and a reused
+    # broadcast would otherwise inflate the shuffle count
+    n_exchange_tokens = len(re.findall(r"\bExchange\b", plan))
+    n_reused = len(re.findall(r"\bReusedExchange\b", plan))
     return {
-        "n_exchanges": plan.count("Exchange") - plan.count("BroadcastExchange"),
+        "n_exchanges": n_exchange_tokens,
+        "n_reused_exchanges": n_reused,
         "n_broadcasts": plan.count("BroadcastExchange"),
         "joins": joins,
         "has_cartesian": ("CartesianProduct" in plan)

@@ -79,14 +79,17 @@ def build_bank_pipeline(warehouse_dir: str | None = None) -> Pipeline:
     @p.model("dim_customer", refs=("stg_corebank_customers",), materialized="table")
     def dim_customer(spark: SparkSession, stg_corebank_customers: DataFrame) -> DataFrame:
         """dim_customer.sql — age banding (:20-26), surrogate key (:32)."""
+        from etl_demos_spark.operators.staging import banding
+
         c = stg_corebank_customers
-        band = (
-            F.when(F.col("age").isNull(), "unknown")
-            .when((F.col("age") >= 18) & (F.col("age") <= 29), "18-29")
-            .when((F.col("age") >= 30) & (F.col("age") <= 39), "30-39")
-            .when((F.col("age") >= 40) & (F.col("age") <= 49), "40-49")
-            .when(F.col("age") >= 50, "50+")
-            .otherwise("unknown")
+        # NULL age falls through every cut (NULL comparisons are never
+        # true) into the otherwise branch — same as the hand-written
+        # CASE chain this replaces
+        band = banding(
+            "age",
+            [(18, 29, "18-29"), (30, 39, "30-39"), (40, 49, "40-49"),
+             (50, None, "50+")],
+            "unknown",
         )
         return surrogate_key(
             c.withColumn("age_band", band), ["customer_id"], "customer_key"

@@ -19,8 +19,62 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def table_exists(path: str) -> bool:
+    recover_interrupted_swap(path)
     p = Path(path)
     return p.exists() and any(p.glob("**/*.parquet"))
+
+
+def recover_interrupted_swap(path: str) -> None:
+    """Heal the crash window of :func:`swap_table`. Invariants it
+    restores (the swap is write-staging → move path→old → move
+    staging→path → rm old):
+
+    - ``path`` missing, ``__staging`` present: the crash hit between the
+      two moves — staging holds the COMPLETE new table (fully written
+      before the swap began), so promote it.
+    - ``path`` missing, only ``__old`` present: restore the backup.
+    - ``path`` present, ``__old`` left behind: the swap finished, only
+      cleanup died — remove the stale backup (leaving it would make the
+      next swap nest the table inside it).
+    - ``path`` present, ``__staging`` left behind: a pre-swap crash —
+      discard the orphan; the caller recomputes it.
+
+    Without this, a crash between the moves left NOTHING at ``path`` and
+    the next merge_upsert silently rebuilt the table from just its
+    update batch, discarding all prior rows."""
+    import shutil
+
+    p, old, staging = Path(path), Path(f"{path}__old"), Path(f"{path}__staging")
+    if not p.exists():
+        if staging.exists():
+            shutil.move(str(staging), str(p))
+        elif old.exists():
+            shutil.move(str(old), str(p))
+    if p.exists():
+        if old.exists():
+            shutil.rmtree(old)
+        if staging.exists():
+            shutil.rmtree(staging)
+
+
+def swap_table(path: str, staging: str) -> None:
+    """Replace the table at ``path`` with the fully-written ``staging``
+    directory, recoverably: every intermediate crash state is healed by
+    :func:`recover_interrupted_swap` (run it before reading the table —
+    table_exists does). NOTE: recovery must NOT run here — at this point
+    ``staging`` is the live new table, and the 'discard orphan staging'
+    rule would destroy it. Local-FS moves; on an object store use a
+    transactional table format instead."""
+    import shutil
+
+    old = f"{path}__old"
+    if Path(old).exists():  # stale backup from a crashed cleanup
+        shutil.rmtree(old)
+    if Path(path).exists():
+        shutil.move(path, old)
+    shutil.move(staging, path)
+    if Path(old).exists():
+        shutil.rmtree(old)
 
 
 def append(df: DataFrame, path: str, partition_by: Sequence[str] = ()) -> None:
@@ -40,8 +94,9 @@ def merge_upsert(
     """Upsert ``updates`` into the Parquet table at ``path`` by ``keys``:
     existing rows with matching keys are replaced, new keys inserted.
 
-    Rewrite goes through a staging location then swaps, so a failed job
-    never leaves the target half-written.
+    Rewrite goes through a staging location then swaps (with interrupted-
+    swap recovery), so a failed job never leaves the target half-written
+    OR missing.
     """
     if not table_exists(path):
         writer = updates.write.mode("overwrite")
@@ -59,13 +114,7 @@ def merge_upsert(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(staging)
-
-    import shutil
-
-    final_tmp = f"{path}__old"
-    shutil.move(path, final_tmp)
-    shutil.move(staging, path)
-    shutil.rmtree(final_tmp)
+    swap_table(path, staging)
     return spark.read.parquet(path)
 
 
@@ -108,23 +157,27 @@ def compact(
     ~target-file-size outputs. Streaming sinks and incremental appends
     accumulate small files; at scale, scan cost is dominated by file-open
     overhead once files ≪ the 128 MiB split size. Returns the new file
-    count. Same staging-swap discipline as merge_upsert."""
-    import shutil
+    count. Same staging-swap discipline as merge_upsert.
 
+    Partitioned tables repartition ON the partition columns: a plain
+    round-robin repartition(n) followed by partitionBy would make every
+    task emit a file per partition value — up to n × |partitions|
+    outputs, INCREASING the file count compaction exists to cut. Hashing
+    on the partition columns co-locates each partition's rows in (at
+    most) one task, so output files ≈ max(partitions, n_files)."""
     df = spark.read.parquet(path)
     total_bytes = sum(
         f.stat().st_size for f in Path(path).glob("**/*.parquet")
     )
     n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
-    staging = f"{path}__compacting"
-    writer = df.repartition(n_files).write.mode("overwrite")
+    staging = f"{path}__staging"
     if partition_by:
-        writer = writer.partitionBy(*partition_by)
+        shaped = df.repartition(n_files, *[F.col(c) for c in partition_by])
+        writer = shaped.write.mode("overwrite").partitionBy(*partition_by)
+    else:
+        writer = df.repartition(n_files).write.mode("overwrite")
     writer.parquet(staging)
-    old = f"{path}__old"
-    shutil.move(path, old)
-    shutil.move(staging, path)
-    shutil.rmtree(old)
+    swap_table(path, staging)
     return len(list(Path(path).glob("**/*.parquet")))
 
 
@@ -160,14 +213,30 @@ def delete_keys(
         .select(*partition_by)
         .distinct()
     )
-    affected_rows = table.join(F.broadcast(affected), list(partition_by), "left_semi")
+
+    # partition joins use NULL-SAFE equality throughout: rows in a NULL
+    # partition are real rows (Spark writes them under
+    # __HIVE_DEFAULT_PARTITION__), and a plain equi-join would silently
+    # skip them — doomed keys living there would survive the sweep AND
+    # be missing from the returned count.
+    def null_safe_on(lhs, rhs):
+        cond = None
+        for c in partition_by:
+            cur = lhs[c].eqNullSafe(rhs[c])
+            cond = cur if cond is None else (cond & cur)
+        return cond
+
+    affected_rows = table.join(
+        F.broadcast(affected), null_safe_on(table, affected), "left_semi"
+    )
     n_before = affected_rows.count()
     survivors = affected_rows.join(
         F.broadcast(keys_df), affected_rows[key_col] == keys_df[key_col], "left_anti"
     )
     n_after = survivors.count()
+    surv_parts = survivors.select(*partition_by).distinct()
     emptied = affected.join(
-        survivors.select(*partition_by).distinct(), list(partition_by), "left_anti"
+        surv_parts, null_safe_on(affected, surv_parts), "left_anti"
     ).collect()
     with _partition_overwrite_dynamic(spark):
         survivors.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
@@ -176,7 +245,8 @@ def delete_keys(
     for row in emptied:
         d = Path(path)
         for col in partition_by:
-            d = d / f"{col}={row[col]}"
+            v = row[col]
+            d = d / f"{col}={'__HIVE_DEFAULT_PARTITION__' if v is None else v}"
         if d.exists():
             shutil.rmtree(d)
     return n_before - n_after

@@ -65,7 +65,20 @@ class Pipeline:
 
         return deco
 
+    def _validate_refs(self) -> None:
+        """Fail fast, by name, on refs to unregistered models — without
+        this a typo'd ref surfaces as a bare KeyError mid-run (sequential)
+        or a bogus 'cycle in model graph' (parallel)."""
+        for name, m in self.models.items():
+            unknown = [r for r in m.refs if r not in self.models]
+            if unknown:
+                raise ValueError(
+                    f"model {name!r} refs unregistered model(s) {unknown}; "
+                    f"registered: {sorted(self.models)}"
+                )
+
     def order(self) -> list[str]:
+        self._validate_refs()
         ts = graphlib.TopologicalSorter(
             {name: set(m.refs) for name, m in self.models.items()}
         )
@@ -75,6 +88,7 @@ class Pipeline:
         """Topological levels: models within a level have no dependencies
         on each other and can build concurrently (D5 — the reference runs
         dbt with 4 threads, profiles.yml:10)."""
+        self._validate_refs()
         remaining = {name: set(m.refs) for name, m in self.models.items()}
         out: list[list[str]] = []
         done: set[str] = set()
@@ -144,7 +158,20 @@ class Pipeline:
                 raise AssertionError(f"data-quality failures: {failures}")
         return built
 
-    def add_assertion(self, model: str, kind: str, columns: Sequence[str]) -> None:
-        """dbt-style declarative test: kind in {'unique', 'not_null'}
-        (staging.yml:12-28, marts_core.yml:3-16)."""
-        self.assertions.append((model, kind, tuple(columns)))
+    def add_assertion(
+        self, model: str, kind: str, columns: Sequence[str], **params
+    ) -> None:
+        """dbt-style declarative test (staging.yml:12-28,
+        marts_core.yml:3-16). All four dbt schema-test kinds register:
+        'not_null', 'unique', 'accepted_values' (pass ``values=[...]``),
+        'relationships' (pass ``to=<model name>, field=<col>`` — ``to``
+        resolves against the built models at run time). Unknown kinds
+        fail HERE, by name, not as a KeyError mid-run after tables were
+        already written."""
+        from etl_demos_spark.plans.quality import CHECKS
+
+        if kind not in CHECKS:
+            raise ValueError(
+                f"unknown assertion kind {kind!r}; known: {sorted(CHECKS)}"
+            )
+        self.assertions.append((model, kind, tuple(columns), params))

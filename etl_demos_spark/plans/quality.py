@@ -78,17 +78,40 @@ def relationship_violations(
     )
 
 
-CHECKS = {"not_null": not_null_violations, "unique": unique_violations}
+CHECKS = {
+    "not_null": not_null_violations,
+    "unique": unique_violations,
+    "accepted_values": accepted_values_violations,
+    "relationships": relationship_violations,
+}
 
 
 def run_assertions(built: dict[str, DataFrame], assertions) -> list[str]:
-    """Run (model, kind, columns) triples; return failure descriptions."""
+    """Run (model, kind, columns[, params]) tuples; return failure
+    descriptions. All four dbt schema-test kinds are declarative:
+    accepted_values takes ``values=[...]``; relationships takes
+    ``to=<built model name>, field=<parent col>`` (``to`` is resolved
+    against ``built`` here). Unknown kinds and unresolvable ``to``
+    models become failure strings, never mid-run KeyErrors."""
     failures = []
-    for model, kind, columns in assertions:
+    for entry in assertions:
+        model, kind, columns = entry[0], entry[1], entry[2]
+        params = dict(entry[3]) if len(entry) > 3 else {}
         if model not in built:
             failures.append(f"{model}.{kind}{columns}: model not built")
             continue
-        n = CHECKS[kind](built[model], columns)
+        if kind not in CHECKS:
+            failures.append(f"{model}.{kind}{columns}: unknown assertion kind")
+            continue
+        if kind == "relationships":
+            to = params.get("to")
+            if to not in built:
+                failures.append(
+                    f"{model}.{kind}{columns}: parent model {to!r} not built"
+                )
+                continue
+            params["to"] = built[to]
+        n = CHECKS[kind](built[model], columns, **params)
         if n:
             failures.append(f"{model}.{kind}{columns}: {n} violations")
     return failures

@@ -69,12 +69,24 @@ class SourceRegistry:
 
         doc = yaml.safe_load(Path(path).read_text()) or {}
         reg = cls()
-        for item in doc.get("raw_sources", doc.get("sources", [])):
+        entries = doc.get("raw_sources", doc.get("sources", [])) or []
+        for item in entries:
+            src_path = item.get("csv_path") or item.get("path")
+            if not src_path:
+                # fail at LOAD time naming the entry — a Source(path=None)
+                # would surface later as an opaque spark.read error that
+                # never mentions the YAML
+                raise ValueError(
+                    f"source entry {item.get('name', item)!r} in {path} has "
+                    "no csv_path/path key"
+                )
             reg.add(
                 Source(
                     name=item["name"],
-                    path=item.get("csv_path") or item.get("path"),
+                    path=src_path,
                     fmt=item.get("format", "csv"),
+                    options=dict(item.get("options", {})),
+                    sanitize=bool(item.get("sanitize", True)),
                 )
             )
         return reg
@@ -99,6 +111,13 @@ class SourceRegistry:
             entry = {"name": name, "table_id": name, "csv_path": s.path}
             if s.fmt != "csv":
                 entry["format"] = s.fmt
+            # non-default read settings must survive the round-trip — a
+            # reloaded pipe-delimited source silently parsing as comma
+            # CSV is a one-garbage-column failure with no error
+            if s.options:
+                entry["options"] = dict(s.options)
+            if not s.sanitize:
+                entry["sanitize"] = False
             entries.append(entry)
         p.parent.mkdir(parents=True, exist_ok=True)
         p.write_text(yaml.dump(doc, default_flow_style=False, sort_keys=False))
@@ -175,7 +194,18 @@ def auto_adapt(
                     F.date_add(F.current_date(), F.col(out_name).cast("int")),
                 )
             else:
-                staged = staged.withColumn(out_name, safe_parse_date(out_name, "dd-MM-yy"))
+                # Java's yy pivot is 2000-2099, but these are BIRTH
+                # dates and the reference parses with Python's %y pivot
+                # (1969-2068): without the adjustment '01-01-84' lands
+                # on 2084-01-01 and every downstream age is off by a
+                # century. add_months(-1200) is an exact 100-year shift.
+                parsed = safe_parse_date(out_name, "dd-MM-yy")
+                staged = staged.withColumn(
+                    out_name,
+                    F.when(
+                        F.year(parsed) >= 2069, F.add_months(parsed, -1200)
+                    ).otherwise(parsed),
+                )
     key_cols = [c for c in ("loan_id", "customer_id") if c in spec]
     assertions = [("staged", "not_null", tuple(key_cols))] if key_cols else []
     return staged, assertions

@@ -103,11 +103,12 @@ def near_dedup_batch_processor(
     ``writeStream.foreachBatch``; also usable directly on batch
     DataFrames (the semantics tests drive it that way, deterministically
     ordered)."""
-    import shutil
-    from pathlib import Path
-
     from etl_demos_spark.operators.dedup import incremental_minhash_dedup
-    from etl_demos_spark.plans.incremental import backfill_partitions
+    from etl_demos_spark.plans.incremental import (
+        backfill_partitions,
+        swap_table,
+        table_exists,
+    )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as F
@@ -117,9 +118,13 @@ def near_dedup_batch_processor(
         # one micro-batch: signatures collapse to one row but a join
         # back against the raw batch would multiply the survivor
         batch_df = batch_df.dropDuplicates([id_col])
+        # table_exists heals any interrupted store swap from a prior
+        # crash before we read — without recovery a crash between the
+        # swap's moves would leave no store and silently forget every
+        # prior survivor
         store = (
             spark.read.parquet(store_path)
-            if Path(store_path).exists()
+            if table_exists(store_path)
             else None
         )
         kept, updated = incremental_minhash_dedup(
@@ -130,19 +135,11 @@ def near_dedup_batch_processor(
             "__batch_id", F.lit(batch_id)
         )
         backfill_partitions(spark, survivors, out_path, ["__batch_id"])
-        # store swap: write the new store BESIDE the old one, then move —
-        # mode('overwrite') on the live path would delete the old store
-        # before the new one exists (also: materialize before touching
-        # the path the plan was read from)
+        # store update via the shared staging-then-swap (materialize
+        # first — the plan reads the path being replaced)
         staging = f"{store_path}__staging"
         updated.localCheckpoint().write.mode("overwrite").parquet(staging)
-        if Path(store_path).exists():
-            old = f"{store_path}__old"
-            shutil.move(store_path, old)
-            shutil.move(staging, store_path)
-            shutil.rmtree(old)
-        else:
-            shutil.move(staging, store_path)
+        swap_table(store_path, staging)
 
     return process
 

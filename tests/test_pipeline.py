@@ -234,3 +234,103 @@ def test_vectors_facade_lsh(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     hits = Engine(spark).vectors(df).topk_lsh([3.0, 1.0, 0.0, -1.0], k=5)
     assert 0 < hits.count() <= 5
+
+
+def test_unregistered_ref_fails_fast_by_name(spark):
+    import pytest
+    from etl_demos_spark.plans.model import Pipeline
+
+    p = Pipeline()
+
+    @p.model("mart", refs=("stg_loanz",))
+    def mart(spark, stg_loanz):
+        return stg_loanz
+
+    with pytest.raises(ValueError, match="stg_loanz"):
+        p.order()
+    with pytest.raises(ValueError, match="stg_loanz"):
+        p.levels()
+
+
+def test_add_assertion_rejects_unknown_kind(spark):
+    import pytest
+    from etl_demos_spark.plans.model import Pipeline
+
+    p = Pipeline()
+    with pytest.raises(ValueError, match="unknown assertion kind"):
+        p.add_assertion("m", "not_nul", ["c"])  # typo must fail at registration
+
+
+def test_all_four_assertion_kinds_run_declaratively(spark, tmp_path):
+    from etl_demos_spark.plans.model import Pipeline
+
+    p = Pipeline(warehouse_dir=str(tmp_path))
+
+    @p.model("parents", sources=("parents_src",))
+    def parents(spark, parents_src):
+        return parents_src
+
+    @p.model("children", sources=("children_src",))
+    def children(spark, children_src):
+        return children_src
+
+    p.add_assertion("children", "not_null", ["id"])
+    p.add_assertion("children", "unique", ["id"])
+    p.add_assertion("children", "accepted_values", ["status"], values=["A", "B"])
+    p.add_assertion("children", "relationships", ["pid"], to="parents", field="id")
+
+    par = spark.createDataFrame([(1,), (2,)], "id long")
+    ok = spark.createDataFrame([(1, "A", 1), (2, "B", 2)], "id long, status string, pid long")
+    p.run(spark, {"parents_src": par, "children_src": ok}, check=True)
+
+    bad = spark.createDataFrame(
+        [(1, "A", 1), (1, "Z", 9)], "id long, status string, pid long"
+    )
+    import pytest
+
+    with pytest.raises(AssertionError) as e:
+        p.run(spark, {"parents_src": par, "children_src": bad}, check=True)
+    msg = str(e.value)
+    assert "unique" in msg and "accepted_values" in msg and "relationships" in msg
+
+
+def test_interrupted_swap_is_recovered(spark, tmp_path):
+    """Crash between the swap's two moves must not lose the table: the
+    next merge_upsert heals it and still has every prior row."""
+    import shutil
+
+    from etl_demos_spark.plans.incremental import merge_upsert
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    merge_upsert(spark, base, path, keys=["k"])
+    # simulate the crash window: path moved aside, staging fully written
+    up1 = spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string")
+    cur = spark.read.parquet(path)
+    keep = cur.join(up1.select("k").distinct(), ["k"], "left_anti")
+    keep.unionByName(up1).write.mode("overwrite").parquet(f"{path}__staging")
+    shutil.move(path, f"{path}__old")   # crash here: nothing at `path`
+    up2 = spark.createDataFrame([(4, "d")], "k long, v string")
+    out = merge_upsert(spark, up2, path, keys=["k"])
+    got = {(r["k"], r["v"]) for r in out.collect()}
+    # staging (the complete post-up1 table) was promoted, then up2 merged
+    assert got == {(1, "a"), (2, "B"), (3, "c"), (4, "d")}
+    import pathlib
+
+    assert not pathlib.Path(f"{path}__old").exists()
+    assert not pathlib.Path(f"{path}__staging").exists()
+
+
+def test_delete_keys_reaches_null_partitions(spark, tmp_path):
+    from etl_demos_spark.plans.incremental import delete_keys
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "d1"), (2, "d1"), (3, None), (4, None)], "k long, day string"
+    )
+    df.write.partitionBy("day").parquet(path)
+    doomed = spark.createDataFrame([(3,), (4,)], "k long")
+    n = delete_keys(spark, path, doomed, "k", ["day"])
+    assert n == 2
+    left = {r["k"] for r in spark.read.parquet(path).collect()}
+    assert left == {1, 2}

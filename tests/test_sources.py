@@ -377,3 +377,40 @@ def test_arrow_parquet_source_reads_nanos_timestamps(spark):
     from etl_demos_spark.data import load_table
 
     assert df.count() == load_table(spark, "/root/testdata/sf0.001", "events").count()
+
+
+def test_auto_adapt_birth_dates_get_the_century_pivot(spark):
+    df = spark.createDataFrame(
+        [("1", 100.0, "01-01-84", 0), ("2", 50.0, "15-06-05", 1)],
+        "UniqueID string, disbursed_amount double, Date_of_Birth string, loan_default int",
+    )
+    staged, _ = auto_adapt(df)
+    got = {r["loan_id"]: str(r["date_of_birth"]) for r in staged.collect()}
+    # %y pivot (1969-2068): '84' is 1984, not 2084; '05' stays 2005
+    assert got == {"1": "1984-01-01", "2": "2005-06-15"}
+
+
+def test_registry_yaml_roundtrip_preserves_options(tmp_path):
+    from etl_demos_spark.sources.registry import Source, SourceRegistry
+
+    reg = SourceRegistry()
+    reg.add(Source(name="piped", path="/data/p.csv", options={"sep": "|"},
+                   sanitize=False))
+    y = str(tmp_path / "sources.yml")
+    reg.to_yaml(y)
+    back = SourceRegistry.from_yaml(y)
+    s = back.sources["piped"]
+    assert s.options == {"sep": "|"} and s.sanitize is False
+
+
+def test_registry_yaml_missing_path_fails_at_load(tmp_path):
+    import pytest
+    from etl_demos_spark.sources.registry import SourceRegistry
+
+    y = tmp_path / "bad.yml"
+    y.write_text("raw_sources:\n- name: customers\n  cvs_path: /tmp/x.csv\n")
+    with pytest.raises(ValueError, match="customers"):
+        SourceRegistry.from_yaml(str(y))
+    empty = tmp_path / "empty.yml"
+    empty.write_text("raw_sources:\n")
+    assert SourceRegistry.from_yaml(str(empty)).sources == {}
