@@ -24,13 +24,22 @@ def _c(col: Column | str) -> Column:
 
 
 def url_host(url: Column | str) -> Column:
-    """Hostname, lowercased (scheme-relative and missing-path safe)."""
-    return F.lower(F.regexp_extract(_c(url), r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1))
+    """Hostname, lowercased. Accepts any-scheme case ('HTTP://…' is
+    legal per RFC 3986) and scheme-relative '//host/…' forms — a crawl
+    corpus carries both, and returning '' would lump every such URL
+    into one empty-host bucket in per-site caps and crawl stats."""
+    return F.lower(
+        F.regexp_extract(
+            _c(url), r"^(?:[A-Za-z][A-Za-z0-9+.-]*:)?//([^/?#]+)", 1
+        )
+    )
 
 
 def url_path(url: Column | str) -> Column:
     """Path component ('' when absent)."""
-    return F.regexp_extract(_c(url), r"^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    return F.regexp_extract(
+        _c(url), r"^(?:[A-Za-z][A-Za-z0-9+.-]*:)?//[^/?#]+([^?#]*)", 1
+    )
 
 
 def url_param(url: Column | str, name: str) -> Column:
@@ -48,11 +57,15 @@ def registered_domain(url: Column | str) -> Column:
 
 def strip_tracking_params(url: Column | str) -> Column:
     """Remove utm_*/ref query parameters, preserving the rest of the
-    query string and fragment-free tail. Two-pass regexp: (1) drop a
-    tracked param that is followed by another param (fold the following
-    '&'), (2) drop a trailing tracked param with its leading '?'/'&'."""
+    query string and fragment-free tail. Two-pass regexp, both passes
+    ANCHORED on a '?'/'&' separator — an unanchored 'ref=' would match
+    MID-param ('?href=x&…' → corrupted to '?hx&…'): (1) fold a RUN of
+    tracked params each followed by another param, keeping the leading
+    separator, (2) drop a trailing tracked param with its separator."""
     c = _c(url)
-    step1 = F.regexp_replace(c, r"(utm_[a-z]+|ref)=[^&#]*&", "")
+    step1 = F.regexp_replace(
+        c, r"([?&])(?:(?:utm_[a-z]+|ref)=[^&#]*&)+", r"$1"
+    )
     return F.regexp_replace(step1, r"[?&](utm_[a-z]+|ref)=[^&#]*", "")
 
 
@@ -60,6 +73,12 @@ def canonical_url(url: Column | str) -> Column:
     """Tracking-stripped URL with lowercased scheme+host (path and query
     case preserved — they are case-significant)."""
     stripped = strip_tracking_params(url)
-    head = F.lower(F.regexp_extract(stripped, r"^([a-z0-9+.A-Z-]*://[^/?#]+)", 1))
-    tail = F.regexp_replace(stripped, r"^[a-z0-9+.A-Z-]*://[^/?#]+", "")
+    head = F.lower(
+        F.regexp_extract(
+            stripped, r"^((?:[A-Za-z][A-Za-z0-9+.-]*:)?//[^/?#]+)", 1
+        )
+    )
+    tail = F.regexp_replace(
+        stripped, r"^(?:[A-Za-z][A-Za-z0-9+.-]*:)?//[^/?#]+", ""
+    )
     return F.concat(head, tail)

@@ -62,9 +62,21 @@ def pq_train(
 ) -> list[list[list[float]]]:
     """Fit per-subspace codebooks on a bounded deterministic sample.
 
+    The sample is the bottom-``sample`` rows by a content hash with an
+    id tie-break — the same unbiased-uniform policy as
+    similarity.ivf_build_centroids, and for the same reason: a first-n
+    ``orderBy(id).limit`` sample is whatever region of embedding space
+    the lowest ids happen to cover (ids routinely correlate with
+    source/cluster/time), and codebooks fit to one region explode the
+    quantization error everywhere else. Still one partial-top-k pass,
+    no full sort.
+
     Returns ``codebooks`` with shape m × k × (d/m). d must divide by m.
     """
-    rows = df.orderBy(id_col).limit(sample).select(vec_col).collect()
+    h = F.xxhash64(F.col(vec_col).cast("string"), F.lit(7))
+    rows = (
+        df.orderBy(h, F.col(id_col)).limit(sample).select(vec_col).collect()
+    )
     X = np.array([list(r[0]) for r in rows], dtype=np.float64)
     d = X.shape[1]
     if d % m:
@@ -171,9 +183,15 @@ def pq_search_adc(
                 continue
             codes = np.array(list(pdf["codes"]), dtype=np.int64)
             dist = L[cols[None, :], codes].sum(axis=1)
-            # lossless per-batch partial top-k
+            # lossless per-batch partial top-k UNDER THE (dist, id)
+            # TOTAL ORDER: argpartition would cut ties at the n_cand
+            # boundary arbitrarily, and PQ makes exact ties common
+            # (identical codes ⇒ identical ADC distance) — the global
+            # (approx_dist, id) sort below is only lossless if each
+            # batch kept ITS lowest (dist, id) rows
             if len(dist) > n_cand:
-                idx = np.argpartition(dist, n_cand)[:n_cand]
+                batch_ids = pdf[id_col].to_numpy()
+                idx = np.lexsort((batch_ids, dist))[:n_cand]
             else:
                 idx = np.arange(len(dist))
             yield pd.DataFrame(

@@ -25,9 +25,14 @@ def hash_bucket(key: Column | str, buckets: int = 100) -> Column:
     """Stable bucket in [0, buckets) from the md5 of the key's string form.
 
     Uses the first 8 hex chars as an integer (via conv) — engine-portable
-    (md5 is md5; hex parsing is exact) and uniform."""
+    (md5 is md5; hex parsing is exact) and uniform. NULL keys coalesce to
+    a sentinel so they land deterministically in ONE bucket instead of
+    yielding a NULL bucket — a NULL bucket would make split_by_hash's
+    when-chain assign NO split and every downstream split filter silently
+    drop those rows."""
     c = F.col(key) if isinstance(key, str) else key
-    return (F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long") % buckets)
+    s = F.coalesce(c.cast("string"), F.lit("\x00null"))
+    return (F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long") % buckets)
 
 
 def split_by_hash(
@@ -105,11 +110,23 @@ def weighted_sample_topk(
     One narrow projection + a distributed top-k (orderBy+limit runs as
     per-partition partial top-k, only k rows reach the final stage) —
     no RNG state, no sequential pass, re-runs and backfills pick the
-    same rows. The emitted race key is rounded to 6 places and the sort
-    is (rounded key, id), so an engine-specific ln() ULP cannot reorder
-    the selection — the repo's standard float-boundary convention.
+    same rows.
 
-    Rows with weight ≤ 0 or NULL never win (key = +∞ analog: filtered).
+    The race runs in the LOG domain: key = ln(−ln u) − ln w, a strictly
+    monotone transform of the textbook −ln(u)/w. The transform matters
+    for the rounding convention: the emitted key is rounded to 6 places
+    with an id tie-break so engine-specific ln() ULPs cannot reorder the
+    selection, and in log space that 1e-6 is RELATIVE precision at every
+    weight scale — rounding −ln(u)/w absolutely would collapse all keys
+    to a handful of values once weights reach ~1e6 (keys ≤ 36/w),
+    silently degenerating selection to lowest-id-first. u is the 48-bit
+    md5 uniform shifted by +0.5 so u ∈ (0, 1) strictly — at the +1.0
+    shift u could reach exactly 1 and ln(−ln 1) = −∞ would win a slot
+    unconditionally (a birthday certainty at corpus scale).
+
+    Rows with weight ≤ 0 or NULL never win (filtered), and NULL keys are
+    filtered too — a NULL key has no deterministic draw (its race key
+    would be NULL, which Spark sorts FIRST, i.e. an automatic win).
     """
     c = F.col(key)
     w = F.col(weight_col).cast("double")
@@ -119,11 +136,12 @@ def weighted_sample_topk(
             16,
             10,
         ).cast("double")
-        + F.lit(1.0)
+        + F.lit(0.5)
     ) / F.lit(float(16**12))
-    race = F.round(-F.log(u) / w, 6)
+    race = F.round(F.log(-F.log(u)) - F.log(w), 6)
     return (
         df.filter(w > 0)
+        .filter(c.isNotNull())
         .withColumn(key_out, race)
         .orderBy(F.col(key_out).asc(), c.asc())
         .limit(k)

@@ -147,6 +147,7 @@ def hybrid_search(
     query_vec,
     k: int = 10,
     candidates: int = 50,
+    require_all: bool = True,
     id_col: str = "doc_id",
     text_col: str = "text",
     emb_id_col: str = "vec_id",
@@ -163,6 +164,13 @@ def hybrid_search(
     oracle-twinnable. Candidates without an embedding drop out (inner
     join) — surface them separately if lexical-only fallback is wanted.
 
+    ``require_all`` passes through to the lexical stage. The default
+    (True) is conjunctive: multi-term queries where NO single document
+    contains every term return zero candidates, so the semantic rerank
+    never sees the near-misses. Pass False for the high-recall
+    disjunctive stage (docs matching any term, still BM25-ranked) when
+    the query is long or exploratory.
+
     Output: (id, bm25, cos_sim, hybrid_rank) — rank by (cos desc,
     bm25 desc, id).
     """
@@ -170,7 +178,9 @@ def hybrid_search(
 
     idx = build_term_index(docs, id_col, text_col)
     lens = doc_lengths(docs, id_col, text_col)
-    cands = bm25_search(idx, lens, terms, id_col, k=candidates)
+    cands = bm25_search(
+        idx, lens, terms, id_col, k=candidates, require_all=require_all
+    )
     q_lit = F.array(*[F.lit(float(x)) for x in query_vec])
     emb = embeddings.select(
         F.col(emb_id_col).alias(id_col), F.col(vec_col).alias("__v")

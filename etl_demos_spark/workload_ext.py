@@ -5045,24 +5045,24 @@ def q_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id,
-           lower(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1))
+           lower(regexp_extract(url, '^(?:[A-Za-z][A-Za-z0-9+.-]*:)?//([^/?#]+)', 1))
              AS host,
-           regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1)
+           regexp_extract(url, '^(?:[A-Za-z][A-Za-z0-9+.-]*:)?//[^/?#]+([^?#]*)', 1)
              AS path,
            regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_param,
            regexp_extract(
-             lower(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)),
+             lower(regexp_extract(url, '^(?:[A-Za-z][A-Za-z0-9+.-]*:)?//([^/?#]+)', 1)),
              '([^.]+\\.[^.]+)$', 1) AS domain,
            lower(regexp_extract(
              regexp_replace(
-               regexp_replace(url, '(utm_[a-z]+|ref)=[^&#]*&', ''),
+               regexp_replace(url, '([?&])(?:(?:utm_[a-z]+|ref)=[^&#]*&)+', '\\1'),
                '[?&](utm_[a-z]+|ref)=[^&#]*', ''),
-             '^([a-z0-9+.A-Z-]*://[^/?#]+)', 1))
+             '^((?:[A-Za-z][A-Za-z0-9+.-]*:)?//[^/?#]+)', 1))
            || regexp_replace(
              regexp_replace(
-               regexp_replace(url, '(utm_[a-z]+|ref)=[^&#]*&', ''),
+               regexp_replace(url, '([?&])(?:(?:utm_[a-z]+|ref)=[^&#]*&)+', '\\1'),
                '[?&](utm_[a-z]+|ref)=[^&#]*', ''),
-             '^[a-z0-9+.A-Z-]*://[^/?#]+', '') AS canonical
+             '^(?:[A-Za-z][A-Za-z0-9+.-]*:)?//[^/?#]+', '') AS canonical
     FROM urls
     """,
     tags=("ext-text",),
@@ -6033,11 +6033,12 @@ def q_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH raced AS (
         SELECT o_orderkey,
                round(
-                   -ln((CAST('0x' || substr(md5('ws0' || CAST(o_orderkey AS VARCHAR)), 1, 12)
-                             AS BIGINT) + 1.0) / 281474976710656.0)
-                   / CAST(o_totalprice AS DOUBLE), 6) AS ws_key
+                   ln(-ln((CAST('0x' || substr(md5('ws0' || CAST(o_orderkey AS VARCHAR)), 1, 12)
+                             AS BIGINT) + 0.5) / 281474976710656.0))
+                   - ln(CAST(o_totalprice AS DOUBLE)), 6) AS ws_key
         FROM orders
         WHERE CAST(o_totalprice AS DOUBLE) > 0
+          AND o_orderkey IS NOT NULL
     )
     SELECT o_orderkey, ws_key
     FROM raced

@@ -299,3 +299,60 @@ def test_delete_keys_rewrites_only_affected_partitions(spark, tmp_path):
     assert got.filter("p = 2").count() == 0
     assert files_of(2) in (None, [])      # emptied partition removed
     assert files_of(3) == before_p3       # untouched partition: same files
+
+
+def test_split_by_hash_null_keys_get_a_split(spark):
+    from etl_demos_spark.operators.sampling import split_by_hash
+
+    df = spark.createDataFrame([(1,), (None,), (None,)], "doc_id long")
+    out = split_by_hash(df, "doc_id").collect()
+    splits = {r["doc_id"]: r["split"] for r in out}
+    # NULL keys land deterministically in ONE named split, never None
+    assert all(s in ("train", "val", "test") for s in splits.values())
+    nulls = [r["split"] for r in out if r["doc_id"] is None]
+    assert len(set(nulls)) == 1
+
+
+def test_weighted_sample_topk_large_weights_stay_proportional(spark):
+    """The log-domain race key keeps 1e-6 precision RELATIVE at every
+    weight scale: with weights ~1e7, heavy rows must still dominate the
+    sample (the old absolute rounding collapsed all keys and selection
+    degenerated to lowest-id-first)."""
+    from etl_demos_spark.operators.sampling import weighted_sample_topk
+
+    rows = [(i, 1.0e7 if i % 10 == 0 else 1.0e5) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    picked = weighted_sample_topk(df, "w", 50, "id").collect()
+    heavy = sum(1 for r in picked if r["id"] % 10 == 0)
+    # heavy rows carry 100/(100+900·0.01)≈92% of total weight → expect
+    # ~46 of 50; lowest-id-first degeneracy would give exactly 5
+    assert heavy >= 35, heavy
+    # NULL keys and non-positive weights never win
+    df2 = spark.createDataFrame(
+        [(None, 1.0e9), (1, 0.0), (2, 5.0), (3, 1.0)], "id long, w double"
+    )
+    got = [r["id"] for r in weighted_sample_topk(df2, "w", 2, "id").collect()]
+    assert None not in got and 1 not in got and len(got) == 2
+
+
+def test_hybrid_search_disjunctive_recall(spark):
+    from etl_demos_spark.operators.search import hybrid_search
+
+    docs = spark.createDataFrame(
+        [(1, "neural network training"), (2, "spark cluster tuning"),
+         (3, "neural spark bridge")],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.7, 0.7])],
+        "vec_id long, embedding array<double>",
+    )
+    terms = ["neural", "network", "cluster"]
+    # conjunctive: no doc has all three → empty
+    assert hybrid_search(docs, emb, terms, [1.0, 0.0], k=3).count() == 0
+    # disjunctive: partial matches reach the semantic rerank
+    got = hybrid_search(
+        docs, emb, terms, [1.0, 0.0], k=3, require_all=False
+    ).collect()
+    assert {r["doc_id"] for r in got} == {1, 2, 3}
+    assert got[0]["doc_id"] == 1  # best cosine to [1,0] ranks first
