@@ -74,17 +74,29 @@ def scd2_apply(
     seq_col: str | None = None,
 ) -> DataFrame:
     """Incremental SCD2 maintenance: apply a new change batch to an
-    existing dimension without touching closed history.
+    existing dimension without touching UNAFFECTED keys.
 
-    Closed rows (``valid_to`` set) pass through untouched; open rows are
-    re-expressed as change events at their ``valid_from`` and rebuilt
-    together with the batch through ``scd2_build`` — the open row closes
-    iff the batch contains a later, different state for its key. Work is
-    ∝ |open rows| + |batch|, never |history|."""
-    closed = dim.filter(F.col("valid_to").isNotNull()).select(
+    Every version (open AND closed) of a key that appears in the batch
+    is re-expressed as a change event at its ``valid_from`` and rebuilt
+    together with the batch through ``scd2_build``; keys absent from the
+    batch pass through untouched. Work is ∝ |versions of affected keys|
+    + |batch|, never |history|.
+
+    Rebuilding the affected keys' FULL version set (not just their open
+    rows) is what makes late/out-of-order batches correct: a batch event
+    predating the open row's ``valid_from`` must split or merge into
+    CLOSED history. Rebuilding only {open row} ∪ batch would emit a new
+    version overlapping the untouched closed interval — two versions
+    covering the same time range, fact fan-out in scd2_lookup, and a
+    dimension that disagrees with a full scd2_build over the complete
+    log. Because the existing version set is exactly the collapsed
+    change log, re-collapsing it with the new events reproduces the
+    full-rebuild result for those keys."""
+    batch_keys = batch.select(key).distinct()
+    untouched = dim.join(batch_keys, key, "left_anti").select(
         key, *attrs, "valid_from", "valid_to", "is_current"
     )
-    open_as_changes = dim.filter(F.col("valid_to").isNull()).select(
+    affected_as_changes = dim.join(batch_keys, key, "left_semi").select(
         F.col(key), *[F.col(a) for a in attrs], F.col("valid_from").alias(ts_col)
     )
     seq_sel = [F.col(seq_col)] if seq_col else []
@@ -92,15 +104,16 @@ def scd2_apply(
         F.col(key), *[F.col(a) for a in attrs], F.col(ts_col), *seq_sel
     )
     if seq_col:
-        # Open rows get a NULL seq: NULLS FIRST ordering puts the
+        # Existing versions get a NULL seq: NULLS FIRST ordering puts the
         # pre-existing state ahead of any same-timestamp batch change.
-        open_as_changes = open_as_changes.withColumn(
+        affected_as_changes = affected_as_changes.withColumn(
             seq_col, F.lit(None).cast(batch.schema[seq_col].dataType)
         )
     rebuilt = scd2_build(
-        open_as_changes.unionByName(batch_changes), key, ts_col, attrs, seq_col
+        affected_as_changes.unionByName(batch_changes), key, ts_col, attrs,
+        seq_col,
     )
-    return closed.unionByName(rebuilt)
+    return untouched.unionByName(rebuilt)
 
 
 def scd2_lookup(
@@ -151,13 +164,22 @@ def snapshot_diff(
         *keys,
         F.struct(*[F.col(c) for c in compare_cols]).alias("_old_vals"),
         F.lit(True).alias("_in_old"),
-    )
+    ).alias("__o")
     n = new.select(
         *keys,
         F.struct(*[F.col(c) for c in compare_cols]).alias("_new_vals"),
         F.lit(True).alias("_in_new"),
-    )
-    j = o.join(n, on=list(keys), how="full")
+    ).alias("__n")
+    # NULL-SAFE key equality: a plain equi-join never matches NULL=NULL,
+    # so an unchanged row with a NULL key component would be reported as
+    # a delete AND an insert on every snapshot cycle — phantom churn fed
+    # straight into merge_upsert/scd2_apply. <=> keys still plan as an
+    # equi sort-merge join (co-partitioned, one shuffle per side).
+    cond = None
+    for k in keys:
+        cur = F.col(f"__o.{k}").eqNullSafe(F.col(f"__n.{k}"))
+        cond = cur if cond is None else (cond & cur)
+    j = o.join(n, cond, "full")
     change = (
         F.when(F.col("_in_old").isNull(), F.lit("insert"))
         .when(F.col("_in_new").isNull(), F.lit("delete"))
@@ -166,5 +188,11 @@ def snapshot_diff(
     return (
         j.withColumn("change_type", change)
         .filter(F.col("change_type").isNotNull())
-        .select(*keys, "change_type")
+        .select(
+            *[
+                F.coalesce(F.col(f"__o.{k}"), F.col(f"__n.{k}")).alias(k)
+                for k in keys
+            ],
+            "change_type",
+        )
     )

@@ -81,14 +81,27 @@ def char_stats(text: Column | str) -> dict[str, Column]:
     }
 
 
-def stopword_hits(text: Column | str, stopwords: tuple[str, ...]) -> Column:
-    """Count of stopword occurrences (word-boundary safe: tokens compared
-    exactly, not substring matches)."""
+def lower_tokens(text: Column | str) -> Column:
+    """The canonical lowercased word-token array (ONE regexp pass).
+    Project it once and feed the ``*_from_tokens`` helpers when several
+    metrics share it — each ``stopword_hits``/``quality_score`` call
+    otherwise re-tokenizes the full text."""
     c = F.col(text) if isinstance(text, str) else text
-    tokens = F.regexp_extract_all(F.lower(c), F.lit(WORD_RE), F.lit(0))
+    return F.regexp_extract_all(F.lower(c), F.lit(WORD_RE), F.lit(0))
+
+
+def stopword_hits_from_tokens(
+    tokens: Column, stopwords: tuple[str, ...]
+) -> Column:
     return F.size(
         F.filter(tokens, lambda t: t.isin(*stopwords))
     ).cast("long")
+
+
+def stopword_hits(text: Column | str, stopwords: tuple[str, ...]) -> Column:
+    """Count of stopword occurrences (word-boundary safe: tokens compared
+    exactly, not substring matches)."""
+    return stopword_hits_from_tokens(lower_tokens(text), stopwords)
 
 
 # PII patterns — constructs with identical semantics in Java regex and
@@ -98,7 +111,11 @@ def stopword_hits(text: Column | str, stopwords: tuple[str, ...]) -> Column:
 # mangling prose (emails and URL/phone shapes are unambiguous).
 PII_PATTERNS: tuple[tuple[str, str], ...] = (
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
-    (r"https?://[^\s]+", "[URL]"),
+    # explicit whitespace class, NOT \s: Java's \s includes \x0B and
+    # RE2's does not (the BPE_PRETOKEN_RE note above) — with \s a URL
+    # followed by a vertical tab redacts differently in Spark vs the
+    # DuckDB oracle, breaking the bit-for-bit contract
+    (r"https?://[^ \t\n\r\f\x0B]+", "[URL]"),
     (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
     (r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
 )
@@ -114,12 +131,9 @@ def redact_pii(text: Column | str) -> Column:
     return c
 
 
-def quality_score(text: Column | str) -> Column:
-    """Composite [0,1] quality heuristic: length band + alpha ratio +
-    stopword presence + token diversity. Deterministic, built-ins only.
-    """
+def quality_score_from_tokens(text: Column | str, tokens: Column) -> Column:
+    """quality_score over a pre-projected token array (see lower_tokens)."""
     c = F.col(text) if isinstance(text, str) else text
-    tokens = F.regexp_extract_all(F.lower(c), F.lit(WORD_RE), F.lit(0))
     n_tok = F.size(tokens).cast("double")
     n_chars = F.length(c).cast("double")
     len_ok = F.when((n_chars >= 100) & (n_chars <= 20000), 1.0).otherwise(0.0)
@@ -127,19 +141,25 @@ def quality_score(text: Column | str) -> Column:
         F.size(F.regexp_extract_all(c, F.lit("[A-Za-z]"), F.lit(0))) / F.greatest(n_chars, F.lit(1.0))
     )
     stop_ok = F.when(
-        stopword_hits(c, LANG_STOPWORDS["en"]) > 0, 1.0
+        stopword_hits_from_tokens(tokens, LANG_STOPWORDS["en"]) > 0, 1.0
     ).otherwise(0.0)
     diversity = F.size(F.array_distinct(tokens)) / F.greatest(n_tok, F.lit(1.0))
     return (len_ok + alpha_ratio + stop_ok + diversity) / F.lit(4.0)
 
 
-def lang_guess(text: Column | str) -> Column:
-    """Stopword-profile language ID: the language whose stopword profile
-    hits the most tokens wins; ties and zero-hit rows → 'und'. Evaluation
-    order is the fixed LANG_STOPWORDS order, making ties deterministic.
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length band + alpha ratio +
+    stopword presence + token diversity. Deterministic, built-ins only.
     """
-    c = F.col(text) if isinstance(text, str) else text
-    scores = [(lang, stopword_hits(c, sw)) for lang, sw in LANG_STOPWORDS.items()]
+    return quality_score_from_tokens(text, lower_tokens(text))
+
+
+def lang_guess_from_tokens(tokens: Column) -> Column:
+    """lang_guess over a pre-projected token array (see lower_tokens)."""
+    scores = [
+        (lang, stopword_hits_from_tokens(tokens, sw))
+        for lang, sw in LANG_STOPWORDS.items()
+    ]
     best = F.greatest(*[s for _, s in scores])
     expr = F.when(best <= 0, F.lit("und"))
     for lang, s in scores:
@@ -147,27 +167,42 @@ def lang_guess(text: Column | str) -> Column:
     return expr.otherwise(F.lit("und"))
 
 
+def lang_guess(text: Column | str) -> Column:
+    """Stopword-profile language ID: the language whose stopword profile
+    hits the most tokens wins; ties and zero-hit rows → 'und'. Evaluation
+    order is the fixed LANG_STOPWORDS order, making ties deterministic.
+    """
+    return lang_guess_from_tokens(lower_tokens(text))
+
+
 def fingerprint(text: Column | str) -> Column:
     """Normalized document fingerprint: md5 of lowercased,
-    whitespace-collapsed text. Stable across engines (md5 is md5)."""
-    c = F.col(text) if isinstance(text, str) else text
-    normalized = F.regexp_replace(F.trim(F.lower(c)), "\\s+", " ")
-    return F.md5(normalized)
+    whitespace-collapsed text. Stable across engines (md5 is md5).
+    Delegates to normalize_text — ONE canonical normalization, shared
+    with shingling/dedup, so a future tweak cannot silently diverge."""
+    return F.md5(normalize_text(text))
 
 
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One row per document with the full feature set — the building block
-    for corpus-quality dashboards and filter thresholds."""
+    for corpus-quality dashboards and filter thresholds.
+
+    The token array is projected ONCE and shared by every token-derived
+    metric: quality + language ID alone would otherwise tokenize each
+    document ~6× (4 language profiles + stopword presence + diversity),
+    multiplying the dominant regexp cost of the corpus-profiling pass."""
     stats = char_stats(text_col)
-    return df.select(
+    toked = df.withColumn("__toks", lower_tokens(text_col))
+    out = toked.select(
         "*",
         token_count(text_col).alias("n_tokens"),
         stats["n_alpha"].alias("n_alpha"),
         stats["n_digit"].alias("n_digit"),
-        quality_score(text_col).alias("quality"),
-        lang_guess(text_col).alias("lang_pred"),
+        quality_score_from_tokens(text_col, F.col("__toks")).alias("quality"),
+        lang_guess_from_tokens(F.col("__toks")).alias("lang_pred"),
         fingerprint(text_col).alias("fp"),
     )
+    return out.drop("__toks")
 
 
 def normalize_text(text: Column | str) -> Column:
@@ -180,21 +215,20 @@ def normalize_text(text: Column | str) -> Column:
     return F.regexp_replace(F.trim(F.lower(c)), "\\s+", " ")
 
 
-def char_ngram_hashes(text: Column | str, k: int = 7) -> Column:
-    """Rolling k-gram hash sequence over the normalized text (the
-    content-defined fingerprint primitive). xxhash64 per k-gram via one
-    materialized substring pass — positions come from sequence(), so the
-    expression stays a single narrow projection. Spark-only hash (cheap,
-    the scale path); use md5_gram_hashes where a DuckDB oracle must
+def char_ngram_hashes(norm: Column, k: int = 7) -> Column:
+    """Rolling k-gram xxhash64 sequence over an ALREADY-normalized text
+    column (project normalize_text ONCE first — the md5_gram_hashes
+    contract). The normalization must not live inside this expression:
+    higher-order-function lambdas are interpreted, and an embedded
+    regexp chain would re-run over the full document once PER GRAM —
+    O(len²) regexp work on the function's own scale path. Spark-only
+    hash (cheap); use md5_gram_hashes where a DuckDB oracle must
     reproduce the values."""
-    c = F.col(text) if isinstance(text, str) else text
-    norm = normalize_text(c)
     n = F.length(norm) - F.lit(k - 1)
     return F.when(
         n >= 1,
         F.transform(
-            F.sequence(F.lit(1), n),
-            lambda i: F.xxhash64(F.substring(norm, 1, 0x7FFFFFFF).substr(i, F.lit(k))),
+            F.sequence(F.lit(1), n), lambda i: F.xxhash64(norm.substr(i, F.lit(k)))
         ),
     ).otherwise(F.array().cast("array<long>"))
 
@@ -247,10 +281,21 @@ def exploded_word_ngrams(
     to ``explode(word_ngrams(...))`` (pinned in tests). Use this wherever
     grams become rows; keep word_ngrams for array-context expressions.
     """
-    tokens = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), F.lit(0))
-    m = F.size(tokens) - F.lit(n - 1)
-    zipped = F.arrays_zip(*[F.slice(tokens, i + 1, m).alias(f"t{i}") for i in range(n)])
-    rows = df.filter(m >= 1).select(*keep_cols, F.explode(zipped).alias("_z"))
+    # project the token array ONCE: putting the tokens expression in
+    # both the filter predicate and the projection would tokenize every
+    # document twice (codegen does not share subexpressions across the
+    # Filter and Project operators)
+    toked = df.select(
+        *keep_cols,
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(WORD_RE), F.lit(0)
+        ).alias("__toks"),
+    )
+    m = F.size(F.col("__toks")) - F.lit(n - 1)
+    zipped = F.arrays_zip(
+        *[F.slice(F.col("__toks"), i + 1, m).alias(f"t{i}") for i in range(n)]
+    )
+    rows = toked.filter(m >= 1).select(*keep_cols, F.explode(zipped).alias("_z"))
     gram = F.concat_ws(" ", *[F.col(f"_z.t{i}") for i in range(n)])
     return rows.select(*keep_cols, gram.alias("gram"))
 
@@ -397,9 +442,15 @@ def lm_quality_buckets(
         w = Window.orderBy(F.col(score_col).asc(), F.col(id_col).asc())
         return scored.withColumn("lm_bucket", F.ntile(n_buckets).over(w))
     fracs = [i / n_buckets for i in range(1, n_buckets)]
-    cuts = scored.agg(
-        F.percentile_approx(score_col, fracs, 10_000).alias("cuts")
-    ).collect()[0]["cuts"]
+    cuts = None
+    if fracs:  # n_buckets == 1 → no cuts; percentile_approx([]) rejects
+        cuts = scored.agg(
+            F.percentile_approx(score_col, fracs, 10_000).alias("cuts")
+        ).collect()[0]["cuts"]
+    if not cuts:
+        # empty input or all-NULL scores: percentile_approx returns NULL —
+        # every row (if any) is tier 1 rather than a TypeError
+        return scored.withColumn("lm_bucket", F.lit(1))
     col = F.lit(1)
     for i, c in enumerate(cuts):
         col = F.when(F.col(score_col) > c, F.lit(i + 2)).otherwise(col)

@@ -2550,7 +2550,7 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
                      || '@ex.com or https://ex.io/u?id=' || CAST(doc_id AS VARCHAR)
                      || ' tel 555-123-4567 ssn 123-45-6789 :: ' || text,
                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-                 'https?://[^\\s]+', '[URL]', 'g'),
+                 'https?://[^ \\t\\n\\r\\f\\x0B]+', '[URL]', 'g'),
                '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '[PHONE]', 'g'),
              '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g') AS redacted
     FROM documents

@@ -93,3 +93,47 @@ def test_snapshot_diff_null_safety(spark):
     got = {r["k"]: r["change_type"] for r in snapshot_diff(old, new, ("k",)).collect()}
     assert got == {1: "update", 2: "update", 4: "delete", 5: "insert"}
     assert 3 not in got  # null == null, unchanged
+
+
+def test_scd2_apply_late_batch_rewrites_closed_history(spark):
+    """A batch event PREDATING the open row must split closed history,
+    not overlap it: the rebuilt dimension must equal a full scd2_build
+    over the complete change log (the correctness bar for incremental
+    maintenance)."""
+    from etl_demos_spark.operators.scd import scd2_apply, scd2_build, scd2_lookup
+
+    log = spark.createDataFrame(
+        [(1, "2024-01-01", "bronze"), (1, "2024-03-01", "gold")],
+        "cust long, ts string, tier string",
+    ).select("cust", F.col("ts").cast("date").alias("ts"), "tier")
+    dim = scd2_build(log, "cust", "ts", ["tier"])
+    late = spark.createDataFrame(
+        [(1, "2024-02-01", "silver")], "cust long, ts string, tier string"
+    ).select("cust", F.col("ts").cast("date").alias("ts"), "tier")
+
+    applied = scd2_apply(dim, late, "cust", "ts", ["tier"])
+    full = scd2_build(log.unionByName(late), "cust", "ts", ["tier"])
+    key = lambda r: (r["cust"], str(r["valid_from"]), str(r["valid_to"]),
+                     r["tier"], r["is_current"])
+    assert sorted(map(key, applied.collect())) == sorted(map(key, full.collect()))
+
+    # no overlapping validity: a February fact matches exactly ONE version
+    facts = spark.createDataFrame([(1, "2024-02-15")], "cust long, fts string") \
+        .select("cust", F.col("fts").cast("date").alias("fts"))
+    hit = scd2_lookup(facts, applied, "cust", "fts").collect()
+    assert len(hit) == 1 and hit[0]["tier"] == "silver"
+
+
+def test_snapshot_diff_null_keys_do_not_churn(spark):
+    from etl_demos_spark.operators.scd import snapshot_diff
+
+    old = spark.createDataFrame([(None, "x"), (1, "a")], "k long, v string")
+    new = spark.createDataFrame([(None, "x"), (1, "b")], "k long, v string")
+    got = {(r["k"], r["change_type"]) for r in
+           snapshot_diff(old, new, ("k",)).collect()}
+    # the NULL-key row is unchanged → must NOT appear as delete+insert
+    assert got == {(1, "update")}
+    new2 = spark.createDataFrame([(None, "y"), (1, "a")], "k long, v string")
+    got2 = {(r["k"], r["change_type"]) for r in
+            snapshot_diff(old, new2, ("k",)).collect()}
+    assert got2 == {(None, "update")}

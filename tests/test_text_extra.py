@@ -8,8 +8,14 @@ from etl_demos_spark.operators.text import char_ngram_hashes, winnow_fingerprint
 
 
 def _fps(spark, rows):
+    from etl_demos_spark.operators.text import normalize_text
+
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    toked = df.select("doc_id", char_ngram_hashes("text", 7).alias("h"))
+    # project the normalization ONCE (the char_ngram_hashes contract)
+    normed = df.select("doc_id", normalize_text("text").alias("__t"))
+    toked = normed.select(
+        "doc_id", char_ngram_hashes(F.col("__t"), 7).alias("h")
+    )
     out = toked.select("doc_id", winnow_fingerprints(F.col("h"), 8).alias("fp"))
     return {r["doc_id"]: set(r["fp"]) for r in out.collect()}
 
@@ -147,3 +153,18 @@ def test_bpe_pretokenize_known_pieces(spark):
         assert n == len(want)
         # pieces are a partition of the input: concatenation restores it
         assert "".join(pieces) == text
+
+
+def test_redact_pii_url_stops_at_any_java_whitespace(spark):
+    """The URL class is explicit (not \\s) so Java and RE2 agree on
+    \\x0B; the redaction must terminate the URL at every whitespace kind
+    Java's \\s covers, leaving trailing text intact."""
+    from etl_demos_spark.operators.text import redact_pii
+
+    rows = [(i, f"see https://ex.io/a{sep}tail") for i, sep in
+            enumerate([" ", "\t", "\n", "\x0b", "\f", "\r"])]
+    df = spark.createDataFrame(rows, "i long, text string")
+    out = {r["i"]: r["red"] for r in
+           df.select("i", redact_pii("text").alias("red")).collect()}
+    for i, sep in enumerate([" ", "\t", "\n", "\x0b", "\f", "\r"]):
+        assert out[i] == f"see [URL]{sep}tail", (i, repr(out[i]))
