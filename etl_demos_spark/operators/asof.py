@@ -61,9 +61,16 @@ def asof_join_backward(
     ).select(*l_tag.columns)
 
     unioned = l_tag.unionByName(r_tag)
+    # total order: (ts, side) alone leaves ties between multiple right
+    # rows at the same (key, ts) to shuffle luck — last(...) would carry
+    # whichever tied row happened to sort last, flipping across runs and
+    # partitionings (and against the DuckDB oracle). The carried right
+    # columns themselves break the tie deterministically: identical
+    # carried payloads tie harmlessly.
+    tie_cols = [F.col(f"__r_{c}") for c in sorted(carry)] + [F.col("__r_ts")]
     w = (
         Window.partitionBy(*on)
-        .orderBy(ts_col, "__side")
+        .orderBy(F.col(ts_col), F.col("__side"), *tie_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.select(
@@ -109,10 +116,14 @@ def resample_locf(
             "(arbitrary steps need a window-start formula, not date_trunc)"
         )
     bucket = F.date_trunc(trunc_unit, F.col(ts_col))
+    # obs feeds BOTH the per-key min/max spine agg and the grid join —
+    # unpersisted, the full input scan + bucket aggregation (the
+    # operator's only corpus-sized shuffle) would run twice
     obs = (
         df.withColumn("__b", bucket)
         .groupBy(*key_cols, "__b")
-        .agg(*agg_exprs)
+        .agg(*agg_exprs, F.count(F.lit(1)).cast("long").alias("__n_obs"))
+        .persist()
     )
     spine = (
         obs.groupBy(*key_cols)
@@ -130,10 +141,17 @@ def resample_locf(
         .orderBy("__b")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # was_observed comes from the bucket's own row count, NOT from a
+    # fill column's NULL-ness: a bucket whose aggregate is NULL (sum
+    # over all-NULL values) IS observed and must not be reported as
+    # carried. This also makes fill_cols=() (the declared default,
+    # which previously crashed on fill_cols[0]) a working grid-densify
+    # with no forward fill.
     out = joined.withColumn(
         "was_observed",
-        F.when(F.col(fill_cols[0]).isNotNull(), F.lit(1)).otherwise(F.lit(0)).cast("long"),
-    )
+        F.when(F.col("__n_obs").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+        .cast("long"),
+    ).drop("__n_obs")
     for c in fill_cols:
         out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return out.withColumnRenamed("__b", "bucket_ts")

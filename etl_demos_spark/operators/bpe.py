@@ -103,6 +103,16 @@ def _merge_pattern(a: str, b: str) -> str:
     )
 
 
+def _merge_replacement(a: str, b: str) -> str:
+    """The merged symbol, escaped for use as a REPLACEMENT string:
+    Java's Matcher (regexp_replace) treats ``$`` as a group reference
+    and ``\\`` as an escape in the replacement — an unescaped '$$'
+    merge (markdown/LaTeX corpora) throws INVALID_REGEXP_REPLACE and a
+    backslash pair silently collapses to one backslash, corrupting the
+    vocab. quoteReplacement semantics: escape backslash first."""
+    return (a + b).replace("\\", "\\\\").replace("$", "\\$")
+
+
 def learn_bpe_merges(
     df: DataFrame,
     text_col: str = "text",
@@ -131,9 +141,10 @@ def learn_bpe_merges(
         a, b = top[0]["a"], top[0]["b"]
         merges.append((a, b))
         vocab = vocab.select(
-            F.regexp_replace("sym", F.lit(_merge_pattern(a, b)), F.lit(a + b)).alias(
-                "sym"
-            ),
+            F.regexp_replace(
+                "sym", F.lit(_merge_pattern(a, b)),
+                F.lit(_merge_replacement(a, b)),
+            ).alias("sym"),
             "cnt",
         )
         if (i + 1) % checkpoint_every == 0:
@@ -188,7 +199,9 @@ def apply_merges(
         # array_sort) — collect_list order alone is shuffle-dependent.
         sym = F.concat_ws(SEP, F.split(F.col("_piece"), ""))
         for a, b in merges:
-            sym = F.regexp_replace(sym, F.lit(_merge_pattern(a, b)), F.lit(a + b))
+            sym = F.regexp_replace(
+                sym, F.lit(_merge_pattern(a, b)), F.lit(_merge_replacement(a, b))
+            )
         cols = df.columns
         ex = df.select(
             *cols, F.posexplode(pretokenize(text_col)).alias("_pos", "_piece")
@@ -208,8 +221,19 @@ def apply_merges(
                 )
             ).alias(out_col)
         )
-        return df.join(enc, cols, "left").withColumn(
-            out_col, F.coalesce(F.col(out_col), F.array().cast("array<string>"))
+        # NULL-SAFE re-join: the equi-join form would miss any row with
+        # a NULL in a non-text column (NULL != NULL) and silently hand
+        # it an empty token array via the coalesce below
+        dl, el = df.alias("__d"), enc.alias("__e")
+        cond = None
+        for c in cols:
+            cur = F.col(f"__d.{c}").eqNullSafe(F.col(f"__e.{c}"))
+            cond = cur if cond is None else (cond & cur)
+        return dl.join(el, cond, "left").select(
+            *[F.col(f"__d.{c}") for c in cols],
+            F.coalesce(
+                F.col(f"__e.{out_col}"), F.array().cast("array<string>")
+            ).alias(out_col),
         )
 
     ranks = {pair: i for i, pair in enumerate(merges)}
@@ -275,6 +299,9 @@ def learn_bpe_reference(
             break
         (a, b) = best[0]
         merges.append((a, b))
+        # callable replacement: re.sub treats \ and \g<> escapes in a
+        # string replacement — a lambda substitutes the LITERAL symbol
         rx = re.compile(_merge_pattern(a, b))
-        vocab = {rx.sub(a + b, w): c for w, c in vocab.items()}
+        merged = a + b
+        vocab = {rx.sub(lambda _m: merged, w): c for w, c in vocab.items()}
     return merges

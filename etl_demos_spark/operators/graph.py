@@ -72,6 +72,10 @@ def pagerank(
         .persist()
     )
     n = nodes.count()
+    if n == 0:
+        # empty edge list (a legitimate upstream-filter outcome): an
+        # empty rank table, not a ZeroDivisionError at 1.0/n
+        return nodes.withColumn("rank", F.lit(0.0))
     # deg is read twice per round (contribution denominators via ed,
     # dangling anti-join directly) — persist it or every round's
     # anti-join re-runs the whole edges.distinct() + groupBy chain
@@ -169,12 +173,19 @@ def flatten_hierarchy(
             F.col("anc").alias("_a2"),
             F.col("depth").alias("_d2"),
         )
+        # LEFT join: an ancestor pointer with no node row (dangling
+        # parent in a partially-loaded hierarchy) must leave (anc,
+        # depth) unchanged — an inner join would DROP the whole subtree
+        # hanging off the missing ancestor and silently return fewer
+        # nodes than were given
         nxt = (
-            state.join(hop, state["anc"] == hop["_n2"])
+            state.join(hop, state["anc"] == hop["_n2"], "left")
             .select(
                 "node",
-                F.col("_a2").alias("anc"),
-                (F.col("depth") + F.col("_d2")).cast("long").alias("depth"),
+                F.coalesce(F.col("_a2"), F.col("anc")).alias("anc"),
+                (F.col("depth") + F.coalesce(F.col("_d2"), F.lit(0)))
+                .cast("long")
+                .alias("depth"),
             )
             .localCheckpoint()
         )

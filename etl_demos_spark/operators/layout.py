@@ -125,12 +125,23 @@ def optimize_layout_zorder(
     for c in cols:
         aggs += [F.min(F.col(c).cast("double")), F.max(F.col(c).cast("double"))]
     row = df.agg(*aggs).collect()[0]
+    if row[0] is None and all(v is None for v in row):
+        # empty input: min/max are all NULL — write the (empty) frame
+        # as-is instead of dying on float(None) mid-rewrite
+        df.write.mode("overwrite").parquet(path)
+        return
     terms = []
     for j, c in enumerate(cols):
-        lo, hi = float(row[2 * j]), float(row[2 * j + 1])
+        # an all-NULL column degenerates to a constant plane (bucket 0)
+        # rather than a TypeError; per-row NULLs clamp to lo (bucket 0)
+        # via the coalesce below — defined, documented placement instead
+        # of a NULL z-key lumping those rows into one unordered range
+        lo = float(row[2 * j]) if row[2 * j] is not None else 0.0
+        hi = float(row[2 * j + 1]) if row[2 * j + 1] is not None else 0.0
         rng = hi - lo if hi > lo else 1.0
         scaled = F.floor(
-            (F.col(c).cast("double") - F.lit(lo)) / F.lit(rng) * F.lit((1 << bits) - 1)
+            (F.coalesce(F.col(c).cast("double"), F.lit(lo)) - F.lit(lo))
+            / F.lit(rng) * F.lit((1 << bits) - 1)
         ).cast("long")
         for i in range(bits):
             terms.append(

@@ -60,18 +60,25 @@ def merge_sketch_rollup(
 # ---------------------------------------------------------------------------
 
 
-def _cms_bucket(key, i: int, width: int):
-    """Row-i bucket for a key: md5 of "i:key" → first 8 hex digits → long
-    — the repo's engine-portable hash idiom (sampling.py), so a DuckDB
-    oracle can reproduce the sketch bit-for-bit."""
+def _md5_mod(key, i: int, modulus: int):
+    """md5("i:key") → first 8 hex digits → long → mod ``modulus`` — the
+    repo's ONE engine-portable per-hash-function idiom (sampling.py),
+    shared by CMS buckets and Bloom bit positions so the two can never
+    silently de-sync from each other or from the DuckDB oracles built
+    against the expression."""
     return (
         F.conv(
             F.substring(F.md5(F.concat(F.lit(f"{i}:"), key.cast("string"))), 1, 8),
             16,
             10,
         ).cast("long")
-        % width
+        % modulus
     )
+
+
+def _cms_bucket(key, i: int, width: int):
+    """Row-i bucket for a key (see _md5_mod)."""
+    return _md5_mod(key, i, width)
 
 
 def cms_build(
@@ -392,16 +399,8 @@ def kmv_set_estimate(
 
 
 def _bloom_pos(key, i: int, n_bits: int):
-    """Hash-i bit position for a key: md5("i:key") → first 8 hex → long
-    → mod n_bits. Same engine-portable idiom as _cms_bucket."""
-    return (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"{i}:"), key.cast("string"))), 1, 8),
-            16,
-            10,
-        ).cast("long")
-        % n_bits
-    )
+    """Hash-i bit position for a key (see _md5_mod)."""
+    return _md5_mod(key, i, n_bits)
 
 
 def bloom_build(
@@ -595,6 +594,11 @@ def bottomk_merge(
     return (
         store.select(*cols)
         .unionByName(batch.select(*cols))
+        # idempotent fold: kk is a unique row key within a group, so a
+        # replayed micro-batch (at-least-once foreachBatch) re-delivers
+        # (group, kk) rows already in the store — ranked twice they
+        # would burn two of the k slots and permanently bias the sample
+        .dropDuplicates([*group_cols, "kk"])
         .withColumn("rn", F.row_number().over(wnd).cast("long"))
         .filter(F.col("rn") <= k)
     )

@@ -75,3 +75,43 @@ def test_empty_and_missing_text(spark):
         }
         assert got[0] == [] and got[1] == []
         assert got[2] == ["ab", " ", "ab"] or got[2] == ["ab", " ab"]
+
+
+def test_bpe_merges_survive_replacement_metacharacters(spark):
+    """'$' and '\\' are metacharacters in regexp_replace's REPLACEMENT
+    string: an unescaped '$$' merge throws INVALID_REGEXP_REPLACE and a
+    backslash pair silently collapses — both must round-trip."""
+    from etl_demos_spark.operators.bpe import (
+        apply_merges,
+        learn_bpe_merges,
+        learn_bpe_reference,
+    )
+
+    texts = ["$$ $$ $$ \\\\ \\\\ \\\\ ok ok"] * 3
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    merges = learn_bpe_merges(df, n_merges=4)
+    assert merges == learn_bpe_reference(texts, n_merges=4)
+    # both metacharacters must actually appear in learned merges
+    assert ("$", "$") in merges
+    assert any("\\" in a or "\\" in b for a, b in merges)
+    # the expression path must encode them and agree with the UDF path
+    expr = apply_merges(df, merges, use_udf=False).collect()
+    udf = apply_merges(df, merges, use_udf=True).collect()
+    by_id = lambda rows: {r["doc_id"]: list(r["bpe_tokens"]) for r in rows}
+    assert by_id(expr) == by_id(udf)
+    toks = by_id(expr)[0]
+    assert any("$$" in t for t in toks) and any("\\\\" in t for t in toks)
+
+
+def test_apply_merges_expression_path_null_columns(spark):
+    from etl_demos_spark.operators.bpe import apply_merges
+
+    df = spark.createDataFrame(
+        [(None, "hello hello"), (1, "hello world")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: list(r["bpe_tokens"])
+           for r in apply_merges(df, [("h", "e")], use_udf=False).collect()}
+    # the NULL-id row must keep its tokens, not coalesce to []
+    assert got[None] and got[None][0].startswith("he")
+    assert got[1]

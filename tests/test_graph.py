@@ -164,3 +164,24 @@ def test_bfs_distances_multi_source_takes_min(spark):
         for r in bfs_distances(edges, seeds, iters=4).collect()
     }
     assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 0}
+
+
+def test_flatten_hierarchy_keeps_dangling_parents(spark):
+    from etl_demos_spark.operators.graph import flatten_hierarchy
+
+    nodes = spark.createDataFrame(
+        [(1, 99), (2, 1), (3, None)], "id long, parent long"
+    )
+    got = {r["node"]: (r["root"], r["depth"])
+           for r in flatten_hierarchy(nodes, "id", "parent").collect()}
+    # node 1's parent 99 has no row: 1 surfaces with root=99, not dropped
+    assert got[1] == (99, 1)
+    assert got[2] == (99, 2)
+    assert got[3] == (3, 0)
+
+
+def test_pagerank_empty_edges_returns_empty(spark):
+    from etl_demos_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(e, iters=2).count() == 0

@@ -578,3 +578,23 @@ def test_rows_only_queries_bit_stable_across_partitionings(spark, name):
         spark.conf.set("spark.sql.shuffle.partitions", shuffle0)
         spark.conf.set("spark.sql.files.maxPartitionBytes", split0)
     assert len(base) == len(alt) and base == alt
+
+
+def test_bottomk_merge_replayed_batch_is_idempotent(spark):
+    """At-least-once foreachBatch re-delivers a micro-batch: folding the
+    SAME batch twice must leave the store identical (kk is a unique row
+    key — a duplicate must not burn two of the k slots)."""
+    from etl_demos_spark.operators.sketches import bottomk_merge, bottomk_sample
+
+    df = spark.createDataFrame(
+        [(i % 2, i) for i in range(60)], "g long, v long"
+    )
+    store = bottomk_sample(df, ("g",), "v", "v", k=8)
+    batch = bottomk_sample(
+        spark.createDataFrame([(0, 1000 + i) for i in range(20)], "g long, v long"),
+        ("g",), "v", "v", k=8,
+    )
+    once = bottomk_merge(store, batch, ("g",), k=8)
+    twice = bottomk_merge(once, batch, ("g",), k=8)
+    key = lambda r: (r["g"], r["kk"], r["rn"])
+    assert sorted(map(key, once.collect())) == sorted(map(key, twice.collect()))

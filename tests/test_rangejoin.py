@@ -78,3 +78,45 @@ def test_overlap_join_exactly_once(spark):
     # multi-granule overlaps (e.g. 3x5 share granules 9..10) emit ONCE
     assert got == naive
     assert len(got) == len(set(got))
+
+
+def test_asof_ties_are_deterministic_across_partitionings(spark):
+    """Multiple right rows at the same (key, ts): the carried row must
+    be the same on every run and partitioning (total order via the
+    carried columns), not shuffle luck."""
+    from etl_demos_spark.operators.asof import asof_join_backward
+
+    left = spark.createDataFrame([(7, 100)], "user_id long, ts long")
+    right = spark.createDataFrame(
+        [(7, 100, 11), (7, 100, 22), (7, 100, 5)],
+        "user_id long, ts long, event_id long",
+    )
+    runs = []
+    for parts in (1, 3, 7):
+        got = asof_join_backward(
+            left, right.repartition(parts), ["user_id"], "ts",
+            carry=("event_id",),
+        ).collect()
+        runs.append([(r["user_id"], r["event_id_asof"]) for r in got])
+    assert runs[0] == runs[1] == runs[2]
+    # the deterministic winner is the max carried tuple (22)
+    assert runs[0] == [(7, 22)]
+
+
+def test_resample_locf_default_fill_cols_and_null_aggregates(spark):
+    from etl_demos_spark.operators.asof import resample_locf
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:10:00", None),
+         ("a", "2024-01-01 02:20:00", 5.0)],
+        "k string, ts string, v double",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "v")
+    # default fill_cols=() must work (grid densify, no fill, no crash)
+    bare = resample_locf(df, "ts", ("k",), (F.sum("v").alias("sv"),))
+    rows = {str(r["bucket_ts"]): r for r in bare.collect()}
+    assert len(rows) == 3  # 00:00, 01:00, 02:00
+    # hour 0 HAS an observation whose aggregate is NULL → was_observed=1
+    assert rows["2024-01-01 00:00:00"]["was_observed"] == 1
+    assert rows["2024-01-01 01:00:00"]["was_observed"] == 0
+    assert rows["2024-01-01 02:00:00"]["was_observed"] == 1
