@@ -36,13 +36,20 @@ from etl_demos_spark.operators.text import WORD_RE, fingerprint
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep one canonical row (min id) per normalized-text fingerprint."""
+    """Keep one canonical row (min id) per normalized-text fingerprint.
+
+    NULL text never dedups: fingerprint(NULL) is NULL, and groupBy
+    would treat all NULL fingerprints as ONE key — silently deleting
+    every null-text row but one, on zero equality evidence. Null-text
+    rows pass through as survivors."""
     fp = fingerprint(text_col).alias("__fp")
+    keyed = df.select(F.col(id_col), fp)
     winners = (
-        df.select(F.col(id_col), fp)
+        keyed.filter(F.col("__fp").isNotNull())
         .groupBy("__fp")
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
+        .unionByName(keyed.filter(F.col("__fp").isNull()).select(id_col))
     )
     return df.join(winners, id_col, "left_semi")
 
@@ -150,9 +157,26 @@ def exploded_shingles(
         F.concat_ws(" ", *[F.col(f"_z.t{i}") for i in range(n)]).alias("g"),
     )
     if short_docs == "whole":
+        # the filter must name NULL explicitly: under ANSI (Spark 4
+        # default) size(NULL) is NULL, so a null-text row fails BOTH
+        # branch predicates and silently vanishes — the exact every-row
+        # contract "whole" exists to provide. A null text carries no
+        # equality evidence, so it gets a per-id unique sentinel gram:
+        # the doc keeps a signature (never silently dropped) but can
+        # never match anything, unlike '' which dedups all empty docs.
+        short = toked.filter(
+            F.col("__toks").isNull() | (F.size("__toks") < n)
+        )
         out = out.unionByName(
-            toked.filter(F.size("__toks") < n).select(
-                "id", *extra, F.concat_ws(" ", "__toks").alias("g")
+            short.select(
+                "id",
+                *extra,
+                F.when(
+                    F.col("__toks").isNull(),
+                    F.concat(F.lit("\x00null:"), F.col("id").cast("string")),
+                )
+                .otherwise(F.concat_ws(" ", "__toks"))
+                .alias("g"),
             )
         )
     return out
@@ -185,9 +209,13 @@ def jaccard_pairs(
     index = docs.select(
         "id", *block, "n_sh", F.explode_outer("sh").alias("g")
     ).filter(F.col("g").isNotNull())
-    # Both join sides read the index; persist the (small) inverted index so
-    # the scan→tokenize→shingle→explode pipeline runs once, not twice.
-    index = index.persist()
+    # Both join sides read the index; materialize it so the
+    # scan→tokenize→shingle→explode pipeline runs once, not twice — eager localCheckpoint, not persist(): computed once,
+    # plan truncated, and the executor-side blocks are released when
+    # the frame is garbage-collected. A persist() here leaks a
+    # CacheManager entry per CALL (driver GC never frees those), which
+    # thrashes any long-running caller invoking dedup repeatedly
+    index = index.localCheckpoint(eager=True)
     left = index
     right = index.select(
         F.col("id").alias("id2"),
@@ -509,7 +537,12 @@ def minhash_lsh_pairs(
     # contract covers every input row (see exploded_shingles).
     grams = exploded_shingles(df, id_col, text_col, n, short_docs="whole")
     sigs = minhash_signatures_from_grams(grams, "id", "g", num_hashes, base_hash)
-    sigs = sigs.persist()  # reused by banding + both verify fetches
+    # reused by banding + both verify fetches — eager localCheckpoint, not persist(): computed once,
+    # plan truncated, and the executor-side blocks are released when
+    # the frame is garbage-collected. A persist() here leaks a
+    # CacheManager entry per CALL (driver GC never frees those), which
+    # thrashes any long-running caller invoking dedup repeatedly
+    sigs = sigs.localCheckpoint(eager=True)
     banded = banded_buckets(sigs, bands, rows)
     right = banded.select(F.col("id").alias("id2"), "band", "bucket")
     cands = (
@@ -616,7 +649,12 @@ def simhash_pairs(
     starts = [i * chunk_bits for i in range(k)] + [sig_bits]
     docs = shingled_docs(df, id_col, text_col, n)
     sigs = simhash_signatures(docs, "id", "sh", base_hash)
-    sigs = sigs.persist()  # reused by both chunk-join sides
+    # reused by both chunk-join sides — eager localCheckpoint, not persist(): computed once,
+    # plan truncated, and the executor-side blocks are released when
+    # the frame is garbage-collected. A persist() here leaks a
+    # CacheManager entry per CALL (driver GC never frees those), which
+    # thrashes any long-running caller invoking dedup repeatedly
+    sigs = sigs.localCheckpoint(eager=True)
     chunked = sigs.select(
         "id",
         "sig",
@@ -703,7 +741,9 @@ def keep_best_per_cluster(
     """Survivor selection over a duplicate-cluster labeling
     (``comps``: (node, comp) from connected_components): keep the
     highest-``prefer`` member of each cluster, ties broken by min id;
-    rows in no cluster survive untouched.
+    ``prefer=None`` (the declared default) degrades to plain min-id
+    selection — the dedup_by_minhash policy — instead of crashing.
+    Rows in no cluster survive untouched.
 
     Shape: broadcast-or-shuffle join of the (small, pairs-derived)
     component table to the scored ids, then ONE windowed top-1 per comp —
@@ -711,6 +751,8 @@ def keep_best_per_cluster(
     state per cluster is one row, never the member list."""
     from pyspark.sql import Window
 
+    if prefer is None:
+        prefer = F.lit(0)  # constant score → the id tie-break decides
     scored = df.select(F.col(id_col), prefer.alias("__score")).join(
         comps.withColumnRenamed("node", id_col), id_col
     )
@@ -763,15 +805,22 @@ def duplicated_spans(
     spans, end-exclusive, maximal (non-overlapping, non-adjacent),
     every span ≥ ``window`` tokens.
     """
-    from pyspark.sql import Window as W
-
     w = window
     _, wins = _window_fingerprints(df, id_col, text_col, w)
-    kept = (
-        wins.withColumn("c", F.count(F.lit(1)).over(W.partitionBy("g")))
+    # combiner-friendly multiplicity: a count window partitioned on g
+    # has NO map-side combine — a boilerplate fingerprint repeated 10^8
+    # times lands every occurrence on one straggler task to be sorted.
+    # groupBy collapses per-partition first (the shuffle carries ≤ one
+    # row per distinct g per partition), and the semi-join's build side
+    # is the deduped multi-occurrence g set — broadcastable while it
+    # fits, AQE-skew-splittable when it doesn't.
+    multi = (
+        wins.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") > 1)
-        .select("id", "i")
+        .select("g")
     )
+    kept = wins.join(multi, "g", "left_semi").select("id", "i")
     return _merge_islands(kept, w)
 
 
@@ -804,18 +853,31 @@ def _window_fingerprints(
 
 def _merge_islands(flagged: DataFrame, w: int) -> DataFrame:
     """Merge flagged window positions ``(id, i)`` into maximal token
-    spans per doc (gaps-and-islands): a window starts a new island iff it
-    begins past the previous flagged window's end. ONE per-doc window
-    pass."""
+    spans per doc — the uniform-width [i, i+w) case of
+    :func:`_merge_interval_islands`."""
+    iv = flagged.select(
+        "id",
+        F.col("i").cast("long").alias("s"),
+        (F.col("i") + F.lit(w)).cast("long").alias("e"),
+    )
+    return _merge_interval_islands(iv)
+
+
+def _merge_interval_islands(iv: DataFrame) -> DataFrame:
+    """Merge per-doc token intervals ``(id, s, e)`` into maximal
+    non-overlapping, non-adjacent spans (gaps-and-islands over
+    VARIABLE-width intervals): a new island starts iff its start lies
+    strictly past the running max end of everything before it. ONE
+    per-doc window pass."""
     from pyspark.sql import Window as W
 
-    byd = W.partitionBy("id").orderBy("i")
-    isl = flagged.select(
+    byd = W.partitionBy("id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(byd.rowsBetween(W.unboundedPreceding, -1))
+    isl = iv.select(
         "id",
-        "i",
-        F.when(F.col("i") > F.lag("i").over(byd) + w, 1)
-        .otherwise(0)
-        .alias("ni"),
+        "s",
+        "e",
+        F.when(F.col("s") > prev_max_e, 1).otherwise(0).alias("ni"),
     )
     grp = isl.withColumn(
         "isl",
@@ -824,12 +886,12 @@ def _merge_islands(flagged: DataFrame, w: int) -> DataFrame:
     return (
         grp.groupBy("id", "isl")
         .agg(
-            F.min("i").alias("span_start"),
-            (F.max("i") + F.lit(w)).cast("long").alias("span_end"),
+            F.min("s").cast("long").alias("span_start"),
+            F.max("e").cast("long").alias("span_end"),
         )
         .select(
             "id",
-            F.col("span_start").cast("long").alias("span_start"),
+            "span_start",
             "span_end",
             (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
         )
@@ -870,12 +932,34 @@ def remove_duplicated_spans(
     w = window
     toked, wins = _window_fingerprints(df, id_col, text_col, w)
     order = W.partitionBy("g").orderBy("id", "i")
-    flagged = (
-        wins.withColumn("rn", F.row_number().over(order))
-        .filter(F.col("rn") > 1)
-        .select("id", "i")
+    ranked = wins.withColumn("rn", F.row_number().over(order))
+    # keep-first must protect the first occurrence's OWN tokens: in a
+    # self-overlapping repeat (e.g. a periodic doc), the windows at
+    # i = f+1 .. f+w-1 duplicate the first occurrence at f but overlap
+    # it — removing [i, i+w) whole would gut the very occurrence the
+    # semantics promise to keep (a 12-token periodic doc kept 1 token).
+    # Clip each flagged window that overlaps its fingerprint's SAME-DOC
+    # first occurrence to start at that occurrence's end; first
+    # occurrences in other docs don't constrain removal here.
+    firsts = ranked.filter(F.col("rn") == 1).select(
+        F.col("g"), F.col("id").alias("fid"), F.col("i").alias("fi")
     )
-    spans = _merge_islands(flagged, w).select(
+    flagged = (
+        ranked.filter(F.col("rn") > 1)
+        .join(firsts, "g")
+        .select(
+            "id",
+            F.when(
+                (F.col("id") == F.col("fid")) & (F.col("i") < F.col("fi") + w),
+                F.col("fi") + w,
+            )
+            .otherwise(F.col("i"))
+            .cast("long")
+            .alias("s"),
+            (F.col("i") + F.lit(w)).cast("long").alias("e"),
+        )
+    )
+    spans = _merge_interval_islands(flagged).select(
         F.col("id").alias("sid"), "span_start", "span_end"
     )
     pos = toked.select(
@@ -898,7 +982,13 @@ def remove_duplicated_spans(
         ).alias("clean_text"),
         F.count(F.lit(1)).cast("long").alias("kept_tokens"),
     )
-    totals = toked.select("id", F.size("__toks").cast("long").alias("__n"))
+    # coalesce the total too: size(NULL) is NULL under ANSI, and a
+    # null-text doc must report (0 kept, 0 removed), not NULL — the
+    # kept+removed==total accounting holds for EVERY input row
+    totals = toked.select(
+        "id",
+        F.coalesce(F.size("__toks"), F.lit(0)).cast("long").alias("__n"),
+    )
     return totals.join(clean, "id", "left").select(
         "id",
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),

@@ -29,8 +29,21 @@ ColumnSpec = tuple[str, str, Sequence[str]]
 
 
 def sanitize_headers(df: DataFrame, char: str = ".", repl: str = "_") -> DataFrame:
-    """Rename columns containing forbidden chars (BigQuery disallows '.')."""
-    return df.toDF(*[c.replace(char, repl) for c in df.columns])
+    """Rename columns containing forbidden chars (BigQuery disallows '.').
+
+    Raises on a post-rename collision ('a.b' next to 'a_b'): a silent
+    duplicate column name fails far from the cause with
+    AMBIGUOUS_REFERENCE — and the warehouse target would reject it."""
+    renamed = [c.replace(char, repl) for c in df.columns]
+    seen: dict[str, str] = {}
+    for old, new in zip(df.columns, renamed):
+        if new in seen:
+            raise ValueError(
+                f"header sanitization collision: {old!r} and {seen[new]!r} "
+                f"both map to {new!r} — rename one at the source"
+            )
+        seen[new] = old
+    return df.toDF(*renamed)
 
 
 def cast_project(df: DataFrame, spec: Mapping[str, tuple[str, str]]) -> DataFrame:
@@ -84,6 +97,8 @@ def banding(col: Column | str, cuts: Sequence[tuple], otherwise: str) -> Column:
     """CASE WHEN banding (dim_customer.sql:20-26): cuts are
     (lo_inclusive, hi_inclusive, label) with None as open bound.
     """
+    if not cuts:
+        raise ValueError("banding requires at least one cut")
     c = F.col(col) if isinstance(col, str) else col
     expr = None
     for lo, hi, label in cuts:

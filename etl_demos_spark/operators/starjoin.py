@@ -55,6 +55,17 @@ class PrunableDim:
     def __init__(self, df: DataFrame, on, how: str = "left", broadcast: bool = True):
         if how != "left":
             raise ValueError("join elimination requires how='left'")
+        if not isinstance(on, (str, list, tuple)):
+            # a Column condition can't tell us which fact columns the
+            # join consumes, so contributed() can't subtract keys —
+            # fail HERE with the contract instead of [NOT_ITERABLE]
+            # deep inside pruned_star
+            raise TypeError(
+                "PrunableDim join_on must be a column name or list of "
+                f"names (got {type(on).__name__}); arbitrary Column "
+                "conditions can't participate in join elimination — "
+                "join that dimension unconditionally instead"
+            )
         self.df = df
         self.on = on
         self.broadcast = broadcast

@@ -586,29 +586,41 @@ _DUP_REMOVAL_ORACLE = f"""
                md5(array_to_string(t[i+1 : i+{_DUP_SPAN_W}], ' ')) AS g
         FROM pos
     ),
+    ranked AS (
+        SELECT doc_id, i, g,
+               row_number() OVER (PARTITION BY g ORDER BY doc_id, i) AS rn
+        FROM wins
+    ),
+    firsts AS (
+        SELECT g, doc_id AS fid, i AS fi FROM ranked WHERE rn = 1
+    ),
+    -- keep-first clip: a flagged window overlapping its fingerprint's
+    -- SAME-DOC first occurrence starts removal at that occurrence's end
     flag AS (
-        SELECT doc_id, i FROM (
-            SELECT doc_id, i,
-                   row_number() OVER (PARTITION BY g ORDER BY doc_id, i)
-                       AS rn
-            FROM wins
-        ) WHERE rn > 1
+        SELECT r.doc_id,
+               CASE WHEN r.doc_id = f.fid AND r.i < f.fi + {_DUP_SPAN_W}
+                    THEN f.fi + {_DUP_SPAN_W} ELSE r.i END AS s,
+               r.i + {_DUP_SPAN_W} AS e
+        FROM ranked r JOIN firsts f USING (g)
+        WHERE r.rn > 1
     ),
     isl AS (
-        SELECT doc_id, i,
-               CASE WHEN i > lag(i) OVER (PARTITION BY doc_id ORDER BY i)
-                            + {_DUP_SPAN_W}
+        SELECT doc_id, s, e,
+               CASE WHEN s > MAX(e) OVER (PARTITION BY doc_id
+                                          ORDER BY s, e
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING)
                     THEN 1 ELSE 0 END AS ni
         FROM flag
     ),
     grp AS (
-        SELECT doc_id, i,
-               SUM(ni) OVER (PARTITION BY doc_id ORDER BY i
+        SELECT doc_id, s, e,
+               SUM(ni) OVER (PARTITION BY doc_id ORDER BY s, e
                              ROWS UNBOUNDED PRECEDING) AS isl
         FROM isl
     ),
     spans AS (
-        SELECT doc_id, MIN(i) AS s, MAX(i) + {_DUP_SPAN_W} AS e
+        SELECT doc_id, MIN(s) AS s, MAX(e) AS e
         FROM grp GROUP BY doc_id, isl
     ),
     tokpos AS (

@@ -511,3 +511,59 @@ def test_incremental_minhash_keeps_unique_short_docs(spark):
     kept2, _ = incremental_minhash_dedup(b2, store1, n=3, threshold=0.5)
     ids2 = {r["doc_id"] for r in kept2.collect()}
     assert ids2 == {11}, ids2
+
+
+def test_null_text_contracts_across_dedup_family(spark):
+    """NULL text carries no equality evidence: exact_dedup must keep
+    every null-text row; the 'whole' shingle path must emit a signature
+    for them (never silently drop); span removal must report 0/0 counts,
+    not NULL."""
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x y z w"), (4, "")],
+        "doc_id long, text string",
+    )
+    kept = {r["doc_id"] for r in dedup.exact_dedup(df).collect()}
+    assert {1, 2, 3} <= kept  # both null rows survive
+    grams = dedup.exploded_shingles(df, "doc_id", "text", 3, short_docs="whole")
+    by_id = {}
+    for r in grams.collect():
+        by_id.setdefault(r["id"], []).append(r["g"])
+    assert set(by_id) == {1, 2, 3, 4}          # every row got a gram
+    assert by_id[1] != by_id[2]                # null docs never match
+    rem = {r["id"]: r for r in
+           dedup.remove_duplicated_spans(df).collect()}
+    assert rem[1]["kept_tokens"] == 0 and rem[1]["removed_tokens"] == 0
+
+
+def test_keep_best_per_cluster_default_prefers_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (5, "b")], "doc_id long, text string"
+    )
+    comps = spark.createDataFrame([(1, 1), (2, 1)], "node long, comp long")
+    got = {r["doc_id"] for r in
+           dedup.keep_best_per_cluster(df, comps).collect()}
+    assert got == {1, 5}
+
+
+def test_span_removal_keeps_first_occurrence_of_periodic_doc(spark):
+    """Self-overlapping repeat: a periodic doc must KEEP its first
+    window-worth of tokens and remove only the continuation — the old
+    unclipped spans gutted the first occurrence itself."""
+    w = 10
+    toks = ["tok"] * 25
+    df = spark.createDataFrame(
+        [(1, " ".join(toks))], "doc_id long, text string"
+    )
+    out = dedup.remove_duplicated_spans(df, window=w).collect()[0]
+    assert out["kept_tokens"] == w
+    assert out["removed_tokens"] == 25 - w
+    assert out["clean_text"] == " ".join(["tok"] * w)
+    # two disjoint occurrences of the same passage: second one removed
+    passage = [f"p{i}" for i in range(w)]
+    doc = passage + ["mid"] * 3 + passage
+    df2 = spark.createDataFrame(
+        [(1, " ".join(doc))], "doc_id long, text string"
+    )
+    got = dedup.remove_duplicated_spans(df2, window=w).collect()[0]
+    assert got["kept_tokens"] == w + 3
+    assert got["clean_text"] == " ".join(passage + ["mid"] * 3)
