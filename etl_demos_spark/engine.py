@@ -69,7 +69,8 @@ class Engine:
         (integrate_new_dataset.py:113-242): the raw source is appended
         idempotently to ``<dir>/raw_sources.yml`` and the staged model's
         default not_null tests are upserted into ``<dir>/staging.yml``.
-        A fresh Engine re-arms via add_sources_yaml + staging.yml."""
+        A fresh Engine re-arms with ``rearm_from_dir(persist_dir)`` —
+        raw views, staged views AND their assertions come back."""
         raw = self.add_csv(f"{name}_raw", path)
         staged, assertions = auto_adapt(raw)
         staged.createOrReplaceTempView(name)
@@ -94,6 +95,51 @@ class Engine:
                 key_columns=key_cols or ("loan_id", "customer_id"),
             )
         return staged
+
+    def rearm_from_dir(self, persist_dir: str) -> dict[str, DataFrame]:
+        """Restart path for add_source_auto persistence: reload
+        ``raw_sources.yml`` (raw views), then rebuild every staged model
+        named in ``staging.yml`` — synonym-map its ``<model>_raw`` source
+        through auto_adapt, re-register the staged view, and re-arm its
+        persisted not_null assertions. Without this, only raw views
+        came back and the documented restart workflow died with
+        TABLE_OR_VIEW_NOT_FOUND on the staged name."""
+        from pathlib import Path
+
+        from etl_demos_spark.sources.registry import (
+            staging_assertions_from_yaml,
+        )
+
+        d = Path(persist_dir)
+        out = self.add_sources_yaml(str(d / "raw_sources.yml"))
+        staging = d / "staging.yml"
+        if staging.exists():
+            assertions = staging_assertions_from_yaml(str(staging))
+            rearmed = {name for name, _k, _c in assertions}
+            for name in rearmed:
+                raw_name = f"{name}_raw"
+                if raw_name not in self._loaded:
+                    continue
+                staged, _ = auto_adapt(self._loaded[raw_name])
+                staged.createOrReplaceTempView(name)
+                self._loaded[name] = staged
+                out[name] = staged
+            self._auto_assertions = getattr(self, "_auto_assertions", []) + [
+                a for a in assertions if a[0] in rearmed
+            ]
+        return out
+
+    def check_quality(self) -> list[str]:
+        """Run every accumulated auto-generated assertion (the
+        add_source_auto / rearm_from_dir not_null contracts) against the
+        current staged views; returns failure strings (empty = green).
+        This is the consumer the _auto_assertions state existed for —
+        the dbt-test step of the EP3 workflow."""
+        from etl_demos_spark.plans.quality import run_assertions
+
+        return run_assertions(
+            self._loaded, getattr(self, "_auto_assertions", [])
+        )
 
     def _load(self, name: str) -> DataFrame:
         df = self.registry.load(self.spark, name)

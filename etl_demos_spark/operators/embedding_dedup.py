@@ -17,10 +17,15 @@ Two physical strategies behind one router (``cosine_pairs_gemm``):
   size, not corpus size, caps executor memory.
 
 Cluster election: near-dup pairs form a graph; connected components via
-alternating small-star/large-star label propagation (Kiveris et al.,
-"Connected Components in MapReduce and Beyond") — a driver loop of pure
-DataFrame joins, converging in O(log n) rounds; each doc maps to the
-min id of its component, which becomes the canonical representative.
+min-label propagation (each node repeatedly adopts the smallest label in
+its neighborhood) — a driver loop of pure DataFrame joins converging in
+O(component diameter) rounds, with a hard ``max_iter`` that RAISES on
+non-convergence rather than returning split clusters (see
+``connected_components``). Each doc maps to the min id of its component,
+which becomes the canonical representative. Near-dup clusters are
+low-diameter in practice (most are cliques of mutual near-dups); a
+pathological threshold-chain longer than ``max_iter`` hops is an input
+smell the loud failure surfaces.
 """
 
 from __future__ import annotations
@@ -33,13 +38,12 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+# the one row-normalization helper — shared with the search family so the
+# zero-norm convention (treat as norm 1) can never silently diverge
+# between dedup and ANN cosines
+from etl_demos_spark.operators.similarity import _np_norm_rows as _norm_rows
+
 PAIR_SCHEMA = "id_a long, id_b long, cos_sim double"
-
-
-def _norm_rows(M: np.ndarray) -> np.ndarray:
-    norms = np.linalg.norm(M, axis=1)
-    norms[norms == 0] = 1.0
-    return M / norms[:, None]
 
 
 def cosine_pairs_gemm(
@@ -49,16 +53,21 @@ def cosine_pairs_gemm(
     threshold: float = 0.95,
     broadcast_max_rows: int = 200_000,
     target_block_rows: int = 100_000,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with cosine ≥ threshold, exactly.
 
     Routes on corpus size: ≤ ``broadcast_max_rows`` → broadcast GEMM
     (one corpus pass, no shuffle); larger → tiled two-sided GEMM (no
-    driver materialization, executor memory bounded by block size). The
-    sizing count is one columnar metadata scan, which the block-count
-    choice needs anyway.
+    driver materialization, executor memory bounded by block size).
+
+    ``n_rows``: pass the corpus size when the caller already knows it —
+    the sizing count is a cheap metadata scan ONLY for a bare parquet
+    source; on a derived pipeline (filters/joins/decode UDFs upstream)
+    ``count()`` executes the whole upstream plan once for sizing and
+    again for the pairs pass.
     """
-    n = df.select(id_col).count()
+    n = df.select(id_col).count() if n_rows is None else n_rows
     if n <= broadcast_max_rows:
         return cosine_pairs_broadcast(df, id_col, vec_col, threshold)
     n_blocks = max(2, math.ceil(n / target_block_rows))
@@ -338,6 +347,21 @@ def semantic_pairs_clustered(
                 ).cast("int"),
             )
 
+        def _round6_half_up(x):
+            # match the expression path's F.round (HALF_UP), not
+            # numpy's banker's rounding: at an exact .5 boundary in the
+            # 7th decimal np.round goes to even while Spark rounds away
+            # from zero — the two forms of this one operator (pinned
+            # set-equal in tests) would disagree on pair membership
+            return (
+                np.where(
+                    x >= 0,
+                    np.floor(x * 1e6 + 0.5),
+                    np.ceil(x * 1e6 - 0.5),
+                )
+                / 1e6
+            )
+
         def cell_pairs(key, pdf):
             ids = pdf[id_col].to_numpy()
             M = _norm_rows(np.array(list(pdf[vec_col]), dtype=np.float64))
@@ -349,7 +373,8 @@ def semantic_pairs_clustered(
             out = []
             for lo in range(0, len(M), step):
                 S = M[lo : lo + step] @ M.T
-                li, ri = np.nonzero(np.round(S, 6) >= threshold)
+                Sr = _round6_half_up(S)
+                li, ri = np.nonzero(Sr >= threshold)
                 gi = li + lo
                 m = ids[gi] < ids[ri]
                 out.append(
@@ -358,7 +383,7 @@ def semantic_pairs_clustered(
                             "id_a": ids[gi][m],
                             "id_b": ids[ri][m],
                             "cell": np.full(int(m.sum()), key[0], dtype=np.int64),
-                            "cos_sim": np.round(S[li, ri][m], 6),
+                            "cos_sim": Sr[li, ri][m],
                         }
                     )
                 )

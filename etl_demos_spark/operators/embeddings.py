@@ -384,8 +384,14 @@ def pca_components(
     a fixed matrix) and each component's sign is normalized so its
     largest-|coordinate| entry is positive (eigh's sign is otherwise
     arbitrary). Returns (components k×d row-major list, explained
-    variance ratios list) — bounded driver state, never corpus-sized."""
+    variance ratios list, mean d-vector) — bounded driver state, never
+    corpus-sized. The MEAN is returned because the covariance is
+    centered: projecting UNcentered data onto these components offsets
+    every score by μ·Wᵀ — pass the mean straight to
+    ``pca_project(center=mean)``."""
     rows = gram_matrix(df, vec_col).collect()
+    if not rows:
+        raise ValueError("pca_components: empty corpus (no embedding rows)")
     if dim is None:
         dim = max(r["j"] for r in rows)
     G = np.zeros((dim + 1, dim + 1), dtype=np.float64)
@@ -403,7 +409,8 @@ def pca_components(
             c *= -1.0
     total = float(vals.sum()) or 1.0
     ratios = [float(vals[o]) / total for o in order]
-    return [list(map(float, c)) for c in comps], ratios
+    mean = [float(x) for x in (sums / n / 1.0e6)]
+    return [list(map(float, c)) for c in comps], ratios, mean
 
 
 def pca_project(

@@ -134,6 +134,12 @@ def decode_bmp(buf: bytes):
                 f"BI_BITFIELDS masks {(r_mask, g_mask, b_mask, a_mask)} are not "
                 "the standard BGRA layout this decoder assumes"
             )
+    # does the 4th byte actually CARRY alpha? Only when BI_BITFIELDS
+    # declares an alpha mask. For 32bpp BI_RGB the byte is "reserved,
+    # must be zero" — treating it as alpha renders every standard such
+    # bitmap fully transparent; for BI_BITFIELDS with a_mask == 0 the
+    # format explicitly says no alpha channel.
+    has_alpha = bpp == 32 and compression == 3 and a_mask == 0xFF000000
     top_down, h = h < 0, abs(h)
     ch = bpp // 8
     stride = (w * ch + 3) & ~3
@@ -143,8 +149,10 @@ def decode_bmp(buf: bytes):
         rows = rows[::-1]
     if ch == 3:
         return w, h, "RGB", rows[:, :, ::-1].copy()
-    rgba = rows[:, :, [2, 1, 0, 3]].copy()
-    return w, h, "RGBA", rgba
+    if has_alpha:
+        return w, h, "RGBA", rows[:, :, [2, 1, 0, 3]].copy()
+    # 32bpp without alpha: drop the padding byte, emit RGB
+    return w, h, "RGB", rows[:, :, [2, 1, 0]].copy()
 
 
 _PNG_MODES = {0: ("L", 1), 2: ("RGB", 3), 6: ("RGBA", 4)}
@@ -393,13 +401,18 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     sampled frame index (0, every_n, 2·every_n, … < n_frames), ready for a
     per-frame decode UDF. Pure built-ins (sequence/explode) — expansion
     happens on executors, and the content column is NOT duplicated per
-    frame (join back by id only where the decoder actually needs bytes)."""
-    return df.select(
+    frame (join back by id only where the decoder actually needs bytes).
+
+    Videos with n_frames <= 0 or NULL emit NO rows: every emitted index
+    satisfies the contract frame_idx < n_frames — the old greatest(...,0)
+    clamp fabricated a phantom frame 0 for zero-frame containers, which
+    the downstream decoder would then try to read."""
+    return df.filter(F.col("meta.n_frames") >= 1).select(
         "id",
         F.explode(
             F.sequence(
                 F.lit(0),
-                F.greatest(F.col("meta.n_frames") - 1, F.lit(0)),
+                F.col("meta.n_frames") - 1,
                 F.lit(every_n),
             )
         ).alias("frame_idx"),

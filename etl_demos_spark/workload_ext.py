@@ -2769,8 +2769,10 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_demos_spark.operators import embeddings as emb
 
     e = T(spark, sf_dir, "embeddings")
-    comps, _ = emb.pca_components(e, k=8, vec_col="embedding")
-    proj = emb.pca_project(e, comps)
+    comps, _, mean = emb.pca_components(e, k=8, vec_col="embedding")
+    # center on the fitted mean: projecting UNcentered data onto
+    # centered-covariance eigenvectors offsets every score by mu.W^T
+    proj = emb.pca_project(e, comps, center=mean)
     return proj.select(
         "vec_id", F.round(F.element_at("proj", 1), 4).alias("pc1_r")
     )

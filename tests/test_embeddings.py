@@ -246,7 +246,7 @@ def test_pca_components_match_numpy_eigh(spark):
     import numpy as np
 
     df, X = _rand_vecs(spark, n=300, d=12)
-    comps, ratios = emb.pca_components(df, k=4, vec_col="embedding")
+    comps, ratios, mean = emb.pca_components(df, k=4, vec_col="embedding")
     # numpy reference on the SAME quantized data the operator sees
     Xq = np.rint(X * emb.GRAM_SCALE) / emb.GRAM_SCALE
     C = np.cov(Xq, rowvar=False, bias=True)
@@ -268,11 +268,19 @@ def test_pca_project_matches_numpy_gemm(spark):
     import numpy as np
 
     df, X = _rand_vecs(spark, n=120, d=8, seed=11)
-    comps, _ = emb.pca_components(df, k=3, vec_col="embedding")
+    comps, _, mean = emb.pca_components(df, k=3, vec_col="embedding")
     mu = X.mean(axis=0)
-    out = emb.pca_project(df, comps, center=[float(m) for m in mu])
+    # the operator's own returned mean must match the data mean (to the
+    # GRAM_SCALE quantum) and is what callers should center on
+    import numpy as _np
+    Xq = _np.rint(X * emb.GRAM_SCALE) / emb.GRAM_SCALE
+    assert _np.allclose(mean, Xq.mean(axis=0), atol=1e-9)
+    out = emb.pca_project(df, comps, center=mean)
     got = {r["vec_id"]: list(r["proj"]) for r in out.collect()}
     W = np.asarray(comps)
-    ref = np.round((X - mu) @ W.T, 6)
+    # reference centers on the SAME (quantized) mean the operator
+    # returned — raw mu differs at the GRAM_SCALE quantum
+    assert np.allclose(mu, mean, atol=1e-6)
+    ref = np.round((X - np.asarray(mean)) @ W.T, 6)
     for i in range(len(X)):
         assert np.allclose(got[i], ref[i], atol=1e-9), i

@@ -334,3 +334,26 @@ def test_delete_keys_reaches_null_partitions(spark, tmp_path):
     assert n == 2
     left = {r["k"] for r in spark.read.parquet(path).collect()}
     assert left == {1, 2}
+
+
+def test_engine_rearm_from_dir_restores_staged_views(spark, tmp_path):
+    """The documented add_source_auto restart path must bring back the
+    STAGED view and its assertions, not just the raw one."""
+    from etl_demos_spark.engine import Engine
+
+    csv = tmp_path / "v.csv"
+    csv.write_text(
+        "UniqueID,disbursed_amount,Date_of_Birth,loan_default\n"
+        "1,1000.5,01-01-90,0\n2,77.0,15-06-05,1\n"
+    )
+    d = str(tmp_path / "persist")
+    eng = Engine(spark)
+    eng.add_source_auto("vloans", str(csv), persist_dir=d)
+    assert eng.sql("select count(*) c from vloans").collect()[0]["c"] == 2
+    assert eng.check_quality() == []
+
+    eng2 = Engine(spark)
+    eng2.rearm_from_dir(d)
+    got = eng2.sql("select loan_id, loan_amount from vloans").collect()
+    assert {r["loan_id"] for r in got} == {"1", "2"}
+    assert eng2.check_quality() == []

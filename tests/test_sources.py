@@ -272,7 +272,9 @@ def test_video_frame_sampling(spark):
     assert dict(vt.dtypes)["content"] == "binary"
     plan = multimodal.frame_sample_plan(vt, every_n=10)
     got = sorted((r["id"], r["frame_idx"]) for r in plan.collect())
-    assert got == [(1, 0), (1, 10), (1, 20), (2, 0), (3, 0)]
+    # every emitted index < n_frames: the zero-frame video (id 3) emits
+    # NOTHING — a phantom frame 0 would crash the per-frame decoder
+    assert got == [(1, 0), (1, 10), (1, 20), (2, 0)]
 
 
 def test_orc_source(spark, tmp_path):
