@@ -49,13 +49,38 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Sequential-HOF cosine with a zero-norm guard: under Spark 4's
+    ANSI default a zero-norm vector would throw DIVIDE_BY_ZERO out of
+    every expression-scored path, while the GEMM paths (via
+    _np_norm_rows' norm→1 convention) return 0.0 — the guard makes both
+    forms agree: zero vectors are similar to nothing."""
+    na, nb = l2_norm(a), l2_norm(b)
+    return F.when((na == F.lit(0.0)) | (nb == F.lit(0.0)), F.lit(0.0)).otherwise(
+        dot(a, b) / (na * nb)
+    )
 
 
 def _np_norm_rows(M: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(M, axis=1)
     norms[norms == 0] = 1.0
     return M / norms[:, None]
+
+
+def _require_integral_ids(op: str, *frames_and_cols) -> None:
+    """Fail at the operator boundary when a GEMM path's hardcoded
+    ``long`` output schema can't carry the id column — a string id
+    otherwise dies deep inside numpy/Arrow with an opaque error while
+    the same input works under method='hof'."""
+    from pyspark.sql.types import IntegralType
+
+    for df, col in frames_and_cols:
+        t = df.schema[col].dataType
+        if not isinstance(t, IntegralType):
+            raise TypeError(
+                f"{op}(method='gemm') requires integer ids (column "
+                f"{col!r} is {t.simpleString()}); map ids to integers "
+                "first, or pass method='hof'"
+            )
 
 
 def brute_force_topk(
@@ -92,6 +117,9 @@ def brute_force_topk(
         )
     else:
         spark = corpus.sparkSession
+        _require_integral_ids(
+            "brute_force_topk", (corpus, id_col), (queries, q_id_col)
+        )
         q_rows = queries.select(q_id_col, q_vec_col).collect()
         if not q_rows:
             # empty query set: the hof path returns empty naturally; the
@@ -146,7 +174,15 @@ def rp_lsh_buckets(
 ) -> Column:
     """Random-hyperplane signature: bit i = sign(v · plane_i). ``planes``
     are driver-provided constants (seeded numpy), broadcast in the plan as
-    literals — no shuffle, one pass."""
+    literals — no shuffle, one pass. At most 62 planes: bit 62 is the
+    last that fits a positive signed-long literal — bit 63 wraps
+    negative in the GEMM form and overflows the literal here, silently
+    colliding buckets between the two pinned-identical forms."""
+    if len(planes) > 62:
+        raise ValueError(
+            f"rp_lsh supports at most 62 planes (got {len(planes)}); "
+            "split the signature into multiple bucket columns instead"
+        )
     bits = [
         F.when(
             dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in p])) >= 0,
@@ -175,6 +211,10 @@ def rp_lsh_buckets_gemm(
     embeddings)."""
     from pyspark.sql.types import LongType, StructField, StructType
 
+    if len(planes) > 62:  # same bound as rp_lsh_buckets — bit 63 wraps
+        raise ValueError(
+            f"rp_lsh supports at most 62 planes (got {len(planes)})"
+        )
     P = np.array(planes, dtype=np.float64)
     schema = StructType(list(df.schema.fields) + [StructField("bucket", LongType())])
 
@@ -252,25 +292,35 @@ def ivf_build_centroids(
     vec_col: str = "embedding",
     seed: int = 42,
     iters: int = 5,
+    id_col: str = "vec_id",
 ):
     """Sampled k-means (driver-side numpy — the FAISS coarse-quantizer
     recipe; the sample is bounded, never the corpus). Returns a list of
     centroid vectors.
 
-    The sample is the bottom-``sample`` rows by a content hash — a
+    The sample is the bottom-``sample`` rows by a ROW hash — a
     deterministic UNIFORM sample (the bottom-k discipline of
     sketches.bottomk_sample), not ``limit()``: a bare limit takes
     whatever rows the scan reaches first, and on a corpus written
     sorted/partitioned by cell (exactly the layout ivf_write produces)
     that fits centroids to one region of embedding space and collapses
-    recall everywhere else. TakeOrdered keeps it one partial-top-k
-    pass, no full sort."""
+    recall everywhere else. The hash salts with ``id_col`` when the
+    column exists: content-only hashing gives every duplicate of a
+    vector ONE rank, so a duplicate-heavy corpus (the norm for these
+    pipelines) either floods the whole sample with one vector or
+    excludes its mass entirely — uniform over ROWS needs row identity.
+    TakeOrdered keeps it one partial-top-k pass, no full sort."""
     import numpy as np
 
-    h = F.xxhash64(F.col(vec_col).cast("string"), F.lit(seed))
+    has_id = id_col in corpus.columns
+    salt = [F.col(id_col).cast("string")] if has_id else []
+    h = F.xxhash64(F.col(vec_col).cast("string"), *salt, F.lit(seed))
+    cols = [vec_col] + ([id_col] if has_id else [])
     frac_rows = (
-        corpus.select(vec_col).orderBy(h).limit(sample).collect()
+        corpus.select(*cols).orderBy(h).limit(sample).select(vec_col).collect()
     )
+    if not frac_rows:
+        raise ValueError("ivf_build_centroids: empty corpus")
     X = np.array([r[0] for r in frac_rows], dtype=np.float64)
     rng = np.random.default_rng(seed)
     cents = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
@@ -507,6 +557,9 @@ def hard_negatives(
         from pyspark.sql.types import IntegralType
 
         spark = corpus.sparkSession
+        _require_integral_ids(
+            "hard_negatives", (corpus, id_col), (queries, q_id_col)
+        )
         # validate the CORPUS label dtype at the operator boundary too —
         # otherwise non-integer labels sail into the mapInPandas
         # 'neg_label long' schema and die as an opaque Arrow conversion
@@ -520,6 +573,12 @@ def hard_negatives(
                 "hash string labels to ids first, or pass method='hof'"
             )
         q_rows = queries.select(q_id_col, q_vec_col, q_label_col).collect()
+        if any(r[2] is None for r in q_rows):
+            raise TypeError(
+                "hard_negatives(method='gemm'): NULL query labels — a "
+                "NULL label matches nothing under the hof/oracle <> "
+                "semantics; filter or impute labels first"
+            )
         if not q_rows:
             return spark.createDataFrame(
                 [],
@@ -542,6 +601,12 @@ def hard_negatives(
         def score(batches):
             qids, Q, qlab = bq.value
             for pdf in batches:
+                # drop NULL-label corpus rows BEFORE scoring: Arrow
+                # surfaces a nullable long as float64 NaN, and
+                # NaN != qlab is True — an unlabeled row would be
+                # served as a mined negative, where the hof path and
+                # the DuckDB oracle (both using <>) exclude it
+                pdf = pdf[pdf[label_col].notna()]
                 if not len(pdf):
                     continue
                 C = _np_norm_rows(
@@ -549,7 +614,10 @@ def hard_negatives(
                 )
                 S = C @ Q.T
                 c_ids = pdf[id_col].to_numpy()
-                c_lab = pdf[label_col].to_numpy()
+                # post-notna the dtype can be float64 (Arrow nullable
+                # long) — cast back so the 'neg_label long' schema and
+                # the label comparison stay integral
+                c_lab = pdf[label_col].to_numpy().astype(np.int64)
                 out = []
                 for j in range(len(qids)):
                     col = S[:, j].copy()

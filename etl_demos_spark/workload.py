@@ -109,6 +109,10 @@ def workload(name: str, oracle: str | None, tags: tuple[str, ...] = ()):
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
+        if name in REGISTRY:
+            # a silent overwrite would drop the old query from the suite
+            # AND reflow the 50-slot driver window with no error
+            raise ValueError(f"duplicate workload registration: {name!r}")
         REGISTRY[name] = WorkloadEntry(name, wrapped, oracle, tags)
         return wrapped
 
@@ -218,13 +222,15 @@ def q_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("P6", "P4", "P5"),
 )
 def q_case_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P6: CASE WHEN banding (dim_customer.sql:20-26 age bands)."""
+    """P6: CASE WHEN banding (dim_customer.sql:20-26 age bands) — via
+    the staging.banding helper, the one CASE-banding implementation."""
+    from etl_demos_spark.operators.staging import banding
+
     c = T(spark, sf_dir, "customer")
-    band = (
-        F.when(F.col("c_acctbal") < 0, "negative")
-        .when((F.col("c_acctbal") >= 0) & (F.col("c_acctbal") <= 2999.99), "low")
-        .when((F.col("c_acctbal") >= 3000) & (F.col("c_acctbal") <= 6999.99), "mid")
-        .otherwise("high")
+    band = banding(
+        "c_acctbal",
+        [(None, -0.01, "negative"), (0, 2999.99, "low"), (3000, 6999.99, "mid")],
+        "high",
     )
     return (
         c.select(band.alias("balance_band"), "c_acctbal")

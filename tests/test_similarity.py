@@ -296,3 +296,62 @@ def test_hard_negatives_gemm_rejects_non_integer_corpus_labels(spark, vectors):
     )
     with pytest.raises(TypeError, match="integer corpus labels"):
         similarity.hard_negatives(lab_str, q, k=3, method="gemm")
+
+
+def test_cosine_zero_norm_agrees_across_paths(spark):
+    """A zero-norm vector must score 0.0 in BOTH forms — the expression
+    path used to throw DIVIDE_BY_ZERO under ANSI while the GEMM path
+    returned 0.0."""
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id long, query_vec array<double>"
+    )
+    for method in ("hof", "gemm"):
+        got = {r["vec_id"]: r["cos_sim"] for r in
+               similarity.brute_force_topk(corpus, q, 2, method=method).collect()}
+        assert got[2] == 0.0 and abs(got[1] - 1.0) < 1e-12, method
+
+
+def test_hard_negatives_null_corpus_labels_are_not_negatives(spark):
+    """A NULL-label corpus row matches nothing under the hof/oracle <>
+    semantics; the gemm path must agree (Arrow NaN != label is True)."""
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.9, 0.1], 1), (3, [0.95, 0.05], None)],
+        "vec_id long, embedding array<double>, label long",
+    )
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0)],
+        "query_id long, query_vec array<double>, query_label long",
+    )
+    for method in ("hof", "gemm"):
+        ids = {r["vec_id"] for r in
+               similarity.hard_negatives(corpus, q, k=5, method=method).collect()}
+        assert ids == {2}, (method, ids)
+
+
+def test_gemm_paths_reject_string_ids_at_boundary(spark):
+    import pytest
+
+    corpus = spark.createDataFrame(
+        [("a", [1.0, 0.0])], "vec_id string, embedding array<double>"
+    )
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id long, query_vec array<double>"
+    )
+    with pytest.raises(TypeError, match="integer ids"):
+        similarity.brute_force_topk(corpus, q, 1, method="gemm")
+    # hof handles any id type
+    assert similarity.brute_force_topk(corpus, q, 1, method="hof").count() == 1
+
+
+def test_rp_lsh_rejects_plane_overflow(spark):
+    import pytest
+
+    planes63 = [[1.0, 0.0]] * 63
+    with pytest.raises(ValueError, match="62 planes"):
+        similarity.rp_lsh_buckets(planes63)
+    df = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="62 planes"):
+        similarity.rp_lsh_buckets_gemm(df, planes63)
