@@ -147,18 +147,31 @@ def main() -> None:
     except OSError:
         boot_id = "unknown"
 
+    # The driver captures only the TAIL of stdout and json-parses the
+    # last line — BENCH_r05 was lost ("parsed": null) because the line
+    # carried TWO 54-query maps and outran the capture window. The
+    # stdout line therefore keeps exactly the r01–r04 shape (one median
+    # per-query map + scalars, ~1.5 KB, known to parse) and everything
+    # bulkier — the min-of-n map and the raw per-sweep timings — goes
+    # to perf/bench_detail_latest.json.
     out = {
         "metric": "headline query wall time (noop sink, interleaved sweeps)",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "queries_min": mins,
         "value_min": round(sum(mins.values()), 3),
         "sweeps": n_sweeps,
         "dispersion_median_rel_spread": dispersion,
         "boot_id": boot_id,
     }
+    detail = dict(out, queries_min=mins, runs={n: [round(t, 4) for t in rs] for n, rs in runs.items()})
+    try:
+        os.makedirs("perf", exist_ok=True)
+        with open("perf/bench_detail_latest.json", "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+    except OSError as e:  # read-only checkout must not kill the bench line
+        print(f"bench: could not write perf detail: {e}", file=sys.stderr)
     print(json.dumps(out))
     spark.stop()
 

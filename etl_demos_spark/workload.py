@@ -616,21 +616,72 @@ def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_oracle_parity.py at sf0.001 and (slow marker) sf0.01 — the
 # same compare the driver runs.
 _LATE: tuple[str, ...] = (
-    # ---- round-5 rotation policy: the 50-slot driver window, rebuilt.
-    # In-window this round: the nine r02-era §2 queries (re-certification
-    # finish, VERDICT r4 rec 4), q_dsir_select (post TakeOrdered fix) and
-    # q_bank_mart (§2 flagship anchors), the six displaced paired queries
-    # the judge named (rec 6), and 33 never-driver-certified paired
-    # queries chosen for operator-family breadth. Everything below is
-    # annotated with its latest driver-certified round ("r0N"; "local"
-    # = hash-verified only by tests/test_oracle_parity.py, queued for the
-    # r06/r07 windows). Rolling cadence: 171 paired queries over 50
-    # window slots means a full re-certification cycle is ~3.5 rounds,
-    # so the honest invariant is: every paired query re-enters the
-    # window within 3 rounds of its last certificate, with OVERDUE
-    # entries (the r02/r03 blocks below) taking priority slots in r06
-    # ahead of the remaining never-certified backlog.
-    # -- certified r04 (displaced this round; due back by r07):
+    # ---- round-6 rotation policy: the 50-slot driver window, rebuilt
+    # per VERDICT r5 rec 5 (take the OVERDUE r02/r03 blocks first).
+    # In-window this round: q_image_features (the r05 red cell, reshaped
+    # to driver-canonicalizable scalars — must earn its first green
+    # driver row), the two §2 anchors (q_dsir_select, q_bank_mart), ALL
+    # 15 r02-certified and ALL 19 r03-certified entries (both blocks
+    # were past the ≤3-round re-certification cadence), and 13
+    # never-driver-certified paired queries chosen for family breadth
+    # plus the judge-named floor-tail movers (q_range_frame,
+    # q_supplier_cnt; q_hash_split rotates in with its r03 block).
+    # Everything below is annotated with its latest driver-certified
+    # round ("r0N"; "never" = hash-verified only by
+    # tests/test_oracle_parity.py at sf0.001+sf0.01). Cadence invariant:
+    # every paired query re-enters the window within 3 rounds of its
+    # last certificate — after this rotation the oldest certificate in
+    # _LATE is r04 (due back by r07, and the r04 block is exactly
+    # window-sized for it).
+    # -- certified r05 (displaced this round; due back by r08):
+    "q_ab_test",
+    "q_age_band",
+    "q_anomaly_mad",
+    "q_bootstrap_ci",
+    "q_chunk_docs",
+    "q_chunk_udtf",
+    "q_cohort_retention",
+    "q_copurchase",
+    "q_corpus_shuffle",
+    "q_csv_roundtrip",
+    "q_date_join",
+    "q_date_key",
+    "q_dedup_incremental",
+    "q_dup_span_removal",
+    "q_edit_distance",
+    "q_embed_centroid",
+    "q_embed_norms",
+    "q_embed_quantize",
+    "q_extract_parts",
+    "q_gap_fill",
+    "q_grouping_sets",
+    "q_hierarchy",
+    "q_hybrid_search",
+    "q_interval_merge",
+    "q_item_sim",
+    "q_kmeans_assign",
+    "q_kmv_distinct",
+    "q_kmv_overlap",
+    "q_market_share",
+    "q_markov_transitions",
+    "q_matview",
+    "q_mixture_sample",
+    "q_pandas_udf",
+    "q_pii_redact",
+    "q_psi_drift",
+    "q_quantile_sketch",
+    "q_rest_json",
+    "q_rolling_anomaly",
+    "q_safe_parse_date",
+    "q_scd2_dim",
+    "q_schema_report",
+    "q_semantic_dedup",
+    "q_trend_ols",
+    "q_triangles",
+    "q_union_literal",
+    "q_url_curation",
+    "q_weighted_sample",
+    # -- certified r04 (due back by r07 — priority slots next round):
     "q_ann_cosine",
     "q_ann_lsh",
     "q_asof_join",
@@ -679,46 +730,8 @@ _LATE: tuple[str, ...] = (
     "q_top_unshipped",
     "q_variant_shred",
     "q_window_dedup",
-    # -- certified r03 (OVERDUE at r06 — priority slots next round):
-    "q_array_funcs",
-    "q_binary_meta",
-    "q_binning",
-    "q_cust_distribution",
-    "q_date_arithmetic",
-    "q_event_funnel",
-    "q_event_sliding",
-    "q_fuzzy_join",
-    "q_grouped_agg_udf",
-    "q_hash_split",
-    "q_idle_accounts",
-    "q_pack_sequences",
-    "q_repetition",
-    "q_scalar_subquery",
-    "q_sketch_rollup",
-    "q_snapshot_diff",
-    "q_string_funcs",
-    "q_text_search",
-    "q_waiting_supplier",
-    # -- certified r02 (OVERDUE — first in line for the r06 window):
-    "q_ann_ivf",
-    "q_count_distinct",
-    "q_dedup_ngram",
-    "q_event_tumbling",
-    "q_fingerprint",
-    "q_json_extract",
-    "q_pivot",
-    "q_rollup",
-    "q_salted_agg",
-    "q_semi_anti_join",
-    "q_set_ops",
-    "q_stats_agg",
-    "q_text_stats",
-    "q_topk",
-    "q_window_analytics",
-    # -- never driver-certified — locally hash-verified every run; queued r06/r07:
-    "q_argmax",
+    # -- never driver-certified — locally hash-verified every run; queued r07+:
     "q_bit_funcs",
-    "q_cube",
     "q_disjunctive_rev",
     "q_dominant_suppliers",
     "q_drift_report",
@@ -729,31 +742,20 @@ _LATE: tuple[str, ...] = (
     "q_important_parts",
     "q_join_elim",
     "q_local_volume",
-    "q_map_funcs",
-    "q_math_funcs",
     "q_min_cost_supplier",
     "q_nation_volume",
     "q_null_funcs",
-    "q_null_safe_join",
-    "q_orc_roundtrip",
     "q_priority_class",
     "q_product_profit",
     "q_profile_table",
     "q_promo_share",
-    "q_quantiles",
-    "q_range_frame",
-    "q_rank_family",
     "q_regression",
     "q_returned_revenue",
     "q_seasonal_naive",
     "q_stratified_sample",
-    "q_string_agg",
-    "q_supplier_cnt",
     "q_top_supplier",
     "q_top_terms",
-    "q_twap",
     "q_union_by_name",
-    "q_unpivot",
     "q_winnow_fingerprint",
     # -- rows-only (no cross-engine oracle; property/reference-pinned):
     "q_approx_distinct",

@@ -953,10 +953,8 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT st.doc_id AS id, i.w AS width, CAST(8 AS INT) AS height,
            CASE WHEN i.ch = 1 THEN 'L' ELSE 'RGB' END AS mode,
-           list(st.m ORDER BY st.c) AS ch_mean,
-           list(st.s ORDER BY st.c) AS ch_std
+           st.c AS channel, st.m AS mean, st.s AS std
     FROM stats st JOIN img i ON st.doc_id = i.doc_id
-    GROUP BY st.doc_id, i.w, i.ch
     """,
     tags=("ext-multimodal",),
 )
@@ -964,15 +962,24 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode→featurize: per-channel pixel mean/std over the planted
     netpbm images (multimodal.image_channel_stats — exact integer sums,
     one double divide, so the SQL oracle reproduces the doubles
-    bit-for-bit; rounded 1e-6 to guard the sqrt ulp)."""
+    bit-for-bit; rounded 1e-6 to guard the sqrt ulp).
+
+    Output is one row per (id, channel) with SCALAR mean/std columns:
+    the driver canonicalizes results by sorting raw pandas cells, so
+    top-level array columns are un-hashable at the gate (the r05 slot
+    burned on exactly that — VERDICT r5 rec 1). The array-valued
+    operator API is unchanged; only this registered shape is exploded."""
     d = T(spark, sf_dir, "documents")
     imgs = d.selectExpr("doc_id as id", f"encode({_IMG_SPARK}, 'UTF-8') as content")
     feats = multimodal.image_channel_stats(imgs)
-    r6 = lambda c: F.transform(c, lambda x: F.round(x, 6))  # noqa: E731
     return feats.select(
         "id", "width", "height", "mode",
-        r6(F.col("ch_mean")).alias("ch_mean"),
-        r6(F.col("ch_std")).alias("ch_std"),
+        F.posexplode(F.arrays_zip("ch_mean", "ch_std")).alias("channel", "z"),
+    ).select(
+        "id", "width", "height", "mode",
+        F.col("channel").cast("int").alias("channel"),
+        F.round(F.col("z.ch_mean"), 6).alias("mean"),
+        F.round(F.col("z.ch_std"), 6).alias("std"),
     )
 
 
@@ -7277,7 +7284,7 @@ def q_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey AS orderkey,
            CAST(map_extract(m, 'status')[1] AS VARCHAR) AS status_val,
            CAST(cardinality(m) AS BIGINT) AS n_keys,
-           list_sort(map_keys(m)) AS key_list
+           array_to_string(list_sort(map_keys(m)), ',') AS key_list
     FROM (
         SELECT o_orderkey,
                MAP(['status', 'priority'], [o_orderstatus, o_orderpriority]) AS m
@@ -7291,10 +7298,11 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-type function family (the semi-structured surface beyond
     q_json_extract): build a map column from scalar pairs, then
     element_at lookup, size, and sorted key enumeration. The output
-    surfaces only scalars and a SORTED array — map cells themselves
-    never reach the cross-engine hash (map iteration order is
-    engine-defined; sorting the keys is the only portable contract,
-    the same normalization q_array_funcs applies to collected sets)."""
+    surfaces only scalars: the sorted key list is array_join'd to a
+    CSV string — map cells themselves never reach the cross-engine
+    hash (map iteration order is engine-defined; sorting the keys is
+    the only portable contract), and the driver canon requires
+    scalar-only top-level columns on in-window queries."""
     o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 100)
     m = F.create_map(
         F.lit("status"), F.col("o_orderstatus"),
@@ -7305,7 +7313,7 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "orderkey",
         F.element_at("m", "status").alias("status_val"),
         F.size("m").cast("long").alias("n_keys"),
-        F.sort_array(F.map_keys("m")).alias("key_list"),
+        F.array_join(F.sort_array(F.map_keys("m")), ",").alias("key_list"),
     )
 
 

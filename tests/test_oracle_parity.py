@@ -59,3 +59,30 @@ def test_driver_window_slots_all_carry_oracles():
     window = names[:50]
     assert not (set(window) & rows_only), set(window) & rows_only
     assert set(_LATE) <= set(REGISTRY), set(_LATE) - set(REGISTRY)
+
+
+def test_window_schemas_are_driver_canonicalizable(spark):
+    """The driver canonicalizes results by sorting RAW pandas cells —
+    a top-level Array/Map/Struct column crashes its canon with
+    `unhashable type: numpy.ndarray` (exactly how q_image_features
+    burned its first driver slot in r05 while the more forgiving local
+    mirror, tests/parity.py, tuple-normalized and stayed green). This
+    lint closes that divergence: every in-window query's result schema
+    must be scalar-only at the top level. Out-of-window queries may
+    return arrays (the local mirror handles them), so only the 50
+    window slots are asserted."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from etl_demos_spark.workload import ordered_names
+
+    offenders = {}
+    for name in ordered_names()[:50]:
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"non-scalar top-level columns in window slots: {offenders}"
