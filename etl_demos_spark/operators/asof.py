@@ -92,6 +92,7 @@ def resample_locf(
     agg_exprs: tuple,
     step: str = "1 hour",
     fill_cols: tuple[str, ...] = (),
+    materialize: str = "checkpoint",
 ) -> DataFrame:
     """Regular-grid resampling with last-observation-carried-forward —
     the time-series gap-fill (locf) every metrics/sensor pipeline needs
@@ -117,14 +118,25 @@ def resample_locf(
         )
     bucket = F.date_trunc(trunc_unit, F.col(ts_col))
     # obs feeds BOTH the per-key min/max spine agg and the grid join —
-    # unpersisted, the full input scan + bucket aggregation (the
-    # operator's only corpus-sized shuffle) would run twice
+    # unmaterialized, the full input scan + bucket aggregation (the
+    # operator's only corpus-sized shuffle) would run twice. Eager
+    # localCheckpoint, not persist(): the returned DataFrame keeps
+    # referencing obs, so there is no unpersist point and a persist()
+    # would leak one CacheManager entry per call in long-running
+    # callers (the leak the dedup operators document). ``materialize``
+    # ("checkpoint" | "persist" | "none") exists for the interleaved
+    # A/B harness (tools/ab_gap_fill.py) — callers use the default.
     obs = (
         df.withColumn("__b", bucket)
         .groupBy(*key_cols, "__b")
         .agg(*agg_exprs, F.count(F.lit(1)).cast("long").alias("__n_obs"))
-        .persist()
     )
+    if materialize == "checkpoint":
+        obs = obs.localCheckpoint(eager=True)
+    elif materialize == "persist":
+        obs = obs.persist()
+    elif materialize != "none":
+        raise ValueError(f"materialize {materialize!r} not in checkpoint/persist/none")
     spine = (
         obs.groupBy(*key_cols)
         .agg(F.min("__b").alias("__lo"), F.max("__b").alias("__hi"))

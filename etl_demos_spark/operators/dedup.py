@@ -210,12 +210,13 @@ def jaccard_pairs(
         "id", *block, "n_sh", F.explode_outer("sh").alias("g")
     ).filter(F.col("g").isNotNull())
     # Both join sides read the index; materialize it so the
-    # scan→tokenize→shingle→explode pipeline runs once, not twice — eager localCheckpoint, not persist(): computed once,
-    # plan truncated, and the executor-side blocks are released when
-    # the frame is garbage-collected. A persist() here leaks a
+    # scan→tokenize→shingle→explode pipeline runs once, not twice —
+    # eager localCheckpoint, not persist(): computed once, plan
+    # truncated, and the executor-side blocks are released when the
+    # frame is garbage-collected. A persist() here leaks a
     # CacheManager entry per CALL (driver GC never frees those), which
     # thrashes any long-running caller invoking dedup repeatedly
-    index = index.persist()
+    index = index.localCheckpoint(eager=True)
     left = index
     right = index.select(
         F.col("id").alias("id2"),
@@ -537,12 +538,13 @@ def minhash_lsh_pairs(
     # contract covers every input row (see exploded_shingles).
     grams = exploded_shingles(df, id_col, text_col, n, short_docs="whole")
     sigs = minhash_signatures_from_grams(grams, "id", "g", num_hashes, base_hash)
-    # reused by banding + both verify fetches — eager localCheckpoint, not persist(): computed once,
-    # plan truncated, and the executor-side blocks are released when
-    # the frame is garbage-collected. A persist() here leaks a
-    # CacheManager entry per CALL (driver GC never frees those), which
-    # thrashes any long-running caller invoking dedup repeatedly
-    sigs = sigs.persist()
+    # reused by banding + both verify fetches — eager localCheckpoint,
+    # not persist(): computed once, plan truncated, and the
+    # executor-side blocks are released when the frame is
+    # garbage-collected. A persist() here leaks a CacheManager entry
+    # per CALL (driver GC never frees those), which thrashes any
+    # long-running caller invoking dedup repeatedly
+    sigs = sigs.localCheckpoint(eager=True)
     banded = banded_buckets(sigs, bands, rows)
     right = banded.select(F.col("id").alias("id2"), "band", "bucket")
     cands = (
@@ -649,12 +651,13 @@ def simhash_pairs(
     starts = [i * chunk_bits for i in range(k)] + [sig_bits]
     docs = shingled_docs(df, id_col, text_col, n)
     sigs = simhash_signatures(docs, "id", "sh", base_hash)
-    # reused by both chunk-join sides — eager localCheckpoint, not persist(): computed once,
-    # plan truncated, and the executor-side blocks are released when
-    # the frame is garbage-collected. A persist() here leaks a
-    # CacheManager entry per CALL (driver GC never frees those), which
-    # thrashes any long-running caller invoking dedup repeatedly
-    sigs = sigs.persist()
+    # reused by both chunk-join sides — eager localCheckpoint, not
+    # persist(): computed once, plan truncated, and the executor-side
+    # blocks are released when the frame is garbage-collected. A
+    # persist() here leaks a CacheManager entry per CALL (driver GC
+    # never frees those), which thrashes any long-running caller
+    # invoking dedup repeatedly
+    sigs = sigs.localCheckpoint(eager=True)
     chunked = sigs.select(
         "id",
         "sig",

@@ -118,6 +118,53 @@ def merge_upsert(
     return spark.read.parquet(path)
 
 
+def merge_upsert_partitioned(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    partition_by: Sequence[str],
+) -> DataFrame:
+    """Partition-scoped upsert: replaces rows with matching ``keys`` but
+    rewrites ONLY the partitions present in ``updates`` (dynamic
+    partition overwrite), so per-call cost ∝ affected-partition bytes —
+    never total table size. This is the 100 TB form of
+    :func:`merge_upsert` for time-bucketed tables: a full-table
+    anti-join-and-rewrite per micro-batch grows with history and
+    contradicts any work-∝-batch contract.
+
+    Contract: a key tuple must functionally determine its partition
+    values (a key never moves between partitions) — otherwise the old
+    row would survive untouched in its previous partition. The affected
+    partition list is collected to the driver (bounded: one row per
+    affected partition — for day-bucketed streams that is a handful per
+    batch) and pushed as a literal filter so the current-rows scan is
+    partition-PRUNED, not just filtered.
+
+    Replay-idempotent: identical updates rewrite identical partition
+    contents. A crash mid-commit can leave a subset of the affected
+    partitions on the new version — replaying the batch re-covers all
+    of them, the standard at-least-once foreachBatch healing.
+    """
+    if not table_exists(path):
+        updates.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+        return spark.read.parquet(path)
+
+    parts = updates.select(*partition_by).distinct().collect()
+    current = spark.read.parquet(path)
+    cond = F.lit(False)
+    for row in parts:
+        c = F.lit(True)
+        for p in partition_by:
+            c = c & (F.col(p) == F.lit(row[p]))
+        cond = cond | c
+    cur_aff = current.filter(cond)
+    keep = cur_aff.join(updates.select(*keys).distinct(), list(keys), "left_anti")
+    merged = keep.unionByName(updates.select(*current.columns))
+    backfill_partitions(spark, merged, path, partition_by)
+    return spark.read.parquet(path)
+
+
 def backfill_partitions(
     spark: SparkSession,
     df: DataFrame,
@@ -165,6 +212,10 @@ def compact(
     outputs, INCREASING the file count compaction exists to cut. Hashing
     on the partition columns co-locates each partition's rows in (at
     most) one task, so output files ≈ max(partitions, n_files)."""
+    # Heal a swap interrupted between its two moves BEFORE reading: in a
+    # compact-only workflow nothing else would, and the table would look
+    # missing (PATH_NOT_FOUND) until some merge_upsert happened to run.
+    recover_interrupted_swap(path)
     df = spark.read.parquet(path)
     total_bytes = sum(
         f.stat().st_size for f in Path(path).glob("**/*.parquet")

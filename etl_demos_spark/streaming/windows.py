@@ -308,12 +308,22 @@ def stream_rollup_cascade(
     table and merge-upserted. Per-batch work ∝ windows closed in the
     batch × cascade depth — never table size, never raw history.
 
+    Physical layout: every level is day-partitioned on ``__day =
+    to_date(window_start)`` so the contract holds on the WRITE side too
+    — upserts go through ``merge_upsert_partitioned`` (only the days a
+    batch touches are rewritten; a plain merge_upsert would anti-join
+    and rewrite the entire level table every micro-batch, per-batch
+    cost growing with history) — and on the finer-table READ during
+    coarse re-derivation (the scan is partition-pruned to the days the
+    affected coarse windows span). ``__day`` comes back as a column on
+    read; consumers treat it as layout, not data.
+
     Values are identical to the batch cascade for every emitted window
     (asserted in tests/test_streaming.py); windows still open at the
     watermark are absent until closed, the standard append-mode
     semantics. Decimal money totals cascade exactly as in the batch
     form."""
-    from etl_demos_spark.plans.incremental import merge_upsert
+    from etl_demos_spark.plans.incremental import merge_upsert_partitioned
 
     _check_nesting(levels)
 
@@ -345,21 +355,48 @@ def stream_rollup_cascade(
             return
         spark = batch_df.sparkSession
         batch_df.persist()
-        # Level 0 goes through merge_upsert, NOT a bare append:
+        # Level 0 goes through a keyed upsert, NOT a bare append:
         # foreachBatch is at-least-once, and a replayed micro-batch
         # appending the same closed fine windows would double-count them
         # in level 0 and (via re-derivation) every coarser level forever.
         # Append-mode emits each closed window exactly once, so on first
         # delivery the upsert inserts; on a replay it replaces the
-        # identical rows — idempotent either way.
-        merge_upsert(
-            spark, batch_df, lvl_paths[0], keys=["window_start", *keys]
+        # identical rows — idempotent either way. The PARTITIONED upsert
+        # keeps the write ∝ batch: only the day partitions this batch's
+        # windows land in are rewritten (window_start determines __day,
+        # so a key never moves partitions).
+        merge_upsert_partitioned(
+            spark,
+            batch_df.withColumn("__day", F.to_date("window_start")),
+            lvl_paths[0],
+            keys=["window_start", *keys],
+            partition_by=["__day"],
         )
         cur = batch_df
         for i, width in enumerate(levels[1:], start=1):
             coarse_start = F.window("window_start", width).getField("start")
             affected = cur.select(coarse_start.alias("ws")).distinct()
-            finer = spark.read.parquet(lvl_paths[i - 1])
+            # days spanned by the affected coarse windows — the finer
+            # read below prunes to these partitions, so re-derivation
+            # reads days ∝ invalidation set, never the level's history
+            day_rows = affected.select(
+                F.explode(
+                    F.sequence(
+                        F.to_date("ws"),
+                        F.to_date(
+                            F.col("ws")
+                            + F.expr(f"interval {width}")
+                            - F.expr("interval 1 second")
+                        ),
+                    )
+                ).alias("__day")
+            ).distinct().collect()
+            days = [r["__day"] for r in day_rows]
+            finer = (
+                spark.read.parquet(lvl_paths[i - 1])
+                .filter(F.col("__day").isin(days))
+                .drop("__day")
+            )
             finer_aff = (
                 finer.withColumn("__cs", coarse_start)
                 .join(F.broadcast(affected), F.col("__cs") == F.col("ws"))
@@ -387,8 +424,12 @@ def stream_rollup_cascade(
             # re-scan and re-aggregate the finer table a second time per
             # level, defeating the work-∝-windows-closed contract
             re_agg = re_agg.localCheckpoint(eager=True)
-            merge_upsert(
-                spark, re_agg, lvl_paths[i], keys=["window_start", *keys]
+            merge_upsert_partitioned(
+                spark,
+                re_agg.withColumn("__day", F.to_date("window_start")),
+                lvl_paths[i],
+                keys=["window_start", *keys],
+                partition_by=["__day"],
             )
             cur = re_agg
         batch_df.unpersist()

@@ -321,6 +321,63 @@ def test_interrupted_swap_is_recovered(spark, tmp_path):
     assert not pathlib.Path(f"{path}__staging").exists()
 
 
+def test_compact_heals_interrupted_swap(spark, tmp_path):
+    """compact() in a compact-ONLY workflow must self-heal a crash that
+    landed between swap_table's two moves — without the heal the read
+    at the top of compact() fails PATH_NOT_FOUND until some unrelated
+    merge_upsert happens to run (ADVICE r5)."""
+    import shutil
+
+    from etl_demos_spark.plans.incremental import compact, merge_upsert
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    merge_upsert(spark, base, path, keys=["k"])
+    # crash window: staging fully written, path moved aside, promote died
+    spark.read.parquet(path).write.mode("overwrite").parquet(f"{path}__staging")
+    shutil.move(path, f"{path}__old")
+    n = compact(spark, path, target_file_mb=128)
+    assert n >= 1
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a"), (2, "b")}
+
+
+def test_merge_upsert_partitioned_touches_only_affected(spark, tmp_path):
+    """Partition-scoped upsert: keyed replace/insert semantics inside
+    the partitions the updates name, while every OTHER partition's
+    files stay byte-identical on disk (the work-∝-batch contract the
+    streaming rollup cascade depends on)."""
+    from etl_demos_spark.plans.incremental import merge_upsert_partitioned
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "d1", "a"), (2, "d1", "b"), (3, "d2", "c"), (4, "d3", "d")],
+        "k long, day string, v string",
+    )
+    merge_upsert_partitioned(spark, base, path, keys=["k"], partition_by=["day"])
+    d3_files = {
+        p: p.stat().st_mtime_ns
+        for p in (tmp_path / "t").glob("day=d3/*.parquet")
+    }
+    assert d3_files
+    up = spark.createDataFrame(
+        [(2, "d1", "B"), (5, "d2", "e")], "k long, day string, v string"
+    )
+    out = merge_upsert_partitioned(spark, up, path, keys=["k"], partition_by=["day"])
+    got = {(r["k"], r["day"], r["v"]) for r in out.collect()}
+    assert got == {
+        (1, "d1", "a"), (2, "d1", "B"), (3, "d2", "c"), (5, "d2", "e"), (4, "d3", "d"),
+    }
+    # untouched partition: same files, same mtimes
+    assert {
+        p: p.stat().st_mtime_ns
+        for p in (tmp_path / "t").glob("day=d3/*.parquet")
+    } == d3_files
+    # replay the same batch — idempotent
+    again = merge_upsert_partitioned(spark, up, path, keys=["k"], partition_by=["day"])
+    assert {(r["k"], r["day"], r["v"]) for r in again.collect()} == got
+
+
 def test_delete_keys_reaches_null_partitions(spark, tmp_path):
     from etl_demos_spark.plans.incremental import delete_keys
 

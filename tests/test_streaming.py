@@ -174,7 +174,10 @@ def test_stream_rollup_cascade_matches_batch(spark, tmp_path):
         "ts", ("event_type",), "value", ("15 minutes", "1 hour"),
     )
     for i, level in enumerate(("15 minutes", "1 hour")):
-        got = spark.read.parquet(f"{base}/level_{i}")
+        # __day is the physical day-partitioning of the level tables
+        # (merge_upsert_partitioned scope), layout not data — dropped
+        # before the value comparison
+        got = spark.read.parquet(f"{base}/level_{i}").drop("__day")
         n = got.count()
         assert n > 0, f"level {i} empty"
         expect = batch.filter(F.col("level") == level).drop("level")
