@@ -425,6 +425,90 @@ def stress_train_classifier(spark, n=1_000_000, n_buckets=1024, lr=0.5,
     }
 
 
+def stress_multimodal_decode(spark, n=1_000_000):
+    """Scenario F — the Arrow decode path at 1M images (VERDICT r5
+    rec 7): every image is a REAL netpbm file generated by JVM
+    expressions (never a driver loop), pushed through
+    extract_image_meta (header decode) AND image_channel_stats (full
+    raster decode + per-channel moments), with EXACT planted statistics
+    asserted distributedly — the scenarios-A-E standard.
+
+    Construction: image i is w×8 (w = 4 + i%13), grayscale (P5) for
+    even i / RGB (P6) for odd, raster = first half pixels value
+    a = 40 + i%60, second half b = 100 + i%28. Every value ≤ 127 so the
+    UTF-8 encode of the generator string is byte-identity, and each
+    channel sees exactly w·4 a's and w·4 b's, making the planted truth
+    closed-form AND IEEE-exact: mean = (a+b)/2 (integer sum, power-of-2
+    divide), std = sqrt((a²+b²)/2 − mean²) = (b−a)/2 (a representable
+    half-integer whose square is exact, so correctly-rounded sqrt
+    returns it bit-for-bit). Mismatch counts are computed in Spark —
+    the driver never collects a row per image."""
+    imgs = spark.range(n).selectExpr(
+        "id",
+        """encode(concat(
+             case when id % 2 = 0 then 'P5' else 'P6' end, char(10),
+             cast(cast(4 + id % 13 as int) as string), ' 8', char(10),
+             '255', char(10),
+             repeat(char(40 + id % 60),
+                    cast((4 + id % 13) * 4
+                         * (case when id % 2 = 0 then 1 else 3 end) as int)),
+             repeat(char(100 + id % 28),
+                    cast((4 + id % 13) * 4
+                         * (case when id % 2 = 0 then 1 else 3 end) as int))
+           ), 'UTF-8') as content""",
+    )
+
+    from etl_demos_spark.operators import multimodal
+
+    t0 = time.time()
+    meta = multimodal.extract_image_meta(imgs)
+    meta_bad = (
+        meta.filter(
+            (F.col("width") != 4 + F.col("id") % 13)
+            | (F.col("height") != 8)
+            | (
+                F.col("mode")
+                != F.when(F.col("id") % 2 == 0, "L").otherwise("RGB")
+            )
+        ).count()
+    )
+    n_meta = meta.count()
+
+    feats = multimodal.image_channel_stats(imgs)
+    per_ch = feats.select(
+        "id",
+        F.explode(F.arrays_zip("ch_mean", "ch_std")).alias("z"),
+    ).select(
+        "id",
+        F.col("z.ch_mean").alias("m"),
+        F.col("z.ch_std").alias("s"),
+    )
+    a = (40 + F.col("id") % 60).cast("double")
+    b = (100 + F.col("id") % 28).cast("double")
+    stats_bad = per_ch.filter(
+        (F.col("m") != (a + b) / F.lit(2.0)) | (F.col("s") != (b - a) / F.lit(2.0))
+    ).count()
+    n_ch = per_ch.count()
+    wall = time.time() - t0
+
+    # channels per id-pair: 1 (even, L) + 3 (odd, RGB) = 4 → 2n for even n
+    exp_ch = 2 * n if n % 2 == 0 else 2 * n - 1
+    ok = meta_bad == 0 and stats_bad == 0 and n_meta == n and n_ch == exp_ch
+    return {
+        "scenario": "multimodal_decode_1M",
+        "n_images": n,
+        "wall_s": round(wall, 2),
+        "meta_rows": n_meta,
+        "meta_mismatches": meta_bad,
+        "channel_rows": n_ch,
+        "stat_mismatches": stats_bad,
+        # widest intermediate: the raw payload bytes flowing through the
+        # Arrow batches — header (~10 B) + raster (≤ 16·8·3 B) per image
+        "widest_bytes_est": n * (10 + 16 * 8 * 3),
+        "ok": ok,
+    }
+
+
 def main():
     quick = len(sys.argv) > 1 and sys.argv[1] == "quick"
     spark = get_spark("stress-scale")
@@ -437,6 +521,7 @@ def main():
             stress_bfs_frontier(spark, n=500_000, hops=8),
             stress_dsir_select(spark, n=100_000, n_target=500),
             stress_train_classifier(spark, n=100_000),
+            stress_multimodal_decode(spark, n=100_000),
         ]
     else:
         results = [
@@ -446,6 +531,7 @@ def main():
             stress_bfs_frontier(spark),
             stress_dsir_select(spark),
             stress_train_classifier(spark),
+            stress_multimodal_decode(spark),
         ]
     for r in results:
         print(json.dumps(r))
