@@ -166,9 +166,10 @@ def main() -> None:
         "boot_id": boot_id,
     }
     detail = dict(out, queries_min=mins, runs={n: [round(t, 4) for t in rs] for n, rs in runs.items()})
+    perf_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "perf")
     try:
-        os.makedirs("perf", exist_ok=True)
-        with open("perf/bench_detail_latest.json", "w") as fh:
+        os.makedirs(perf_dir, exist_ok=True)
+        with open(os.path.join(perf_dir, "bench_detail_latest.json"), "w") as fh:
             json.dump(detail, fh, indent=1, sort_keys=True)
     except OSError as e:  # read-only checkout must not kill the bench line
         print(f"bench: could not write perf detail: {e}", file=sys.stderr)

@@ -178,6 +178,10 @@ def flatten_hierarchy(
         # depth) unchanged — an inner join would DROP the whole subtree
         # hanging off the missing ancestor and silently return fewer
         # nodes than were given
+        # the moved-flag is computed INSIDE the hop join (new anc vs old
+        # anc are both on the joined row) — probing convergence by
+        # re-joining nxt back onto state would cost a second |V|-keyed
+        # shuffle per round for information the first join already had
         nxt = (
             state.join(hop, state["anc"] == hop["_n2"], "left")
             .select(
@@ -186,17 +190,14 @@ def flatten_hierarchy(
                 (F.col("depth") + F.coalesce(F.col("_d2"), F.lit(0)))
                 .cast("long")
                 .alias("depth"),
+                (F.coalesce(F.col("_a2"), F.col("anc")) != F.col("anc")).alias(
+                    "_moved"
+                ),
             )
             .localCheckpoint()
         )
-        moved = (
-            nxt.alias("n")
-            .join(state.alias("o"), "node")
-            .filter(F.col("n.anc") != F.col("o.anc"))
-            .limit(1)
-            .count()
-        )
-        state = nxt
+        moved = nxt.filter(F.col("_moved")).limit(1).count()
+        state = nxt.drop("_moved")
         if moved == 0:
             break
     return state.select("node", F.col("anc").alias("root"), "depth")

@@ -156,7 +156,10 @@ def merge_upsert_partitioned(
     for row in parts:
         c = F.lit(True)
         for p in partition_by:
-            c = c & (F.col(p) == F.lit(row[p]))
+            # null-safe: a NULL partition value (Hive __HIVE_DEFAULT_
+            # PARTITION__) must select its partition, not vanish under
+            # three-valued logic (same contract as delete_keys)
+            c = c & F.col(p).eqNullSafe(F.lit(row[p]))
         cond = cond | c
     cur_aff = current.filter(cond)
     keep = cur_aff.join(updates.select(*keys).distinct(), list(keys), "left_anti")

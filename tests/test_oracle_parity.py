@@ -61,6 +61,42 @@ def test_driver_window_slots_all_carry_oracles():
     assert set(_LATE) <= set(REGISTRY), set(_LATE) - set(REGISTRY)
 
 
+def test_recertification_cadence():
+    """The rotation policy (workload.py _LATE) promises every paired
+    query re-enters the driver's 50-slot window within 3 rounds of its
+    last certificate. Enforce it MECHANICALLY from the driver's own
+    artifacts: scan CORRECTNESS_r0N.json for each query's last all-true
+    round; any certified query older than (current round − 2) must be
+    IN the upcoming window (the current round = latest artifact + 1,
+    whose window is being staged now). Never-certified queries are the
+    backlog queue, outside this invariant."""
+    import glob
+    import json
+    import re
+
+    from etl_demos_spark.workload import ordered_names
+
+    last_cert: dict[str, int] = {}
+    rounds = []
+    for path in glob.glob("CORRECTNESS_r*.json"):
+        rnd = int(re.search(r"_r(\d+)", path).group(1))
+        rounds.append(rnd)
+        for name, res in json.load(open(path)).items():
+            if res.get("rows_match") and res.get("schema_match") and res.get("hash_match"):
+                last_cert[name] = max(last_cert.get(name, 0), rnd)
+    assert rounds, "no CORRECTNESS artifacts found (run from repo root)"
+    current = max(rounds) + 1
+    window = set(ordered_names()[:50])
+    overdue = {
+        n: r
+        for n, r in last_cert.items()
+        if r <= current - 3 and n in REGISTRY and n not in window
+    }
+    assert not overdue, (
+        f"certified queries overdue for window rotation at r{current:02d}: {overdue}"
+    )
+
+
 def test_window_schemas_are_driver_canonicalizable(spark):
     """The driver canonicalizes results by sorting RAW pandas cells —
     a top-level Array/Map/Struct column crashes its canon with

@@ -378,6 +378,23 @@ def test_merge_upsert_partitioned_touches_only_affected(spark, tmp_path):
     assert {(r["k"], r["day"], r["v"]) for r in again.collect()} == got
 
 
+def test_merge_upsert_partitioned_null_partition(spark, tmp_path):
+    """A NULL partition value (Hive default partition) must be
+    selectable by the scoped upsert — plain equality would drop it
+    under three-valued logic and duplicate the key on every call."""
+    from etl_demos_spark.plans.incremental import merge_upsert_partitioned
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, None, "a"), (2, "d1", "b")], "k long, day string, v string"
+    )
+    merge_upsert_partitioned(spark, base, path, keys=["k"], partition_by=["day"])
+    up = spark.createDataFrame([(1, None, "A")], "k long, day string, v string")
+    out = merge_upsert_partitioned(spark, up, path, keys=["k"], partition_by=["day"])
+    got = {(r["k"], r["day"], r["v"]) for r in out.collect()}
+    assert got == {(1, None, "A"), (2, "d1", "b")}
+
+
 def test_delete_keys_reaches_null_partitions(spark, tmp_path):
     from etl_demos_spark.plans.incremental import delete_keys
 

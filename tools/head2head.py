@@ -1,12 +1,25 @@
 #!/usr/bin/env python
-"""DuckDB head-to-head over the FULL bench headline set (VERDICT r03 #7).
+"""DuckDB head-to-head over the FULL bench headline set (VERDICT r03 #7;
+methodology upgraded per VERDICT r5 rec 8 to match bench.py).
 
-For every query in bench.HEADLINE, times this engine (same methodology as
-bench.py: one untimed warm-up, then median of three cold runs with
-clearCache) against DuckDB running the query's own oracle SQL on the same
-parquet at the same scale factor, PRAGMA threads matched to the Spark
-local[] core count. Queries without a SQL-expressible oracle are reported
-as such rather than silently dropped.
+For every query in bench.HEADLINE, times this engine against DuckDB
+running the query's own oracle SQL on the same parquet at the same scale
+factor, PRAGMA threads matched to the Spark local[] core count. Queries
+without a SQL-expressible oracle are reported as such rather than
+silently dropped.
+
+Timing methodology (the round-5 lesson: only interleaved same-session
+measurements are load-bearing; single-pass totals wobbled 1.55×→1.75×
+round-over-round on unchanged code):
+
+  - one untimed warm-up sweep over every query (codegen/classload for
+    Spark, a guarded probe for DuckDB — the guard bounds pathological
+    oracle plans, e.g. DuckDB's 36 s shingle self-join);
+  - then 3 TIMED interleaved sweeps A-B-C-A-B-C per engine, so slow
+    session drift lands evenly on all queries;
+  - per query we report the MEDIAN (round-over-round comparable) and
+    the MIN (stabler cross-boot estimator), plus per-engine dispersion
+    (median relative spread across sweeps) and the boot id.
 
 DuckDB is the strongest available single-node columnar baseline in this
 environment, and the reference's own design envelope ("a few thousand
@@ -15,11 +28,6 @@ is the real denominator behind bench_vs_baseline: it shows where Spark's
 per-query scheduling floor loses at small scale (expected, amortizes away
 at real scale) and where the engine's algorithmic formulations (inverted
 index, banded LSH, GEMM tiles) win outright even at sf0.1.
-
-A 120 s interrupt guard bounds pathological oracle plans (the known case:
-DuckDB's planner runs the n-gram Jaccard shingle self-join at 36 s where
-the inverted-index formulation takes 1.5 s). Guarded queries report the
-single interrupted wall time with ">" semantics.
 
 Usage: python tools/head2head.py [sf_dir] > /tmp/h2h.json
 """
@@ -45,35 +53,26 @@ TABLES = (
 ).split()
 
 GUARD_SEC = 120.0
-RUNS = 3
+SWEEPS = 3
 
 
-def time_duck(con: duckdb.DuckDBPyConnection, sql: str) -> dict:
-    """Median-of-3 DuckDB wall time; one guarded probe run first."""
+def guarded_probe(con: duckdb.DuckDBPyConnection, sql: str) -> tuple[float, bool]:
+    """One warm-up run under the interrupt guard. Returns (sec, timed_out)."""
     timed_out = False
-
-    def probe() -> float:
-        nonlocal timed_out
-        timer = threading.Timer(GUARD_SEC, con.interrupt)
-        timer.start()
-        t0 = time.perf_counter()
-        try:
-            con.execute(sql).fetchall()
-        except duckdb.InterruptException:
-            timed_out = True
-        finally:
-            timer.cancel()
-        return time.perf_counter() - t0
-
-    first = probe()
-    if timed_out:
-        return {"sec": round(first, 3), "lower_bound": True}
-    runs = [first]
-    for _ in range(RUNS - 1):
-        t0 = time.perf_counter()
+    timer = threading.Timer(GUARD_SEC, con.interrupt)
+    timer.start()
+    t0 = time.perf_counter()
+    try:
         con.execute(sql).fetchall()
-        runs.append(time.perf_counter() - t0)
-    return {"sec": round(statistics.median(runs), 3), "lower_bound": False}
+    except duckdb.InterruptException:
+        timed_out = True
+    finally:
+        timer.cancel()
+    return time.perf_counter() - t0, timed_out
+
+
+def _median(xs: list[float]) -> float:
+    return statistics.median(xs)
 
 
 def main() -> None:
@@ -96,50 +95,113 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
-    force(REGISTRY["q_group_agg"].fn(spark, sf_dir).limit(1))  # session warm
+    headline = [q for q in HEADLINE if q in REGISTRY]
 
-    rows = []
-    for name in HEADLINE:
-        entry = REGISTRY.get(name)
-        if entry is None:
-            continue
-        force(entry.fn(spark, sf_dir))  # per-query warm-up (codegen)
-        runs = []
-        for _ in range(RUNS):
+    # ---- Spark warm-up sweep (untimed: codegen/classload/footers)
+    for name in headline:
+        spark.catalog.clearCache()
+        force(REGISTRY[name].fn(spark, sf_dir))
+
+    # ---- timed interleaved sweeps, per engine. Each engine's sweeps
+    # run in ONE CONTIGUOUS BLOCK (all Spark sweeps, then all DuckDB
+    # sweeps): the first cut of this harness alternated full engine
+    # passes per sweep and a 35 s 32-thread DuckDB pass between Spark
+    # sweeps contaminated them (spark dispersion 0.73 vs bench.py's
+    # 0.17 on the same queries — page-cache churn + idle-JVM effects).
+    # Interleaving ACROSS QUERIES within each block is what spreads
+    # session drift evenly; interleaving across engines just injects it.
+    s_runs: dict[str, list[float]] = {n: [] for n in headline}
+    for _ in range(SWEEPS):
+        for name in headline:
             spark.catalog.clearCache()
             t0 = time.perf_counter()
-            force(entry.fn(spark, sf_dir))
-            runs.append(time.perf_counter() - t0)
-        spark_sec = round(statistics.median(runs), 3)
+            force(REGISTRY[name].fn(spark, sf_dir))
+            s_runs[name].append(time.perf_counter() - t0)
 
-        if entry.oracle:
-            duck = time_duck(con, entry.oracle)
-            duck_disp = (">" if duck["lower_bound"] else "") + f"{duck['sec']}"
-            # an interrupted DuckDB run is only a LOWER bound on its time,
-            # so the ratio would be an upper bound — report null rather
-            # than a number indistinguishable from a real ratio
-            ratio = (
-                round(spark_sec / duck["sec"], 2)
-                if duck["sec"] and not duck["lower_bound"]
-                else None
-            )
+    # DuckDB warm probe (guard bounds pathological oracle plans), then
+    # its own timed interleaved sweeps
+    guarded: dict[str, float] = {}
+    for name in headline:
+        sql = REGISTRY[name].oracle
+        if sql:
+            sec, out = guarded_probe(con, sql)
+            if out:
+                guarded[name] = sec  # lower bound; excluded from sweeps
+    d_runs: dict[str, list[float]] = {
+        n: [] for n in headline if REGISTRY[n].oracle and n not in guarded
+    }
+    for _ in range(SWEEPS):
+        for name in d_runs:
+            t0 = time.perf_counter()
+            con.execute(REGISTRY[name].oracle).fetchall()
+            d_runs[name].append(time.perf_counter() - t0)
+
+    def dispersion(runs: dict[str, list[float]]) -> float:
+        spreads = [
+            (max(rs) - min(rs)) / _median(rs) for rs in runs.values() if _median(rs) > 0
+        ]
+        return round(_median(spreads), 4) if spreads else 0.0
+
+    rows = []
+    for name in headline:
+        s_med = round(_median(s_runs[name]), 3)
+        s_min = round(min(s_runs[name]), 3)
+        if name in d_runs:
+            d_med = round(_median(d_runs[name]), 3)
+            d_min = round(min(d_runs[name]), 3)
+            lower = False
+        elif name in guarded:
+            d_med = d_min = round(guarded[name], 3)
+            lower = True
         else:
-            duck, duck_disp, ratio = None, "n/a (no SQL oracle)", None
+            d_med = d_min = None
+            lower = False
+        ratio = round(s_med / d_med, 2) if d_med and not lower else None
+        ratio_min = round(s_min / d_min, 2) if d_min and not lower else None
         rows.append(
             {
                 "query": name,
-                "spark_sec": spark_sec,
-                "duckdb_sec": duck["sec"] if duck else None,
-                "duckdb_lower_bound": bool(duck and duck["lower_bound"]),
+                "spark_sec": s_med,
+                "spark_min": s_min,
+                "duckdb_sec": d_med,
+                "duckdb_min": d_min,
+                "duckdb_lower_bound": lower,
                 "spark_over_duck": ratio,
+                "spark_over_duck_min": ratio_min,
             }
         )
-        print(
-            f"# {name}: spark={spark_sec}s duckdb={duck_disp}s",
-            file=sys.stderr,
-        )
+        dd = f">{d_med}" if lower else d_med
+        print(f"# {name}: spark={s_med}s (min {s_min}) duckdb={dd}s", file=sys.stderr)
 
-    print(json.dumps({"sf_dir": sf_dir, "threads": cpus, "rows": rows}))
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as fh:
+            boot_id = fh.read().strip()
+    except OSError:
+        boot_id = "unknown"
+    totals = {
+        "spark_total_median": round(sum(r["spark_sec"] for r in rows), 3),
+        "spark_total_min": round(sum(r["spark_min"] for r in rows), 3),
+        "duckdb_total_median": round(
+            sum(r["duckdb_sec"] for r in rows if r["duckdb_sec"] and not r["duckdb_lower_bound"]), 3
+        ),
+        "duckdb_total_min": round(
+            sum(r["duckdb_min"] for r in rows if r["duckdb_min"] and not r["duckdb_lower_bound"]), 3
+        ),
+    }
+    print(
+        json.dumps(
+            {
+                "sf_dir": sf_dir,
+                "threads": cpus,
+                "sweeps": SWEEPS,
+                "dispersion_spark": dispersion(s_runs),
+                "dispersion_duckdb": dispersion(d_runs),
+                "boot_id": boot_id,
+                "totals": totals,
+                "rows": rows,
+            }
+        )
+    )
     spark.stop()
 
 
