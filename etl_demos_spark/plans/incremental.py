@@ -118,6 +118,46 @@ def merge_upsert(
     return spark.read.parquet(path)
 
 
+def _partition_leaf_dirs(root: Path) -> list[str]:
+    """Relative paths of the partition leaf dirs under a partitioned
+    parquet root (dirs that directly contain data files)."""
+    import os
+
+    out = []
+    if not root.exists():
+        return out
+    for d, _dirs, files in os.walk(root):
+        if d != str(root) and any(not f.startswith("_") for f in files):
+            out.append(os.path.relpath(d, root))
+    return out
+
+
+def recover_interrupted_partition_swap(path: str) -> None:
+    """Heal :func:`merge_upsert_partitioned`'s per-partition swap crash
+    window. For every partition left behind in ``__pstaging`` (the
+    complete new version, fully written before any move) or ``__pold``
+    (the backup): if the live table is missing that partition, promote
+    staging — or restore the backup if staging already moved; if the
+    live table has it, the leftovers are stale. No crash point loses a
+    partition: either the live dir, the staging dir, or the backup dir
+    holds a complete copy at all times."""
+    import shutil
+
+    p = Path(path)
+    stag = Path(f"{path}__pstaging")
+    old = Path(f"{path}__pold")
+    if not stag.exists() and not old.exists():
+        return
+    for rel in set(_partition_leaf_dirs(stag)) | set(_partition_leaf_dirs(old)):
+        tgt = p / rel
+        if not tgt.exists():
+            src = stag / rel if (stag / rel).exists() else old / rel
+            tgt.parent.mkdir(parents=True, exist_ok=True)
+            shutil.move(str(src), str(tgt))
+    shutil.rmtree(stag, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def merge_upsert_partitioned(
     spark: SparkSession,
     updates: DataFrame,
@@ -126,12 +166,11 @@ def merge_upsert_partitioned(
     partition_by: Sequence[str],
 ) -> DataFrame:
     """Partition-scoped upsert: replaces rows with matching ``keys`` but
-    rewrites ONLY the partitions present in ``updates`` (dynamic
-    partition overwrite), so per-call cost ∝ affected-partition bytes —
-    never total table size. This is the 100 TB form of
-    :func:`merge_upsert` for time-bucketed tables: a full-table
-    anti-join-and-rewrite per micro-batch grows with history and
-    contradicts any work-∝-batch contract.
+    rewrites ONLY the partitions present in ``updates``, so per-call
+    cost ∝ affected-partition bytes — never total table size. This is
+    the 100 TB form of :func:`merge_upsert` for time-bucketed tables: a
+    full-table anti-join-and-rewrite per micro-batch grows with history
+    and contradicts any work-∝-batch contract.
 
     Contract: a key tuple must functionally determine its partition
     values (a key never moves between partitions) — otherwise the old
@@ -139,17 +178,36 @@ def merge_upsert_partitioned(
     partition list is collected to the driver (bounded: one row per
     affected partition — for day-bucketed streams that is a handful per
     batch) and pushed as a literal filter so the current-rows scan is
-    partition-PRUNED, not just filtered.
+    partition-PRUNED, not just filtered. ``updates`` is eagerly
+    materialized on entry: its plan feeds the parts collect, the
+    anti-join and the write, and a non-deterministic plan (sampling,
+    rand salting) evaluated three times could write partitions the keep
+    scan never covered.
+
+    Crash safety: the merged affected partitions are fully written to a
+    ``__pstaging`` sibling, then swapped in per partition (live →
+    ``__pold``, staging → live) — the same staging-then-swap discipline
+    as :func:`merge_upsert`, scoped per partition. Dynamic partition
+    overwrite is deliberately NOT used here: its commit deletes the old
+    partition before renaming the new one in, and a crash between the
+    two leaves the partition EMPTY — a replayed batch would then derive
+    its keep-set from the emptied partition and silently lose every
+    kept row. (:func:`backfill_partitions` may keep dynamic overwrite
+    because its callers rebuild partitions from UPSTREAM data, never
+    from the table being replaced.) Every crash point here is healed by
+    :func:`recover_interrupted_partition_swap`, which runs on entry.
 
     Replay-idempotent: identical updates rewrite identical partition
-    contents. A crash mid-commit can leave a subset of the affected
-    partitions on the new version — replaying the batch re-covers all
-    of them, the standard at-least-once foreachBatch healing.
+    contents; a batch interrupted after some partitions swapped is
+    simply partially applied, and replaying it converges (keyed merge
+    over any mix of old/new partition states yields the same rows).
     """
+    recover_interrupted_partition_swap(path)
     if not table_exists(path):
         updates.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
         return spark.read.parquet(path)
 
+    updates = updates.localCheckpoint(eager=True)
     parts = updates.select(*partition_by).distinct().collect()
     current = spark.read.parquet(path)
     cond = F.lit(False)
@@ -164,7 +222,22 @@ def merge_upsert_partitioned(
     cur_aff = current.filter(cond)
     keep = cur_aff.join(updates.select(*keys).distinct(), list(keys), "left_anti")
     merged = keep.unionByName(updates.select(*current.columns))
-    backfill_partitions(spark, merged, path, partition_by)
+
+    import shutil
+
+    staging = f"{path}__pstaging"
+    merged.write.mode("overwrite").partitionBy(*partition_by).parquet(staging)
+    old_root = Path(f"{path}__pold")
+    for rel in _partition_leaf_dirs(Path(staging)):
+        tgt = Path(path) / rel
+        if tgt.exists():
+            bak = old_root / rel
+            bak.parent.mkdir(parents=True, exist_ok=True)
+            shutil.move(str(tgt), str(bak))
+        tgt.parent.mkdir(parents=True, exist_ok=True)
+        shutil.move(str(Path(staging) / rel), str(tgt))
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(old_root, ignore_errors=True)
     return spark.read.parquet(path)
 
 

@@ -285,6 +285,27 @@ def rollup_cascade(
     return out
 
 
+def migrate_level_to_day_layout(spark, path: str) -> None:
+    """One-time migration of a pre-day-partitioning cascade level table
+    (written by the earlier merge_upsert form: unpartitioned, no
+    ``__day`` column) to the day-partitioned layout — without it the
+    first post-upgrade batch dies with UNRESOLVED_COLUMN on __day.
+    Staging-then-swap, so a crash mid-migration heals like any
+    interrupted swap. No-op on missing or already-migrated tables."""
+    from etl_demos_spark.plans.incremental import swap_table, table_exists
+
+    if not table_exists(path):
+        return
+    cur = spark.read.parquet(path)
+    if "__day" in cur.columns:
+        return
+    staging = f"{path}__staging"
+    cur.withColumn("__day", F.to_date("window_start")).write.mode(
+        "overwrite"
+    ).partitionBy("__day").parquet(staging)
+    swap_table(path, staging)
+
+
 def stream_rollup_cascade(
     stream_df: DataFrame,
     base_path: str,
@@ -327,6 +348,14 @@ def stream_rollup_cascade(
 
     _check_nesting(levels)
 
+    migrated: set[str] = set()
+
+    def ensure_day_layout(spark, path: str) -> None:
+        if path in migrated:
+            return
+        migrated.add(path)
+        migrate_level_to_day_layout(spark, path)
+
     df = stream_df
     if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
         df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
@@ -365,6 +394,7 @@ def stream_rollup_cascade(
         # keeps the write ∝ batch: only the day partitions this batch's
         # windows land in are rewritten (window_start determines __day,
         # so a key never moves partitions).
+        ensure_day_layout(spark, lvl_paths[0])
         merge_upsert_partitioned(
             spark,
             batch_df.withColumn("__day", F.to_date("window_start")),
@@ -379,6 +409,7 @@ def stream_rollup_cascade(
             # days spanned by the affected coarse windows — the finer
             # read below prunes to these partitions, so re-derivation
             # reads days ∝ invalidation set, never the level's history
+            ensure_day_layout(spark, lvl_paths[i])
             day_rows = affected.select(
                 F.explode(
                     F.sequence(

@@ -378,6 +378,80 @@ def test_merge_upsert_partitioned_touches_only_affected(spark, tmp_path):
     assert {(r["k"], r["day"], r["v"]) for r in again.collect()} == got
 
 
+def test_merge_upsert_partitioned_crash_window_recovered(spark, tmp_path):
+    """The per-partition swap's crash window (live partition moved to
+    __pold, staging not yet promoted) must lose nothing: the next call
+    heals it and the keyed merge still sees every kept row. This is the
+    scenario where dynamic partition overwrite WOULD lose data (its
+    commit deletes before renaming, and a replay would derive its
+    keep-set from the emptied partition)."""
+    import shutil
+
+    from etl_demos_spark.plans.incremental import merge_upsert_partitioned
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "d1", "a"), (2, "d1", "b"), (3, "d2", "c")],
+        "k long, day string, v string",
+    )
+    merge_upsert_partitioned(spark, base, path, keys=["k"], partition_by=["day"])
+    # simulate the crash: staging holds the complete post-merge d1
+    # (k=2 updated, k=1 kept), live d1 already moved to the backup
+    up1 = spark.createDataFrame([(2, "d1", "B")], "k long, day string, v string")
+    cur_d1 = spark.read.parquet(path).filter("day = 'd1'")
+    keep = cur_d1.join(up1.select("k"), ["k"], "left_anti")
+    keep.unionByName(up1.select(*cur_d1.columns)).write.mode("overwrite").partitionBy(
+        "day"
+    ).parquet(f"{path}__pstaging")
+    shutil.move(f"{path}/day=d1", f"{path}__pold/day=d1")  # crash here
+    # next upsert (different partition) heals d1 first, then applies
+    up2 = spark.createDataFrame([(4, "d2", "d")], "k long, day string, v string")
+    out = merge_upsert_partitioned(spark, up2, path, keys=["k"], partition_by=["day"])
+    got = {(r["k"], r["day"], r["v"]) for r in out.collect()}
+    assert got == {(1, "d1", "a"), (2, "d1", "B"), (3, "d2", "c"), (4, "d2", "d")}
+    import pathlib
+
+    assert not pathlib.Path(f"{path}__pstaging").exists()
+    assert not pathlib.Path(f"{path}__pold").exists()
+
+
+def test_cascade_migrates_legacy_level_layout(spark, tmp_path):
+    """A level table written before day-partitioning (no __day column)
+    must be migrated in place, preserving rows, and be partition-
+    upsertable afterwards."""
+    import pyspark.sql.functions as F
+
+    from etl_demos_spark.plans.incremental import merge_upsert_partitioned
+    from etl_demos_spark.streaming.windows import migrate_level_to_day_layout
+
+    path = str(tmp_path / "level_0")
+    legacy = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "click", 3), ("2024-01-02 05:00:00", "view", 7)],
+        "window_start string, event_type string, n_events long",
+    ).withColumn("window_start", F.to_timestamp("window_start"))
+    legacy.write.parquet(path)  # the pre-upgrade layout
+    migrate_level_to_day_layout(spark, path)
+    cur = spark.read.parquet(path)
+    assert "__day" in cur.columns and cur.count() == 2
+    up = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "click", 5)],
+        "window_start string, event_type string, n_events long",
+    ).withColumn("window_start", F.to_timestamp("window_start")).withColumn(
+        "__day", F.to_date("window_start")
+    )
+    out = merge_upsert_partitioned(
+        spark, up, path, keys=["window_start", "event_type"], partition_by=["__day"]
+    )
+    got = {(str(r["window_start"]), r["event_type"], r["n_events"]) for r in out.collect()}
+    assert got == {
+        ("2024-01-01 00:00:00", "click", 5),
+        ("2024-01-02 05:00:00", "view", 7),
+    }
+    # idempotent second migration
+    migrate_level_to_day_layout(spark, path)
+    assert spark.read.parquet(path).count() == 2
+
+
 def test_merge_upsert_partitioned_null_partition(spark, tmp_path):
     """A NULL partition value (Hive default partition) must be
     selectable by the scoped upsert — plain equality would drop it

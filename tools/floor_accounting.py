@@ -50,13 +50,13 @@ EMPTY_DIR = "/tmp/sf_empty"
 def build_empty_dir(spark, src="/root/testdata/sf0.001") -> None:
     from etl_demos_spark.data import load_table
 
+    # always rebuilt (cheap: ten zero-row files) — a cached snapshot
+    # would go stale if a table's schema changes between rounds and the
+    # floor would silently be measured against the wrong schema
     for t in TABLES:
-        dst = f"{EMPTY_DIR}/{t}.parquet"
-        if os.path.exists(dst):
-            continue
         load_table(spark, src, t).limit(0).coalesce(1).write.mode(
             "overwrite"
-        ).parquet(dst)
+        ).parquet(f"{EMPTY_DIR}/{t}.parquet")
 
 
 def main() -> None:

@@ -131,10 +131,17 @@ def main() -> None:
         n: [] for n in headline if REGISTRY[n].oracle and n not in guarded
     }
     for _ in range(SWEEPS):
-        for name in d_runs:
-            t0 = time.perf_counter()
-            con.execute(REGISTRY[name].oracle).fetchall()
-            d_runs[name].append(time.perf_counter() - t0)
+        # timed sweeps stay under the guard too: a query that squeaked
+        # past the probe (e.g. at a larger sf_dir) must not stall the
+        # harness for 3 more unbounded runs — one trip demotes it to
+        # guarded/lower-bound and drops its sweep timings
+        for name in list(d_runs):
+            sec, out = guarded_probe(con, REGISTRY[name].oracle)
+            if out:
+                guarded[name] = max(sec, guarded.get(name, 0.0))
+                del d_runs[name]
+            else:
+                d_runs[name].append(sec)
 
     def dispersion(runs: dict[str, list[float]]) -> float:
         spreads = [
@@ -178,16 +185,28 @@ def main() -> None:
             boot_id = fh.read().strip()
     except OSError:
         boot_id = "unknown"
+    # ratio totals must compare the SAME query set: guard-tripped or
+    # oracle-less rows contribute a Spark time but no DuckDB time, so
+    # summing all Spark rows against a smaller DuckDB set would silently
+    # overstate the ratio. `paired` totals (both engines timed) carry
+    # the headline ratio; full-set Spark totals are reported separately.
+    paired = [r for r in rows if r["duckdb_sec"] and not r["duckdb_lower_bound"]]
     totals = {
         "spark_total_median": round(sum(r["spark_sec"] for r in rows), 3),
         "spark_total_min": round(sum(r["spark_min"] for r in rows), 3),
-        "duckdb_total_median": round(
-            sum(r["duckdb_sec"] for r in rows if r["duckdb_sec"] and not r["duckdb_lower_bound"]), 3
-        ),
-        "duckdb_total_min": round(
-            sum(r["duckdb_min"] for r in rows if r["duckdb_min"] and not r["duckdb_lower_bound"]), 3
-        ),
+        "paired_queries": len(paired),
+        "spark_paired_median": round(sum(r["spark_sec"] for r in paired), 3),
+        "spark_paired_min": round(sum(r["spark_min"] for r in paired), 3),
+        "duckdb_total_median": round(sum(r["duckdb_sec"] for r in paired), 3),
+        "duckdb_total_min": round(sum(r["duckdb_min"] for r in paired), 3),
     }
+    if paired:
+        totals["ratio_median"] = round(
+            totals["spark_paired_median"] / totals["duckdb_total_median"], 3
+        )
+        totals["ratio_min"] = round(
+            totals["spark_paired_min"] / totals["duckdb_total_min"], 3
+        )
     print(
         json.dumps(
             {
