@@ -2941,10 +2941,13 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src") != F.col("dst")
     )
     ranks = pagerank(edges, iters=8)
-    w = Window.orderBy(F.col("rank").desc(), F.col("node").asc())
+    # top-10 via TakeOrderedAndProject (per-partition partial top-k),
+    # NOT a partitionless row_number over all |V| nodes — the same
+    # single-task funnel dsir_select shed in r5; the (rank, node) order
+    # is total so the selected set is identical
     return (
-        ranks.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
+        ranks.orderBy(F.col("rank").desc(), F.col("node").asc())
+        .limit(10)
         .select(F.col("node").alias("doc_id"), F.round("rank", 6).alias("rank_r"))
     )
 
@@ -3570,12 +3573,11 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("term")
     )
     exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact_n"))
-    w = Window.orderBy(F.col("exact_n").desc(), F.col("term").asc())
-    top = (
-        exact.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
-        .drop("rn")
-    )
+    # top-20 via TakeOrderedAndProject — a partitionless row_number here
+    # would funnel the whole vocabulary (10^8 terms at corpus scale)
+    # through one task; the (exact_n, term) order is total so the
+    # selected set is identical
+    top = exact.orderBy(F.col("exact_n").desc(), F.col("term").asc()).limit(20)
     cms = sk.cms_build(toks, "term", depth=4, width=256)
     est = sk.cms_estimate(top.select("term"), cms, "term", depth=4, width=256)
     return top.join(est, "term").select(

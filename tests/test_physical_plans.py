@@ -547,6 +547,21 @@ def test_dsir_topk_is_takeordered_not_global_window(spark):
     assert min(win_ops) < min(take_ops), plan
 
 
+def test_topk_queries_are_takeordered_not_global_window(spark):
+    """q_pagerank's top-10 and q_heavy_hitters' top-20 must select via
+    TakeOrderedAndProject (per-partition partial top-k), never a
+    partitionless row_number over all |V| nodes / the whole vocabulary —
+    the single-task funnel dsir_select and BM25 already shed. Neither
+    output carries a rank column, so no Window should survive the
+    selection at all (pagerank's iterative body has none; the heavy-
+    hitter plan is agg → TakeOrdered → sketch join)."""
+    for name in ("q_pagerank", "q_heavy_hitters"):
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        plan = plan_of(df)
+        assert "TakeOrderedAndProject" in plan, f"{name}: {plan}"
+        assert "Window" not in plan, f"{name} still has a Window:\n{plan}"
+
+
 def test_hll_registers_partial_aggregation(spark):
     """Portable HLL: the register agg must run map-side partials
     (HashAggregate partial_max before the exchange) so the shuffle
