@@ -85,6 +85,44 @@ def asof_join_backward(
     return carried.filter(F.col("__side") == 1).drop("__side")
 
 
+def first_response_join(
+    df: DataFrame,
+    key_cols: tuple[str, ...],
+    ts_col: str,
+    event_col: str,
+    first: str,
+    then: str,
+    within: str,
+) -> DataFrame:
+    """Temporal pattern join (CEP-lite "A followed by B within T"): for
+    every ``first`` event, the EARLIEST ``then`` event by the same key
+    strictly after it and within ``within`` — the conversion-latency /
+    response-time primitive funnels can't express (the funnel uses
+    first occurrences only; this pairs every A).
+
+    Plan: two filtered scans of the same input → per-key equi-join with
+    the time band as a join-level predicate → min-aggregate per (key,
+    a_ts). The join is keyed (never a cross join); per-key fan-out is
+    |A per key| × |B per key|, bounded by per-key activity, and AQE
+    skew-split handles hot keys. The min collapses before anything
+    leaves the aggregation. Streaming twin:
+    :func:`etl_demos_spark.streaming.stateful.stream_first_response`.
+
+    Output: (*key_cols, a_ts, b_ts) — one row per matched A.
+    """
+    a = df.filter(F.col(event_col) == first).select(
+        *key_cols, F.col(ts_col).alias("a_ts")
+    )
+    b = df.filter(F.col(event_col) == then).select(
+        *key_cols, F.col(ts_col).alias("b_ts")
+    )
+    j = a.join(b, list(key_cols)).filter(
+        (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr(f"interval {within}"))
+    )
+    return j.groupBy(*key_cols, "a_ts").agg(F.min("b_ts").alias("b_ts"))
+
+
 def resample_locf(
     df: DataFrame,
     ts_col: str,

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -104,5 +105,126 @@ def user_running_counts(stream_df: DataFrame, ts_col: str = "ts") -> DataFrame:
             stateStructType=STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temporal pattern detection: "A followed by B within T" per key
+# ---------------------------------------------------------------------------
+
+RESPONSE_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("a_ts", TimestampType()),
+        StructField("b_ts", TimestampType()),
+    ]
+)
+
+# pending "first" events awaiting their response, as epoch-micros packed
+# into a comma string: applyInPandasWithState state columns must be
+# Spark-SQL types, and a LongType array is not addressable incrementally
+# — the pending set is bounded by |A per key within T| anyway (expired
+# as soon as the key's max seen ts passes a_ts + T)
+RESPONSE_STATE_SCHEMA = StructType([StructField("pending_us", StringType())])
+
+
+def _make_response_updater(first: str, then: str, within_us: int):
+    def update(key: tuple, pdfs, state: GroupState):
+        (user_id,) = key
+        pending: list[int] = []
+        if state.exists:
+            (packed,) = state.get
+            pending = [int(x) for x in packed.split(",") if x]
+        matches: list[tuple[int, int]] = []
+        events: list[tuple[int, int]] = []  # (ts_us, is_then)
+        max_ts = 0
+        for pdf in pdfs:
+            ets = pdf["event_type"]
+            tss = pdf["ts"].astype("int64") // 1000  # ns → us
+            for et, t_us in zip(ets, tss):
+                if et == first:
+                    events.append((int(t_us), 0))
+                elif et == then:
+                    events.append((int(t_us), 1))
+        # event-time order within the batch; A sorts before B on a tie
+        # so an equal-timestamp B does NOT match (strict b_ts > a_ts,
+        # the batch twin's contract)
+        for t_us, is_then in sorted(events):
+            max_ts = max(max_ts, t_us)
+            if is_then:
+                # match every pending A whose window covers this B;
+                # each A pairs with its FIRST B (processing in event-
+                # time order makes this B that first), then retires
+                still = []
+                for a_us in pending:
+                    if a_us < t_us <= a_us + within_us:
+                        matches.append((a_us, t_us))
+                    elif t_us <= a_us:
+                        still.append(a_us)  # B at/before A: keep waiting
+                    # a_us + within_us < t_us → expired, drop
+                pending = still
+            else:
+                pending.append(t_us)
+        # expire pending As the key's max seen ts has passed
+        pending = [a for a in pending if max_ts <= a + within_us]
+        if pending:
+            state.update((",".join(str(x) for x in pending),))
+        elif state.exists:
+            state.remove()
+        if matches:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(matches),
+                    "a_ts": [pd.Timestamp(a, unit="us") for a, _ in matches],
+                    "b_ts": [pd.Timestamp(b, unit="us") for _, b in matches],
+                }
+            )
+
+    return update
+
+
+def stream_first_response(
+    stream_df: DataFrame,
+    first: str = "view",
+    then: str = "purchase",
+    within: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming twin of :func:`operators.asof.first_response_join`:
+    per-user state machine emitting (a_ts, b_ts) the moment a ``then``
+    event closes a pending ``first`` event within the bound.
+
+    Contract: exact equality with the batch join when events ARRIVE in
+    event-time order per key (the test drives it that way); under
+    disorder, a ``then`` that is processed before its ``first`` cannot
+    match it retroactively — at-arrival CEP semantics, the standard
+    trade for O(pending-within-T) state per key. State is bounded:
+    pending ``first`` events expire as soon as the key's max seen
+    timestamp passes a_ts + T."""
+    import re
+
+    import pyspark.sql.functions as F
+
+    m = re.fullmatch(r"(\d+)\s*(second|minute|hour|day)s?", within.strip())
+    if not m:
+        raise ValueError(f"within {within!r}: use '<n> seconds/minutes/hours/days'")
+    mult = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[m.group(2)]
+    within_us = int(m.group(1)) * mult * 1_000_000
+
+    df = stream_df
+    if ts_col != "ts":
+        df = df.withColumnRenamed(ts_col, "ts")
+    if dict(df.dtypes).get("ts") == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        df.select("user_id", "event_type", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_response_updater(first, then, within_us),
+            outputStructType=RESPONSE_SCHEMA,
+            stateStructType=RESPONSE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )

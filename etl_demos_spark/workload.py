@@ -735,6 +735,7 @@ _LATE: tuple[str, ...] = (
     "q_disjunctive_rev",
     "q_dominant_suppliers",
     "q_drift_report",
+    "q_event_response",
     "q_event_transitions",
     "q_exists_subquery",
     "q_forecast_revenue",

@@ -1025,6 +1025,43 @@ def q_event_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "q_event_response",
+    oracle="""
+    SELECT a.user_id,
+           strftime(a.a_ts, '%Y-%m-%d %H:%M:%S.%f') AS a_ts,
+           strftime(min(b.b_ts), '%Y-%m-%d %H:%M:%S.%f') AS b_ts
+    FROM (SELECT user_id, ts AS a_ts FROM events WHERE event_type = 'view') a
+    JOIN (SELECT user_id, ts AS b_ts FROM events WHERE event_type = 'purchase') b
+      USING (user_id)
+    WHERE b.b_ts > a.a_ts AND b.b_ts <= a.a_ts + INTERVAL 2 HOUR
+    GROUP BY 1, a.a_ts
+    """,
+    tags=("ext-stream",),
+)
+def q_event_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal pattern join — "view followed by purchase within 2h",
+    one row per matched view with its FIRST qualifying purchase
+    (asof.first_response_join). The conversion-latency primitive the
+    first-occurrence funnel can't express; the same semantics run
+    incrementally per key under Structured Streaming
+    (streaming.stateful.stream_first_response, equality-tested against
+    this batch form). Timestamps surface with microsecond precision —
+    the events table carries sub-second values and a seconds-truncated
+    format would collide distinct views into one group."""
+    from etl_demos_spark.operators.asof import first_response_join
+
+    ev = T(spark, sf_dir, "events")
+    out = first_response_join(
+        ev, ("user_id",), "ts", "event_type", "view", "purchase", "2 hours"
+    )
+    return out.select(
+        "user_id",
+        F.date_format("a_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("a_ts"),
+        F.date_format("b_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("b_ts"),
+    )
+
+
+@workload(
     "q_event_sliding",
     oracle="""
     SELECT strftime(time_bucket(INTERVAL '30 minutes', ts)

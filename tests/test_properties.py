@@ -598,3 +598,47 @@ def test_bottomk_merge_replayed_batch_is_idempotent(spark):
     twice = bottomk_merge(once, batch, ("g",), k=8)
     key = lambda r: (r["g"], r["kk"], r["rn"])
     assert sorted(map(key, once.collect())) == sorted(map(key, twice.collect()))
+
+
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(0, 9),            # key
+                st.integers(0, 2),            # day bucket (derived from key? no — free)
+                st.integers(0, 10**6),        # value
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@SET
+def test_merge_upsert_partitioned_equals_unpartitioned(spark, tmp_path_factory, batches):
+    """The partition-scoped upsert must be row-for-row equivalent to the
+    full-rewrite merge_upsert over ANY batch sequence (keys constrained
+    to a fixed key→partition mapping, the primitive's contract)."""
+    from etl_demos_spark.plans.incremental import merge_upsert, merge_upsert_partitioned
+
+    base = tmp_path_factory.mktemp("mup")
+    p_full = str(base / "full")
+    p_part = str(base / "part")
+    for batch in batches:
+        # key determines partition (contract): day = key % 3
+        rows = {}
+        for k, _d, v in batch:   # last write per key within a batch wins
+            rows[k] = (k, f"d{k % 3}", v)
+        df = spark.createDataFrame(
+            list(rows.values()), "k long, day string, v long"
+        )
+        merge_upsert(spark, df, p_full, keys=["k"])
+        merge_upsert_partitioned(spark, df, p_part, keys=["k"], partition_by=["day"])
+    got_full = sorted(
+        (r["k"], r["day"], r["v"]) for r in spark.read.parquet(p_full).collect()
+    )
+    got_part = sorted(
+        (r["k"], r["day"], r["v"]) for r in spark.read.parquet(p_part).collect()
+    )
+    assert got_full == got_part
