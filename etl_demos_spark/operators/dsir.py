@@ -166,6 +166,7 @@ def dsir_select(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 2048,
+    materialize: str = "checkpoint",
 ) -> DataFrame:
     """End-to-end DSIR: features → distributions → exact scores →
     Gumbel top-k. Returns the k selected (id, score_unats, rn), rn by
@@ -174,13 +175,32 @@ def dsir_select(
     stays internal.
 
     The feature table is consumed three times (target agg, raw agg,
-    scoring join), so it is persisted — measured 11.4→7.1 s at sf0.1;
-    eviction is left to the LRU like the dedup.py signature persists
-    (at corpus scale you would checkpoint features to parquet
-    instead)."""
+    scoring join), so it is materialized. Default is eager
+    localCheckpoint, not persist(): on the realistic sf0.1 documents
+    corpus the r6 interleaved A/B (5 sweeps) measures none 3.07 /
+    persist 5.00 / localCheckpoint 2.20 s medians — building the
+    columnar in-memory cache of a DIVERSE exploded feature table costs
+    more than the query saves, while the checkpoint's raw-block write
+    is cheap and truncates the plan; persist() also leaks a
+    CacheManager entry per call (no unpersist point). The ranking
+    FLIPS on highly compressible features: on the 1M-doc stress corpus
+    (40 distinct texts, RLE-friendly) the same interleaved A/B gives
+    persist 3.79 / checkpoint 5.73 s — columnar cache compression wins
+    when the feature table is redundant. ``materialize``
+    ("checkpoint" | "persist" | "none") exposes the choice; real
+    corpora look like the former. At corpus scale you would checkpoint
+    features to parquet instead."""
     from pyspark.sql import Window as W
 
-    feats = hashed_ngram_features(df, text_col, id_col, n_buckets).persist()
+    feats = hashed_ngram_features(df, text_col, id_col, n_buckets)
+    if materialize == "checkpoint":
+        feats = feats.localCheckpoint(eager=True)
+    elif materialize == "persist":
+        feats = feats.persist()
+    elif materialize != "none":
+        raise ValueError(
+            f"materialize {materialize!r} not in checkpoint/persist/none"
+        )
     ratios = dsir_log_ratios(feats, target, id_col, n_buckets)
     scores = dsir_scores(feats, ratios, id_col)
     key = gumbel_key(
