@@ -35,6 +35,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from etl_demos_spark.operators.matutil import materialize_reused
+
 # floor(x * _Q) as BIGINT: exact, order-independent, engine-portable
 # quantization at 1e-12 (see module docstring).
 _Q = 1e12
@@ -65,11 +67,10 @@ def pagerank(
     e = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
     ).distinct()
-    nodes = (
+    nodes = materialize_reused(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
     )
     n = nodes.count()
     if n == 0:
@@ -77,12 +78,11 @@ def pagerank(
         # empty rank table, not a ZeroDivisionError at 1.0/n
         return nodes.withColumn("rank", F.lit(0.0))
     # deg is read twice per round (contribution denominators via ed,
-    # dangling anti-join directly) — persist it or every round's
+    # dangling anti-join directly) — materialize it or every round's
     # anti-join re-runs the whole edges.distinct() + groupBy chain
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    deg = materialize_reused(e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
     # edges annotated with out-degree once, reused every iteration
-    ed = e.join(deg, "src").persist()
-    ed.count()
+    ed = materialize_reused(e.join(deg, "src"))
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
     base = (1.0 - damping) / n
@@ -133,9 +133,11 @@ def pagerank(
             # two consumers re-analyze the compounding plan, so lineage
             # must stay one round deep)
         )
-    ed.unpersist()
-    deg.unpersist()
-    nodes.unpersist()
+    # nodes/deg/ed are localCheckpoint'd (materialize_reused): their
+    # blocks are freed by the ContextCleaner once these frames are
+    # garbage collected — no unpersist bookkeeping, no CacheManager
+    # entry to leak (the returned ranks is itself checkpointed, so it
+    # holds no reference to them)
     return ranks
 
 
@@ -230,7 +232,7 @@ def label_propagation(
 
     Returns (node, community).
     """
-    und = _undirected(edges, src, dst).persist()
+    und = materialize_reused(_undirected(edges, src, dst))
     labels = und.select(F.col("n").alias("node")).distinct().select(
         "node", F.col("node").alias("community")
     )
@@ -255,7 +257,8 @@ def label_propagation(
             .select("node", "community")
             .localCheckpoint(eager=True)  # truncate per-round lineage
         )
-    und.unpersist()
+    # und is localCheckpoint'd (materialize_reused): blocks freed by the
+    # ContextCleaner on GC; the returned labels is itself checkpointed
     return labels
 
 
@@ -296,8 +299,7 @@ def bfs_distances(
 
     Returns (node, dist).
     """
-    und = _undirected(edges, src, dst).persist()
-    und.count()
+    und = materialize_reused(_undirected(edges, src, dst))
     dist = (
         sources.select(
             F.col(node_col).cast("long").alias("node"),
@@ -326,5 +328,7 @@ def bfs_distances(
         # 500k nodes (5.4-6.7 s both, interleaved in one session).
         dist = dist.unionByName(new)
         frontier = new
-    und.unpersist()
+    # und is localCheckpoint'd (materialize_reused); dist's union plan
+    # references only checkpointed constituents, so und's blocks free on
+    # GC without touching the result
     return dist

@@ -1,0 +1,41 @@
+"""Materialization strategy for multi-consumer / per-iteration frames.
+
+The round-6 measurements (PERF.md) settled a repo-wide question: a
+frame consumed a handful of times inside one operator call should be
+eagerly ``localCheckpoint``'d, not ``persist()``'d —
+
+- ``persist()`` builds a COLUMNAR compressed in-memory cache; for
+  diverse intermediate tables the build costs more than it saves
+  (q_gap_fill: persist +48% vs recompute; dsir features: persist 5.00 s
+  vs checkpoint 2.20 s medians, interleaved), and with no unpersist
+  point (the returned lazy frame references the intermediate) every
+  call leaks a CacheManager entry that driver GC never frees.
+- ``localCheckpoint(eager=True)`` writes raw blocks (cheap), truncates
+  the plan (keeps iterative lineage linear), and its blocks are freed
+  by the ContextCleaner when the frame is garbage collected.
+
+The one measured exception: HIGHLY REDUNDANT tables (the 1M-doc stress
+corpus with 40 distinct texts) where columnar RLE compression flips the
+ranking — operators expose a ``materialize=`` knob where that regime is
+plausible (dsir_select, resample_locf).
+
+``materialize_reused`` is the shared entry point so an interleaved A/B
+harness can swap the strategy process-wide without touching operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+#: swapped by tools/ab_materialize.py; operators call materialize_reused
+STRATEGY = "checkpoint"
+
+
+def materialize_reused(df: DataFrame) -> DataFrame:
+    """Materialize a frame that is consumed multiple times within one
+    operator call (or once per iteration round)."""
+    if STRATEGY == "persist":
+        return df.persist()
+    if STRATEGY == "none":
+        return df
+    return df.localCheckpoint(eager=True)

@@ -46,6 +46,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from etl_demos_spark.operators.matutil import materialize_reused
+
 
 def md5_mod(seed: str, *cols, mod_col) -> F.Column:
     """60-bit md5 uniform of seed‖cols, reduced mod ``mod_col`` —
@@ -100,8 +102,10 @@ def sample_negatives(
     rows, on any engine, any partitioning."""
     # the CDF (a vocabulary-wide single-partition cumulative sum — the
     # operator's one serialized pass) feeds the bucket index AND both
-    # total aggregations: persist it so it runs once per job
-    cdf = cdf.persist()
+    # total aggregations: materialize it so it runs once per job
+    # (eager localCheckpoint via matutil — persist() leaked a
+    # CacheManager entry per call with no unpersist point)
+    cdf = materialize_reused(cdf)
     total = cdf.agg(F.max("cum_hi").alias("line_w"))
     cdf_t = cdf.crossJoin(F.broadcast(total))
     # bucket = v·B div W, computed through decimal(38,0): the plain
