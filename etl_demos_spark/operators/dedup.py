@@ -27,6 +27,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
+from etl_demos_spark.operators.matutil import materialize_reused
 from etl_demos_spark.operators.text import WORD_RE, fingerprint
 
 
@@ -216,7 +217,7 @@ def jaccard_pairs(
     # frame is garbage-collected. A persist() here leaks a
     # CacheManager entry per CALL (driver GC never frees those), which
     # thrashes any long-running caller invoking dedup repeatedly
-    index = index.localCheckpoint(eager=True)
+    index = materialize_reused(index)
     left = index
     right = index.select(
         F.col("id").alias("id2"),
@@ -544,7 +545,7 @@ def minhash_lsh_pairs(
     # garbage-collected. A persist() here leaks a CacheManager entry
     # per CALL (driver GC never frees those), which thrashes any
     # long-running caller invoking dedup repeatedly
-    sigs = sigs.localCheckpoint(eager=True)
+    sigs = materialize_reused(sigs)
     banded = banded_buckets(sigs, bands, rows)
     right = banded.select(F.col("id").alias("id2"), "band", "bucket")
     cands = (
@@ -657,7 +658,7 @@ def simhash_pairs(
     # persist() here leaks a CacheManager entry per CALL (driver GC
     # never frees those), which thrashes any long-running caller
     # invoking dedup repeatedly
-    sigs = sigs.localCheckpoint(eager=True)
+    sigs = materialize_reused(sigs)
     chunked = sigs.select(
         "id",
         "sig",

@@ -38,4 +38,6 @@ def materialize_reused(df: DataFrame) -> DataFrame:
         return df.persist()
     if STRATEGY == "none":
         return df
+    if STRATEGY == "checkpoint_lazy":
+        return df.localCheckpoint(eager=False)
     return df.localCheckpoint(eager=True)
