@@ -38,9 +38,15 @@ def read_csv_quarantine(
         .options(**options)
         .csv(path)
     )
-    # Spark requires caching/materializing before filtering on the corrupt
-    # column (it is populated only during parsing of referenced columns).
-    raw = raw.cache()
+    # Spark requires materializing before filtering on the corrupt
+    # column (it is populated only during parsing of referenced
+    # columns). Eager localCheckpoint satisfies that like cache() does,
+    # without leaking a CacheManager entry per call — both returned
+    # frames reference raw, so there is no unpersist point (the repo's
+    # matutil discipline).
+    from etl_demos_spark.operators.matutil import materialize_reused
+
+    raw = materialize_reused(raw)
     clean = raw.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     quarantined = raw.filter(F.col(CORRUPT_COL).isNotNull()).select(
         F.col(CORRUPT_COL).alias("raw_line")
