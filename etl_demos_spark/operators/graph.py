@@ -133,11 +133,15 @@ def pagerank(
             # two consumers re-analyze the compounding plan, so lineage
             # must stay one round deep)
         )
-    # nodes/deg/ed are localCheckpoint'd (materialize_reused): their
-    # blocks are freed by the ContextCleaner once these frames are
-    # garbage collected — no unpersist bookkeeping, no CacheManager
-    # entry to leak (the returned ranks is itself checkpointed, so it
-    # holds no reference to them)
+    # The returned ranks is itself checkpointed, so releasing the
+    # intermediates is safe. Under the default checkpoint strategy
+    # unpersist() is a no-op (blocks free via ContextCleaner on GC);
+    # it exists for the matutil STRATEGY="persist" A/B arm, where
+    # skipping it would leak three CacheManager entries per call and
+    # bias the very comparison the knob exists to make fair.
+    ed.unpersist()
+    deg.unpersist()
+    nodes.unpersist()
     return ranks
 
 
@@ -257,8 +261,9 @@ def label_propagation(
             .select("node", "community")
             .localCheckpoint(eager=True)  # truncate per-round lineage
         )
-    # und is localCheckpoint'd (materialize_reused): blocks freed by the
-    # ContextCleaner on GC; the returned labels is itself checkpointed
+    # labels is checkpointed; unpersist is a no-op on the default
+    # checkpoint strategy and frees the persist A/B arm's cache entry
+    und.unpersist()
     return labels
 
 
@@ -328,7 +333,7 @@ def bfs_distances(
         # 500k nodes (5.4-6.7 s both, interleaved in one session).
         dist = dist.unionByName(new)
         frontier = new
-    # und is localCheckpoint'd (materialize_reused); dist's union plan
-    # references only checkpointed constituents, so und's blocks free on
-    # GC without touching the result
+    # dist's union plan references only checkpointed deltas, so und is
+    # releasable; no-op on the default strategy, frees the persist arm
+    und.unpersist()
     return dist

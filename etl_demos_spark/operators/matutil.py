@@ -20,15 +20,24 @@ ranking — operators expose a ``materialize=`` knob where that regime is
 plausible (dsir_select, resample_locf).
 
 ``materialize_reused`` is the shared entry point so an interleaved A/B
-harness can swap the strategy process-wide without touching operators.
+harness (see the inline scripts documented in PERF.md round-6) can swap
+the strategy process-wide without touching operators. Valid strategies:
+``checkpoint`` (default, eager), ``checkpoint_lazy`` (plan truncation
+without the upfront job — first consumer pays it; measured no better
+than eager on the simhash case), ``persist``, ``none`` (recompute per
+consumer). NOT for sites where materialization is a correctness
+requirement (e.g. the CSV corrupt-record read) — those call
+localCheckpoint directly so "none" cannot break them.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-#: swapped by tools/ab_materialize.py; operators call materialize_reused
+#: swapped process-wide by A/B harnesses; operators call materialize_reused
 STRATEGY = "checkpoint"
+
+_VALID = ("checkpoint", "checkpoint_lazy", "persist", "none")
 
 
 def materialize_reused(df: DataFrame) -> DataFrame:
@@ -40,4 +49,6 @@ def materialize_reused(df: DataFrame) -> DataFrame:
         return df
     if STRATEGY == "checkpoint_lazy":
         return df.localCheckpoint(eager=False)
+    if STRATEGY != "checkpoint":
+        raise ValueError(f"matutil.STRATEGY {STRATEGY!r} not in {_VALID}")
     return df.localCheckpoint(eager=True)

@@ -42,11 +42,11 @@ def read_csv_quarantine(
     # column (it is populated only during parsing of referenced
     # columns). Eager localCheckpoint satisfies that like cache() does,
     # without leaking a CacheManager entry per call — both returned
-    # frames reference raw, so there is no unpersist point (the repo's
-    # matutil discipline).
-    from etl_demos_spark.operators.matutil import materialize_reused
-
-    raw = materialize_reused(raw)
+    # frames reference raw, so there is no unpersist point. Called
+    # DIRECTLY, not via matutil.materialize_reused: here materialization
+    # is a CORRECTNESS requirement, and the A/B strategy knob
+    # (STRATEGY="none") must not be able to disable it.
+    raw = raw.localCheckpoint(eager=True)
     clean = raw.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     quarantined = raw.filter(F.col(CORRUPT_COL).isNotNull()).select(
         F.col(CORRUPT_COL).alias("raw_line")

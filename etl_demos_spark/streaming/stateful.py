@@ -132,6 +132,13 @@ RESPONSE_STATE_SCHEMA = StructType([StructField("pending_us", StringType())])
 def _make_response_updater(first: str, then: str, within_us: int):
     def update(key: tuple, pdfs, state: GroupState):
         (user_id,) = key
+        if state.hasTimedOut:
+            # idle key: its pending 'first' events can never match under
+            # the ordered-arrival contract (any later 'then' would have
+            # arrived by now or be beyond the bound) — drop the state so
+            # dead keys don't accumulate in the store forever
+            state.remove()
+            return
         pending: list[int] = []
         if state.exists:
             (packed,) = state.get
@@ -164,12 +171,16 @@ def _make_response_updater(first: str, then: str, within_us: int):
                         still.append(a_us)  # B at/before A: keep waiting
                     # a_us + within_us < t_us → expired, drop
                 pending = still
-            else:
+            elif t_us not in pending:
+                # duplicate 'first' events at the same timestamp collapse
+                # to ONE pending entry — the batch twin groups by
+                # (key, a_ts), so multiplicity must not fan out matches
                 pending.append(t_us)
         # expire pending As the key's max seen ts has passed
         pending = [a for a in pending if max_ts <= a + within_us]
         if pending:
             state.update((",".join(str(x) for x in pending),))
+            state.setTimeoutDuration(60 * 60 * 1000)  # 1 h idle → drop
         elif state.exists:
             state.remove()
         if matches:
@@ -199,9 +210,14 @@ def stream_first_response(
     event-time order per key (the test drives it that way); under
     disorder, a ``then`` that is processed before its ``first`` cannot
     match it retroactively — at-arrival CEP semantics, the standard
-    trade for O(pending-within-T) state per key. State is bounded:
-    pending ``first`` events expire as soon as the key's max seen
-    timestamp passes a_ts + T."""
+    trade for O(pending-within-T) state per key. State is bounded two
+    ways: pending ``first`` events expire as soon as the key's max seen
+    timestamp passes a_ts + T, and a key that stops receiving events
+    entirely (whose expiry sweep would otherwise never run again) is
+    dropped by a 1 h processing-time idle timeout — dead keys do not
+    accumulate in the store. Duplicate ``first`` events at the same
+    timestamp collapse to one pending entry, matching the batch twin's
+    GROUP BY (key, a_ts)."""
     import re
 
     import pyspark.sql.functions as F
@@ -225,6 +241,6 @@ def stream_first_response(
             outputStructType=RESPONSE_SCHEMA,
             stateStructType=RESPONSE_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )

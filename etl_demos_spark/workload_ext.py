@@ -1030,8 +1030,10 @@ def q_event_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.user_id,
            strftime(a.a_ts, '%Y-%m-%d %H:%M:%S.%f') AS a_ts,
            strftime(min(b.b_ts), '%Y-%m-%d %H:%M:%S.%f') AS b_ts
-    FROM (SELECT user_id, ts AS a_ts FROM events WHERE event_type = 'view') a
-    JOIN (SELECT user_id, ts AS b_ts FROM events WHERE event_type = 'purchase') b
+    FROM (SELECT user_id, make_timestamp(epoch_us(ts)) AS a_ts
+          FROM events WHERE event_type = 'view') a
+    JOIN (SELECT user_id, make_timestamp(epoch_us(ts)) AS b_ts
+          FROM events WHERE event_type = 'purchase') b
       USING (user_id)
     WHERE b.b_ts > a.a_ts AND b.b_ts <= a.a_ts + INTERVAL 2 HOUR
     GROUP BY 1, a.a_ts

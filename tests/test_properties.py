@@ -604,8 +604,7 @@ def test_bottomk_merge_replayed_batch_is_idempotent(spark):
     batches=st.lists(
         st.lists(
             st.tuples(
-                st.integers(0, 9),            # key
-                st.integers(0, 2),            # day bucket (derived from key? no — free)
+                st.integers(0, 9),            # key (determines its partition)
                 st.integers(0, 10**6),        # value
             ),
             min_size=1,
@@ -628,7 +627,7 @@ def test_merge_upsert_partitioned_equals_unpartitioned(spark, tmp_path_factory, 
     for batch in batches:
         # key determines partition (contract): day = key % 3
         rows = {}
-        for k, _d, v in batch:   # last write per key within a batch wins
+        for k, v in batch:   # last write per key within a batch wins
             rows[k] = (k, f"d{k % 3}", v)
         df = spark.createDataFrame(
             list(rows.values()), "k long, day string, v long"

@@ -578,3 +578,82 @@ def test_stream_first_response_matches_batch_join(spark, tmp_path):
     }
     assert expect, "fixture produced no matches — test is vacuous"
     assert got == expect
+
+
+def test_response_updater_state_round_trips_across_batches():
+    """Deterministic two-batch drive of the stateful updater body with a
+    fake GroupState: the packed pending-set must round-trip through
+    state (the riskiest path — the end-to-end test's single-file source
+    runs one micro-batch and never reads state back), a cross-batch
+    match must emit, duplicate same-timestamp 'first' events must
+    collapse to one pending entry, and a timed-out key must drop its
+    state."""
+    import pandas as pd
+
+    from etl_demos_spark.streaming.stateful import _make_response_updater
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+            self.hasTimedOut = False
+            self.timeout_set = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+        def remove(self):
+            self._v = None
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_set = ms
+
+    upd = _make_response_updater("view", "purchase", 2 * 3600 * 1_000_000)
+    st = FakeState()
+
+    def batch(rows):
+        return [
+            pd.DataFrame(
+                {
+                    "event_type": [r[0] for r in rows],
+                    "ts": pd.to_datetime([r[1] for r in rows]),
+                }
+            )
+        ]
+
+    # batch 1: two duplicate views at t0 + one later view, no purchase
+    out1 = list(upd((7,), batch([
+        ("view", "2024-01-01 10:00:00"),
+        ("view", "2024-01-01 10:00:00"),
+        ("view", "2024-01-01 10:30:00"),
+    ]), st))
+    assert out1 == []  # nothing matched yet
+    assert st.exists and st.timeout_set is not None
+    assert len(st.get[0].split(",")) == 2  # duplicates collapsed
+
+    # batch 2: purchase within 2h of both pending views → 2 matches
+    out2 = list(upd((7,), batch([("purchase", "2024-01-01 11:00:00")]), st))
+    got = {
+        (str(a), str(b))
+        for df in out2
+        for a, b in zip(df["a_ts"], df["b_ts"])
+    }
+    assert got == {
+        ("2024-01-01 10:00:00", "2024-01-01 11:00:00"),
+        ("2024-01-01 10:30:00", "2024-01-01 11:00:00"),
+    }
+    assert not st.exists  # all pending matched → state removed
+
+    # batch 3: a lone view, then the key times out idle → state dropped
+    list(upd((7,), batch([("view", "2024-01-02 09:00:00")]), st))
+    assert st.exists
+    st.hasTimedOut = True
+    out4 = list(upd((7,), iter([]), st))
+    assert out4 == [] and not st.exists
