@@ -616,24 +616,42 @@ def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_oracle_parity.py at sf0.001 and (slow marker) sf0.01 — the
 # same compare the driver runs.
 _LATE: tuple[str, ...] = (
-    # ---- round-6 rotation policy: the 50-slot driver window, rebuilt
-    # per VERDICT r5 rec 5 (take the OVERDUE r02/r03 blocks first).
-    # In-window this round: q_image_features (the r05 red cell, reshaped
-    # to driver-canonicalizable scalars — must earn its first green
-    # driver row), the two §2 anchors (q_dsir_select, q_bank_mart), ALL
-    # 15 r02-certified and ALL 19 r03-certified entries (both blocks
-    # were past the ≤3-round re-certification cadence), and 13
-    # never-driver-certified paired queries chosen for family breadth
-    # plus the judge-named floor-tail movers (q_range_frame,
-    # q_supplier_cnt; q_hash_split rotates in with its r03 block).
+    # ---- round-7 rotation policy: the 50-slot driver window, rebuilt
+    # per VERDICT r6 rec 1. In-window this round: ALL 48 r04-certified
+    # entries (at their cadence limit — this rotation is the fix for
+    # test_recertification_cadence going red when CORRECTNESS_r06.json
+    # landed) plus the two §2 anchors (q_dsir_select, q_bank_mart),
+    # which re-certify every round. 48 + 2 = 50, exactly window-sized.
+    #
+    # CADENCE POLICY CHANGE (r07): the re-certification period moves
+    # from ≤3 rounds to ≤4 rounds, for capacity reasons that are
+    # arithmetic, not taste: 172 paired queries re-seated every K
+    # rounds through a 50-slot window needs 172/K ≤ 50. K=3 gives
+    # capacity 150 < 172 — the old invariant becomes PERMANENTLY
+    # unsatisfiable the moment the never-certified backlog (27 queries
+    # below) earns its first certificates. K=4 gives capacity 200,
+    # leaving ~28 slots of headroom for registry growth. The cadence
+    # test (tests/test_oracle_parity.py) asserts this feasibility bound
+    # mechanically alongside the overdue check.
+    #
+    # Forward schedule (written down per VERDICT r6 rec 3 so rotation
+    # is never improvised):
+    #   r08 window: the 27 never-certified backlog entries (first
+    #        driver hashes, incl. q_event_response) + 21 of the r05
+    #        block + 2 anchors. Under K=4 nothing is overdue at r08
+    #        (r04 block re-certifies r07 → due r11; r05 due r09), so
+    #        the freed round drains the ENTIRE backlog.
+    #   r09 window: remaining 26 r05 entries + 22 of the r06 block
+    #        + 2 anchors (r05 due r09, satisfied; r06 due r10, early).
+    #   r10 window: remaining 26 r06 entries + 22 of the r07 (=r04)
+    #        block + 2 anchors.
+    # Steady state thereafter: ~43 recertifications + 2 anchors per
+    # round, 5 free slots.
+    #
     # Everything below is annotated with its latest driver-certified
     # round ("r0N"; "never" = hash-verified only by
-    # tests/test_oracle_parity.py at sf0.001+sf0.01). Cadence invariant:
-    # every paired query re-enters the window within 3 rounds of its
-    # last certificate — after this rotation the oldest certificate in
-    # _LATE is r04 (due back by r07, and the r04 block is exactly
-    # window-sized for it).
-    # -- certified r05 (displaced this round; due back by r08):
+    # tests/test_oracle_parity.py at sf0.001+sf0.01).
+    # -- certified r05 (due back by r09; 21 seat at r08, rest at r09):
     "q_ab_test",
     "q_age_band",
     "q_anomaly_mad",
@@ -681,56 +699,58 @@ _LATE: tuple[str, ...] = (
     "q_union_literal",
     "q_url_curation",
     "q_weighted_sample",
-    # -- certified r04 (due back by r07 — priority slots next round):
-    "q_ann_cosine",
-    "q_ann_lsh",
-    "q_asof_join",
-    "q_attribution",
-    "q_bfs_dist",
-    "q_bloom_filter",
-    "q_bpe_tokens",
-    "q_case_banding",
-    "q_date_spine",
-    "q_decontaminate",
-    "q_dedup_embedding",
-    "q_dedup_exact",
-    "q_dedup_minhash",
-    "q_dedup_simhash",
-    "q_dedup_text_e2e",
-    "q_distinct",
-    "q_dup_spans",
-    "q_embed_covariance",
-    "q_event_sessions",
-    "q_feature_scale",
-    "q_filter_eq",
-    "q_filter_notnull",
-    "q_group_agg",
-    "q_hard_negatives",
-    "q_heavy_hitters",
-    "q_hll_distinct",
-    "q_incremental_merge",
-    "q_join_agg",
-    "q_label_prop",
-    "q_lang_id",
-    "q_linear_score",
-    "q_lm_quality",
-    "q_multimodal_decode",
-    "q_neg_sample",
-    "q_pagerank",
-    "q_ppmi",
-    "q_project_cast",
-    "q_pyds_scan",
-    "q_quality_report",
-    "q_range_join",
-    "q_rollup_cascade",
-    "q_star_join",
-    "q_surrogate_key",
-    "q_text_quality",
-    "q_tfidf",
-    "q_top_unshipped",
-    "q_variant_shred",
-    "q_window_dedup",
-    # -- never driver-certified — locally hash-verified every run; queued r07+:
+    # -- certified r06 (displaced this round; due back by r10 — 22 seat
+    #    at r09, rest at r10):
+    "q_text_stats",
+    "q_fingerprint",
+    "q_dedup_ngram",
+    "q_binary_meta",
+    "q_image_features",
+    "q_event_tumbling",
+    "q_event_sliding",
+    "q_topk",
+    "q_count_distinct",
+    "q_json_extract",
+    "q_salted_agg",
+    "q_semi_anti_join",
+    "q_rollup",
+    "q_set_ops",
+    "q_window_analytics",
+    "q_pivot",
+    "q_ann_ivf",
+    "q_stats_agg",
+    "q_string_funcs",
+    "q_date_arithmetic",
+    "q_math_funcs",
+    "q_cube",
+    "q_hash_split",
+    "q_event_funnel",
+    "q_pack_sequences",
+    "q_repetition",
+    "q_quantiles",
+    "q_binning",
+    "q_grouped_agg_udf",
+    "q_snapshot_diff",
+    "q_sketch_rollup",
+    "q_text_search",
+    "q_array_funcs",
+    "q_scalar_subquery",
+    "q_cust_distribution",
+    "q_waiting_supplier",
+    "q_idle_accounts",
+    "q_fuzzy_join",
+    "q_null_safe_join",
+    "q_unpivot",
+    "q_rank_family",
+    "q_supplier_cnt",
+    "q_range_frame",
+    "q_string_agg",
+    "q_map_funcs",
+    "q_twap",
+    "q_orc_roundtrip",
+    "q_argmax",
+    # -- never driver-certified — locally hash-verified every run; ALL
+    #    27 seat at r08 (the K=4 freed round — see schedule above):
     "q_bit_funcs",
     "q_disjunctive_rev",
     "q_dominant_suppliers",

@@ -63,18 +63,36 @@ def test_driver_window_slots_all_carry_oracles():
 
 def test_recertification_cadence():
     """The rotation policy (workload.py _LATE) promises every paired
-    query re-enters the driver's 50-slot window within 3 rounds of its
-    last certificate. Enforce it MECHANICALLY from the driver's own
-    artifacts: scan CORRECTNESS_r0N.json for each query's last all-true
-    round; any certified query older than (current round − 2) must be
-    IN the upcoming window (the current round = latest artifact + 1,
-    whose window is being staged now). Never-certified queries are the
-    backlog queue, outside this invariant."""
+    query re-enters the driver's 50-slot window within CADENCE_ROUNDS
+    of its last certificate. Enforce it MECHANICALLY from the driver's
+    own artifacts: scan CORRECTNESS_r0N.json for each query's last
+    all-true round; any certified query due at (or before) the round
+    being staged must be IN the upcoming window (the staged round =
+    latest artifact + 1). Never-certified queries are the backlog
+    queue, outside this invariant.
+
+    CADENCE_ROUNDS=4, not 3, for capacity reasons (workload.py _LATE
+    header): N paired queries re-seated every K rounds through a
+    50-slot window requires N ≤ 50·K. With 172 paired, K=3 caps at
+    150 — permanently unsatisfiable once the backlog certifies. The
+    feasibility bound is asserted below so registry growth past
+    capacity fails loudly instead of silting up the schedule."""
     import glob
     import json
     import re
 
     from etl_demos_spark.workload import ordered_names
+
+    CADENCE_ROUNDS = 4
+    WINDOW = 50
+    paired = [n for n, e in REGISTRY.items() if e.oracle is not None]
+    # 2 window slots are pinned to the §2 anchors every round
+    # (q_dsir_select/q_bank_mart), so rotation capacity is 48·K.
+    assert len(paired) <= (WINDOW - 2) * CADENCE_ROUNDS, (
+        f"{len(paired)} paired queries exceed rotation capacity "
+        f"{(WINDOW - 2) * CADENCE_ROUNDS} at K={CADENCE_ROUNDS}; raise "
+        "the cadence or retire queries BEFORE the schedule deadlocks"
+    )
 
     last_cert: dict[str, int] = {}
     rounds = []
@@ -86,11 +104,11 @@ def test_recertification_cadence():
                 last_cert[name] = max(last_cert.get(name, 0), rnd)
     assert rounds, "no CORRECTNESS artifacts found (run from repo root)"
     current = max(rounds) + 1
-    window = set(ordered_names()[:50])
+    window = set(ordered_names()[:WINDOW])
     overdue = {
         n: r
         for n, r in last_cert.items()
-        if r <= current - 3 and n in REGISTRY and n not in window
+        if r <= current - CADENCE_ROUNDS and n in REGISTRY and n not in window
     }
     assert not overdue, (
         f"certified queries overdue for window rotation at r{current:02d}: {overdue}"
