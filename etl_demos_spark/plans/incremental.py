@@ -291,7 +291,12 @@ def compact(
     # Heal a swap interrupted between its two moves BEFORE reading: in a
     # compact-only workflow nothing else would, and the table would look
     # missing (PATH_NOT_FOUND) until some merge_upsert happened to run.
+    # BOTH swap families: whole-table (__staging/__old) AND per-partition
+    # (__pstaging/__pold) — a compact after a crashed partitioned upsert
+    # would otherwise read a table missing a partition and then REWRITE
+    # it that way, turning a healable crash window into permanent loss.
     recover_interrupted_swap(path)
+    recover_interrupted_partition_swap(path)
     df = spark.read.parquet(path)
     total_bytes = sum(
         f.stat().st_size for f in Path(path).glob("**/*.parquet")

@@ -133,10 +133,10 @@ def _make_response_updater(first: str, then: str, within_us: int):
     def update(key: tuple, pdfs, state: GroupState):
         (user_id,) = key
         if state.hasTimedOut:
-            # idle key: its pending 'first' events can never match under
-            # the ordered-arrival contract (any later 'then' would have
-            # arrived by now or be beyond the bound) — drop the state so
-            # dead keys don't accumulate in the store forever
+            # idle key: the timeout is >= the match window (set below),
+            # so by the time it fires, any 'then' that could still close
+            # a pending 'first' has had at least `within` of wall time to
+            # arrive — drop the state so dead keys don't accumulate
             state.remove()
             return
         pending: list[int] = []
@@ -180,7 +180,11 @@ def _make_response_updater(first: str, then: str, within_us: int):
         pending = [a for a in pending if max_ts <= a + within_us]
         if pending:
             state.update((",".join(str(x) for x in pending),))
-            state.setTimeoutDuration(60 * 60 * 1000)  # 1 h idle → drop
+            # idle-drop timeout must be >= the match window: a 1h floor
+            # with within=2h would drop a pending A during a >1h
+            # processing lull even though its B could still arrive
+            # in-window (processing time != event time)
+            state.setTimeoutDuration(max(within_us // 1000, 60 * 60 * 1000))
         elif state.exists:
             state.remove()
         if matches:
@@ -214,8 +218,9 @@ def stream_first_response(
     ways: pending ``first`` events expire as soon as the key's max seen
     timestamp passes a_ts + T, and a key that stops receiving events
     entirely (whose expiry sweep would otherwise never run again) is
-    dropped by a 1 h processing-time idle timeout — dead keys do not
-    accumulate in the store. Duplicate ``first`` events at the same
+    dropped by a processing-time idle timeout of max(T, 1 h) — dead keys
+    do not accumulate in the store, and the timeout never undercuts the
+    match window (a processing lull shorter than T cannot lose a match). Duplicate ``first`` events at the same
     timestamp collapse to one pending entry, matching the batch twin's
     GROUP BY (key, a_ts)."""
     import re

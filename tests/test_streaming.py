@@ -545,10 +545,25 @@ def test_stream_first_response_matches_batch_join(spark, tmp_path):
     from etl_demos_spark.operators.asof import first_response_join
     from etl_demos_spark.streaming.stateful import stream_first_response
 
+    import glob
+    import time
+
     src = str(tmp_path / "resp_src")
     ev = load_events(spark, SF_DIR).select("user_id", "event_type", "ts")
-    # event-time-ordered arrival, multiple files so state crosses batches
-    ev.orderBy("ts").coalesce(1).write.parquet(src)
+    # event-time-ordered arrival, written as FOUR sequential files so
+    # maxFilesPerTrigger=1 really produces multiple ordered micro-batches
+    # and pending state must round-trip through the store (a single
+    # coalesce(1) file here would silently collapse the test to one
+    # batch — the r6 advisor caught exactly that)
+    rows = ev.orderBy("ts").collect()
+    n = len(rows)
+    for i in range(4):
+        chunk = rows[i * n // 4 : (i + 1) * n // 4]
+        spark.createDataFrame(chunk, schema=ev.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(0.2)  # distinct mtimes: FileStreamSource orders by them
+    assert len(glob.glob(f"{src}/part-*.parquet")) >= 4
     schema = spark.read.parquet(src).schema
     stream = spark.readStream.schema(schema).option(
         "maxFilesPerTrigger", 1
@@ -564,7 +579,9 @@ def test_stream_first_response_matches_batch_join(spark, tmp_path):
         .start()
     )
     q.awaitTermination(180)
+    n_batches = len({p["batchId"] for p in q.recentProgress})
     q.stop()
+    assert n_batches >= 4, f"expected >=4 micro-batches, ran {n_batches}"
     got = {
         (r["user_id"], r["a_ts"], r["b_ts"])
         for r in spark.sql("SELECT * FROM resp_stream").collect()

@@ -163,8 +163,20 @@ def main() -> None:
         else:
             d_med = d_min = None
             lower = False
-        ratio = round(s_med / d_med, 2) if d_med and not lower else None
-        ratio_min = round(s_min / d_min, 2) if d_min and not lower else None
+        # `is not None` + >0, not truthiness: a legitimately measured
+        # sub-0.5ms DuckDB median rounds to 0.0 and must stay PAIRED
+        # (it contributes to totals) even though its per-row ratio is
+        # undefined — truthiness made it indistinguishable from unmeasured
+        ratio = (
+            round(s_med / d_med, 2)
+            if d_med is not None and d_med > 0 and not lower
+            else None
+        )
+        ratio_min = (
+            round(s_min / d_min, 2)
+            if d_min is not None and d_min > 0 and not lower
+            else None
+        )
         rows.append(
             {
                 "query": name,
@@ -190,7 +202,11 @@ def main() -> None:
     # summing all Spark rows against a smaller DuckDB set would silently
     # overstate the ratio. `paired` totals (both engines timed) carry
     # the headline ratio; full-set Spark totals are reported separately.
-    paired = [r for r in rows if r["duckdb_sec"] and not r["duckdb_lower_bound"]]
+    paired = [
+        r
+        for r in rows
+        if r["duckdb_sec"] is not None and not r["duckdb_lower_bound"]
+    ]
     totals = {
         "spark_total_median": round(sum(r["spark_sec"] for r in rows), 3),
         "spark_total_min": round(sum(r["spark_min"] for r in rows), 3),
@@ -200,10 +216,11 @@ def main() -> None:
         "duckdb_total_median": round(sum(r["duckdb_sec"] for r in paired), 3),
         "duckdb_total_min": round(sum(r["duckdb_min"] for r in paired), 3),
     }
-    if paired:
+    if paired and totals["duckdb_total_median"] > 0:
         totals["ratio_median"] = round(
             totals["spark_paired_median"] / totals["duckdb_total_median"], 3
         )
+    if paired and totals["duckdb_total_min"] > 0:
         totals["ratio_min"] = round(
             totals["spark_paired_min"] / totals["duckdb_total_min"], 3
         )
