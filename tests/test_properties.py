@@ -641,3 +641,274 @@ def test_merge_upsert_partitioned_equals_unpartitioned(spark, tmp_path_factory, 
         (r["k"], r["day"], r["v"]) for r in spark.read.parquet(p_part).collect()
     )
     assert got_full == got_part
+
+
+# ---------------------------------------------------------------------------
+# Crash-injection over the staging-then-swap family (VERDICT r6 rec 6).
+#
+# The swap discipline (plans/incremental.swap_table + the per-partition
+# variant) promises: a writer killed at ANY point leaves a state from
+# which (a) recovery alone restores every partition to exactly-old or
+# exactly-new content — never missing, never mixed — and (b) replaying
+# the same batch converges to the no-crash result. Rounds 5/6 kept
+# finding one-off gaps in hand-written crash tests; this mechanizes the
+# search: shutil.move/rmtree are instrumented to raise after k mutations
+# under the table root, and k sweeps EVERY step boundary until a run
+# completes crash-free. Hypothesis varies the data; the boundary sweep
+# is exhaustive per example. Covers all four callers: merge_upsert,
+# merge_upsert_partitioned, compact, and the streaming near-dup store
+# (streaming/dedup.near_dedup_batch_processor).
+# ---------------------------------------------------------------------------
+
+import shutil as _shutil_mod
+
+
+class _InjectedCrash(RuntimeError):
+    pass
+
+
+class _crash_after:
+    """Raise _InjectedCrash on the (n+1)-th shutil.move/rmtree whose
+    target lives under ``root`` — i.e. kill the writer at step boundary
+    n of the swap protocol. Unrelated shutil traffic is ignored.
+    ``self.fired`` reports whether the run reached boundary n at all
+    (False = the protocol has fewer than n+1 steps → sweep complete)."""
+
+    def __init__(self, root: str, n: int):
+        self.root, self.n, self.fired = str(root), n, False
+
+    def _wrap(self, fn):
+        def wrapped(path, *a, **kw):
+            if str(path).startswith(self.root):
+                if self.left <= 0:
+                    self.fired = True
+                    raise _InjectedCrash(f"boundary {self.n}: {fn.__name__}({path})")
+                self.left -= 1
+            return fn(path, *a, **kw)
+
+        return wrapped
+
+    def __enter__(self):
+        self.left = self.n
+        self._move, self._rmtree = _shutil_mod.move, _shutil_mod.rmtree
+        _shutil_mod.move = self._wrap(self._move)
+        _shutil_mod.rmtree = self._wrap(self._rmtree)
+        return self
+
+    def __exit__(self, *exc):
+        _shutil_mod.move, _shutil_mod.rmtree = self._move, self._rmtree
+        return False
+
+
+def _rows_by_day(spark, path):
+    out: dict = {}
+    for r in spark.read.parquet(path).collect():
+        out.setdefault(r["day"], set()).add((r["k"], r["day"], r["v"]))
+    return out
+
+
+def _no_siblings(path):
+    import pathlib
+
+    for suf in ("__staging", "__old", "__pstaging", "__pold"):
+        assert not pathlib.Path(f"{path}{suf}").exists(), f"leftover {suf}"
+
+
+def _sweep_crash_boundaries(spark, tmp_path, op, *, base_df, expected_of):
+    """Shared harness: seed ``path`` with base_df via op (clean), compute
+    the expected no-crash result on a pristine copy, then kill op at
+    every shutil boundary on a restored copy, heal, assert old-or-new
+    per partition, replay, assert convergence."""
+    from etl_demos_spark.plans.incremental import (
+        recover_interrupted_partition_swap,
+        recover_interrupted_swap,
+    )
+
+    path = str(tmp_path / "t")
+    snap = str(tmp_path / "snap")
+    op(base_df, path)  # seed (clean)
+    _shutil_mod.copytree(path, snap)
+    base_parts = _rows_by_day(spark, path)
+
+    # expected final state from a clean run on a pristine copy
+    clean = str(tmp_path / "clean")
+    _shutil_mod.copytree(snap, clean)
+    expected_parts = expected_of(clean)
+
+    k = 0
+    while True:
+        spark.catalog.clearCache()
+        _shutil_mod.rmtree(path, ignore_errors=True)
+        for suf in ("__staging", "__old", "__pstaging", "__pold"):
+            _shutil_mod.rmtree(f"{path}{suf}", ignore_errors=True)
+        _shutil_mod.copytree(snap, path)
+        with _crash_after(path, k) as crash:
+            try:
+                expected_of(path)  # the op under test, crash-injected
+            except _InjectedCrash:
+                pass
+        if not crash.fired:
+            # boundary k was never reached: the clean run has < k+1
+            # steps — every boundary has been swept
+            assert _rows_by_day(spark, path) == expected_parts
+            _no_siblings(path)
+            break
+        # (a) recovery alone: every partition exactly-old or exactly-new
+        recover_interrupted_swap(path)
+        recover_interrupted_partition_swap(path)
+        healed = _rows_by_day(spark, path)
+        for day in set(base_parts) | set(expected_parts) | set(healed):
+            got = healed.get(day, set())
+            old = base_parts.get(day, set())
+            new = expected_parts.get(day, set())
+            assert got in (old, new), (
+                f"boundary {k}, partition {day}: healed state is neither "
+                f"old nor new: {got} (old={old}, new={new})"
+            )
+        # (b) replay converges to the no-crash result
+        assert expected_of(path) == expected_parts, f"replay after boundary {k}"
+        _no_siblings(path)
+        k += 1
+    assert k > 0, "no crash boundary was ever exercised — harness broken"
+
+
+_crash_rows = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 99)), min_size=1, max_size=8
+)
+_CRASH_SET = settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+def _mk_day_df(spark, rows):
+    uniq = {}
+    for k, v in rows:  # key determines partition (the primitive's contract)
+        uniq[k] = (k, f"d{k % 3}", v)
+    return spark.createDataFrame(list(uniq.values()), "k long, day string, v long")
+
+
+@given(base=_crash_rows, upd=_crash_rows)
+@_CRASH_SET
+def test_crash_sweep_merge_upsert(spark, tmp_path_factory, base, upd):
+    from etl_demos_spark.plans.incremental import merge_upsert
+
+    tmp = tmp_path_factory.mktemp("crashmu")
+    base_df = _mk_day_df(spark, base)
+    upd_df = _mk_day_df(spark, upd)
+
+    def expected_of(path):
+        merge_upsert(spark, upd_df, path, keys=["k"])
+        return _rows_by_day(spark, path)
+
+    _sweep_crash_boundaries(
+        spark, tmp,
+        lambda df, p: merge_upsert(spark, df, p, keys=["k"]),
+        base_df=base_df, expected_of=expected_of,
+    )
+
+
+@given(base=_crash_rows, upd=_crash_rows)
+@_CRASH_SET
+def test_crash_sweep_merge_upsert_partitioned(spark, tmp_path_factory, base, upd):
+    from etl_demos_spark.plans.incremental import merge_upsert_partitioned
+
+    tmp = tmp_path_factory.mktemp("crashmup")
+    base_df = _mk_day_df(spark, base)
+    upd_df = _mk_day_df(spark, upd)
+
+    def expected_of(path):
+        merge_upsert_partitioned(
+            spark, upd_df, path, keys=["k"], partition_by=["day"]
+        )
+        return _rows_by_day(spark, path)
+
+    _sweep_crash_boundaries(
+        spark, tmp,
+        lambda df, p: merge_upsert_partitioned(
+            spark, df, p, keys=["k"], partition_by=["day"]
+        ),
+        base_df=base_df, expected_of=expected_of,
+    )
+
+
+@given(base=_crash_rows)
+@_CRASH_SET
+def test_crash_sweep_compact(spark, tmp_path_factory, base):
+    """compact() must never lose rows at any crash boundary — its
+    expected final content IS its input content."""
+    from etl_demos_spark.plans.incremental import compact, merge_upsert
+
+    tmp = tmp_path_factory.mktemp("crashcmp")
+    base_df = _mk_day_df(spark, base)
+
+    def expected_of(path):
+        compact(spark, path, target_file_mb=128)
+        return _rows_by_day(spark, path)
+
+    _sweep_crash_boundaries(
+        spark, tmp,
+        lambda df, p: merge_upsert(spark, df, p, keys=["k"]),
+        base_df=base_df, expected_of=expected_of,
+    )
+
+
+def test_crash_sweep_near_dedup_store(spark, tmp_path):
+    """The streaming near-dup signature store's staging-then-swap: kill
+    batch 2 at every shutil boundary under the store/out roots, then
+    replay batch 2 (foreachBatch is at-least-once — replay IS the
+    recovery path) and assert the output partitions and the store's
+    surviving ids converge to the no-crash run. Deterministic single
+    example: the boundary sweep is exhaustive and the heavy minhash
+    path makes hypothesis variation poor value here."""
+    from etl_demos_spark.streaming.dedup import near_dedup_batch_processor
+
+    def mk_batch(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    words = "alpha beta gamma delta epsilon zeta eta theta".split()
+    b1 = mk_batch([(i, " ".join(words[i % 4 :] + words[: i % 4])) for i in range(4)])
+    # batch 2: one near-dup of a stored doc, one fresh doc
+    b2 = mk_batch([(10, " ".join(words)), (11, "totally fresh unseen content words")])
+
+    def run_clean(root):
+        out, store = f"{root}/out", f"{root}/store"
+        proc = near_dedup_batch_processor(out, store, threshold=0.5)
+        proc(b1, 1)
+        return out, store, proc
+
+    def state(out, store):
+        outs = {(r["doc_id"], r["__batch_id"]) for r in spark.read.parquet(out).collect()}
+        ids = {r["id"] for r in spark.read.parquet(store).collect()}
+        return outs, ids
+
+    # expected: clean two-batch run
+    exp_root = str(tmp_path / "exp")
+    out_e, store_e, proc_e = run_clean(exp_root)
+    proc_e(b2, 2)
+    expected = state(out_e, store_e)
+
+    root = str(tmp_path / "live")
+    out, store, proc = run_clean(root)
+    snap = str(tmp_path / "snap")
+    _shutil_mod.copytree(root, snap)
+
+    k = 0
+    while True:
+        spark.catalog.clearCache()
+        _shutil_mod.rmtree(root, ignore_errors=True)
+        _shutil_mod.copytree(snap, root)
+        with _crash_after(root, k) as crash:
+            try:
+                proc(b2, 2)
+            except _InjectedCrash:
+                pass
+        if not crash.fired:
+            assert state(out, store) == expected
+            break
+        proc(b2, 2)  # at-least-once replay of the same batch_id
+        assert state(out, store) == expected, f"replay after boundary {k}"
+        _no_siblings(store)
+        k += 1
+    assert k > 0

@@ -24,6 +24,15 @@ right estimator; medians also recorded).
 Usage: python tools/floor_accounting.py q_a q_b ...     # explicit list
        python tools/floor_accounting.py --from-h2h perf/h2h_sf0.1_r6.json [min_ratio]
 Prints one JSON line.
+
+--sf1 DIR (VERDICT r6 rec 4) adds a 10x-data sweep: the floor model
+predicts sf1 ≈ floor + 10 x data_sec (fixed cost unchanged, data part
+linear in rows); the output gains per-row `sf1_sec`, `sf1_pred_sec`,
+and `sf1_delta` (measured − predicted, negative = faster than the
+linear model, i.e. sublinear data cost). Generate DIR first with
+tools/make_sf1.py. A floor-dominated query should barely move; a query
+whose sf1 time blows past its prediction has a hidden superlinear term
+and gets a plan fix, not an amortization story.
 """
 
 from __future__ import annotations
@@ -63,6 +72,12 @@ def main() -> None:
     args = sys.argv[1:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+    sf1_dir = None
+    if "--sf1" in args:
+        i = args.index("--sf1")
+        sf1_dir = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+
     from etl_demos_spark.session import get_spark
     import etl_demos_spark.workload_ext  # noqa: F401
     from etl_demos_spark.workload import REGISTRY
@@ -87,6 +102,8 @@ def main() -> None:
     build_empty_dir(spark)
 
     sizes = {"empty": EMPTY_DIR, "sf0.001": "/root/testdata/sf0.001", "sf0.1": sf_dir}
+    if sf1_dir:
+        sizes["sf1"] = sf1_dir
     ok_empty: dict[str, bool] = {}
     # warm-up sweep + empty-viability probe
     for name in names:
@@ -129,19 +146,26 @@ def main() -> None:
         floor_src = "empty" if ok_empty[name] else "sf0.001"
         floor = mins[floor_src]
         total = mins["sf0.1"]
-        rows.append(
-            {
-                "query": name,
-                "floor_sec": floor,
-                "floor_source": floor_src,
-                "sf001_sec": mins["sf0.001"],
-                "sf01_sec": total,
-                "data_sec": round(max(0.0, total - floor), 3),
-                "floor_share": round(floor / total, 3) if total else None,
-                "medians": meds,
-            }
-        )
-        print(f"# {name}: floor={floor}s ({floor_src}) sf0.1={total}s", file=sys.stderr)
+        data_sec = round(max(0.0, total - floor), 3)
+        row = {
+            "query": name,
+            "floor_sec": floor,
+            "floor_source": floor_src,
+            "sf001_sec": mins["sf0.001"],
+            "sf01_sec": total,
+            "data_sec": data_sec,
+            "floor_share": round(floor / total, 3) if total else None,
+            "medians": meds,
+        }
+        if "sf1" in mins:
+            pred = round(floor + 10.0 * data_sec, 3)
+            row["sf1_sec"] = mins["sf1"]
+            row["sf1_pred_sec"] = pred
+            row["sf1_delta"] = round(mins["sf1"] - pred, 3)
+        rows.append(row)
+        print(f"# {name}: floor={floor}s ({floor_src}) sf0.1={total}s"
+              + (f" sf1={mins['sf1']}s pred={row['sf1_pred_sec']}s" if "sf1" in mins else ""),
+              file=sys.stderr)
 
     print(json.dumps({"sweeps": SWEEPS, "rows": rows}))
     spark.stop()
