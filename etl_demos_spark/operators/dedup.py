@@ -347,13 +347,65 @@ def minhash_signatures_from_grams(
     return _minhash_from_base(base, num_hashes)
 
 
+# Signature-stage implementation knob (same escape-hatch convention as
+# matutil.STRATEGY). "arrow" won the round-7 interleaved A/B at sf0.1
+# (tools/ab_minhash_sig.py: 1.74 vs 2.17 s min, 1.81 vs 2.31 median,
+# identical signatures asserted) — the k min-agg buffers cost more in
+# codegen'd per-row agg updates than one vectorized numpy pass costs in
+# Arrow transfer. "codegen" remains for Python-worker-free deployments.
+SIG_IMPL = "arrow"
+
+
 def _minhash_from_base(base: DataFrame, num_hashes: int) -> DataFrame:
+    if SIG_IMPL == "arrow":
+        return _minhash_from_base_arrow(base, num_hashes)
     p = F.lit(MERSENNE31).cast("long")
     aggs = [
         F.min((F.col("h") * F.lit(a) + F.lit(b)) % p).alias(f"__m{i}")
         for i, (a, b) in enumerate(_affine_params(num_hashes))
     ]
     wide = base.groupBy("id").agg(*aggs)
+    return wide.select(
+        "id", F.array(*[f"__m{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def _minhash_from_base_arrow(base: DataFrame, num_hashes: int) -> DataFrame:
+    """Arrow partial-min signature reduction: per Arrow batch, numpy
+    builds the (rows x k) affine-hash matrix in one vectorized shot and
+    collapses it to per-id partial minima; the final groupBy(id) then
+    aggregates only ~n_partitions x n_ids partial rows instead of every
+    exploded gram. Signatures are bit-identical to the codegen variant
+    (asserted in tools/ab_minhash_sig.py and by the q_dedup_minhash
+    oracle). Memory per batch is bounded by the Arrow batch size
+    (10k rows -> 10k x 128 x 8 B = ~10 MB slab); products stay < 2^62
+    (h, a < 2^31), safe in int64."""
+    import numpy as np
+    import pandas as pd
+
+    params = np.array(_affine_params(num_hashes), dtype=np.int64)
+    a, b = params[:, 0], params[:, 1]
+    # preserve the caller's id type (string ids are legal here)
+    id_type = base.schema["id"].dataType.simpleString()
+
+    def partial(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            h = pdf["h"].to_numpy(dtype=np.int64)
+            m = (h[:, None] * a + b) % MERSENNE31
+            part = pd.DataFrame(m)
+            part["id"] = pdf["id"].to_numpy()
+            g = part.groupby("id", sort=False).min()
+            yield pd.DataFrame(
+                {"id": g.index.to_numpy(), "part": list(g.to_numpy())}
+            )
+
+    partials = base.mapInPandas(partial, f"id {id_type}, part array<long>")
+    aggs = [
+        F.min(F.col("part")[i]).alias(f"__m{i}") for i in range(num_hashes)
+    ]
+    wide = partials.groupBy("id").agg(*aggs)
     return wide.select(
         "id", F.array(*[f"__m{i}" for i in range(num_hashes)]).alias("sig")
     )
