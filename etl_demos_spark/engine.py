@@ -188,6 +188,21 @@ class Engine:
         )
         return Vectors(df, id_col, vec_col)
 
+    def events(
+        self,
+        df_or_name,
+        ts_col: str = "ts",
+        user_col: str = "user_id",
+        event_col: str = "event_type",
+    ) -> "Events":
+        """Events facade over a DataFrame or a loaded source name."""
+        df = (
+            df_or_name
+            if isinstance(df_or_name, DataFrame)
+            else self.table(df_or_name)
+        )
+        return Events(df, ts_col, user_col, event_col)
+
 
 class Corpus:
     """Training-data facade over a documents DataFrame — one
@@ -364,3 +379,111 @@ class Vectors:
         from etl_demos_spark.operators.embeddings import kmeans_lloyd
 
         return kmeans_lloyd(self.df, k, iters, self.id_col, self.vec_col)
+
+
+class Events:
+    """Event-analytics facade over an event-stream DataFrame — the
+    funnel family behind one discoverable surface (each method delegates
+    to its operators/streaming module, where the scale notes live).
+
+        ev = Engine.local().events(events_df)     # or events("name")
+        ev.funnel("view", "click", "purchase")    # first-occurrence funnel
+        ev.first_response("view", "purchase", within="2 hours")
+        ev.sessionize(gap="30 minutes")
+        ev.transitions()                          # Markov next-event counts
+
+    The funnel counts each user once per stage via first occurrences;
+    ``first_response`` pairs EVERY "A" event with its earliest "B"
+    within the bound (conversion latency — what the funnel can't
+    express). ``first_response_stream`` is the Structured Streaming
+    twin, equality-tested against the batch join."""
+
+    def __init__(
+        self,
+        df: DataFrame,
+        ts_col: str = "ts",
+        user_col: str = "user_id",
+        event_col: str = "event_type",
+    ):
+        self.df = df
+        self.ts_col, self.user_col, self.event_col = ts_col, user_col, event_col
+
+    def funnel(self, *steps: str) -> DataFrame:
+        """Ordered first-occurrence funnel: one conditional-min
+        aggregation pass per user, then stage predicates — no joins, no
+        windows, one keyed shuffle (the q_event_funnel plan). Returns
+        one row per stage with the user count that reached it in order."""
+        import pyspark.sql.functions as F
+
+        if len(steps) < 2:
+            raise ValueError("funnel needs at least two steps")
+        firsts = self.df.groupBy(self.user_col).agg(
+            *[
+                F.min(
+                    F.when(F.col(self.event_col) == s, F.col(self.ts_col))
+                ).alias(f"__t{i}")
+                for i, s in enumerate(steps)
+            ]
+        )
+        reached = F.col("__t0").isNotNull()
+        preds = [reached]
+        for i in range(1, len(steps)):
+            reached = reached & (F.col(f"__t{i}") > F.col(f"__t{i-1}"))
+            preds.append(reached)
+        counts = firsts.agg(
+            *[
+                F.sum(p.cast("long")).alias(f"__n{i}")
+                for i, p in enumerate(preds)
+            ]
+        )
+        rows = [
+            F.struct(
+                F.lit(i).alias("stage"),
+                F.lit(s).alias("step"),
+                F.col(f"__n{i}").alias("n_users"),
+            )
+            for i, s in enumerate(steps)
+        ]
+        return counts.select(
+            F.explode(F.array(*rows)).alias("r")
+        ).select("r.stage", "r.step", "r.n_users")
+
+    def first_response(self, first: str, then: str, within: str = "2 hours") -> DataFrame:
+        """→ (user, a_ts, b_ts): every ``first`` event paired with its
+        EARLIEST ``then`` within the bound (operators/asof)."""
+        from etl_demos_spark.operators.asof import first_response_join
+
+        return first_response_join(
+            self.df, (self.user_col,), self.ts_col, self.event_col,
+            first, then, within,
+        )
+
+    def first_response_stream(
+        self, stream_df: DataFrame, first: str, then: str, within: str = "2 hours"
+    ) -> DataFrame:
+        """Streaming twin of :meth:`first_response` — per-key state
+        machine under applyInPandasWithState; see
+        streaming/stateful.stream_first_response for the at-arrival
+        semantics and state bounds."""
+        from etl_demos_spark.streaming.stateful import stream_first_response
+
+        return stream_first_response(
+            stream_df, first, then, within, ts_col=self.ts_col
+        )
+
+    def sessionize(self, gap: str = "30 minutes", order_tiebreak: str = "event_id") -> DataFrame:
+        """Gap-based sessions (lag → flag → cumulative sum)."""
+        from etl_demos_spark.streaming.windows import sessionize_batch
+
+        return sessionize_batch(
+            self.df, self.ts_col, self.user_col, gap, order_tiebreak
+        )
+
+    def transitions(self, order_tiebreak: str = "event_id") -> DataFrame:
+        """First-order Markov next-event counts + conditional
+        probabilities per user sequence (operators/cooccur)."""
+        from etl_demos_spark.operators.cooccur import transition_counts
+
+        return transition_counts(
+            self.df, self.user_col, (self.ts_col, order_tiebreak), self.event_col
+        )

@@ -17,6 +17,7 @@ EXAMPLES = [
     "query_acceleration.py",
     "data_selection.py",
     "graph_analytics.py",
+    "event_analytics.py",
 ]
 EX_DIR = Path(__file__).resolve().parent.parent / "examples"
 

@@ -505,3 +505,51 @@ def test_engine_rearm_from_dir_restores_staged_views(spark, tmp_path):
     got = eng2.sql("select loan_id, loan_amount from vloans").collect()
     assert {r["loan_id"] for r in got} == {"1", "2"}
     assert eng2.check_quality() == []
+
+
+def test_events_facade_matches_funnel_family(spark):
+    """engine.Events must delegate to the same funnel-family semantics
+    the certified queries use: funnel() stage counts == q_event_funnel's
+    aggregate, first_response() == the q_event_response operator call,
+    and both sessionize/transitions return the operator shapes."""
+    import pyspark.sql.functions as F
+
+    from etl_demos_spark.data import load_table
+    from etl_demos_spark.engine import Engine
+    from etl_demos_spark.operators.asof import first_response_join
+
+    sf_dir = "/root/testdata/sf0.001"
+    eng = Engine(spark)
+    ev_df = load_table(spark, sf_dir, "events")
+    ev = eng.events(ev_df)
+
+    got = {r["step"]: r["n_users"] for r in ev.funnel("view", "click", "purchase").collect()}
+    ref = ev_df.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("v"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("c"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("p"),
+    )
+    viewed = F.col("v").isNotNull()
+    clicked = viewed & (F.col("c") > F.col("v"))
+    conv = clicked & (F.col("p") > F.col("c"))
+    exp = ref.agg(
+        F.sum(viewed.cast("long")).alias("nv"),
+        F.sum(clicked.cast("long")).alias("nc"),
+        F.sum(conv.cast("long")).alias("np"),
+    ).collect()[0]
+    assert got == {"view": exp["nv"], "click": exp["nc"], "purchase": exp["np"]}
+
+    facade = {
+        (r["user_id"], r["a_ts"], r["b_ts"])
+        for r in ev.first_response("view", "purchase", "2 hours").collect()
+    }
+    direct = {
+        (r["user_id"], r["a_ts"], r["b_ts"])
+        for r in first_response_join(
+            ev_df, ("user_id",), "ts", "event_type", "view", "purchase", "2 hours"
+        ).collect()
+    }
+    assert facade == direct and facade
+
+    assert "session_seq" in ev.sessionize().columns
+    assert set(ev.transitions().columns) == {"cur", "nxt", "c_trans", "p_trans"}
