@@ -654,13 +654,16 @@ def simhash_signatures(
         "id", _base_hash(F.col("g"), base_hash).alias("h")
     )  # see minhash_signatures for the explode_outer rationale
 
-    aggs = [
-        F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(1 << i).cast("long")) != 0, 1).otherwise(-1)
-        ).alias(f"__v{i}")
-        for i in range(bits)
-    ]
-    votes = base.groupBy("id").agg(*aggs)
+    if SIG_IMPL == "arrow":
+        votes = _simhash_votes_arrow(base, bits)
+    else:
+        aggs = [
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << i).cast("long")) != 0, 1).otherwise(-1)
+            ).alias(f"__v{i}")
+            for i in range(bits)
+        ]
+        votes = base.groupBy("id").agg(*aggs)
     bit_terms = F.array(
         *[
             F.when(F.col(f"__v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
@@ -674,6 +677,43 @@ def simhash_signatures(
         F.aggregate(bit_terms, F.lit(0).cast("long"), lambda acc, b: acc.bitwiseOR(b)).alias(
             "sig"
         ),
+    )
+
+
+def _simhash_votes_arrow(base: DataFrame, bits: int) -> DataFrame:
+    """Arrow partial-vote reduction for SimHash — the same shape as
+    :func:`_minhash_from_base_arrow`: per Arrow batch, numpy unpacks the
+    (rows x bits) ±1 vote matrix in one vectorized shot and collapses it
+    to per-id partial sums; the final groupBy(id) sums only
+    ~n_partitions x n_ids partial rows instead of every exploded gram.
+    Votes are bit-identical to the codegen variant (asserted in
+    tools/ab_simhash_sig.py and by the q_dedup_simhash oracle). Output
+    columns match the codegen aggs (__v0..__v{bits-1}) so the bit
+    assembly downstream is shared. Arithmetic right-shift on negative
+    int64 extracts two's-complement bits exactly like the JVM's
+    bitwiseAND path (the xxhash64 base hash can be negative)."""
+    import numpy as np
+    import pandas as pd
+
+    id_type = base.schema["id"].dataType.simpleString()
+    shifts = np.arange(bits, dtype=np.int64)
+
+    def partial(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            h = pdf["h"].to_numpy(dtype=np.int64)
+            m = (((h[:, None] >> shifts) & 1) * 2 - 1).astype(np.int64)
+            part = pd.DataFrame(m)
+            part["id"] = pdf["id"].to_numpy()
+            g = part.groupby("id", sort=False).sum()
+            yield pd.DataFrame(
+                {"id": g.index.to_numpy(), "part": list(g.to_numpy())}
+            )
+
+    partials = base.mapInPandas(partial, f"id {id_type}, part array<long>")
+    return partials.groupBy("id").agg(
+        *[F.sum(F.col("part")[i]).alias(f"__v{i}") for i in range(bits)]
     )
 
 
