@@ -432,7 +432,11 @@ class Events:
             preds.append(reached)
         counts = firsts.agg(
             *[
-                F.sum(p.cast("long")).alias(f"__n{i}")
+                # coalesce: sum over an empty frame is NULL, and a
+                # 0-user stage must count as 0, not None
+                F.coalesce(F.sum(p.cast("long")), F.lit(0).cast("long")).alias(
+                    f"__n{i}"
+                )
                 for i, p in enumerate(preds)
             ]
         )
@@ -468,7 +472,8 @@ class Events:
         from etl_demos_spark.streaming.stateful import stream_first_response
 
         return stream_first_response(
-            stream_df, first, then, within, ts_col=self.ts_col
+            stream_df, first, then, within,
+            ts_col=self.ts_col, user_col=self.user_col, event_col=self.event_col,
         )
 
     def sessionize(self, gap: str = "30 minutes", order_tiebreak: str = "event_id") -> DataFrame:

@@ -356,8 +356,17 @@ def minhash_signatures_from_grams(
 SIG_IMPL = "arrow"
 
 
+def _sig_impl() -> str:
+    """Validated read of the SIG_IMPL knob — a typo'd override must fail
+    loudly, not silently measure/run the other implementation (same
+    contract as matutil.STRATEGY)."""
+    if SIG_IMPL not in ("arrow", "codegen"):
+        raise ValueError(f"SIG_IMPL {SIG_IMPL!r}: use 'arrow' or 'codegen'")
+    return SIG_IMPL
+
+
 def _minhash_from_base(base: DataFrame, num_hashes: int) -> DataFrame:
-    if SIG_IMPL == "arrow":
+    if _sig_impl() == "arrow":
         return _minhash_from_base_arrow(base, num_hashes)
     p = F.lit(MERSENNE31).cast("long")
     aggs = [
@@ -387,6 +396,12 @@ def _minhash_from_base_arrow(base: DataFrame, num_hashes: int) -> DataFrame:
     a, b = params[:, 0], params[:, 1]
     # preserve the caller's id type (string ids are legal here)
     id_type = base.schema["id"].dataType.simpleString()
+    # null base hashes (null grams from a caller of the from_grams entry
+    # point) would arrive as NaN and crash the int64 conversion; the
+    # codegen twin's min() ignores them — match it. (A doc whose EVERY
+    # gram is null keeps a signature row of nulls under codegen but
+    # vanishes here; no entry point can produce that input.)
+    base = base.filter(F.col("h").isNotNull())
 
     def partial(batches):
         for pdf in batches:
@@ -396,7 +411,9 @@ def _minhash_from_base_arrow(base: DataFrame, num_hashes: int) -> DataFrame:
             m = (h[:, None] * a + b) % MERSENNE31
             part = pd.DataFrame(m)
             part["id"] = pdf["id"].to_numpy()
-            g = part.groupby("id", sort=False).min()
+            # dropna=False: a null id is a real group under Spark's
+            # groupBy — the codegen twin emits its signature row
+            g = part.groupby("id", sort=False, dropna=False).min()
             yield pd.DataFrame(
                 {"id": g.index.to_numpy(), "part": list(g.to_numpy())}
             )
@@ -654,7 +671,7 @@ def simhash_signatures(
         "id", _base_hash(F.col("g"), base_hash).alias("h")
     )  # see minhash_signatures for the explode_outer rationale
 
-    if SIG_IMPL == "arrow":
+    if _sig_impl() == "arrow":
         votes = _simhash_votes_arrow(base, bits)
     else:
         aggs = [
@@ -697,6 +714,10 @@ def _simhash_votes_arrow(base: DataFrame, bits: int) -> DataFrame:
 
     id_type = base.schema["id"].dataType.simpleString()
     shifts = np.arange(bits, dtype=np.int64)
+    # null base hashes would arrive as NaN and crash the int64
+    # conversion (simhash_signatures filters null grams at every entry
+    # point, but guard the primitive itself)
+    base = base.filter(F.col("h").isNotNull())
 
     def partial(batches):
         for pdf in batches:
@@ -706,7 +727,8 @@ def _simhash_votes_arrow(base: DataFrame, bits: int) -> DataFrame:
             m = (((h[:, None] >> shifts) & 1) * 2 - 1).astype(np.int64)
             part = pd.DataFrame(m)
             part["id"] = pdf["id"].to_numpy()
-            g = part.groupby("id", sort=False).sum()
+            # dropna=False: null ids are real groups under Spark groupBy
+            g = part.groupby("id", sort=False, dropna=False).sum()
             yield pd.DataFrame(
                 {"id": g.index.to_numpy(), "part": list(g.to_numpy())}
             )

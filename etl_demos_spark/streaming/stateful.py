@@ -205,6 +205,8 @@ def stream_first_response(
     then: str = "purchase",
     within: str = "2 hours",
     ts_col: str = "ts",
+    user_col: str = "user_id",
+    event_col: str = "event_type",
 ) -> DataFrame:
     """Streaming twin of :func:`operators.asof.first_response_join`:
     per-user state machine emitting (a_ts, b_ts) the moment a ``then``
@@ -236,16 +238,58 @@ def stream_first_response(
     df = stream_df
     if ts_col != "ts":
         df = df.withColumnRenamed(ts_col, "ts")
+    if user_col != "user_id":
+        df = df.withColumnRenamed(user_col, "user_id")
+    if event_col != "event_type":
+        df = df.withColumnRenamed(event_col, "event_type")
     if dict(df.dtypes).get("ts") == "timestamp_ntz":
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    return (
+    # output key field carries the caller's key TYPE (string keys are
+    # legal), not RESPONSE_SCHEMA's default long
+    out_schema = StructType(
+        [StructField("user_id", df.schema["user_id"].dataType)]
+        + [f for f in RESPONSE_SCHEMA.fields if f.name != "user_id"]
+    )
+    out = (
         df.select("user_id", "event_type", "ts")
         .groupBy("user_id")
         .applyInPandasWithState(
             _make_response_updater(first, then, within_us),
-            outputStructType=RESPONSE_SCHEMA,
+            outputStructType=out_schema,
             stateStructType=RESPONSE_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+    return (
+        out if user_col == "user_id" else out.withColumnRenamed("user_id", user_col)
+    )
+
+
+def drain_available_now(query, timeout_s: float = 180.0) -> bool:
+    """Wait until an availableNow query has PROCESSED all input, even if
+    it does not self-terminate.
+
+    A stateful query driven with ``applyInPandasWithState`` +
+    ``ProcessingTimeTimeout`` only terminates under availableNow once its
+    state store is empty: every batch re-arms processing-time timeouts
+    for keys still holding pending state, and the micro-batch engine
+    keeps scheduling timeout-service batches for them — a key whose
+    pending entry can never expire (no later event and no elapsed
+    timeout) holds the query open indefinitely. Data completeness is
+    observable anyway: once a batch with zero input rows has COMPLETED,
+    every input row has been processed and the appended output is final
+    (timeout-service batches emit nothing for this operator). Returns
+    True when drained (terminated, or a 0-input batch completed), False
+    on timeout — callers must treat False as "output incomplete".
+    """
+    import time as _time
+
+    deadline = _time.monotonic() + timeout_s
+    while _time.monotonic() < deadline:
+        if not query.isActive:
+            return True
+        if any(p["numInputRows"] == 0 for p in query.recentProgress):
+            return True
+        _time.sleep(0.25)
+    return not query.isActive

@@ -92,7 +92,18 @@ def main() -> int:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        # drain, don't awaitTermination: availableNow + the stateful
+        # operator's ProcessingTimeTimeout keeps scheduling timeout-check
+        # batches, so the query may never self-terminate; completeness
+        # is a finished 0-input batch (see drain_available_now)
+        from etl_demos_spark.streaming.stateful import drain_available_now
+
+        if not drain_available_now(q, 180):
+            q.stop()
+            raise TimeoutError(
+                "stream did not drain in 180s — partial output, batch "
+                "comparison would be meaningless"
+            )
         q.stop()
         stream_pairs = {
             (r["user_id"], r["a_ts"], r["b_ts"])

@@ -567,3 +567,39 @@ def test_span_removal_keeps_first_occurrence_of_periodic_doc(spark):
     got = dedup.remove_duplicated_spans(df2, window=w).collect()[0]
     assert got["kept_tokens"] == w + 3
     assert got["clean_text"] == " ".join(passage + ["mid"] * 3)
+
+
+def test_minhash_arrow_handles_null_grams_and_null_ids(spark):
+    """Review r7: the Arrow signature path must (a) ignore null grams
+    like the codegen min() does instead of crashing on NaN→int64, and
+    (b) keep a null-id group (pandas dropna would silently drop it)."""
+    from etl_demos_spark.operators import dedup as D
+
+    grams = spark.createDataFrame(
+        [(1, "aa"), (1, None), (1, "bb"), (None, "aa"), (None, "cc"), (2, "aa")],
+        "id long, g string",
+    )
+    sigs = {}
+    for impl in ("codegen", "arrow"):
+        D.SIG_IMPL = impl
+        rows = D.minhash_signatures_from_grams(grams, "id", "g", 16).collect()
+        sigs[impl] = {r["id"]: tuple(r["sig"]) for r in rows}
+    D.SIG_IMPL = "arrow"
+    assert set(sigs["arrow"]) == {1, 2, None}
+    assert sigs["arrow"] == sigs["codegen"]
+
+
+def test_sig_impl_unknown_value_raises(spark):
+    from etl_demos_spark.operators import dedup as D
+
+    docs = spark.createDataFrame([(1, "hello world one two")], "doc_id long, text string")
+    D.SIG_IMPL = "Arrow"  # typo'd override must fail loudly
+    try:
+        import pytest
+
+        with pytest.raises(ValueError, match="SIG_IMPL"):
+            D.minhash_lsh_pairs(docs, "doc_id", "text").collect()
+        with pytest.raises(ValueError, match="SIG_IMPL"):
+            D.simhash_pairs(docs, "doc_id", "text").collect()
+    finally:
+        D.SIG_IMPL = "arrow"

@@ -553,3 +553,18 @@ def test_events_facade_matches_funnel_family(spark):
 
     assert "session_seq" in ev.sessionize().columns
     assert set(ev.transitions().columns) == {"cur", "nxt", "c_trans", "p_trans"}
+
+
+def test_events_funnel_empty_input_counts_zero(spark):
+    """Review r7: sum over an empty frame is NULL — funnel stages must
+    surface 0, not None."""
+    from etl_demos_spark.engine import Engine
+
+    empty = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        r["step"]: r["n_users"]
+        for r in Engine(spark).events(empty).funnel("view", "click").collect()
+    }
+    assert got == {"view": 0, "click": 0}

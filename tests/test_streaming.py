@@ -578,7 +578,14 @@ def test_stream_first_response_matches_batch_join(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    # drain, don't awaitTermination: availableNow + ProcessingTimeTimeout
+    # schedules timeout-check batches indefinitely, so the query may
+    # never self-terminate — completeness is a finished 0-input batch
+    # (drain_available_now). The old awaitTermination(180) burned the
+    # full 180 s every run and compared against whatever had landed.
+    from etl_demos_spark.streaming.stateful import drain_available_now
+
+    assert drain_available_now(q, 180), "stream did not drain"
     n_batches = len({p["batchId"] for p in q.recentProgress})
     q.stop()
     assert n_batches >= 4, f"expected >=4 micro-batches, ran {n_batches}"
@@ -674,3 +681,56 @@ def test_response_updater_state_round_trips_across_batches():
     st.hasTimedOut = True
     out4 = list(upd((7,), iter([]), st))
     assert out4 == [] and not st.exists
+
+
+def test_stream_first_response_custom_columns(spark, tmp_path):
+    """Review r7: the streaming twin must honor non-default key/event
+    column names (the batch join always did) — facade-configured
+    user_col/event_col reach the stateful operator and the output keeps
+    the caller's key column name and type."""
+    from etl_demos_spark.operators.asof import first_response_join
+    from etl_demos_spark.streaming.stateful import stream_first_response
+
+    rows = [
+        ("c1", "view", "2024-01-01 10:00:00"),
+        ("c1", "purchase", "2024-01-01 10:30:00"),
+        ("c2", "view", "2024-01-01 11:00:00"),
+        ("c2", "purchase", "2024-01-01 14:00:00"),  # outside 2h — no match
+    ]
+    ev = spark.createDataFrame(
+        rows, "customer_id string, action string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    src = str(tmp_path / "src")
+    ev.orderBy("ts").coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    out = stream_first_response(
+        stream, "view", "purchase", "2 hours",
+        user_col="customer_id", event_col="action",
+    )
+    assert out.columns == ["customer_id", "a_ts", "b_ts"]
+    q = (
+        out.writeStream.format("memory").queryName("resp_custom")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    from etl_demos_spark.streaming.stateful import drain_available_now
+
+    assert drain_available_now(q, 120), "stream did not drain"
+    q.stop()
+    got = {
+        (r["customer_id"], r["a_ts"], r["b_ts"])
+        for r in spark.sql("SELECT * FROM resp_custom").collect()
+    }
+    expect = {
+        (r["customer_id"], r["a_ts"], r["b_ts"])
+        for r in first_response_join(
+            ev, ("customer_id",), "ts", "action", "view", "purchase", "2 hours"
+        ).collect()
+    }
+    assert got == expect == {
+        (
+            "c1",
+            got and sorted(got)[0][1],
+            got and sorted(got)[0][2],
+        )
+    } or got == expect
+    assert len(got) == 1 and next(iter(got))[0] == "c1"

@@ -7,22 +7,22 @@ every exploded (id, gram) row; the arrow path (dedup.SIG_IMPL="arrow")
 unpacks the (batch x 60) ±1 vote matrix per Arrow batch in numpy and
 ships per-id partial sums to the final combine. Identical signatures
 AND identical q_dedup_simhash pairs asserted before timing; interleaved
-sweeps, min-of-n + medians, one JSON line.
+sweeps, min-of-n + medians, one JSON line (harness shared via
+ab_common.run_sig_ab). Round-7 outcome: arrow won (vote stage 2.11 →
+1.77 s min; full pairs 4.53 → 4.21) and is the default.
 
 Usage: python tools/ab_simhash_sig.py [sweeps]       # default 5
 """
 
 from __future__ import annotations
 
-import json
 import os
-import statistics
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from etl_demos_spark.operators import dedup  # noqa: E402
+from tools.ab_common import run_sig_ab  # noqa: E402
+
 from etl_demos_spark.operators.dedup import (  # noqa: E402
     shingled_docs,
     simhash_pairs,
@@ -43,52 +43,23 @@ def main() -> None:
     docs = load_table(spark, sf_dir, "documents")
     sh = shingled_docs(docs, "doc_id", "text", 3)
 
-    def sig_stage():
-        return simhash_signatures(sh, "id", "sh", "md5")
-
-    def full_query():
-        return simhash_pairs(docs, "doc_id", "text", n=3, max_hamming=8)
-
-    outs = {}
-    for impl in ("codegen", "arrow"):
-        dedup.SIG_IMPL = impl
-        outs[impl] = (
-            {r["id"]: r["sig"] for r in sig_stage().collect()},
-            {
-                (r["id_a"], r["id_b"]): r["hamming"]
-                for r in full_query().collect()
+    print(
+        run_sig_ab(
+            spark,
+            stages={
+                "sig": lambda: simhash_signatures(sh, "id", "sh", "md5"),
+                "full": lambda: simhash_pairs(
+                    docs, "doc_id", "text", n=3, max_hamming=8
+                ),
             },
+            collect_keys={
+                "sig": lambda r: (r["id"], r["sig"]),
+                "full": lambda r: (r["id_a"], r["id_b"], r["hamming"]),
+            },
+            sweeps=sweeps,
+            extra={"sf_dir": sf_dir, "n_docs": docs.count()},
         )
-    assert outs["codegen"] == outs["arrow"], "variants disagree — A/B void"
-
-    runs: dict[str, list[float]] = {}
-    stages = {"sig": sig_stage, "full": full_query}
-    for impl in ("codegen", "arrow"):  # warm-up
-        dedup.SIG_IMPL = impl
-        for fn in stages.values():
-            fn().write.format("noop").mode("overwrite").save()
-    for _ in range(sweeps):
-        for impl in ("codegen", "arrow"):
-            dedup.SIG_IMPL = impl
-            for sname, fn in stages.items():
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
-                fn().write.format("noop").mode("overwrite").save()
-                runs.setdefault(f"{sname}:{impl}", []).append(
-                    time.perf_counter() - t0
-                )
-    dedup.SIG_IMPL = "arrow"  # restore the default
-
-    out = {
-        "sweeps": sweeps,
-        "sf_dir": sf_dir,
-        "n_docs": docs.count(),
-        "identical_output": True,
-        "min": {k: round(min(v), 3) for k, v in runs.items()},
-        "median": {k: round(statistics.median(v), 3) for k, v in runs.items()},
-        "all": {k: [round(x, 3) for x in v] for k, v in runs.items()},
-    }
-    print(json.dumps(out))
+    )
     spark.stop()
 
 

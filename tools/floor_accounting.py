@@ -75,6 +75,9 @@ def main() -> None:
     sf1_dir = None
     if "--sf1" in args:
         i = args.index("--sf1")
+        if i + 1 >= len(args):
+            print(json.dumps({"error": "--sf1 requires a directory operand"}))
+            sys.exit(2)
         sf1_dir = args[i + 1]
         args = args[:i] + args[i + 2 :]
 
