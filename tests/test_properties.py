@@ -912,3 +912,51 @@ def test_crash_sweep_near_dedup_store(spark, tmp_path):
         _no_siblings(store)
         k += 1
     assert k > 0
+
+
+def test_crash_during_staging_write_discards_orphan(spark, tmp_path):
+    """A writer killed DURING the staging write (before any swap move)
+    leaves a partial __staging / __pstaging sibling next to an intact
+    live table. Recovery must discard the orphan — promoting a partial
+    staging dir would corrupt the table — and replay must converge.
+    Complements the boundary sweep, which only kills at move/rmtree
+    boundaries (the write itself is Spark-side)."""
+    from etl_demos_spark.plans.incremental import (
+        merge_upsert,
+        merge_upsert_partitioned,
+    )
+
+    base = _mk_day_df(spark, [(0, 1), (1, 2), (4, 3)])
+    upd = _mk_day_df(spark, [(1, 9), (5, 9)])
+
+    # whole-table family
+    p1 = str(tmp_path / "t1")
+    merge_upsert(spark, base, p1, keys=["k"])
+    expected = None
+
+    def run_full(path):
+        merge_upsert(spark, upd, path, keys=["k"])
+        return _rows_by_day(spark, path)
+
+    clean = str(tmp_path / "c1")
+    _shutil_mod.copytree(p1, clean)
+    expected = run_full(clean)
+    # partial staging: only a fraction of the merged rows made it
+    upd.limit(1).write.mode("overwrite").parquet(f"{p1}__staging")
+    assert run_full(p1) == expected
+    _no_siblings(p1)
+
+    # per-partition family
+    p2 = str(tmp_path / "t2")
+    merge_upsert_partitioned(spark, base, p2, keys=["k"], partition_by=["day"])
+
+    def run_part(path):
+        merge_upsert_partitioned(spark, upd, path, keys=["k"], partition_by=["day"])
+        return _rows_by_day(spark, path)
+
+    clean2 = str(tmp_path / "c2")
+    _shutil_mod.copytree(p2, clean2)
+    expected2 = run_part(clean2)
+    upd.limit(1).write.mode("overwrite").partitionBy("day").parquet(f"{p2}__pstaging")
+    assert run_part(p2) == expected2
+    _no_siblings(p2)
