@@ -365,9 +365,39 @@ def _sig_impl() -> str:
     return SIG_IMPL
 
 
+def _arrow_exact_id(base: DataFrame):
+    """Make the ``id`` column exact through the Arrow→pandas boundary.
+
+    pandas materializes a nullable int64 column as float64 — one null id
+    anywhere in an Arrow batch silently rounds every id ≥ 2^53 in that
+    batch (verified: 2^53+1 arrives as ...992.0). Integral ids therefore
+    round-trip through STRING for the partial stage (exact for all
+    int64), restored to the original type after the final combine;
+    string ids pass through. Returns (prepared_base, restore_fn), or
+    None for id types with no exact string round-trip — the caller
+    falls back to the codegen implementation."""
+    id_type = dict(base.dtypes)["id"]
+    if id_type == "string":
+        return base, (lambda df: df)
+    if id_type in ("bigint", "int", "smallint", "tinyint"):
+        return (
+            base.withColumn("id", F.col("id").cast("string")),
+            lambda df: df.withColumn("id", F.col("id").cast(id_type)),
+        )
+    return None
+
+
 def _minhash_from_base(base: DataFrame, num_hashes: int) -> DataFrame:
+    # Shared null-gram contract for BOTH implementations: null base
+    # hashes (null grams via the public from_grams entry point) are
+    # ignored, and a doc with zero non-null grams yields NO signature
+    # row — never an all-null signature that would spuriously bucket
+    # with other gram-less docs downstream.
+    base = base.filter(F.col("h").isNotNull())
     if _sig_impl() == "arrow":
-        return _minhash_from_base_arrow(base, num_hashes)
+        prepared = _arrow_exact_id(base)
+        if prepared is not None:
+            return _minhash_from_base_arrow(prepared, num_hashes)
     p = F.lit(MERSENNE31).cast("long")
     aggs = [
         F.min((F.col("h") * F.lit(a) + F.lit(b)) % p).alias(f"__m{i}")
@@ -379,7 +409,7 @@ def _minhash_from_base(base: DataFrame, num_hashes: int) -> DataFrame:
     )
 
 
-def _minhash_from_base_arrow(base: DataFrame, num_hashes: int) -> DataFrame:
+def _minhash_from_base_arrow(prepared, num_hashes: int) -> DataFrame:
     """Arrow partial-min signature reduction: per Arrow batch, numpy
     builds the (rows x k) affine-hash matrix in one vectorized shot and
     collapses it to per-id partial minima; the final groupBy(id) then
@@ -388,25 +418,22 @@ def _minhash_from_base_arrow(base: DataFrame, num_hashes: int) -> DataFrame:
     (asserted in tools/ab_minhash_sig.py and by the q_dedup_minhash
     oracle). Memory per batch is bounded by the Arrow batch size
     (10k rows -> 10k x 128 x 8 B = ~10 MB slab); products stay < 2^62
-    (h, a < 2^31), safe in int64."""
+    (h, a < 2^31), safe in int64. ``prepared`` comes from
+    :func:`_arrow_exact_id` (string-typed id, caller's h already
+    null-filtered)."""
     import numpy as np
     import pandas as pd
 
+    base, restore = prepared
     params = np.array(_affine_params(num_hashes), dtype=np.int64)
     a, b = params[:, 0], params[:, 1]
-    # preserve the caller's id type (string ids are legal here)
-    id_type = base.schema["id"].dataType.simpleString()
-    # null base hashes (null grams from a caller of the from_grams entry
-    # point) would arrive as NaN and crash the int64 conversion; the
-    # codegen twin's min() ignores them — match it. (A doc whose EVERY
-    # gram is null keeps a signature row of nulls under codegen but
-    # vanishes here; no entry point can produce that input.)
-    base = base.filter(F.col("h").isNotNull())
 
     def partial(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
+            # h is null-filtered JVM-side, so pandas delivers exact
+            # int64 (a null anywhere would flip the column to float64)
             h = pdf["h"].to_numpy(dtype=np.int64)
             m = (h[:, None] * a + b) % MERSENNE31
             part = pd.DataFrame(m)
@@ -418,13 +445,15 @@ def _minhash_from_base_arrow(base: DataFrame, num_hashes: int) -> DataFrame:
                 {"id": g.index.to_numpy(), "part": list(g.to_numpy())}
             )
 
-    partials = base.mapInPandas(partial, f"id {id_type}, part array<long>")
+    partials = base.mapInPandas(partial, "id string, part array<long>")
     aggs = [
         F.min(F.col("part")[i]).alias(f"__m{i}") for i in range(num_hashes)
     ]
     wide = partials.groupBy("id").agg(*aggs)
-    return wide.select(
-        "id", F.array(*[f"__m{i}" for i in range(num_hashes)]).alias("sig")
+    return restore(
+        wide.select(
+            "id", F.array(*[f"__m{i}" for i in range(num_hashes)]).alias("sig")
+        )
     )
 
 
@@ -671,9 +700,15 @@ def simhash_signatures(
         "id", _base_hash(F.col("g"), base_hash).alias("h")
     )  # see minhash_signatures for the explode_outer rationale
 
+    # same null contract as _minhash_from_base (entry points already
+    # filter null grams; this makes the primitive itself safe)
+    base = base.filter(F.col("h").isNotNull())
+    votes = None
     if _sig_impl() == "arrow":
-        votes = _simhash_votes_arrow(base, bits)
-    else:
+        prepared = _arrow_exact_id(base)
+        if prepared is not None:
+            votes = _simhash_votes_arrow(prepared, bits)
+    if votes is None:
         aggs = [
             F.sum(
                 F.when(F.col("h").bitwiseAND(F.lit(1 << i).cast("long")) != 0, 1).otherwise(-1)
@@ -697,7 +732,7 @@ def simhash_signatures(
     )
 
 
-def _simhash_votes_arrow(base: DataFrame, bits: int) -> DataFrame:
+def _simhash_votes_arrow(prepared, bits: int) -> DataFrame:
     """Arrow partial-vote reduction for SimHash — the same shape as
     :func:`_minhash_from_base_arrow`: per Arrow batch, numpy unpacks the
     (rows x bits) ±1 vote matrix in one vectorized shot and collapses it
@@ -708,21 +743,21 @@ def _simhash_votes_arrow(base: DataFrame, bits: int) -> DataFrame:
     columns match the codegen aggs (__v0..__v{bits-1}) so the bit
     assembly downstream is shared. Arithmetic right-shift on negative
     int64 extracts two's-complement bits exactly like the JVM's
-    bitwiseAND path (the xxhash64 base hash can be negative)."""
+    bitwiseAND path (the xxhash64 base hash can be negative).
+    ``prepared`` comes from :func:`_arrow_exact_id` (string-typed id,
+    h already null-filtered by the caller)."""
     import numpy as np
     import pandas as pd
 
-    id_type = base.schema["id"].dataType.simpleString()
+    base, restore = prepared
     shifts = np.arange(bits, dtype=np.int64)
-    # null base hashes would arrive as NaN and crash the int64
-    # conversion (simhash_signatures filters null grams at every entry
-    # point, but guard the primitive itself)
-    base = base.filter(F.col("h").isNotNull())
 
     def partial(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
+            # h null-filtered JVM-side → exact int64 in pandas (a null
+            # would flip the column to float64 and corrupt ≥2^53 hashes)
             h = pdf["h"].to_numpy(dtype=np.int64)
             m = (((h[:, None] >> shifts) & 1) * 2 - 1).astype(np.int64)
             part = pd.DataFrame(m)
@@ -733,9 +768,11 @@ def _simhash_votes_arrow(base: DataFrame, bits: int) -> DataFrame:
                 {"id": g.index.to_numpy(), "part": list(g.to_numpy())}
             )
 
-    partials = base.mapInPandas(partial, f"id {id_type}, part array<long>")
-    return partials.groupBy("id").agg(
-        *[F.sum(F.col("part")[i]).alias(f"__v{i}") for i in range(bits)]
+    partials = base.mapInPandas(partial, "id string, part array<long>")
+    return restore(
+        partials.groupBy("id").agg(
+            *[F.sum(F.col("part")[i]).alias(f"__v{i}") for i in range(bits)]
+        )
     )
 
 

@@ -235,13 +235,15 @@ def stream_first_response(
     mult = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[m.group(2)]
     within_us = int(m.group(1)) * mult * 1_000_000
 
-    df = stream_df
-    if ts_col != "ts":
-        df = df.withColumnRenamed(ts_col, "ts")
-    if user_col != "user_id":
-        df = df.withColumnRenamed(user_col, "user_id")
-    if event_col != "event_type":
-        df = df.withColumnRenamed(event_col, "event_type")
+    # aliased select, not withColumnRenamed: a stream that carries BOTH
+    # the custom key column and an unrelated column literally named
+    # user_id would otherwise end up with two user_id columns and die
+    # with AMBIGUOUS_REFERENCE downstream
+    df = stream_df.select(
+        F.col(user_col).alias("user_id"),
+        F.col(event_col).alias("event_type"),
+        F.col(ts_col).alias("ts"),
+    )
     if dict(df.dtypes).get("ts") == "timestamp_ntz":
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     # output key field carries the caller's key TYPE (string keys are
@@ -277,19 +279,37 @@ def drain_available_now(query, timeout_s: float = 180.0) -> bool:
     keeps scheduling timeout-service batches for them — a key whose
     pending entry can never expire (no later event and no elapsed
     timeout) holds the query open indefinitely. Data completeness is
-    observable anyway: once a batch with zero input rows has COMPLETED,
-    every input row has been processed and the appended output is final
-    (timeout-service batches emit nothing for this operator). Returns
-    True when drained (terminated, or a 0-input batch completed), False
-    on timeout — callers must treat False as "output incomplete".
+    observable anyway: once every available row has been processed, the
+    remaining batches carry zero input rows and emit nothing for this
+    operator, so the appended output is final.
+
+    Drained means: the query terminated CLEANLY, or the two LATEST
+    progress entries both had zero input rows. Two trailing 0-input
+    batches, not "any 0-input batch ever" — a legitimately empty
+    micro-batch mid-stream (an empty source file under
+    maxFilesPerTrigger=1) completes with zero rows while later files
+    are still unread, but it is immediately followed by a data batch,
+    so it can never be both of the two latest entries. A query that
+    terminated with an error re-raises it instead of reporting success
+    (awaitTermination's contract). Returns False on timeout — callers
+    must treat that as "output incomplete".
     """
     import time as _time
 
     deadline = _time.monotonic() + timeout_s
-    while _time.monotonic() < deadline:
+    while True:
         if not query.isActive:
+            exc = query.exception()
+            if exc is not None:
+                raise exc
             return True
-        if any(p["numInputRows"] == 0 for p in query.recentProgress):
+        rp = query.recentProgress
+        if (
+            len(rp) >= 2
+            and rp[-1]["numInputRows"] == 0
+            and rp[-2]["numInputRows"] == 0
+        ):
             return True
+        if _time.monotonic() >= deadline:
+            return False
         _time.sleep(0.25)
-    return not query.isActive

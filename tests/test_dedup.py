@@ -570,22 +570,32 @@ def test_span_removal_keeps_first_occurrence_of_periodic_doc(spark):
 
 
 def test_minhash_arrow_handles_null_grams_and_null_ids(spark):
-    """Review r7: the Arrow signature path must (a) ignore null grams
-    like the codegen min() does instead of crashing on NaN→int64, and
-    (b) keep a null-id group (pandas dropna would silently drop it)."""
+    """Review r7 (two passes): the Arrow signature path must (a) ignore
+    null grams like the codegen min() does instead of crashing on
+    NaN→int64, (b) keep a null-id group (pandas dropna would silently
+    drop it), (c) keep ids ≥ 2^53 EXACT even when the same batch holds
+    a null id (pandas materializes a nullable int64 column as float64 —
+    the id round-trips through string to survive), and (d) agree with
+    codegen on a doc whose every gram is null: NO signature row from
+    either implementation."""
     from etl_demos_spark.operators import dedup as D
 
+    big = (1 << 53) + 1  # not representable in float64
     grams = spark.createDataFrame(
-        [(1, "aa"), (1, None), (1, "bb"), (None, "aa"), (None, "cc"), (2, "aa")],
+        [(1, "aa"), (1, None), (1, "bb"), (None, "aa"), (None, "cc"),
+         (2, "aa"), (big, "aa"), (7, None)],
         "id long, g string",
     )
     sigs = {}
-    for impl in ("codegen", "arrow"):
-        D.SIG_IMPL = impl
-        rows = D.minhash_signatures_from_grams(grams, "id", "g", 16).collect()
-        sigs[impl] = {r["id"]: tuple(r["sig"]) for r in rows}
-    D.SIG_IMPL = "arrow"
-    assert set(sigs["arrow"]) == {1, 2, None}
+    try:
+        for impl in ("codegen", "arrow"):
+            D.SIG_IMPL = impl
+            rows = D.minhash_signatures_from_grams(grams, "id", "g", 16).collect()
+            sigs[impl] = {r["id"]: tuple(r["sig"]) for r in rows}
+    finally:
+        D.SIG_IMPL = "arrow"
+    # id 7 (all-null grams) absent from BOTH; big id survives exactly
+    assert set(sigs["arrow"]) == {1, 2, big, None}
     assert sigs["arrow"] == sigs["codegen"]
 
 

@@ -726,11 +726,5 @@ def test_stream_first_response_custom_columns(spark, tmp_path):
             ev, ("customer_id",), "ts", "action", "view", "purchase", "2 hours"
         ).collect()
     }
-    assert got == expect == {
-        (
-            "c1",
-            got and sorted(got)[0][1],
-            got and sorted(got)[0][2],
-        )
-    } or got == expect
+    assert got == expect
     assert len(got) == 1 and next(iter(got))[0] == "c1"
