@@ -140,47 +140,60 @@ def exploded_shingles(
     whose CONTRACT covers every input row (the MinHash dedup family:
     without it, sub-n docs get no signature and incremental dedup would
     silently drop unique short documents from its kept set; with it,
-    identical short texts dedup exactly and distinct ones survive)."""
+    identical short texts dedup exactly and distinct ones survive).
+
+    The "whole" branch is fused into the SAME scan: a union of a
+    long-doc branch and a short-doc branch would scan AND tokenize the
+    whole corpus twice (two full parquet reads of the dedup family's
+    hot input — the r7 plan audit caught exactly that). ``when()`` is
+    per-row lazy, so the short rows never evaluate the slice
+    expressions and the long rows never evaluate the degenerate gram."""
     toked = df.select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in extra],
         tokenize(text_col).alias("__toks"),
     )
-    long_toked = toked.filter(F.size("__toks") >= n)
     m = F.size(F.col("__toks")) - F.lit(n - 1)
     zipped = F.arrays_zip(
         *[F.slice("__toks", i + 1, m).alias(f"t{i}") for i in range(n)]
     )
-    rows = long_toked.select("id", *extra, F.explode(zipped).alias("_z"))
-    out = rows.select(
-        "id",
-        *extra,
-        F.concat_ws(" ", *[F.col(f"_z.t{i}") for i in range(n)]).alias("g"),
-    )
     if short_docs == "whole":
-        # the filter must name NULL explicitly: under ANSI (Spark 4
-        # default) size(NULL) is NULL, so a null-text row fails BOTH
-        # branch predicates and silently vanishes — the exact every-row
+        # the predicate must name NULL explicitly: under ANSI (Spark 4
+        # default) size(NULL) is NULL, so a null-text row would take
+        # neither side of a plain comparison — the exact every-row
         # contract "whole" exists to provide. A null text carries no
         # equality evidence, so it gets a per-id unique sentinel gram:
         # the doc keeps a signature (never silently dropped) but can
         # never match anything, unlike '' which dedups all empty docs.
-        short = toked.filter(
-            F.col("__toks").isNull() | (F.size("__toks") < n)
-        )
-        out = out.unionByName(
-            short.select(
-                "id",
-                *extra,
-                F.when(
-                    F.col("__toks").isNull(),
-                    F.concat(F.lit("\x00null:"), F.col("id").cast("string")),
-                )
-                .otherwise(F.concat_ws(" ", "__toks"))
-                .alias("g"),
+        # The degenerate gram rides in field t0 of a 1-element array of
+        # the same struct shape arrays_zip emits; t1.. stay NULL, which
+        # concat_ws skips — so one explode serves both branches.
+        degenerate = F.struct(
+            F.when(
+                F.col("__toks").isNull(),
+                F.concat(F.lit("\x00null:"), F.col("id").cast("string")),
             )
+            .otherwise(F.concat_ws(" ", "__toks"))
+            .alias("t0"),
+            *[
+                F.lit(None).cast("string").alias(f"t{i}")
+                for i in range(1, n)
+            ],
         )
-    return out
+        arr = F.when(
+            F.col("__toks").isNull() | (F.size("__toks") < n),
+            F.array(degenerate),
+        ).otherwise(zipped)
+        rows = toked.select("id", *extra, F.explode(arr).alias("_z"))
+    else:
+        rows = toked.filter(F.size("__toks") >= n).select(
+            "id", *extra, F.explode(zipped).alias("_z")
+        )
+    return rows.select(
+        "id",
+        *extra,
+        F.concat_ws(" ", *[F.col(f"_z.t{i}") for i in range(n)]).alias("g"),
+    )
 
 
 def word_shingles(text: Column | str, n: int = 3) -> Column:
