@@ -42,15 +42,21 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     NULL text never dedups: fingerprint(NULL) is NULL, and groupBy
     would treat all NULL fingerprints as ONE key — silently deleting
     every null-text row but one, on zero equality evidence. Null-text
-    rows pass through as survivors."""
-    fp = fingerprint(text_col).alias("__fp")
-    keyed = df.select(F.col(id_col), fp)
+    rows instead group under a per-id sentinel key, so each survives.
+    (Sentinel form: ``\\x00null:<id>`` — md5 hex can't collide with it.
+    Folding the null rows into the SAME aggregation instead of a
+    second filtered branch keeps this a single corpus scan with a
+    single fingerprint pass; the old two-branch union read and hashed
+    the whole corpus twice.)"""
+    key = F.coalesce(
+        fingerprint(text_col),
+        F.concat(F.lit("\x00null:"), F.col(id_col).cast("string")),
+    )
     winners = (
-        keyed.filter(F.col("__fp").isNotNull())
-        .groupBy("__fp")
+        df.select(F.col(id_col), key.alias("__k"))
+        .groupBy("__k")
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
-        .unionByName(keyed.filter(F.col("__fp").isNull()).select(id_col))
     )
     return df.join(winners, id_col, "left_semi")
 
