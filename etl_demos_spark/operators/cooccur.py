@@ -51,23 +51,39 @@ def basket_pairs(
     counts once — the association-rule convention), baskets larger
     than ``max_basket`` dropped to bound the quadratic pair fan-out.
 
-    Returns (item_a, item_b, support)."""
-    items = df.select(
-        F.col(basket_col).alias("__basket"), F.col(item_col).alias("__item")
-    ).distinct()
+    Returns (item_a, item_b, support).
+
+    Shape (reworked r7 after profiling): ONE collect_set aggregation
+    per basket (dedups items and yields the size in the same pass),
+    then codegen'd pair generation — posexplode of the sorted item
+    array followed by an explode of the strictly-later slice, so every
+    unordered pair appears exactly once with a < b for free — then the
+    support aggregation. Two shuffles and zero joins, vs the previous
+    distinct + size-filter join + basket self-join + agg (4-5
+    shuffles, measured 3.2 s of q_item_sim's 3.9 at sf0.1). The
+    collect_set buffer is bounded by the LARGEST TRUE basket (the cap
+    filters after collection); for corpora with unbounded basket skew,
+    pre-filter oversized baskets upstream (dropped_baskets reports
+    them) before calling."""
+    baskets = (
+        df.groupBy(F.col(basket_col).alias("__basket"))
+        .agg(F.sort_array(F.collect_set(F.col(item_col))).alias("__its"))
+        .drop("__basket")
+    )
     if max_basket is not None:
-        sizes = items.groupBy("__basket").agg(
-            F.count(F.lit(1)).alias("__n")
-        )
-        items = items.join(
-            sizes.filter(F.col("__n") <= max_basket).select("__basket"),
-            "__basket",
-        )
-    a = items.select("__basket", F.col("__item").alias("item_a"))
-    b = items.select("__basket", F.col("__item").alias("item_b"))
+        baskets = baskets.filter(F.size("__its") <= max_basket)
+    first = baskets.select(
+        F.posexplode("__its").alias("__i", "item_a"), "__its"
+    )
     pairs = (
-        a.join(b, "__basket")
-        .filter(F.col("item_a") < F.col("item_b"))
+        first.select(
+            "item_a",
+            F.explode(
+                F.slice(
+                    "__its", F.col("__i") + 2, F.greatest(F.size("__its") - F.col("__i") - 1, F.lit(0))
+                )
+            ).alias("item_b"),
+        )
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).cast("long").alias("support"))
     )
@@ -166,13 +182,26 @@ def ppmi_scores(
     matrix.
 
     Returns (w1, w2, c_pair, ppmi)."""
-    p = pair_counts.filter(F.col("c_pair") >= min_pair)
-    m1 = p.select(F.col("w1").alias("w"), "c_pair")
-    m2 = p.select(F.col("w2").alias("w"), "c_pair")
+    from etl_demos_spark.operators.matutil import materialize_reused
+
+    # the (usually multi-shuffle) pair plan feeds margins, the total,
+    # AND the final join — materialize once instead of leaning on
+    # exchange reuse to dedup three evaluations (r7 audit: q_item_sim
+    # and q_triangles showed the reuse does NOT reliably fire across
+    # differing downstream projections)
+    p = materialize_reused(pair_counts.filter(F.col("c_pair") >= min_pair))
+    # margins via explode, not self-union — one pass over p
     marg = (
-        m1.unionByName(m2)
-        .groupBy("w")
-        .agg(F.sum("c_pair").cast("long").alias("c_w"))
+        p.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("w1").alias("w"), F.col("c_pair")),
+                    F.struct(F.col("w2").alias("w"), F.col("c_pair")),
+                )
+            ).alias("_m")
+        )
+        .groupBy(F.col("_m.w").alias("w"))
+        .agg(F.sum("_m.c_pair").cast("long").alias("c_w"))
     )
     tot = p.select(F.sum("c_pair").cast("long").alias("n_tot"))
     j = (
@@ -207,7 +236,12 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     wedge fan-out.
 
     Returns a 1-row (n_triangles) DataFrame."""
-    e = (
+    from etl_demos_spark.operators.matutil import materialize_reused
+
+    # e feeds all three join roles (ab, bc, ac) — materialize the
+    # canonicalized edge list once instead of re-running the upstream
+    # pair plan + distinct three times
+    e = materialize_reused(
         edges.select(
             F.least("item_a", "item_b").alias("a"),
             F.greatest("item_a", "item_b").alias("b"),
@@ -239,12 +273,23 @@ def item_cosine_from_pairs(
     materializing user×item vectors.
 
     Returns (item_a, item_b, support, cosine)."""
-    p = pairs.filter(F.col("support") >= min_support)
+    from etl_demos_spark.operators.matutil import materialize_reused
+
+    # same discipline as ppmi_scores: the pair plan (often a basket
+    # self-join + agg) feeds degrees AND the final join — one
+    # materialization instead of three evaluations
+    p = materialize_reused(pairs.filter(F.col("support") >= min_support))
     m = (
-        p.select(F.col("item_a").alias("item"), "support")
-        .unionByName(p.select(F.col("item_b").alias("item"), "support"))
-        .groupBy("item")
-        .agg(F.sum("support").cast("long").alias("deg"))
+        p.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("item_a").alias("item"), F.col("support")),
+                    F.struct(F.col("item_b").alias("item"), F.col("support")),
+                )
+            ).alias("_m")
+        )
+        .groupBy(F.col("_m.item").alias("item"))
+        .agg(F.sum("_m.support").cast("long").alias("deg"))
     )
     j = (
         p.join(m.select(F.col("item").alias("item_a"),
