@@ -104,12 +104,26 @@ def winsorize(
     ``exact=False`` switches to the mergeable GK sketch for full-corpus
     scale. Bounds join back broadcast; the clip is a projection."""
     fn = F.percentile if exact else F.percentile_approx
-    aggs = []
-    for c in cols:
-        xd = F.col(c).cast("double")
-        aggs.append(fn(xd, F.lit(p_lo)).alias(f"_lo_{c}"))
-        aggs.append(fn(xd, F.lit(p_hi)).alias(f"_hi_{c}"))
-    bounds = df.groupBy(group_by).agg(*aggs)
+    # both bounds from ONE percentile buffer per column (the array
+    # form) — separate p_lo/p_hi aggs each buffered and sorted the
+    # whole group twice (see quantile_profile)
+    aggs = [
+        fn(F.col(c).cast("double"), F.array(F.lit(p_lo), F.lit(p_hi))).alias(
+            f"_b_{c}"
+        )
+        for c in cols
+    ]
+    bounds = df.groupBy(group_by).agg(*aggs).select(
+        group_by,
+        *[
+            x
+            for c in cols
+            for x in (
+                F.col(f"_b_{c}")[0].alias(f"_lo_{c}"),
+                F.col(f"_b_{c}")[1].alias(f"_hi_{c}"),
+            )
+        ],
+    )
     out = df.join(F.broadcast(bounds), group_by)
     for c in cols:
         clipped = F.least(
@@ -374,7 +388,15 @@ def poisson_bootstrap_ci(
     u = ((h % F.lit(1 << 52)).cast("double") + F.lit(0.5)) / F.lit(
         float(1 << 52)
     )
-    weighted = reps.select("b", "__v", poisson_weight(u).alias("w"))
+    # TWO projections, deliberately: poisson_weight is a 9-branch CASE
+    # ladder over u, and expressions inside conditional branches are
+    # exempt from codegen subexpression elimination — inlining u would
+    # re-compute the md5 once PER BRANCH (measured 9.4 s vs 5.1 s for
+    # the 5M-row stage at sf0.1). CollapseProject keeps the split
+    # because u is non-cheap and referenced 9 times.
+    weighted = reps.select("b", "__v", u.alias("__u")).select(
+        "b", "__v", poisson_weight(F.col("__u")).alias("w")
+    )
     per_rep = weighted.groupBy("b").agg(
         F.sum(F.col("w") * F.col("__v")).cast("long").alias("s"),
         F.sum("w").cast("long").alias("n"),
