@@ -38,6 +38,30 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from etl_demos_spark.operators.matutil import materialize_reused
+
+
+def _two_role_margins(
+    p: DataFrame, col_a: str, col_b: str, val_col: str, key: str, out: str
+) -> DataFrame:
+    """Σ ``val_col`` per entity appearing in EITHER role of a pair
+    table — one explode pass instead of a self-union (which would
+    evaluate ``p`` twice). Shared by ppmi_scores and
+    item_cosine_from_pairs; the same explode-two-structs shape as
+    graph._undirected."""
+    return (
+        p.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(col_a).alias("k"), F.col(val_col).alias("v")),
+                    F.struct(F.col(col_b).alias("k"), F.col(val_col).alias("v")),
+                )
+            ).alias("_m")
+        )
+        .groupBy(F.col("_m.k").alias(key))
+        .agg(F.sum("_m.v").cast("long").alias(out))
+    )
+
 
 def basket_pairs(
     df: DataFrame,
@@ -65,13 +89,27 @@ def basket_pairs(
     filters after collection); for corpora with unbounded basket skew,
     pre-filter oversized baskets upstream (dropped_baskets reports
     them) before calling."""
+    # NULL baskets produce no pairs (the pre-r7 join form never matched
+    # them) — and without this filter every NULL-basket row corpus-wide
+    # would collapse into ONE collect_set group, an unbounded buffer
+    # and fabricated cross-row pairs (r7 review catch)
     baskets = (
-        df.groupBy(F.col(basket_col).alias("__basket"))
-        .agg(F.sort_array(F.collect_set(F.col(item_col))).alias("__its"))
+        df.filter(F.col(basket_col).isNotNull())
+        .groupBy(F.col(basket_col).alias("__basket"))
+        .agg(
+            F.sort_array(F.collect_set(F.col(item_col))).alias("__its"),
+            # collect_set drops NULL items, but a NULL item still
+            # occupied one distinct slot in the basket-size count the
+            # cap (and dropped_baskets, the audit twin) is defined over
+            F.max(F.col(item_col).isNull()).alias("__has_null_item"),
+        )
         .drop("__basket")
     )
     if max_basket is not None:
-        baskets = baskets.filter(F.size("__its") <= max_basket)
+        baskets = baskets.filter(
+            F.size("__its") + F.col("__has_null_item").cast("int")
+            <= max_basket
+        )
     first = baskets.select(
         F.posexplode("__its").alias("__i", "item_a"), "__its"
     )
@@ -182,27 +220,13 @@ def ppmi_scores(
     matrix.
 
     Returns (w1, w2, c_pair, ppmi)."""
-    from etl_demos_spark.operators.matutil import materialize_reused
-
     # the (usually multi-shuffle) pair plan feeds margins, the total,
     # AND the final join — materialize once instead of leaning on
     # exchange reuse to dedup three evaluations (r7 audit: q_item_sim
     # and q_triangles showed the reuse does NOT reliably fire across
     # differing downstream projections)
     p = materialize_reused(pair_counts.filter(F.col("c_pair") >= min_pair))
-    # margins via explode, not self-union — one pass over p
-    marg = (
-        p.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("w1").alias("w"), F.col("c_pair")),
-                    F.struct(F.col("w2").alias("w"), F.col("c_pair")),
-                )
-            ).alias("_m")
-        )
-        .groupBy(F.col("_m.w").alias("w"))
-        .agg(F.sum("_m.c_pair").cast("long").alias("c_w"))
-    )
+    marg = _two_role_margins(p, "w1", "w2", "c_pair", "w", "c_w")
     tot = p.select(F.sum("c_pair").cast("long").alias("n_tot"))
     j = (
         p.join(marg.select(F.col("w").alias("w1"), F.col("c_w").alias("c1")), "w1")
@@ -236,8 +260,6 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     wedge fan-out.
 
     Returns a 1-row (n_triangles) DataFrame."""
-    from etl_demos_spark.operators.matutil import materialize_reused
-
     # e feeds all three join roles (ab, bc, ac) — materialize the
     # canonicalized edge list once instead of re-running the upstream
     # pair plan + distinct three times
@@ -273,24 +295,11 @@ def item_cosine_from_pairs(
     materializing user×item vectors.
 
     Returns (item_a, item_b, support, cosine)."""
-    from etl_demos_spark.operators.matutil import materialize_reused
-
     # same discipline as ppmi_scores: the pair plan (often a basket
-    # self-join + agg) feeds degrees AND the final join — one
+    # collect_set + agg) feeds degrees AND the final join — one
     # materialization instead of three evaluations
     p = materialize_reused(pairs.filter(F.col("support") >= min_support))
-    m = (
-        p.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("item_a").alias("item"), F.col("support")),
-                    F.struct(F.col("item_b").alias("item"), F.col("support")),
-                )
-            ).alias("_m")
-        )
-        .groupBy(F.col("_m.item").alias("item"))
-        .agg(F.sum("_m.support").cast("long").alias("deg"))
-    )
+    m = _two_role_margins(p, "item_a", "item_b", "support", "item", "deg")
     j = (
         p.join(m.select(F.col("item").alias("item_a"),
                         F.col("deg").alias("deg_a")), "item_a")

@@ -164,3 +164,36 @@ def test_dropped_baskets_audits_the_size_guard(spark):
     # nothing dropped → zero row, not an empty frame
     none = cooccur.dropped_baskets(df, "basket", "item", max_basket=10).collect()[0]
     assert none["n_dropped_baskets"] == 0 and none["n_dropped_items"] == 0
+
+
+def test_basket_pairs_null_baskets_and_null_items(spark):
+    """Review r7: (a) NULL baskets produce NO pairs (the pre-rewrite
+    join form never matched them) and never form a merged pseudo-
+    basket; (b) a NULL item still occupies one slot in the max_basket
+    size the cap — and dropped_baskets, the audit twin — is defined
+    over, even though it can never appear in a pair."""
+    from etl_demos_spark.operators.cooccur import basket_pairs, dropped_baskets
+
+    df = spark.createDataFrame(
+        [
+            (None, "a"), (None, "b"), (None, "c"),   # null basket: no pairs
+            (1, "a"), (1, "b"), (1, None),           # size 3 incl. null item
+            (2, "x"), (2, "y"),                      # normal pair
+        ],
+        "basket long, item string",
+    )
+    got = {
+        (r["item_a"], r["item_b"], r["support"])
+        for r in basket_pairs(df, "basket", "item", max_basket=None).collect()
+    }
+    assert got == {("a", "b", 1), ("x", "y", 1)}
+
+    # cap at 2: basket 1 counts as size 3 (null item included) -> drop,
+    # matching dropped_baskets' accounting; basket 2 stays
+    capped = {
+        (r["item_a"], r["item_b"])
+        for r in basket_pairs(df, "basket", "item", max_basket=2).collect()
+    }
+    assert capped == {("x", "y")}
+    dropped = dropped_baskets(df, "basket", "item", max_basket=2).collect()[0]
+    assert dropped["n_dropped_baskets"] >= 1

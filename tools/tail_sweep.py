@@ -42,15 +42,23 @@ def main() -> None:
     from etl_demos_spark.workload import REGISTRY
     import bench
 
+    benched_source = "bench.HEADLINE"
     benched = set(getattr(bench, "HEADLINE", []) or [])
     if not benched:
-        # fall back to the committed detail artifact
+        # fall back to the committed detail artifact — resolved from
+        # the repo root, not the cwd, and a failure is REPORTED: with
+        # benched silently empty every headliner would be flagged as a
+        # blind-spot finding (100% false positives)
+        detail = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "perf",
+            "bench_detail_latest.json",
+        )
         try:
-            benched = set(
-                json.load(open("perf/bench_detail_latest.json"))["queries_min"]
-            )
-        except Exception:
-            pass
+            benched = set(json.load(open(detail))["queries_min"])
+            benched_source = detail
+        except Exception as e:
+            benched_source = f"UNAVAILABLE ({type(e).__name__}) — benched-flags unreliable"
 
     spark = get_spark("tail-sweep")
     spark.sparkContext.setLogLevel("ERROR")
@@ -74,12 +82,19 @@ def main() -> None:
     ][:top]
 
     warm: dict[str, float] = {}
+    warm_errors: dict[str, str] = {}
     for _ in range(sweeps):
         for name in suspects:
             spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            force(REGISTRY[name].fn(spark, sf_dir))
-            dt = time.perf_counter() - t0
+            try:
+                t0 = time.perf_counter()
+                force(REGISTRY[name].fn(spark, sf_dir))
+                dt = time.perf_counter() - t0
+            except Exception as e:
+                # a warm-only failure (memory pressure, flake) is a
+                # finding — it must not discard the whole sweep
+                warm_errors[name] = f"ERR {type(e).__name__}"
+                continue
             warm[name] = min(warm.get(name, dt), dt)
 
     flags = [
@@ -91,7 +106,9 @@ def main() -> None:
             {
                 "sf_dir": sf_dir,
                 "n_queries": len(cold),
+                "benched_source": benched_source,
                 "errors": {k: v for k, v in cold.items() if isinstance(v, str)},
+                "warm_errors": warm_errors,
                 "blind_spot": [f for f in flags if not f["benched"]],
                 "flags": flags,
                 "cold": cold,
