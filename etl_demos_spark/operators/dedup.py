@@ -849,17 +849,24 @@ def simhash_pairs(
     right = chunked.select(
         F.col("id").alias("id2"), F.col("sig").alias("sig2"), "chunk", "val"
     )
+    # Hamming filter BEFORE the candidate dedup: hamming is a cheap
+    # map-side projection (xor + bit_count) of columns the chunk join
+    # already carries, while dropDuplicates is a shuffle — filtering
+    # first shrinks that shuffle from every chunk-collision candidate
+    # (∝ n²/2^chunk_bits per chunk) to just the true near-pairs.
+    # dedup∘filter ≡ filter∘dedup here because hamming is a function
+    # of the pair key. (r7 interleaved A/B: full pairs 4.2 → 2.6 s at
+    # sf0.1, identical output.)
     return (
         chunked.join(right, ["chunk", "val"])
         .filter(F.col("id") < F.col("id2"))
-        .select("id", "id2", "sig", "sig2")
-        .dropDuplicates(["id", "id2"])
         .select(
             F.col("id").alias("id_a"),
             F.col("id2").alias("id_b"),
             hamming64(F.col("sig"), F.col("sig2")).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
