@@ -616,63 +616,92 @@ def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_oracle_parity.py at sf0.001 and (slow marker) sf0.01 — the
 # same compare the driver runs.
 _LATE: tuple[str, ...] = (
-    # ---- round-7 rotation policy: the 50-slot driver window, rebuilt
-    # per VERDICT r6 rec 1. In-window this round: ALL 48 r04-certified
-    # entries (at their cadence limit — this rotation is the fix for
-    # test_recertification_cadence going red when CORRECTNESS_r06.json
-    # landed) plus the two §2 anchors (q_dsir_select, q_bank_mart),
-    # which re-certify every round. 48 + 2 = 50, exactly window-sized.
+    # ---- round-8 rotation (executed per the forward schedule written
+    # in r07 — VERDICT r7 rec 1). In-window this round, as the round's
+    # FIRST commit: the ENTIRE 27-query never-certified backlog (first
+    # driver hashes ever — q_event_response, q_kmv-family analytics,
+    # the late-paired TPC-H-flavored family) + 21 entries of the
+    # r05-certified block (due back by r09 under K=4; the remaining 26
+    # seat at r09) + the two standing §2 anchors (q_dsir_select,
+    # q_bank_mart). 27 + 21 + 2 = 50, exactly window-sized.
     #
-    # CADENCE POLICY CHANGE (r07): the re-certification period moves
-    # from ≤3 rounds to ≤4 rounds, for capacity reasons that are
-    # arithmetic, not taste: 172 paired queries re-seated every K
-    # rounds through a 50-slot window needs 172/K ≤ 50. K=3 gives
-    # capacity 150 < 172 — the old invariant becomes PERMANENTLY
-    # unsatisfiable the moment the never-certified backlog (27 queries
-    # below) earns its first certificates. K=4 gives capacity 200,
-    # leaving ~28 slots of headroom for registry growth. The cadence
-    # test (tests/test_oracle_parity.py) asserts this feasibility bound
-    # mechanically alongside the overdue check.
+    # CADENCE POLICY (unchanged, set r07): re-certification period is
+    # K=4 rounds. Capacity: 48 rotating slots x K = 192 >= 172 paired.
+    # The cadence test (tests/test_oracle_parity.py) asserts both the
+    # overdue check and the feasibility bound mechanically.
     #
-    # Forward schedule (written down per VERDICT r6 rec 3 so rotation
-    # is never improvised):
-    #   r08 window: the 27 never-certified backlog entries (first
-    #        driver hashes, incl. q_event_response) + 21 of the r05
-    #        block + 2 anchors. Under K=4 nothing is overdue at r08
-    #        (r04 block re-certifies r07 → due r11; r05 due r09), so
-    #        the freed round drains the ENTIRE backlog.
+    # RETIREMENT POLICY (written r08 per VERDICT r7 rec 7): paired
+    # registrations must stay <= 48*K = 192. When a new registration
+    # would cross the bound, retire (de-pair or delete) queries whose
+    # semantics are a STRICT SUBSET of another paired query that has
+    # been driver-certified at least twice — precedent: q_dedup_ngram
+    # (subsumed by q_dedup_minhash's shingle path) is first in line.
+    # A retired query keeps its local pytest oracle check; it only
+    # leaves the driver rotation. Current headroom: 192 - 172 = 20.
+    #
+    # Forward schedule:
     #   r09 window: remaining 26 r05 entries + 22 of the r06 block
     #        + 2 anchors (r05 due r09, satisfied; r06 due r10, early).
     #   r10 window: remaining 26 r06 entries + 22 of the r07 (=r04)
     #        block + 2 anchors.
-    # Steady state thereafter: ~43 recertifications + 2 anchors per
-    # round, 5 free slots.
+    #   r11+: steady state — ~43 recertifications + 2 anchors per
+    #        round, 5 free slots (r08 backlog certs come due r12).
     #
     # Everything below is annotated with its latest driver-certified
-    # round ("r0N"; "never" = hash-verified only by
-    # tests/test_oracle_parity.py at sf0.001+sf0.01).
-    # -- certified r05 (due back by r09; 21 seat at r08, rest at r09):
-    "q_ab_test",
-    "q_age_band",
-    "q_anomaly_mad",
-    "q_bootstrap_ci",
-    "q_chunk_docs",
-    "q_chunk_udtf",
-    "q_cohort_retention",
-    "q_copurchase",
-    "q_corpus_shuffle",
-    "q_csv_roundtrip",
-    "q_date_join",
-    "q_date_key",
-    "q_dedup_incremental",
-    "q_dup_span_removal",
-    "q_edit_distance",
-    "q_embed_centroid",
-    "q_embed_norms",
-    "q_embed_quantize",
-    "q_extract_parts",
-    "q_gap_fill",
-    "q_grouping_sets",
+    # round ("r0N"; all remain hash-verified locally every pytest run
+    # by tests/test_oracle_parity.py at sf0.001+sf0.01).
+    # -- certified r07 (the r04 block; due back by r11 — 22 seat at
+    #    r10, rest r11):
+    "q_project_cast",
+    "q_filter_notnull",
+    "q_filter_eq",
+    "q_case_banding",
+    "q_group_agg",
+    "q_distinct",
+    "q_window_dedup",
+    "q_surrogate_key",
+    "q_date_spine",
+    "q_star_join",
+    "q_join_agg",
+    "q_bpe_tokens",
+    "q_text_quality",
+    "q_lang_id",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_dup_spans",
+    "q_ann_cosine",
+    "q_hard_negatives",
+    "q_ann_lsh",
+    "q_multimodal_decode",
+    "q_event_sessions",
+    "q_attribution",
+    "q_variant_shred",
+    "q_pyds_scan",
+    "q_incremental_merge",
+    "q_asof_join",
+    "q_dedup_embedding",
+    "q_top_unshipped",
+    "q_decontaminate",
+    "q_dedup_text_e2e",
+    "q_embed_covariance",
+    "q_pagerank",
+    "q_feature_scale",
+    "q_range_join",
+    "q_rollup_cascade",
+    "q_lm_quality",
+    "q_heavy_hitters",
+    "q_bloom_filter",
+    "q_hll_distinct",
+    "q_linear_score",
+    "q_neg_sample",
+    "q_ppmi",
+    "q_label_prop",
+    "q_bfs_dist",
+    "q_tfidf",
+    "q_quality_report",
+    # -- certified r05, the 26 NOT seated this round (due back by r09;
+    #    all 26 seat at r09):
     "q_hierarchy",
     "q_hybrid_search",
     "q_interval_merge",
@@ -699,8 +728,7 @@ _LATE: tuple[str, ...] = (
     "q_union_literal",
     "q_url_curation",
     "q_weighted_sample",
-    # -- certified r06 (displaced this round; due back by r10 — 22 seat
-    #    at r09, rest at r10):
+    # -- certified r06 (due back by r10 — 22 seat at r09, rest r10):
     "q_text_stats",
     "q_fingerprint",
     "q_dedup_ngram",
@@ -749,35 +777,6 @@ _LATE: tuple[str, ...] = (
     "q_twap",
     "q_orc_roundtrip",
     "q_argmax",
-    # -- never driver-certified — locally hash-verified every run; ALL
-    #    27 seat at r08 (the K=4 freed round — see schedule above):
-    "q_bit_funcs",
-    "q_disjunctive_rev",
-    "q_dominant_suppliers",
-    "q_drift_report",
-    "q_event_response",
-    "q_event_transitions",
-    "q_exists_subquery",
-    "q_forecast_revenue",
-    "q_having_subquery",
-    "q_important_parts",
-    "q_join_elim",
-    "q_local_volume",
-    "q_min_cost_supplier",
-    "q_nation_volume",
-    "q_null_funcs",
-    "q_priority_class",
-    "q_product_profit",
-    "q_profile_table",
-    "q_promo_share",
-    "q_regression",
-    "q_returned_revenue",
-    "q_seasonal_naive",
-    "q_stratified_sample",
-    "q_top_supplier",
-    "q_top_terms",
-    "q_union_by_name",
-    "q_winnow_fingerprint",
     # -- rows-only (no cross-engine oracle; property/reference-pinned):
     "q_approx_distinct",
     "q_bpe_learn",
