@@ -47,7 +47,16 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     Folding the null rows into the SAME aggregation instead of a
     second filtered branch keeps this a single corpus scan with a
     single fingerprint pass; the old two-branch union read and hashed
-    the whole corpus twice.)"""
+    the whole corpus twice.)
+
+    CONTRACT: ``id_col`` must be non-null — it is the join-back key,
+    and both ``min(id)`` and the null-unsafe left-semi join are
+    meaningless for NULL ids. A row with NULL id is dropped (if its
+    text is also NULL the sentinel itself evaluates NULL, collapsing
+    such rows into one NULL key whose min(id) is NULL, and the semi
+    join then matches none of them). Every corpus this engine produces
+    carries a non-null doc_id; callers with nullable ids must assign
+    one first (e.g. operators.keys.surrogate_key)."""
     key = F.coalesce(
         fingerprint(text_col),
         F.concat(F.lit("\x00null:"), F.col(id_col).cast("string")),

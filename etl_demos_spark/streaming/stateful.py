@@ -284,17 +284,23 @@ def drain_available_now(query, timeout_s: float = 180.0) -> bool:
     operator, so the appended output is final.
 
     Drained means: the query terminated CLEANLY, or the two LATEST
-    progress entries both had zero input rows. Two trailing 0-input
-    batches, not "any 0-input batch ever" — a legitimately empty
-    micro-batch mid-stream (an empty source file under
-    maxFilesPerTrigger=1) completes with zero rows while later files
-    are still unread, but it is immediately followed by a data batch,
-    so it can never be both of the two latest entries. A query that
-    terminated with an error re-raises it instead of reporting success
-    (awaitTermination's contract). Returns False on timeout — callers
-    must treat that as "output incomplete".
+    progress entries both had zero input rows AND every source's
+    endOffset is unchanged between them. Zero-input alone is not
+    exhaustion: two CONSECUTIVE empty micro-batches can occur with
+    input remaining (two adjacent empty source files under
+    maxFilesPerTrigger=1, or a slow directory listing yielding
+    back-to-back empty batches) — but in those cases the source still
+    ADVANCES its offset (the empty file is committed), so requiring
+    offset stability across the two entries separates "no progress
+    left to make" from "made progress that happened to carry no rows".
+    A query that terminated with an error re-raises it instead of
+    reporting success (awaitTermination's contract). Returns False on
+    timeout — callers must treat that as "output incomplete".
     """
     import time as _time
+
+    def _source_end_offsets(entry) -> list:
+        return [s.get("endOffset") for s in entry.get("sources", [])]
 
     deadline = _time.monotonic() + timeout_s
     while True:
@@ -308,6 +314,7 @@ def drain_available_now(query, timeout_s: float = 180.0) -> bool:
             len(rp) >= 2
             and rp[-1]["numInputRows"] == 0
             and rp[-2]["numInputRows"] == 0
+            and _source_end_offsets(rp[-1]) == _source_end_offsets(rp[-2])
         ):
             return True
         if _time.monotonic() >= deadline:

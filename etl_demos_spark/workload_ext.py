@@ -5853,14 +5853,16 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_null_safe_join",
     oracle="""
     WITH c AS (
-        SELECT c_custkey, NULLIF(c_nationkey % 5, 3) AS k FROM customer
+        SELECT NULLIF(c_nationkey % 5, 3) AS k, COUNT(*) AS n_c
+        FROM customer GROUP BY 1
     ), o AS (
-        SELECT o_orderkey, NULLIF(o_custkey % 5, 3) AS k FROM orders
+        SELECT NULLIF(o_custkey % 5, 3) AS k, COUNT(*) AS n_o
+        FROM orders GROUP BY 1
     )
     SELECT COALESCE(CAST(c.k AS BIGINT), -1) AS join_key,
-           CAST(COUNT(*) AS BIGINT) AS n_pairs
+           CAST(c.n_c * o.n_o AS BIGINT) AS n_pairs
     FROM c JOIN o ON c.k IS NOT DISTINCT FROM o.k
-    GROUP BY 1 ORDER BY 1
+    ORDER BY 1
     """,
     tags=("ext-relational",),
 )
@@ -5881,7 +5883,13 @@ def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the transform any count-over-low-cardinality-join needs at 100 TB.
     The null-safe join semantics still do the load-bearing work: the
     NULL group survives only because eqNullSafe matches the two NULL
-    aggregate rows."""
+    aggregate rows.
+
+    The DuckDB oracle mirrors the SAME aggregate-pushdown form (per-side
+    counts, null-safe join of the aggregates, multiply) so a head-to-head
+    compares like plans — this query measures null-safe-join semantics +
+    aggregate pushdown, not raw pair-join throughput (which q_star_join
+    and q_join_agg cover at row level)."""
     c = (
         T(spark, sf_dir, "customer")
         .select(F.nullif(F.col("c_nationkey") % 5, F.lit(3)).alias("k"))
