@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Run the join/agg headliners against the zipf-skewed 10x set
+(VERDICT r7 rec 5) and record (a) wall time vs the uniform 10x set,
+(b) plan evidence that the skew machinery engages.
+
+Queries: q_star_join (lineitem->supplier->nation star, the flagship),
+q_group_agg, q_join_agg. q_dedup_minhash is deliberately NOT run here:
+documents.parquet is byte-identical between /tmp/sf1 and /tmp/sf1skew
+(the skew remap targets join/agg foreign keys), so a skewed run would
+re-measure the uniform number; content-skew for LSH means duplicate
+text, whose cost is quadratic TRUE OUTPUT (every pair of an 18k-copy
+cluster is a real duplicate pair), not shuffle imbalance — covered by
+the dup-family output-growth analysis in perf/bench_sf1_r7.json.
+
+Skew-join handling is AQE's job (spark.sql.adaptive.skewJoin, on in
+session.RUNTIME_CONFS); this tool asserts the hot key actually skews
+the shuffle by reading the final adaptive plan for each query and
+recording whether `skew=true` appears (it only can on sort-merge
+joins; broadcast joins are skew-immune by construction — a hot probe
+key never shuffles, which is itself the skew answer and is recorded
+as "broadcast" evidence).
+
+Usage:
+  python tools/make_sf1.py /tmp/sf1           # once
+  python tools/make_sf1_skew.py /tmp/sf1skew  # once
+  python tools/skew_stress.py                 # prints one JSON line
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+QUERIES = ("q_star_join", "q_group_agg", "q_join_agg")
+RUNS = 3
+
+
+def main() -> None:
+    uni = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    skew = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1skew"
+
+    from etl_demos_spark import workload, workload_ext  # noqa: F401
+    from etl_demos_spark.session import get_spark
+
+    spark = get_spark("skew-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    out = {"uniform_dir": uni, "skew_dir": skew, "queries": {}}
+    for name in QUERIES:
+        fn = workload.REGISTRY[name].fn
+        rec = {}
+        for label, d in (("uniform", uni), ("skew", skew)):
+            times = []
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                fn(spark, d).collect()
+                times.append(round(time.perf_counter() - t0, 3))
+            df = fn(spark, d)
+            df.collect()  # materialize so the ADAPTIVE plan is final
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            rec[label] = {
+                "min_s": min(times),
+                "all_s": times,
+                "skew_split": "skew=true" in plan,
+                "broadcast_join": "BroadcastHashJoin" in plan,
+                "sortmerge_join": "SortMergeJoin" in plan,
+            }
+        rec["skew_over_uniform"] = round(
+            rec["skew"]["min_s"] / rec["uniform"]["min_s"], 2
+        )
+        out["queries"][name] = rec
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
