@@ -73,6 +73,51 @@ def main() -> None:
             rec["skew"]["min_s"] / rec["uniform"]["min_s"], 2
         )
         out["queries"][name] = rec
+
+    # Affirmative AQE-skew-split evidence: the production headliner
+    # plans broadcast every dimension, so the hot key never reaches a
+    # shuffle — skew-immune by construction, and skew_split can never
+    # appear. Forcing the join to sort-merge (broadcast threshold off)
+    # recreates the plan a 100 TB fact-fact join would get and shows
+    # AQE splitting the hot partition at runtime on this real data.
+    fn = workload.REGISTRY["q_star_join"].fn
+    forced = {}
+    # advisoryPartitionSizeInBytes must shrink with the thresholds: a
+    # partition that passes the threshold/factor skew test still won't
+    # split if it is smaller than the advisory target (the split spec
+    # degenerates to one chunk and the skew flag is dropped) — at test
+    # scale the ~10 MB hot partition sits under the 64 MB default; at
+    # 100 TB hot partitions dwarf it and the defaults engage.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2MB"
+    )
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2MB")
+    try:
+        for label, d in (("uniform", uni), ("skew", skew)):
+            times = []
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                fn(spark, d).collect()
+                times.append(round(time.perf_counter() - t0, 3))
+            df = fn(spark, d)
+            df.collect()
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            forced[label] = {
+                "min_s": min(times),
+                "all_s": times,
+                "skew_split": "skew=true" in plan,
+                "sortmerge_join": "SortMergeJoin" in plan,
+            }
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+        )
+        spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+        spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    out["forced_smj_star_join"] = forced
     print(json.dumps(out))
     spark.stop()
 
