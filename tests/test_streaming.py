@@ -728,3 +728,61 @@ def test_stream_first_response_custom_columns(spark, tmp_path):
     }
     assert got == expect
     assert len(got) == 1 and next(iter(got))[0] == "c1"
+
+
+def test_drain_available_now_requires_offset_stability():
+    """ADVICE r7: two consecutive zero-input batches are NOT exhaustion
+    when the source is still advancing (two adjacent empty files under
+    maxFilesPerTrigger=1 each complete a zero-row batch while input
+    remains). drain_available_now must therefore also require every
+    source's endOffset to be unchanged across the two latest progress
+    entries — and still report drained when offsets hold still, and
+    still honor clean termination / error re-raise."""
+    from etl_demos_spark.streaming.stateful import drain_available_now
+
+    def progress(n_rows, end_offset):
+        return {
+            "numInputRows": n_rows,
+            "sources": [{"endOffset": end_offset}],
+        }
+
+    class FakeQuery:
+        def __init__(self, rp, active=True, exc=None):
+            self.recentProgress = rp
+            self._active = active
+            self._exc = exc
+
+        @property
+        def isActive(self):
+            return self._active
+
+        def exception(self):
+            return self._exc
+
+    # empty-but-advancing: offsets moved between the two zero batches
+    advancing = FakeQuery(
+        [progress(5, '{"logOffset": 1}'),
+         progress(0, '{"logOffset": 2}'),
+         progress(0, '{"logOffset": 3}')]
+    )
+    assert drain_available_now(advancing, timeout_s=0.6) is False
+
+    # exhausted: two zero batches with identical end offsets
+    exhausted = FakeQuery(
+        [progress(5, '{"logOffset": 3}'),
+         progress(0, '{"logOffset": 3}'),
+         progress(0, '{"logOffset": 3}')]
+    )
+    assert drain_available_now(exhausted, timeout_s=0.6) is True
+
+    # clean self-termination wins regardless of progress history
+    assert drain_available_now(FakeQuery([], active=False)) is True
+
+    # terminal error re-raises (awaitTermination's contract)
+    boom = RuntimeError("stream died")
+    try:
+        drain_available_now(FakeQuery([], active=False, exc=boom))
+    except RuntimeError as e:
+        assert e is boom
+    else:
+        raise AssertionError("expected the query error to re-raise")
