@@ -388,8 +388,10 @@ def _sig_impl() -> str:
     """Validated read of the SIG_IMPL knob — a typo'd override must fail
     loudly, not silently measure/run the other implementation (same
     contract as matutil.STRATEGY)."""
-    if SIG_IMPL not in ("arrow", "codegen"):
-        raise ValueError(f"SIG_IMPL {SIG_IMPL!r}: use 'arrow' or 'codegen'")
+    if SIG_IMPL not in ("fused", "arrow", "codegen"):
+        raise ValueError(
+            f"SIG_IMPL {SIG_IMPL!r}: use 'fused', 'arrow' or 'codegen'"
+        )
     return SIG_IMPL
 
 
@@ -422,7 +424,9 @@ def _minhash_from_base(base: DataFrame, num_hashes: int) -> DataFrame:
     # row — never an all-null signature that would spuriously bucket
     # with other gram-less docs downstream.
     base = base.filter(F.col("h").isNotNull())
-    if _sig_impl() == "arrow":
+    # "fused" implies the Arrow partial stage for gram-fed callers too
+    # (fusion itself only exists on the from-docs entry point)
+    if _sig_impl() in ("arrow", "fused"):
         prepared = _arrow_exact_id(base)
         if prepared is not None:
             return _minhash_from_base_arrow(prepared, num_hashes)
@@ -474,6 +478,17 @@ def _minhash_from_base_arrow(prepared, num_hashes: int) -> DataFrame:
             )
 
     partials = base.mapInPandas(partial, "id string, part array<long>")
+    return _combine_partials(partials, restore, num_hashes)
+
+
+def _combine_partials(partials: DataFrame, restore, num_hashes: int) -> DataFrame:
+    """Final (id → elementwise-min) combine shared by both Arrow paths.
+
+    The groupBy is what gives the Arrow paths the EXACT null-id
+    semantics of the codegen twin: SQL groupBy merges all NULL ids into
+    one group, so partial vectors from multiple null-id rows collapse
+    into one signature — per-row pandas stages need no null-id special
+    case as long as they emit partials and let this combine fold them."""
     aggs = [
         F.min(F.col("part")[i]).alias(f"__m{i}") for i in range(num_hashes)
     ]
@@ -483,6 +498,149 @@ def _minhash_from_base_arrow(prepared, num_hashes: int) -> DataFrame:
             "id", F.array(*[f"__m{i}" for i in range(num_hashes)]).alias("sig")
         )
     )
+
+
+def minhash_signatures_from_docs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 128,
+    base_hash: str = "md5",
+    short_docs: str = "whole",
+) -> DataFrame:
+    """(id, sig) MinHash signatures straight from raw documents — the
+    FUSED Arrow path (round-8 A/B): tokenize → shingle → md5 → affine
+    partial-min all inside ONE mapInPandas over the raw (id, text)
+    rows, then the shared JVM combine.
+
+    Status after the r8 A/B (tools/ab_minhash_fused.py, interleaved
+    min-of-5 at sf0.1): **NOT the default** — the JVM gram pipeline +
+    Arrow partial ("arrow") won the signature stage 1.73 vs 4.36 s.
+    The hypothesis was that shipping 1 Arrow row per DOCUMENT instead
+    of per gram (~50×) would win; in practice the per-doc Python loop
+    (re.findall + per-gram " ".join + hashlib.md5 + int(hex,16)) costs
+    far more than the JVM's codegen'd explode+md5, and the Arrow
+    transfer it saves was never the bottleneck. A parallelism floor
+    (repartitioning the single-file doc scan) equalized the two at
+    ~1.36 s in isolation but LOST on the full pipelines (minhash 3.36
+    vs 2.41, simhash 3.22 vs 2.26 — extra shuffle + replanning), so
+    neither change shipped as default; receipts in PERF.md round 8.
+    The implementation stays available behind SIG_IMPL="fused" because
+    it is the only engine-independent reference for the full doc→sig
+    contract and its tests pin subtle corners of the JVM twin (the
+    concat_ws ''-gram for null-id null-text rows, the unicode
+    lowercase agreement, sentinel semantics).
+
+    Hash identity: the per-batch gram list is hashed with hashlib.md5
+    (bit-identical to Spark's md5: both hash UTF-8 bytes; the first
+    MD5_HEX_CHARS hex digits as int == md5_long's
+    conv(substring(md5(g),1,ch),16,10)); the affine min collapses via
+    one vectorized reduceat per batch. Tokenization is replicated
+    exactly: WORD_RE is pure ASCII ([A-Za-z0-9]+) and Python
+    str.lower() agrees with Spark lower() on every character that can
+    produce an ASCII alphanumeric (asserted over a unicode stress set
+    in tests/test_dedup.py).
+
+    Semantics are bit-identical to exploded_shingles(short_docs=...) →
+    minhash_signatures_from_grams, including the contract corners:
+    sub-n docs carry the degenerate whole-text gram (``short_docs=
+    "whole"``), null text gets the per-id sentinel gram, a null-id
+    null-text row contributes the EMPTY gram to the null-id group
+    (the JVM twin's concat_ws skips the NULL sentinel field and yields
+    '' — never NULL), and null-id partials merge into ONE signature
+    via the shared combine's SQL groupBy — all asserted against the
+    codegen twin.
+
+    Falls back to the two-stage path when the implementation knob says
+    so, when ``base_hash`` is not md5 (xxhash64 is JVM-internal — not
+    reproducible in the Python worker), or when the id type has no
+    exact string round-trip."""
+    fused_ok = _sig_impl() == "fused" and base_hash == "md5"
+    if fused_ok:
+        prepared = _arrow_exact_id(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        )
+        if prepared is not None:
+            return _minhash_from_docs_fused(prepared, n, num_hashes, short_docs)
+    grams = exploded_shingles(df, id_col, text_col, n, short_docs=short_docs)
+    return minhash_signatures_from_grams(grams, "id", "g", num_hashes, base_hash)
+
+
+def _minhash_from_docs_fused(
+    prepared, n: int, num_hashes: int, short_docs: str
+) -> DataFrame:
+    import hashlib
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+
+    base, restore = prepared
+    params = np.array(_affine_params(num_hashes), dtype=np.int64)
+    a, b = params[:, 0], params[:, 1]
+    word_re = _re.compile(WORD_RE)
+    whole = short_docs == "whole"
+
+    def fused(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["id"].to_numpy()
+            grams: list[str] = []
+            counts = np.zeros(len(pdf), dtype=np.int64)
+            for r, (id_, tx) in enumerate(zip(ids, pdf["text"])):
+                if tx is None or (isinstance(tx, float) and pd.isna(tx)):
+                    # null text under "whole": per-id sentinel gram.
+                    # With a null id the JVM twin's sentinel struct
+                    # field is NULL but concat_ws SKIPS nulls and
+                    # yields '' (never NULL) — so a (null id, null
+                    # text) row contributes the empty-string gram to
+                    # the merged null-id group, and the fused path
+                    # must reproduce exactly that
+                    if whole:
+                        grams.append(
+                            "\x00null:" + id_ if id_ is not None else ""
+                        )
+                        counts[r] = 1
+                    continue
+                toks = word_re.findall(tx.lower())
+                if len(toks) < n:
+                    if whole:
+                        grams.append(" ".join(toks))
+                        counts[r] = 1
+                    continue
+                k = len(toks) - n + 1
+                grams.extend(
+                    " ".join(toks[i : i + n]) for i in range(k)
+                )
+                counts[r] = k
+            if not grams:
+                continue
+            h = np.fromiter(
+                (
+                    int(
+                        hashlib.md5(g.encode("utf-8")).hexdigest()[
+                            :MD5_HEX_CHARS
+                        ],
+                        16,
+                    )
+                    % MERSENNE31
+                    for g in grams
+                ),
+                dtype=np.int64,
+                count=len(grams),
+            )
+            m = (h[:, None] * a + b) % MERSENNE31
+            keep = counts > 0
+            offsets = np.concatenate(
+                ([0], np.cumsum(counts[keep])[:-1])
+            ).astype(np.int64)
+            mins = np.minimum.reduceat(m, offsets, axis=0)
+            yield pd.DataFrame({"id": ids[keep], "part": list(mins)})
+
+    partials = base.mapInPandas(fused, "id string, part array<long>")
+    return _combine_partials(partials, restore, num_hashes)
 
 
 def banded_buckets(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
@@ -548,9 +706,8 @@ def incremental_minhash_dedup(
     for the next increment (existing ∪ survivors).
     """
     rows = num_hashes // bands
-    grams = exploded_shingles(new_df, id_col, text_col, n, short_docs="whole")
-    new_sigs = minhash_signatures_from_grams(
-        grams, "id", "g", num_hashes, base_hash
+    new_sigs = minhash_signatures_from_docs(
+        new_df, id_col, text_col, n, num_hashes, base_hash, short_docs="whole"
     ).persist()
     new_b = banded_buckets(new_sigs, bands, rows)
 
@@ -663,8 +820,9 @@ def minhash_lsh_pairs(
     # short_docs="whole": sub-n-token docs carry a degenerate whole-text
     # gram so identical short texts pair and the incremental kept-set
     # contract covers every input row (see exploded_shingles).
-    grams = exploded_shingles(df, id_col, text_col, n, short_docs="whole")
-    sigs = minhash_signatures_from_grams(grams, "id", "g", num_hashes, base_hash)
+    sigs = minhash_signatures_from_docs(
+        df, id_col, text_col, n, num_hashes, base_hash, short_docs="whole"
+    )
     # reused by banding + both verify fetches — eager localCheckpoint,
     # not persist(): computed once, plan truncated, and the
     # executor-side blocks are released when the frame is
@@ -732,7 +890,7 @@ def simhash_signatures(
     # filter null grams; this makes the primitive itself safe)
     base = base.filter(F.col("h").isNotNull())
     votes = None
-    if _sig_impl() == "arrow":
+    if _sig_impl() in ("arrow", "fused"):
         prepared = _arrow_exact_id(base)
         if prepared is not None:
             votes = _simhash_votes_arrow(prepared, bits)

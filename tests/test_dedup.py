@@ -613,3 +613,87 @@ def test_sig_impl_unknown_value_raises(spark):
             D.simhash_pairs(docs, "doc_id", "text").collect()
     finally:
         D.SIG_IMPL = "arrow"
+
+
+def test_fused_signatures_bit_identical_to_codegen(spark):
+    """Round-8 fused Arrow path (tokenize→shingle→md5→partial-min in one
+    mapInPandas over raw docs) must be BIT-IDENTICAL to the two-stage
+    codegen pipeline on every contract corner: normal docs, sub-n docs
+    (degenerate whole gram), empty text, null text (per-id sentinel),
+    null id + null text (no row), null id + text (one merged group),
+    ids ≥ 2^53 (string round-trip), duplicate texts, and unicode text
+    whose lowercasing must agree between Python str.lower and Spark
+    lower() (İ, K, ß, ﬁ-ligature, CJK, combining marks)."""
+    from etl_demos_spark.operators import dedup as D
+
+    big = (1 << 53) + 1
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "two words"),
+        (4, ""),
+        (5, None),
+        (None, None),
+        (None, "shared null id text body one two three four"),
+        (None, "other null id text body five six seven eight"),
+        (big, "big id document body one two three"),
+        (6, "İstanbul KELVIN K sign straße ß ﬁligree ﬁ 漢字テスト one two"),
+        (7, "a"),
+        (8, "MiXeD CaSe ToKeNs 123 ABC def"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {}
+    try:
+        for impl in ("codegen", "fused"):
+            D.SIG_IMPL = impl
+            out = D.minhash_signatures_from_docs(
+                docs, "doc_id", "text", 3, 32, "md5", short_docs="whole"
+            ).collect()
+            sigs[impl] = {r["id"]: tuple(r["sig"]) for r in out}
+    finally:
+        D.SIG_IMPL = "arrow"
+    # the two null-id text rows AND the (None, None) row (whose JVM
+    # sentinel concat_ws yields the '' gram, not NULL) MERGE into one
+    # null-id signature (SQL groupBy null semantics) in both impls
+    assert set(sigs["fused"]) == {1, 2, 3, 4, 5, 6, 7, 8, big, None}
+    assert sigs["fused"] == sigs["codegen"]
+    # identical texts ⇒ identical signatures; sentinel null-text rows
+    # must NOT collide with each other or with ''
+    assert sigs["fused"][1] == sigs["fused"][2]
+    assert sigs["fused"][5] != sigs["fused"][4]
+
+    # short_docs="drop" parity: sub-n and null docs yield no row
+    try:
+        for impl in ("codegen", "fused"):
+            D.SIG_IMPL = impl
+            out = D.minhash_signatures_from_docs(
+                docs, "doc_id", "text", 3, 16, "md5", short_docs="drop"
+            ).collect()
+            sigs[impl + "_drop"] = {r["id"]: tuple(r["sig"]) for r in out}
+    finally:
+        D.SIG_IMPL = "arrow"
+    assert sigs["fused_drop"] == sigs["codegen_drop"]
+    assert 3 not in sigs["fused_drop"] and 4 not in sigs["fused_drop"]
+
+
+def test_fused_lsh_pairs_match_arrow_on_corpus(spark):
+    """End-to-end minhash_lsh_pairs under SIG_IMPL='fused' must produce
+    the exact pair set + est_jaccard of the adopted 'arrow' path on the
+    real documents corpus."""
+    from tests.conftest import SF_DIR_MED
+
+    from etl_demos_spark.data import load_table
+    from etl_demos_spark.operators import dedup as D
+
+    docs = load_table(spark, SF_DIR_MED, "documents")
+    out = {}
+    try:
+        for impl in ("arrow", "fused"):
+            D.SIG_IMPL = impl
+            out[impl] = {
+                (r["id_a"], r["id_b"]): r["est_jaccard"]
+                for r in D.minhash_lsh_pairs(docs, "doc_id", "text").collect()
+            }
+    finally:
+        D.SIG_IMPL = "arrow"
+    assert out["fused"] == out["arrow"] and out["arrow"]

@@ -10,14 +10,16 @@ import statistics
 import time
 
 
-def run_sig_ab(spark, stages, collect_keys, sweeps: int, extra: dict) -> str:
-    """A/B `dedup.SIG_IMPL` in ("codegen", "arrow") over ``stages``
-    ({name: () -> DataFrame}). ``collect_keys`` maps each stage name to
-    a row->hashable projection used for the identical-output gate.
-    Returns the result JSON line; always restores the module default."""
+def run_sig_ab(
+    spark, stages, collect_keys, sweeps: int, extra: dict,
+    impls: tuple[str, str] = ("codegen", "arrow"),
+) -> str:
+    """A/B two `dedup.SIG_IMPL` values (default codegen vs arrow) over
+    ``stages`` ({name: () -> DataFrame}). ``collect_keys`` maps each
+    stage name to a row->hashable projection used for the
+    identical-output gate. Returns the result JSON line; always
+    restores the module default."""
     from etl_demos_spark.operators import dedup
-
-    impls = ("codegen", "arrow")
     default = dedup.SIG_IMPL
     try:
         outs = {}
