@@ -1345,3 +1345,124 @@ def remove_duplicated_spans(
         .cast("long")
         .alias("removed_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) dedup
+# ---------------------------------------------------------------------------
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 3,
+    mask: int = 16,
+) -> DataFrame:
+    """Content-defined chunks per document — the rsync/FastCDC idea on
+    token streams: cut AFTER token position j whenever the w-token gram
+    starting at j hashes to 0 mod ``mask`` (md5_long, engine-portable),
+    so expected chunk length is ~``mask`` tokens and boundaries are a
+    pure function of LOCAL content. That is the property the fixed
+    windows of the ExactSubstr family (duplicated_spans) lack: insert
+    one token at the front of a document and every fixed window shifts
+    — zero fingerprint matches — while CDC boundaries resynchronize at
+    the next content-defined cut, so all chunks after it match the
+    original verbatim (asserted in tests/test_dedup.py). This is the
+    sub-document dedup granularity for corpora of near-identical long
+    documents (boilerplate headers, license stamps, quoted replies).
+
+    Plan shape: one codegen pass (posexplode of arrays_zip(tokens,
+    w shifted slice views) → one md5 per token position), one per-doc
+    window cumsum for chunk ids, one (id, chunk) groupBy to rebuild
+    chunk text. All keys are bounded per-doc or uniform hashes — no
+    skew, nothing quadratic, ~3 keyed shuffles at any scale.
+
+    Sub-``w``-token docs form one whole-text chunk (no gram ⇒ no cut);
+    empty/null text yields no rows. Returns one row per (doc, chunk):
+    ``(id, chunk_idx, chunk_text, chunk_tokens, chunk_fp)``.
+    """
+    from pyspark.sql import Window as W
+
+    toked = df.select(
+        F.col(id_col).alias("id"), tokenize(text_col).alias("__toks")
+    )
+    m = F.size(F.col("__toks")) - F.lit(w - 1)
+    # arrays_zip pads the shorter slice views with NULL structs, so the
+    # zip has one entry per TOKEN; gram validity is the p < m bound.
+    # slice length clamps at 0: sub-(w-1)-token docs would otherwise
+    # feed slice() a negative length, which throws under Spark 4
+    m_len = F.greatest(m, F.lit(0))
+    zipped = F.arrays_zip(
+        F.col("__toks").alias("tok"),
+        *[F.slice("__toks", i + 1, m_len).alias(f"t{i}") for i in range(w)],
+    )
+    pos = toked.select(
+        "id", m.alias("__m"), F.posexplode(zipped).alias("p", "_z")
+    ).select(
+        "id",
+        F.col("p").cast("long").alias("p"),
+        F.col("_z.tok").alias("tok"),
+        (
+            (F.col("p") < F.col("__m"))
+            & (
+                F.pmod(
+                    md5_long(
+                        F.concat_ws(
+                            " ", *[F.col(f"_z.t{i}") for i in range(w)]
+                        )
+                    ),
+                    F.lit(mask),
+                )
+                == 0
+            )
+        ).alias("bp"),
+    )
+    prev = (
+        W.partitionBy("id")
+        .orderBy("p")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    chunked = pos.select(
+        "id",
+        "p",
+        "tok",
+        F.coalesce(
+            F.sum(F.col("bp").cast("long")).over(prev), F.lit(0)
+        ).alias("chunk_idx"),
+    )
+    return chunked.groupBy("id", "chunk_idx").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("chunk_text"),
+        F.count(F.lit(1)).cast("long").alias("chunk_tokens"),
+    ).withColumn("chunk_fp", F.md5("chunk_text"))
+
+
+def cdc_duplicate_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 3,
+    mask: int = 16,
+) -> DataFrame:
+    """Cross-corpus duplicated-chunk report over :func:`cdc_chunks`:
+    one row per chunk fingerprint that occurs more than once —
+    ``(chunk_fp, n_copies, n_docs, chunk_tokens)``. n_docs < n_copies
+    means self-repetition inside documents; n_docs > 1 means shared
+    boilerplate across documents. The fingerprint groupBy is a uniform
+    md5 key — skew-free at any corpus size."""
+    chunks = cdc_chunks(df, id_col, text_col, w, mask)
+    return (
+        chunks.groupBy("chunk_fp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.countDistinct("id").cast("long").alias("n_docs"),
+            F.min("chunk_tokens").cast("long").alias("chunk_tokens"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )

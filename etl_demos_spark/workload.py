@@ -777,6 +777,9 @@ _LATE: tuple[str, ...] = (
     "q_twap",
     "q_orc_roundtrip",
     "q_argmax",
+    # -- registered r08, never driver-certified (locally hash-verified;
+    #    seats in a future window per the schedule above):
+    "q_dedup_cdc",
     # -- rows-only (no cross-engine oracle; property/reference-pinned):
     "q_approx_distinct",
     "q_bpe_learn",

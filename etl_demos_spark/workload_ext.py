@@ -7708,3 +7708,60 @@ def q_bit_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 3).cast("long").alias("shifted_r"),
         F.bit_count(k).cast("long").alias("popcount"),
     )
+
+
+_CDC_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS t
+        FROM documents WHERE text IS NOT NULL
+    ), pos AS (
+        SELECT doc_id, unnest(range(len(t))) AS p, t FROM toks
+    ), flags AS (
+        SELECT doc_id, p, t[p + 1] AS tok,
+               CASE WHEN p <= len(t) - 3 THEN
+                   (CAST('0x' || substr(
+                        md5(array_to_string(t[p + 1 : p + 3], ' ')), 1, 15)
+                     AS BIGINT) % 16) = 0
+               ELSE FALSE END AS bp
+        FROM pos
+    ), chunked AS (
+        SELECT doc_id, p, tok,
+               COALESCE(SUM(CASE WHEN bp THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY doc_id ORDER BY p
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS c
+        FROM flags
+    ), chunks AS (
+        SELECT doc_id, c,
+               string_agg(tok, ' ' ORDER BY p) AS chunk_text,
+               COUNT(*) AS n_toks
+        FROM chunked GROUP BY doc_id, c
+    )
+    SELECT md5(chunk_text) AS chunk_fp,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(MIN(n_toks) AS BIGINT) AS chunk_tokens
+    FROM chunks GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1
+    """
+
+
+@workload("q_dedup_cdc", oracle=_CDC_ORACLE, tags=("ext-dedup",))
+def q_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (operators/dedup.py cdc_chunks —
+    the rsync/FastCDC boundary rule on token streams): cut after any
+    3-token gram whose md5_long ≡ 0 mod 16, rebuild chunks, report
+    every chunk fingerprint occurring more than once with its copy and
+    document counts. The sub-document granularity the fixed-window
+    ExactSubstr family can't give: CDC boundaries are a function of
+    LOCAL content, so they resynchronize after insertions and shared
+    boilerplate dedups even when it floats inside otherwise-unique
+    documents (the insertion-robustness property is pinned in
+    tests/test_dedup.py). All shuffles keyed on (doc, chunk) or the
+    uniform md5 fingerprint — skew-free, nothing quadratic. Registered
+    _LATE r08 (never driver-certified yet; seats per the rotation
+    schedule)."""
+    d = T(spark, sf_dir, "documents")
+    return (
+        dedup.cdc_duplicate_chunks(d, "doc_id", "text", w=3, mask=16)
+        .orderBy("chunk_fp")
+    )

@@ -697,3 +697,65 @@ def test_fused_lsh_pairs_match_arrow_on_corpus(spark):
     finally:
         D.SIG_IMPL = "arrow"
     assert out["fused"] == out["arrow"] and out["arrow"]
+
+
+def test_cdc_chunks_resync_after_insertion(spark):
+    """THE property content-defined chunking buys over fixed windows:
+    boundaries are a function of local content, so inserting a token at
+    the front of a long document leaves every chunk after the first
+    content-defined cut IDENTICAL — the shared tail dedups — while the
+    docs' whole-text fingerprints (and all fixed windows) differ.
+    Also pins the reconstruction invariant (chunks re-concatenate to
+    the normalized token stream) and the short/empty/null contract."""
+    import pyspark.sql.functions as F
+
+    from etl_demos_spark.operators import dedup as D
+
+    base = " ".join(f"tok{i} alpha{i % 7} beta{i % 11}" for i in range(60))
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "INSERTED " + base),  # one leading token
+            (3, "two words"),          # sub-w: one whole-text chunk
+            (4, ""),                   # empty: no rows
+            (5, None),                 # null: no rows
+        ],
+        "doc_id long, text string",
+    )
+    chunks = D.cdc_chunks(docs, "doc_id", "text", w=3, mask=16).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r["id"], []).append(r)
+    for rs in by_doc.values():
+        rs.sort(key=lambda r: r["chunk_idx"])
+
+    # reconstruction: chunks re-join to the tokenized stream, per doc
+    for did, rs in by_doc.items():
+        text = {1: base, 2: "INSERTED " + base, 3: "two words"}[did]
+        import re
+
+        toks = re.findall("[A-Za-z0-9]+", text.lower())
+        assert " ".join(c["chunk_text"] for c in rs) == " ".join(toks)
+        assert sum(c["chunk_tokens"] for c in rs) == len(toks)
+
+    assert 4 not in by_doc and 5 not in by_doc
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["chunk_text"] == "two words"
+
+    # resync: docs 1 and 2 must share every chunk after doc 2's first
+    # cut (multiple chunks, not a fluke single match)
+    fps1 = {c["chunk_fp"] for c in by_doc[1]}
+    fps2 = {c["chunk_fp"] for c in by_doc[2]}
+    shared = fps1 & fps2
+    assert len(shared) >= 2, (len(by_doc[1]), len(by_doc[2]), len(shared))
+    # ...and the duplicate-chunk report sees them as cross-doc dups
+    rep = {
+        r["chunk_fp"]: (r["n_copies"], r["n_docs"])
+        for r in D.cdc_duplicate_chunks(docs, "doc_id", "text", 3, 16).collect()
+    }
+    for fp in shared:
+        assert rep[fp] == (2, 2)
+    # the whole documents themselves are NOT duplicates
+    full = docs.filter(F.col("doc_id").isin(1, 2)).select(
+        F.md5("text").alias("h")
+    ).distinct().count()
+    assert full == 2
