@@ -780,6 +780,7 @@ _LATE: tuple[str, ...] = (
     # -- registered r08, never driver-certified (locally hash-verified;
     #    seats in a future window per the schedule above):
     "q_dedup_cdc",
+    "q_lsh_recall",
     # -- rows-only (no cross-engine oracle; property/reference-pinned):
     "q_approx_distinct",
     "q_bpe_learn",

@@ -7765,3 +7765,89 @@ def q_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup.cdc_duplicate_chunks(d, "doc_id", "text", w=3, mask=16)
         .orderBy("chunk_fp")
     )
+
+
+def _lsh_recall_sql(
+    num_hashes: int = 128, bands: int = 32,
+    lsh_threshold: float = 0.4, exact_threshold: float = 0.5, n: int = 3,
+) -> str:
+    return f"""
+    WITH docs AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')) - {n - 1}, 0)),
+                   i -> concat_ws(' ',
+                        regexp_extract_all(lower(text), '[a-z0-9]+')[i+1],
+                        regexp_extract_all(lower(text), '[a-z0-9]+')[i+2],
+                        regexp_extract_all(lower(text), '[a-z0-9]+')[i+3])
+               )) AS sh
+        FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS g FROM docs
+        WHERE len(sh) > 0
+    ),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS n_inter
+        FROM idx a JOIN idx b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    ),
+    ex AS (
+        SELECT id_a, id_b FROM inter
+        WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter)
+              >= {exact_threshold}
+    ),
+    mh AS (
+        SELECT id_a, id_b
+        FROM ({_minhash_pairs_sql(num_hashes, bands, lsh_threshold, n)}) m
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ex) AS n_exact,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM mh) AS n_lsh,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM ex JOIN mh USING (id_a, id_b)) AS n_hit,
+           CASE WHEN (SELECT COUNT(*) FROM ex) > 0 THEN
+               ROUND(CAST((SELECT COUNT(*) FROM ex JOIN mh
+                           USING (id_a, id_b)) AS DOUBLE)
+                     / (SELECT COUNT(*) FROM ex), 4)
+           END AS recall
+    """
+
+
+@workload("q_lsh_recall", oracle=_lsh_recall_sql(), tags=("ext-dedup",))
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH quality evaluation as a first-class, oracle-certified query:
+    recall of banded MinHash-LSH (est_jaccard ≥ 0.4, the production
+    q_dedup_minhash setting) against the exact n-gram Jaccard ground
+    truth at ≥ 0.5 — the measured S-curve claim the whole approximate
+    dedup family rests on. The 0.1 threshold margin is deliberate: the
+    128-hash estimator has ~0.04 stderr, so exact pairs AT the LSH
+    cutoff legitimately flicker; ground truth at 0.5 vs LSH at 0.4
+    measures recall where the S-curve promises ~1. Exact pairs come
+    from the inverted-index self-join (never n²); LSH pairs from the
+    banded bucket join. One row: (n_exact, n_lsh, n_hit, recall).
+    n_lsh > n_hit is not imprecision — LSH at 0.4 legitimately returns
+    0.4-0.5 pairs outside the 0.5 ground-truth set (the counts let a
+    monitor watch both directions). Registered _LATE r08."""
+    d = T(spark, sf_dir, "documents")
+    ex = (
+        dedup.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+        .select("id_a", "id_b", F.lit(1).alias("__e"))
+    )
+    lsh = (
+        dedup.minhash_lsh_pairs(d, "doc_id", "text", n=3, threshold=0.4)
+        .select("id_a", "id_b", F.lit(1).alias("__l"))
+    )
+    j = ex.join(lsh, ["id_a", "id_b"], "full_outer")
+    n_exact = F.sum("__e").cast("long")
+    n_lsh = F.sum("__l").cast("long")
+    n_hit = F.count(F.when(F.col("__e").isNotNull() & F.col("__l").isNotNull(), 1)).cast("long")
+    return j.agg(
+        n_exact.alias("n_exact"),
+        n_lsh.alias("n_lsh"),
+        n_hit.alias("n_hit"),
+        F.when(
+            n_exact > 0,
+            F.round(n_hit.cast("double") / n_exact.cast("double"), 4),
+        ).alias("recall"),
+    )
