@@ -1466,3 +1466,57 @@ def cdc_duplicate_chunks(
         )
         .filter(F.col("n_copies") > 1)
     )
+
+
+def remove_duplicated_cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 3,
+    mask: int = 16,
+) -> DataFrame:
+    """The action half of :func:`cdc_chunks` — keep-FIRST sub-document
+    dedup at chunk granularity: for every chunk fingerprint the
+    globally first occurrence (ordered by ``(id, chunk_idx)``)
+    survives; every later copy is cut, and each document's text is
+    rebuilt from its surviving chunks. Because CDC chunks are DISJOINT
+    by construction (unlike the overlapping fixed windows of
+    remove_duplicated_spans) there is no island merging and no
+    position anti-join: one row_number per fingerprint partition and a
+    per-doc re-join of survivors is the whole plan — two keyed
+    shuffles on uniform hashes, nothing quadratic.
+
+    Returns ``(id, clean_text, kept_tokens, removed_tokens)`` for
+    EVERY input document (null/empty docs pass through as empty)."""
+    from pyspark.sql import Window as W
+
+    chunks = cdc_chunks(df, id_col, text_col, w, mask)
+    order = W.partitionBy("chunk_fp").orderBy("id", "chunk_idx")
+    surviving = (
+        chunks.withColumn("rn", F.row_number().over(order))
+        .filter(F.col("rn") == 1)
+    )
+    clean = surviving.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_text"))),
+                lambda x: x["chunk_text"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.sum("chunk_tokens").cast("long").alias("kept_tokens"),
+    )
+    totals = df.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.size(tokenize(text_col)), F.lit(0))
+        .cast("long")
+        .alias("__n"),
+    )
+    return totals.join(clean, "id", "left").select(
+        "id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("kept_tokens", F.lit(0)).cast("long").alias("kept_tokens"),
+        (F.col("__n") - F.coalesce("kept_tokens", F.lit(0)))
+        .cast("long")
+        .alias("removed_tokens"),
+    )

@@ -781,6 +781,7 @@ _LATE: tuple[str, ...] = (
     #    seats in a future window per the schedule above):
     "q_dedup_cdc",
     "q_lsh_recall",
+    "q_cdc_removal",
     # -- rows-only (no cross-engine oracle; property/reference-pinned):
     "q_approx_distinct",
     "q_bpe_learn",

@@ -7851,3 +7851,67 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(n_hit.cast("double") / n_exact.cast("double"), 4),
         ).alias("recall"),
     )
+
+
+_CDC_REMOVAL_ORACLE = """
+    WITH alltoks AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(coalesce(text, '')), '[A-Za-z0-9]+')
+                   AS t
+        FROM documents
+    ), pos AS (
+        SELECT doc_id, unnest(range(len(t))) AS p, t FROM alltoks
+    ), flags AS (
+        SELECT doc_id, p, t[p + 1] AS tok,
+               CASE WHEN p <= len(t) - 3 THEN
+                   (CAST('0x' || substr(
+                        md5(array_to_string(t[p + 1 : p + 3], ' ')), 1, 15)
+                     AS BIGINT) % 16) = 0
+               ELSE FALSE END AS bp
+        FROM pos
+    ), chunked AS (
+        SELECT doc_id, p, tok,
+               COALESCE(SUM(CASE WHEN bp THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY doc_id ORDER BY p
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS c
+        FROM flags
+    ), chunks AS (
+        SELECT doc_id, c,
+               string_agg(tok, ' ' ORDER BY p) AS chunk_text,
+               COUNT(*) AS n_toks
+        FROM chunked GROUP BY doc_id, c
+    ), ranked AS (
+        SELECT doc_id, c, chunk_text, n_toks,
+               ROW_NUMBER() OVER (PARTITION BY md5(chunk_text)
+                                  ORDER BY doc_id, c) AS rn
+        FROM chunks
+    ), clean AS (
+        SELECT doc_id,
+               string_agg(chunk_text, ' ' ORDER BY c) AS clean_text,
+               SUM(n_toks) AS kept
+        FROM ranked WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT a.doc_id,
+           COALESCE(c.clean_text, '') AS clean_text,
+           CAST(COALESCE(c.kept, 0) AS BIGINT) AS kept_tokens,
+           CAST(len(a.t) - COALESCE(c.kept, 0) AS BIGINT) AS removed_tokens
+    FROM alltoks a LEFT JOIN clean c USING (doc_id)
+    """
+
+
+@workload("q_cdc_removal", oracle=_CDC_REMOVAL_ORACLE, tags=("ext-dedup",))
+def q_cdc_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The action half of q_dedup_cdc (operators/dedup.py
+    remove_duplicated_cdc_chunks): keep-first chunk-level dedup — the
+    globally first copy of every content-defined chunk survives, later
+    copies are cut, documents are rebuilt from surviving chunks. The
+    clean text is hash-certified byte-for-byte against the DuckDB
+    twin, every input doc accounted for (kept + removed == tokens).
+    Disjoint chunks mean no island merge and no position anti-join —
+    one row_number per fingerprint + one per-doc rebuild. Registered
+    _LATE r08."""
+    d = T(spark, sf_dir, "documents")
+    return dedup.remove_duplicated_cdc_chunks(
+        d, "doc_id", "text", w=3, mask=16
+    ).withColumnRenamed("id", "doc_id").orderBy("doc_id")

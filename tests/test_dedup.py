@@ -759,3 +759,41 @@ def test_cdc_chunks_resync_after_insertion(spark):
         F.md5("text").alias("h")
     ).distinct().count()
     assert full == 2
+
+
+def test_cdc_removal_keep_first_and_accounting(spark):
+    """Keep-first semantics of remove_duplicated_cdc_chunks: an exact
+    copy of an earlier document loses ALL its chunks (the lower-id doc
+    keeps every one); unique docs pass through intact; and the
+    kept + removed == tokens accounting holds for EVERY input row,
+    null/empty included."""
+    import re
+
+    from etl_demos_spark.operators import dedup as D
+
+    base = " ".join(f"w{i} x{i % 5} y{i % 3}" for i in range(40))
+    other = "completely different content " + " ".join(
+        f"z{i}" for i in range(30)
+    )
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, other), (4, ""), (5, None)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: r
+        for r in D.remove_duplicated_cdc_chunks(docs, "doc_id", "text").collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    toks = lambda s: re.findall("[A-Za-z0-9]+", s.lower())
+    # doc 1 intact, doc 2 (exact copy) fully cut
+    assert out[1]["clean_text"] == " ".join(toks(base))
+    assert out[2]["clean_text"] == "" and out[2]["removed_tokens"] == len(toks(base))
+    # unique doc intact; degenerate docs pass through as empty
+    assert out[3]["clean_text"] == " ".join(toks(other))
+    assert out[4] == out[4].__class__(id=4, clean_text="", kept_tokens=0, removed_tokens=0) or (
+        out[4]["clean_text"] == "" and out[4]["kept_tokens"] == 0 and out[4]["removed_tokens"] == 0
+    )
+    assert out[5]["clean_text"] == "" and out[5]["kept_tokens"] == 0
+    for did, r in out.items():
+        n = len(toks({1: base, 2: base, 3: other}.get(did, "") or ""))
+        assert r["kept_tokens"] + r["removed_tokens"] == n, did
