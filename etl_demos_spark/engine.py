@@ -248,6 +248,26 @@ class Corpus:
             self.df, store, self.id_col, self.text_col, threshold=threshold
         )
 
+    def dedup_chunks(self, w: int = 3, mask: int = 16) -> DataFrame:
+        """Keep-first sub-document dedup at content-defined chunk
+        granularity (rsync/FastCDC boundaries — robust to insertions,
+        unlike fixed windows). Returns (id, clean_text, kept_tokens,
+        removed_tokens) for every doc — see
+        operators/dedup.remove_duplicated_cdc_chunks."""
+        from etl_demos_spark.operators.dedup import remove_duplicated_cdc_chunks
+
+        return remove_duplicated_cdc_chunks(
+            self.df, self.id_col, self.text_col, w, mask
+        )
+
+    def chunk_duplication_report(self, w: int = 3, mask: int = 16) -> DataFrame:
+        """(chunk_fp, n_copies, n_docs, chunk_tokens) for every
+        content-defined chunk occurring more than once — see
+        operators/dedup.cdc_duplicate_chunks."""
+        from etl_demos_spark.operators.dedup import cdc_duplicate_chunks
+
+        return cdc_duplicate_chunks(self.df, self.id_col, self.text_col, w, mask)
+
     # -- quality / text ---------------------------------------------------
     def quality(self) -> DataFrame:
         from etl_demos_spark.operators.text import lang_guess, quality_score
