@@ -7839,8 +7839,10 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.lit(1).alias("__l"))
     )
     j = ex.join(lsh, ["id_a", "id_b"], "full_outer")
-    n_exact = F.sum("__e").cast("long")
-    n_lsh = F.sum("__l").cast("long")
+    # coalesce to 0: on a corpus with no pairs at all, sum() over zero
+    # rows is NULL while the oracle's COUNT(*) is 0
+    n_exact = F.coalesce(F.sum("__e"), F.lit(0)).cast("long")
+    n_lsh = F.coalesce(F.sum("__l"), F.lit(0)).cast("long")
     n_hit = F.count(F.when(F.col("__e").isNotNull() & F.col("__l").isNotNull(), 1)).cast("long")
     return j.agg(
         n_exact.alias("n_exact"),
