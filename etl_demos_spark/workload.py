@@ -646,6 +646,9 @@ _LATE: tuple[str, ...] = (
     #        block + 2 anchors.
     #   r11+: steady state — ~43 recertifications + 2 anchors per
     #        round, 5 free slots (r08 backlog certs come due r12).
+    #        The r08-registered never-certified trio (q_dedup_cdc,
+    #        q_lsh_recall, q_cdc_removal) takes r11 free slots —
+    #        r09/r10 windows are already full.
     #
     # Everything below is annotated with its latest driver-certified
     # round ("r0N"; all remain hash-verified locally every pytest run
