@@ -60,6 +60,17 @@ def main() -> int:
     clean = exact.join(losers, "doc_id", "left_anti")
     n3 = clean.count()
 
+    # 3b. sub-document dedup: content-defined chunking cuts duplicated
+    #     boilerplate (headers, license stamps) that floats inside
+    #     otherwise-unique documents — whole-doc dedup can't see it.
+    #     Keep-first: the earliest copy of every chunk survives.
+    cdc = dedup.remove_duplicated_cdc_chunks(clean, "doc_id", "text")
+    cut = cdc.agg(F.sum("removed_tokens")).collect()[0][0] or 0
+    clean = clean.drop("text").join(
+        cdc.select(F.col("id").alias("doc_id"), F.col("clean_text").alias("text")),
+        "doc_id",
+    )
+
     # 4. PII scrubbing (typed placeholders, all JVM regexp_replace)
     clean = clean.withColumn("text", text.redact_pii("text"))
 
@@ -77,7 +88,9 @@ def main() -> int:
 
     print(
         f"documents: {n0} → quality≥0.5: {n1} → LM head+middle: {n1b} "
-        f"→ exact-dedup: {n2} → near-dedup: {n3} → decontaminated train: {n4}"
+        f"→ exact-dedup: {n2} → near-dedup: {n3} "
+        f"(chunk-dedup cut {cut} boilerplate tokens) "
+        f"→ decontaminated train: {n4}"
     )
 
     # 6. pack into ~512-token sequences and fix the training order
