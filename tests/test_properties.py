@@ -960,3 +960,58 @@ def test_crash_during_staging_write_discards_orphan(spark, tmp_path):
     upd.limit(1).write.mode("overwrite").partitionBy("day").parquet(f"{p2}__pstaging")
     assert run_part(p2) == expected2
     _no_siblings(p2)
+
+
+# ---------------------------------------------------------------------------
+# CDC chunking vs the pure-Python reference
+# ---------------------------------------------------------------------------
+
+
+@given(texts=_texts, mask=st.sampled_from([4, 16]))
+@SET
+def test_cdc_chunks_match_python_reference(spark, texts, mask):
+    """cdc_chunks == a first-principles Python implementation of the
+    same boundary rule on arbitrary text: identical chunk texts in
+    order, identical token accounting, and the reconstruction
+    invariant (chunks re-join to the normalized token stream)."""
+    import hashlib
+    import re
+
+    from etl_demos_spark.operators.dedup import MD5_HEX_CHARS, cdc_chunks
+
+    w = 3
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {}
+    for r in cdc_chunks(df, "doc_id", "text", w, mask).collect():
+        got.setdefault(r["id"], []).append((r["chunk_idx"], r["chunk_text"]))
+    for v in got.values():
+        v.sort()
+
+    def ref_chunks(t):
+        toks = re.findall("[A-Za-z0-9]+", t.lower())
+        if not toks:
+            return []
+        cuts = []
+        for j in range(max(len(toks) - w + 1, 0)):
+            g = " ".join(toks[j : j + w])
+            h = int(
+                hashlib.md5(g.encode()).hexdigest()[:MD5_HEX_CHARS], 16
+            )
+            if h % mask == 0:
+                cuts.append(j)
+        chunks, start, ci = [], 0, 0
+        for j in cuts:
+            chunks.append((ci, " ".join(toks[start : j + 1])))
+            start, ci = j + 1, ci + 1
+        if start < len(toks):
+            chunks.append((ci, " ".join(toks[start:])))
+        return chunks
+
+    for i, t in enumerate(texts):
+        expect = ref_chunks(t)
+        assert got.get(i, []) == expect, (i, t, got.get(i), expect)
+        # reconstruction: chunks re-join to the token stream
+        toks = re.findall("[A-Za-z0-9]+", t.lower())
+        assert " ".join(c for _, c in expect) == " ".join(toks)
