@@ -1381,10 +1381,18 @@ def cdc_chunks(
     Sub-``w``-token docs form one whole-text chunk (no gram ⇒ no cut);
     empty/null text yields no rows. Returns one row per (doc, chunk):
     ``(id, chunk_idx, chunk_text, chunk_tokens, chunk_fp)``.
-    """
+
+    CONTRACT: ``id_col`` must be non-null — it is the window-partition
+    key for chunk assignment AND the join-back key downstream
+    (:func:`remove_duplicated_cdc_chunks`). Multiple NULL-id documents
+    would merge into ONE window partition with duplicate token
+    positions ``p``, making chunk boundaries nondeterministic across
+    runs; NULL-id rows are therefore dropped up front (same contract
+    and remedy as :func:`exact_dedup` — assign ids first, e.g.
+    operators.keys.surrogate_key)."""
     from pyspark.sql import Window as W
 
-    toked = df.select(
+    toked = df.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("id"), tokenize(text_col).alias("__toks")
     )
     m = F.size(F.col("__toks")) - F.lit(w - 1)
@@ -1487,7 +1495,9 @@ def remove_duplicated_cdc_chunks(
     shuffles on uniform hashes, nothing quadratic.
 
     Returns ``(id, clean_text, kept_tokens, removed_tokens)`` for
-    EVERY input document (null/empty docs pass through as empty)."""
+    EVERY input document with a non-null id (null/empty TEXT passes
+    through as empty; NULL-ID rows are dropped per the
+    :func:`cdc_chunks` contract — they cannot be joined back)."""
     from pyspark.sql import Window as W
 
     chunks = cdc_chunks(df, id_col, text_col, w, mask)
@@ -1506,7 +1516,7 @@ def remove_duplicated_cdc_chunks(
         ).alias("clean_text"),
         F.sum("chunk_tokens").cast("long").alias("kept_tokens"),
     )
-    totals = df.select(
+    totals = df.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("id"),
         F.coalesce(F.size(tokenize(text_col)), F.lit(0))
         .cast("long")

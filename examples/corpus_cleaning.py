@@ -60,19 +60,33 @@ def main() -> int:
     clean = exact.join(losers, "doc_id", "left_anti")
     n3 = clean.count()
 
-    # 3b. sub-document dedup: content-defined chunking cuts duplicated
+    # 4. PII scrubbing (typed placeholders, all JVM regexp_replace).
+    #    MUST run before the CDC rebuild below: the rebuild re-joins the
+    #    lowercased [A-Za-z0-9]+ token stream, which destroys the '@',
+    #    '://' and '-' separators every PII pattern needs — redacting
+    #    first means the placeholders (EMAIL etc.) survive tokenization
+    #    as ordinary tokens and no raw PII reaches the packed output.
+    clean = clean.withColumn("text", text.redact_pii("text"))
+
+    # 4b. sub-document dedup: content-defined chunking cuts duplicated
     #     boilerplate (headers, license stamps) that floats inside
     #     otherwise-unique documents — whole-doc dedup can't see it.
-    #     Keep-first: the earliest copy of every chunk survives.
-    cdc = dedup.remove_duplicated_cdc_chunks(clean, "doc_id", "text")
+    #     Keep-first: the earliest copy of every chunk survives. The
+    #     rebuilt text is the normalized token stream (casing and
+    #     punctuation are gone), so ONLY documents that actually lost a
+    #     chunk are rewritten — everything else keeps its original
+    #     text. localCheckpoint: the CDC plan feeds both the audit
+    #     collect and the join; without it Spark computes it twice.
+    cdc = dedup.remove_duplicated_cdc_chunks(clean, "doc_id", "text").localCheckpoint()
     cut = cdc.agg(F.sum("removed_tokens")).collect()[0][0] or 0
-    clean = clean.drop("text").join(
-        cdc.select(F.col("id").alias("doc_id"), F.col("clean_text").alias("text")),
-        "doc_id",
+    rebuilt = cdc.filter(F.col("removed_tokens") > 0).select(
+        F.col("id").alias("doc_id"), F.col("clean_text").alias("cdc_text")
     )
-
-    # 4. PII scrubbing (typed placeholders, all JVM regexp_replace)
-    clean = clean.withColumn("text", text.redact_pii("text"))
+    clean = (
+        clean.join(rebuilt, "doc_id", "left")
+        .withColumn("text", F.coalesce("cdc_text", "text"))
+        .drop("cdc_text")
+    )
 
     # 5. decontamination against a held-out eval set (hash-bucket 20%
     #    stands in for the benchmark suite here). n=8: short grams

@@ -797,3 +797,66 @@ def test_cdc_removal_keep_first_and_accounting(spark):
     for did, r in out.items():
         n = len(toks({1: base, 2: base, 3: other}.get(did, "") or ""))
         assert r["kept_tokens"] + r["removed_tokens"] == n, did
+
+
+def test_cdc_null_id_contract(spark):
+    """ADVICE r8: multiple NULL-id docs would share one window
+    partition with duplicate token positions, making chunk assignment
+    nondeterministic. The contract (cdc_chunks docstring) is that
+    NULL-id rows are dropped up front — by both the chunker and the
+    removal wrapper — while non-null rows are unaffected."""
+    from etl_demos_spark.operators import dedup as D
+
+    base = " ".join(f"w{i} q{i % 5}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, base), (None, base), (None, "other text entirely")],
+        "doc_id long, text string",
+    )
+    chunk_ids = {r["id"] for r in D.cdc_chunks(docs, "doc_id", "text").collect()}
+    assert chunk_ids == {1}
+    out = {
+        r["id"]: r
+        for r in D.remove_duplicated_cdc_chunks(docs, "doc_id", "text").collect()
+    }
+    assert set(out) == {1}
+    assert out[1]["removed_tokens"] == 0  # NULL-id copies claim no chunks
+
+
+def test_redact_before_cdc_rebuild_preserves_redaction(spark):
+    """ADVICE r8 (high): the CDC rebuild re-joins the lowercased
+    [A-Za-z0-9]+ token stream, which destroys the separators every
+    PII pattern needs ('@', '://', '-'). Pin the safe composition the
+    corpus_cleaning example now uses: redact FIRST, then chunk-dedup —
+    the typed placeholders survive tokenization as plain tokens and no
+    raw PII (or PII re-assembled into matchable shape) reaches the
+    rebuilt text."""
+    import pyspark.sql.functions as F
+
+    from etl_demos_spark.operators import dedup as D
+    from etl_demos_spark.operators import text as T
+
+    filler = " ".join(f"pad{i} body{i % 7} tail{i % 3}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, f"contact alice@example.com or https://ex.com/x now {filler}"),
+            (2, f"contact bob@example.org or https://ex.org/y now {filler}"),
+        ],
+        "doc_id long, text string",
+    )
+    redacted = docs.withColumn("text", T.redact_pii("text"))
+    out = D.remove_duplicated_cdc_chunks(redacted, "doc_id", "text").collect()
+    joined = " ".join(r["clean_text"] for r in out)
+    # no address fragments survive; the placeholder tokens do
+    for leaked in ("alice", "bob", "example"):
+        assert leaked not in joined, (leaked, joined[:200])
+    assert "email" in joined and "url" in joined
+    # the unsafe order really does leak (guards against the patterns
+    # someday matching bare tokens, which would make this test vacuous)
+    unsafe = D.remove_duplicated_cdc_chunks(docs, "doc_id", "text")
+    unsafe_joined = " ".join(
+        r["clean_text"]
+        for r in unsafe.withColumn(
+            "clean_text", T.redact_pii("clean_text")
+        ).collect()
+    )
+    assert "alice" in unsafe_joined
