@@ -103,9 +103,12 @@ REGISTRY: dict[str, WorkloadEntry] = {}
 
 def workload(name: str, oracle: str | None, tags: tuple[str, ...] = ()):
     def deco(fn: QueryFn) -> QueryFn:
-        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        def wrapped(spark: SparkSession, sf_dir: str, **kw) -> DataFrame:
+            # extra kwargs pass through for queries with a parameterized
+            # scale path (e.g. q_lsh_recall's sample_bucket); the driver
+            # and the registry only ever use the 2-arg form
             configure_runtime(spark)
-            return fn(spark, sf_dir)
+            return fn(spark, sf_dir, **kw)
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__

@@ -7815,7 +7815,11 @@ def _lsh_recall_sql(
 
 
 @workload("q_lsh_recall", oracle=_lsh_recall_sql(), tags=("ext-dedup",))
-def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_lsh_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    sample_bucket: tuple[int, int] | None = None,
+) -> DataFrame:
     """LSH quality evaluation as a first-class, oracle-certified query:
     recall of banded MinHash-LSH (est_jaccard ≥ 0.4, the production
     q_dedup_minhash setting) against the exact n-gram Jaccard ground
@@ -7832,10 +7836,27 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-of-3): 6.2 s = 3.2 s exact ground truth + 3.1 s LSH — the sum
     of its halves with no composition overhead. The exact inverted-
     index join is the very cost LSH exists to avoid, so at corpus
-    scale this evaluation runs on a SAMPLED slice (hash_bucket the
-    doc ids, evaluate the slice, recall estimates transfer) — never
-    on the full corpus. Registered _LATE r08."""
+    scale this evaluation runs on a SAMPLED slice — never on the full
+    corpus. That scale path is the ``sample_bucket=(k, n)`` parameter
+    (VERDICT r8 rec 3): keep only docs whose md5 hash-bucket of doc_id
+    equals k of n, applied BEFORE both halves, so exact ground truth
+    and LSH see the identical slice and the recall ratio stays an
+    unbiased estimate of slice recall. Estimator error: the slice
+    holds ~1/n of within-slice pairs of each Jaccard level (bucketing
+    is independent of content, so pairs are thinned uniformly — both
+    endpoints must land in the bucket), and with H hits observed the
+    recall stderr is ≈ sqrt(r(1-r)/n_exact); pick n so n_exact stays
+    ≥ ~1000 for a ±0.01 monitor (measured sf0.1: every 1-of-4 slice
+    recalls 1.0, equal to the full-corpus 1.0 —
+    tests/test_dedup.py::test_lsh_recall_sampled_slice). The
+    registered form stays full-corpus (right at oracle scale).
+    Registered _LATE r08."""
     d = T(spark, sf_dir, "documents")
+    if sample_bucket is not None:
+        from etl_demos_spark.operators.sampling import hash_bucket
+
+        k, nb = sample_bucket
+        d = d.filter(hash_bucket(F.col("doc_id"), nb) == k)
     ex = (
         dedup.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
         .select("id_a", "id_b", F.lit(1).alias("__e"))
