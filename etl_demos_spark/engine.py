@@ -268,6 +268,35 @@ class Corpus:
 
         return cdc_duplicate_chunks(self.df, self.id_col, self.text_col, w, mask)
 
+    # -- host/domain curation + versioning --------------------------------
+    def host_rollup(self, host_col: str = "source", **kw) -> DataFrame:
+        """Per-host duplication profile with keep/review/drop verdict —
+        see operators/domains.host_dedup_rollup."""
+        from etl_demos_spark.operators.domains import host_dedup_rollup
+
+        return host_dedup_rollup(
+            self.df, host_col, self.id_col, self.text_col, **kw
+        )
+
+    def host_mirrors(self, host_col: str = "source", **kw) -> DataFrame:
+        """Host pairs ranked by shared chunk fingerprints (mirror /
+        syndication detection) — see operators/domains.host_mirror_pairs."""
+        from etl_demos_spark.operators.domains import host_mirror_pairs
+
+        return host_mirror_pairs(
+            self.df, host_col, self.id_col, self.text_col, **kw
+        )
+
+    def diff_snapshot(self, new: "Corpus | DataFrame", **kw) -> DataFrame:
+        """Per-document CDC chunk diff against a newer snapshot of this
+        corpus — see operators/versioning.snapshot_chunk_diff."""
+        from etl_demos_spark.operators.versioning import snapshot_chunk_diff
+
+        new_df = new.df if isinstance(new, Corpus) else new
+        return snapshot_chunk_diff(
+            self.df, new_df, self.id_col, self.text_col, **kw
+        )
+
     # -- quality / text ---------------------------------------------------
     def quality(self) -> DataFrame:
         from etl_demos_spark.operators.text import lang_guess, quality_score

@@ -801,6 +801,13 @@ _LATE: tuple[str, ...] = (
     "q_dedup_cdc",
     "q_lsh_recall",
     "q_cdc_removal",
+    # -- registered r09, never driver-certified (locally hash-verified;
+    #    seats at r11 per _SEAT_PLAN — the domain-rollup + versioning
+    #    family, VERDICT r8 rec 7):
+    "q_domain_rollup",
+    "q_host_mirror",
+    "q_doc_versions",
+    "q_version_churn",
     # -- rows-only (no cross-engine oracle; property/reference-pinned):
     "q_approx_distinct",
     "q_bpe_learn",
@@ -919,12 +926,16 @@ _SEAT_PLAN: dict[int, frozenset[str]] = {
         "q_corpus_shuffle",
         "q_embed_norms",
         "q_embed_quantize",
+        "q_domain_rollup",
+        "q_host_mirror",
+        "q_doc_versions",
+        "q_version_churn",
+    }),
+    12: frozenset({
         "q_embed_centroid",
         "q_chunk_docs",
         "q_chunk_udtf",
         "q_copurchase",
-    }),
-    12: frozenset({
         "q_ab_test",
         "q_seasonal_naive",
         "q_bootstrap_ci",

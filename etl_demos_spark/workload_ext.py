@@ -7944,3 +7944,356 @@ def q_cdc_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.remove_duplicated_cdc_chunks(
         d, "doc_id", "text", w=3, mask=16
     ).withColumnRenamed("id", "doc_id").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# §ext: host/domain rollups + cross-snapshot versioning (registered r09)
+# ---------------------------------------------------------------------------
+
+
+def _cdc_chunks_cte(src: str, sfx: str, carry: str = "") -> str:
+    """DuckDB CTE chain reproducing operators/dedup.py:cdc_chunks
+    (w=3, mask=16) over a CTE ``src`` with (doc_id, text[, carry]) —
+    the same chunking SQL the hash-certified _CDC_REMOVAL_ORACLE uses,
+    factored so the domain-rollup and versioning oracles don't fork
+    the boundary rule. Emits ``chunks_{sfx}``: one row per (doc,
+    chunk) with (doc_id[, carry], c, fp, n_toks)."""
+    cc = f", {carry}" if carry else ""
+    return f"""
+    alltoks_{sfx} AS (
+        SELECT doc_id{cc},
+               regexp_extract_all(lower(coalesce(text, '')), '[A-Za-z0-9]+')
+                   AS t
+        FROM {src}
+    ), pos_{sfx} AS (
+        SELECT doc_id{cc}, unnest(range(len(t))) AS p, t FROM alltoks_{sfx}
+    ), flags_{sfx} AS (
+        SELECT doc_id{cc}, p, t[p + 1] AS tok,
+               CASE WHEN p <= len(t) - 3 THEN
+                   (CAST('0x' || substr(
+                        md5(array_to_string(t[p + 1 : p + 3], ' ')), 1, 15)
+                     AS BIGINT) % 16) = 0
+               ELSE FALSE END AS bp
+        FROM pos_{sfx}
+    ), chunked_{sfx} AS (
+        SELECT doc_id{cc}, p, tok,
+               COALESCE(SUM(CASE WHEN bp THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY doc_id ORDER BY p
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS c
+        FROM flags_{sfx}
+    ), chunks_{sfx} AS (
+        SELECT doc_id{cc}, c,
+               md5(string_agg(tok, ' ' ORDER BY p)) AS fp,
+               COUNT(*) AS n_toks
+        FROM chunked_{sfx} GROUP BY doc_id{cc}, c
+    )"""
+
+
+_DOMAIN_ROLLUP_ORACLE = f"""
+    WITH docs AS (SELECT doc_id, source, text FROM documents),
+    {_cdc_chunks_cte("docs", "d", carry="source")},
+    hs AS (
+        SELECT source AS host, fp,
+               COUNT(*) AS n_copies, MIN(n_toks) AS tok
+        FROM chunks_d GROUP BY 1, 2
+    ),
+    fph AS (SELECT fp, COUNT(*) AS n_hosts FROM hs GROUP BY 1),
+    per AS (
+        SELECT host,
+               COUNT(*) AS n_unique_fp,
+               SUM(n_copies) AS n_chunks,
+               SUM(n_copies - 1) AS intra_dup_chunks,
+               SUM((n_copies - 1) * tok) AS intra_dup_tokens,
+               SUM(CASE WHEN n_hosts > 1 THEN 1 ELSE 0 END) AS shared_fps,
+               SUM(CASE WHEN n_hosts > 1 THEN n_copies * tok ELSE 0 END)
+                   AS shared_tokens,
+               SUM(n_copies * tok) AS total_tokens
+        FROM hs JOIN fph USING (fp) GROUP BY 1
+    ),
+    dn AS (SELECT source AS host, COUNT(*) AS n_docs FROM documents GROUP BY 1)
+    SELECT dn.host,
+           CAST(dn.n_docs AS BIGINT) AS n_docs,
+           CAST(COALESCE(per.n_chunks, 0) AS BIGINT) AS n_chunks,
+           CAST(COALESCE(per.n_unique_fp, 0) AS BIGINT) AS n_unique_fp,
+           CAST(COALESCE(per.intra_dup_chunks, 0) AS BIGINT) AS intra_dup_chunks,
+           CAST(COALESCE(per.intra_dup_tokens, 0) AS BIGINT) AS intra_dup_tokens,
+           CAST(COALESCE(per.shared_fps, 0) AS BIGINT) AS shared_fps,
+           CAST(COALESCE(per.shared_tokens, 0) AS BIGINT) AS shared_tokens,
+           CAST(COALESCE(per.total_tokens, 0) AS BIGINT) AS total_tokens,
+           CASE WHEN COALESCE(per.total_tokens, 0) > 0 THEN
+               ROUND(CAST(per.intra_dup_tokens AS DOUBLE) / per.total_tokens, 4)
+           END AS intra_ratio,
+           CASE WHEN COALESCE(per.total_tokens, 0) > 0 THEN
+               ROUND(CAST(per.shared_tokens AS DOUBLE) / per.total_tokens, 4)
+           END AS shared_ratio,
+           CASE
+             WHEN COALESCE(per.total_tokens, 0) = 0 THEN 'review'
+             WHEN ROUND(CAST(per.shared_tokens AS DOUBLE) / per.total_tokens, 4)
+                  >= 0.30 THEN 'drop'
+             WHEN ROUND(CAST(per.shared_tokens AS DOUBLE) / per.total_tokens, 4)
+                  >= 0.10 THEN 'review'
+             ELSE 'keep'
+           END AS verdict
+    FROM dn LEFT JOIN per USING (host)
+    """
+
+
+@workload("q_domain_rollup", oracle=_DOMAIN_ROLLUP_ORACLE, tags=("ext-dedup",))
+def q_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level dedup rollup (operators/domains.py:host_dedup_rollup):
+    the C4/RefinedWeb-style curation layer that decides per HOST, not
+    per document — within-host template redundancy and cross-host
+    boilerplate sharing measured in CDC-chunk and token units, banded
+    into a keep/review/drop verdict on the shared-token ratio. One
+    fingerprint definition feeds both chunk dedup and domain curation.
+    Plan: cdc_chunks' codegen scan + window + (host,fp)/(fp)/(host)
+    keyed groupBys — uniform keys, map-side partials, nothing
+    quadratic; a 100 TB corpus rolls up to |hosts| rows. Registered
+    _LATE r09; seats at r11 per _SEAT_PLAN."""
+    from etl_demos_spark.operators.domains import host_dedup_rollup
+
+    d = T(spark, sf_dir, "documents")
+    return host_dedup_rollup(d, "source", "doc_id", "text")
+
+
+_HOST_MIRROR_ORACLE = f"""
+    WITH docs AS (SELECT doc_id, source, text FROM documents),
+    {_cdc_chunks_cte("docs", "m", carry="source")},
+    hs AS (SELECT DISTINCT source AS host, fp FROM chunks_m),
+    capped AS (
+        SELECT fp FROM hs GROUP BY fp HAVING COUNT(*) <= 64
+    ),
+    pairs AS (
+        SELECT a.host AS host_a, b.host AS host_b, COUNT(*) AS shared_fps
+        FROM hs a JOIN hs b ON a.fp = b.fp AND a.host < b.host
+        JOIN capped c ON c.fp = a.fp
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    sizes AS (SELECT host, COUNT(*) AS n_fp FROM hs GROUP BY 1)
+    SELECT host_a, host_b,
+           CAST(shared_fps AS BIGINT) AS shared_fps,
+           CAST(sa.n_fp AS BIGINT) AS n_fp_a,
+           CAST(sb.n_fp AS BIGINT) AS n_fp_b,
+           ROUND(CAST(shared_fps AS DOUBLE) / least(sa.n_fp, sb.n_fp), 4)
+               AS containment,
+           ROUND(CAST(shared_fps AS DOUBLE)
+                 / (sa.n_fp + sb.n_fp - shared_fps), 4) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.host = pairs.host_a
+    JOIN sizes sb ON sb.host = pairs.host_b
+    """
+
+
+@workload("q_host_mirror", oracle=_HOST_MIRROR_ORACLE, tags=("ext-dedup",))
+def q_host_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror/syndication detection (operators/domains.py:
+    host_mirror_pairs): host pairs ranked by shared CDC chunk
+    fingerprints, with containment (subset-mirror signal) and jaccard.
+    Pair generation reuses cooccur.basket_pairs — basket = fingerprint,
+    items = its hosts — so the H² fan-out of a universally shared
+    chunk is bounded by max_hosts_per_fp=64 (audit twin:
+    cooccur.dropped_baskets), and the oracle mirrors the cap exactly.
+    Registered _LATE r09; seats at r11 per _SEAT_PLAN."""
+    from etl_demos_spark.operators.domains import host_mirror_pairs
+
+    d = T(spark, sf_dir, "documents")
+    return host_mirror_pairs(d, "source", "doc_id", "text")
+
+
+# Deterministic second snapshot for the versioning queries, shared
+# bit-for-bit by the Spark path and the DuckDB oracle: %11 ids deleted,
+# %7 ids tail-edited, %5 ids head-edited (checked after %7 — ids
+# divisible by both get the tail edit), %13 ids additionally spawn a
+# brand-new page (negative id) derived from their text.
+_SNAP_NEW_SQL = """
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 7 = 0
+                      THEN text || ' errata appended after review'
+                    WHEN doc_id % 5 = 0
+                      THEN 'update notice posted today ' || text
+                    ELSE text END AS text
+        FROM documents WHERE doc_id % 11 <> 0
+        UNION ALL
+        SELECT -doc_id - 1 AS doc_id, source,
+               'fresh page covering ' || text AS text
+        FROM documents WHERE doc_id % 13 = 0
+"""
+
+
+def _snapshot_new(d: DataFrame) -> DataFrame:
+    did = F.col("doc_id")
+    mod = d.filter(did % 11 != 0).select(
+        "doc_id",
+        "source",
+        F.when(did % 7 == 0, F.concat("text", F.lit(" errata appended after review")))
+        .when(did % 5 == 0, F.concat(F.lit("update notice posted today "), F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = d.filter(did % 13 == 0).select(
+        (-did - 1).alias("doc_id"),
+        "source",
+        F.concat(F.lit("fresh page covering "), F.col("text")).alias("text"),
+    )
+    return mod.unionByName(added)
+
+
+_DOC_VERSIONS_ORACLE = f"""
+    WITH oldd AS (SELECT doc_id, text FROM documents),
+    newd AS ({_SNAP_NEW_SQL}),
+    {_cdc_chunks_cte("oldd", "o")},
+    {_cdc_chunks_cte("newd", "n")},
+    mo AS (SELECT doc_id, fp, COUNT(*) AS n, MIN(n_toks) AS tok
+           FROM chunks_o GROUP BY 1, 2),
+    mn AS (SELECT doc_id, fp, COUNT(*) AS n, MIN(n_toks) AS tok
+           FROM chunks_n GROUP BY 1, 2),
+    j AS (
+        SELECT COALESCE(mo.doc_id, mn.doc_id) AS doc_id,
+               COALESCE(mo.n, 0) AS n_o, COALESCE(mn.n, 0) AS n_n,
+               COALESCE(mo.tok, mn.tok) AS tok
+        FROM mo FULL JOIN mn
+          ON mo.doc_id = mn.doc_id AND mo.fp = mn.fp AND mo.tok = mn.tok
+    ),
+    per AS (
+        SELECT doc_id,
+               SUM(n_o) AS old_chunks, SUM(n_n) AS new_chunks,
+               SUM(least(n_o, n_n)) AS common_chunks,
+               SUM(n_o * tok) AS old_tokens, SUM(n_n * tok) AS new_tokens,
+               SUM(least(n_o, n_n) * tok) AS common_tokens
+        FROM j GROUP BY 1
+    ),
+    base AS (
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+               o.doc_id IS NOT NULL AS in_old,
+               n.doc_id IS NOT NULL AS in_new
+        FROM (SELECT DISTINCT doc_id FROM oldd) o
+        FULL JOIN (SELECT DISTINCT doc_id FROM newd) n USING (doc_id)
+    )
+    SELECT base.doc_id,
+           CASE WHEN NOT in_old THEN 'added'
+                WHEN NOT in_new THEN 'deleted'
+                WHEN COALESCE(old_tokens, 0) + COALESCE(new_tokens, 0) = 0
+                     OR ROUND(1.0 - 2.0 * COALESCE(common_tokens, 0)
+                              / (COALESCE(old_tokens, 0)
+                                 + COALESCE(new_tokens, 0)), 4) = 0.0
+                  THEN 'unchanged'
+                ELSE 'modified' END AS status,
+           CAST(COALESCE(old_chunks, 0) AS BIGINT) AS old_chunks,
+           CAST(COALESCE(new_chunks, 0) AS BIGINT) AS new_chunks,
+           CAST(COALESCE(common_chunks, 0) AS BIGINT) AS common_chunks,
+           CAST(COALESCE(old_tokens, 0) AS BIGINT) AS old_tokens,
+           CAST(COALESCE(new_tokens, 0) AS BIGINT) AS new_tokens,
+           CAST(COALESCE(common_tokens, 0) AS BIGINT) AS common_tokens,
+           CASE WHEN COALESCE(old_tokens, 0) + COALESCE(new_tokens, 0) > 0
+                THEN ROUND(1.0 - 2.0 * COALESCE(common_tokens, 0)
+                           / (COALESCE(old_tokens, 0)
+                              + COALESCE(new_tokens, 0)), 4)
+                ELSE 0.0 END AS change_ratio
+    FROM base LEFT JOIN per USING (doc_id)
+    """
+
+
+@workload("q_doc_versions", oracle=_DOC_VERSIONS_ORACLE, tags=("ext-dedup",))
+def q_doc_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot document versioning (operators/versioning.py:
+    snapshot_chunk_diff): diff two crawl snapshots at CDC chunk
+    granularity — per document the retained/added/removed chunk
+    multisets, token-weighted Dice change_ratio, and an added/deleted/
+    unchanged/modified status. CDC resync is what makes the ratio
+    meaningful: a head- or tail-edit disturbs only the chunks touching
+    it, every other fingerprint still matches. The second snapshot is
+    deterministically synthesized (same arithmetic in the oracle):
+    %11 deleted, %7 tail-edited, %5 head-edited, %13 spawn new pages.
+    Plan: two cdc_chunks passes + one (id,fp)-keyed full outer join +
+    per-id rollup — uniform keys, output ∝ |docs|, nothing quadratic.
+    Registered _LATE r09; seats at r11 per _SEAT_PLAN."""
+    from etl_demos_spark.operators.versioning import snapshot_chunk_diff
+
+    d = T(spark, sf_dir, "documents")
+    diff = snapshot_chunk_diff(d, _snapshot_new(d), "doc_id", "text")
+    return diff.withColumnRenamed("id", "doc_id")
+
+
+_VERSION_CHURN_ORACLE = f"""
+    WITH oldd AS (SELECT doc_id, text FROM documents),
+    newd AS ({_SNAP_NEW_SQL}),
+    {_cdc_chunks_cte("oldd", "o")},
+    {_cdc_chunks_cte("newd", "n")},
+    mo AS (SELECT doc_id, fp, COUNT(*) AS n, MIN(n_toks) AS tok
+           FROM chunks_o GROUP BY 1, 2),
+    mn AS (SELECT doc_id, fp, COUNT(*) AS n, MIN(n_toks) AS tok
+           FROM chunks_n GROUP BY 1, 2),
+    j AS (
+        SELECT COALESCE(mo.doc_id, mn.doc_id) AS doc_id,
+               COALESCE(mo.n, 0) AS n_o, COALESCE(mn.n, 0) AS n_n,
+               COALESCE(mo.tok, mn.tok) AS tok
+        FROM mo FULL JOIN mn
+          ON mo.doc_id = mn.doc_id AND mo.fp = mn.fp AND mo.tok = mn.tok
+    ),
+    per AS (
+        SELECT doc_id,
+               SUM(n_o * tok) AS old_tokens, SUM(n_n * tok) AS new_tokens,
+               SUM(least(n_o, n_n) * tok) AS common_tokens
+        FROM j GROUP BY 1
+    ),
+    base AS (
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+               o.doc_id IS NOT NULL AS in_old,
+               n.doc_id IS NOT NULL AS in_new
+        FROM (SELECT DISTINCT doc_id FROM oldd) o
+        FULL JOIN (SELECT DISTINCT doc_id FROM newd) n USING (doc_id)
+    ),
+    dims AS (
+        SELECT doc_id, ANY_VALUE(source) AS source FROM (
+            SELECT doc_id, source FROM documents
+            UNION ALL SELECT doc_id, source FROM ({_SNAP_NEW_SQL}) x
+        ) GROUP BY doc_id
+    ),
+    diff AS (
+        SELECT base.doc_id,
+               CASE WHEN NOT in_old THEN 'added'
+                    WHEN NOT in_new THEN 'deleted'
+                    WHEN COALESCE(old_tokens, 0) + COALESCE(new_tokens, 0) = 0
+                         OR ROUND(1.0 - 2.0 * COALESCE(common_tokens, 0)
+                                  / (COALESCE(old_tokens, 0)
+                                     + COALESCE(new_tokens, 0)), 4) = 0.0
+                      THEN 'unchanged'
+                    ELSE 'modified' END AS status,
+               COALESCE(old_tokens, 0) AS old_tokens,
+               COALESCE(new_tokens, 0) AS new_tokens,
+               COALESCE(common_tokens, 0) AS common_tokens
+        FROM base LEFT JOIN per USING (doc_id)
+    )
+    SELECT dims.source, status,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(new_tokens - common_tokens) AS BIGINT) AS tokens_added,
+           CAST(SUM(old_tokens - common_tokens) AS BIGINT) AS tokens_removed,
+           CAST(SUM(common_tokens) AS BIGINT) AS tokens_retained
+    FROM diff JOIN dims USING (doc_id)
+    GROUP BY 1, 2
+    """
+
+
+@workload("q_version_churn", oracle=_VERSION_CHURN_ORACLE, tags=("ext-dedup",))
+def q_version_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level churn report (operators/versioning.py:churn_rollup)
+    over the q_doc_versions diff, grouped by host: per (source,
+    status) the document count and the added/removed/retained token
+    totals — added + retained = new tokens, removed + retained = old
+    tokens, per group (the accounting a recrawl-scheduling or
+    incremental-reprocessing decision reads). Same synthesized second
+    snapshot as q_doc_versions. Registered _LATE r09; seats at r11
+    per _SEAT_PLAN."""
+    from etl_demos_spark.operators.versioning import churn_rollup, snapshot_chunk_diff
+
+    d = T(spark, sf_dir, "documents")
+    new = _snapshot_new(d)
+    diff = snapshot_chunk_diff(d, new, "doc_id", "text")
+    dims = (
+        d.select("doc_id", "source")
+        .unionByName(new.select("doc_id", "source"))
+        .groupBy("doc_id")
+        .agg(F.first("source").alias("source"))
+    )
+    return churn_rollup(diff, dims, "source")

@@ -31,6 +31,23 @@ def main() -> int:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n0 = docs.count()
 
+    # 0. host-level curation FIRST (the C4/RefinedWeb cut order): roll
+    #    CDC chunk fingerprints up per host and drop hosts whose
+    #    cross-host boilerplate ratio crosses the threshold — cheaper
+    #    than doc-level cleaning and removes whole template farms the
+    #    per-doc passes would fight one page at a time. drop_ratio is
+    #    set aggressively here so the stage visibly fires on the
+    #    synthetic corpus; production would start nearer the 0.30
+    #    default. The surviving-host filter broadcasts (|hosts| rows).
+    from etl_demos_spark.operators.domains import host_dedup_rollup
+
+    roll = host_dedup_rollup(docs, "source", "doc_id", "text", drop_ratio=0.15)
+    bad_hosts = roll.filter(F.col("verdict") == "drop").select(
+        F.col("host").alias("source")
+    )
+    docs = docs.join(F.broadcast(bad_hosts), "source", "left_anti")
+    n0b = docs.count()
+
     # 1. quality gate
     profiled = docs.withColumn("quality", text.quality_score("text"))
     kept = profiled.filter(F.col("quality") >= 0.5)
@@ -101,7 +118,8 @@ def main() -> int:
     n4 = train.count()
 
     print(
-        f"documents: {n0} → quality≥0.5: {n1} → LM head+middle: {n1b} "
+        f"documents: {n0} → host curation: {n0b} "
+        f"→ quality≥0.5: {n1} → LM head+middle: {n1b} "
         f"→ exact-dedup: {n2} → near-dedup: {n3} "
         f"(chunk-dedup cut {cut} boilerplate tokens) "
         f"→ decontaminated train: {n4}"
