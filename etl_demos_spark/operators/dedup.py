@@ -1476,6 +1476,40 @@ def cdc_duplicate_chunks(
     )
 
 
+def _rebuild_from_surviving_chunks(
+    df: DataFrame, surviving: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Shared tail of the chunk-removal family: rebuild each document's
+    text from its SURVIVING chunks (ordered by chunk_idx) and account
+    kept/removed against the document's true token total. One row per
+    non-null-id input doc: (id, clean_text, kept_tokens, removed_tokens);
+    null/empty text passes through as empty with full accounting."""
+    clean = surviving.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_text"))),
+                lambda x: x["chunk_text"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.sum("chunk_tokens").cast("long").alias("kept_tokens"),
+    )
+    totals = df.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.size(tokenize(text_col)), F.lit(0))
+        .cast("long")
+        .alias("__n"),
+    )
+    return totals.join(clean, "id", "left").select(
+        "id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("kept_tokens", F.lit(0)).cast("long").alias("kept_tokens"),
+        (F.col("__n") - F.coalesce("kept_tokens", F.lit(0)))
+        .cast("long")
+        .alias("removed_tokens"),
+    )
+
+
 def remove_duplicated_cdc_chunks(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1506,27 +1540,66 @@ def remove_duplicated_cdc_chunks(
         chunks.withColumn("rn", F.row_number().over(order))
         .filter(F.col("rn") == 1)
     )
-    clean = surviving.groupBy("id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_text"))),
-                lambda x: x["chunk_text"],
-            ),
-            " ",
-        ).alias("clean_text"),
-        F.sum("chunk_tokens").cast("long").alias("kept_tokens"),
+    return _rebuild_from_surviving_chunks(df, surviving, id_col, text_col)
+
+
+def incremental_cdc_dedup(
+    batch: DataFrame,
+    chunk_store: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 3,
+    mask: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """Chunk-level keep-first dedup of a NEW batch against a persisted
+    chunk-fingerprint store — the daily-increment form of
+    :func:`remove_duplicated_cdc_chunks`, and the exact-granularity
+    twin of :func:`incremental_minhash_dedup`: the existing corpus
+    text is never re-read and never re-chunked; per increment the work
+    is |batch| chunking + one fp-keyed anti-join against the store.
+
+    ``chunk_store`` is the one-column ``(chunk_fp)`` frame a previous
+    call returned (persist it with the corpus; at real scale it is a
+    parquet table the anti-join probes — fingerprints only, never
+    chunk text, so the probe side stays bytes-per-chunk tiny).
+
+    Policy is **first-seen wins** at chunk granularity: a batch chunk
+    whose fingerprint is already in the store is cut; within the
+    batch, the earliest (id, chunk_idx) copy survives — so replaying
+    increments b₀, b₁, … equals one global keep-first pass ordered by
+    (batch, id, chunk_idx). That replay-equals-batch identity is what
+    the q_dedup_cdc_incremental oracle certifies.
+
+    Returns ``(clean, updated_store)``: per-batch-doc rebuilt text
+    with kept/removed accounting (the remove_duplicated_cdc_chunks
+    contract), and store ∪ ALL batch fingerprints (survivors and
+    within-batch duplicates alike — both are now "seen").
+
+    The batch's chunk set feeds three consumers (survivor filter,
+    rebuild, store update); an eager localCheckpoint computes it once
+    and truncates the growing replay lineage, same as the minhash
+    incremental path."""
+    from pyspark.sql import Window as W
+
+    chunks = cdc_chunks(batch, id_col, text_col, w, mask).localCheckpoint(
+        eager=True
     )
-    totals = df.filter(F.col(id_col).isNotNull()).select(
-        F.col(id_col).alias("id"),
-        F.coalesce(F.size(tokenize(text_col)), F.lit(0))
-        .cast("long")
-        .alias("__n"),
+    order = W.partitionBy("chunk_fp").orderBy("id", "chunk_idx")
+    first_in_batch = (
+        chunks.withColumn("rn", F.row_number().over(order))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
     )
-    return totals.join(clean, "id", "left").select(
-        "id",
-        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-        F.coalesce("kept_tokens", F.lit(0)).cast("long").alias("kept_tokens"),
-        (F.col("__n") - F.coalesce("kept_tokens", F.lit(0)))
-        .cast("long")
-        .alias("removed_tokens"),
+    surviving = (
+        first_in_batch.join(chunk_store, "chunk_fp", "left_anti")
+        if chunk_store is not None
+        else first_in_batch
     )
+    clean = _rebuild_from_surviving_chunks(batch, surviving, id_col, text_col)
+    batch_fps = chunks.select("chunk_fp").distinct()
+    updated = (
+        chunk_store.unionByName(batch_fps).distinct()
+        if chunk_store is not None
+        else batch_fps
+    )
+    return clean, updated

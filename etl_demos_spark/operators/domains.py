@@ -86,17 +86,26 @@ def host_dedup_rollup(
     intra_ratio, shared_ratio, verdict)``; ratios are NULL for a host
     with zero tokens (no evidence ≠ clean).
 
-    Scale: the fp-cardinality join is fp-keyed (uniform md5); the host
-    rollup is as skewed as the host size distribution itself, which is
-    exactly the skew AQE's skew-join handles — and the aggregation is
-    map-side partial first, so even a giant host arrives pre-combined.
+    Scale: fingerprint cardinality comes from ONE count window over
+    the already-distinct (host, fp) stats — stats is per (host, fp),
+    so COUNT(*) over the fp partition IS the distinct-host count, with
+    no per-row set buffer and, critically, no groupBy+self-join that
+    would duplicate the whole chunking pipeline into two plan subtrees
+    (the first cut of this operator scanned and chunked the corpus
+    TWICE for exactly that reason — caught by the plan pin in
+    tests/test_physical_plans.py, which now asserts the text column is
+    read once). The host rollup is as skewed as the host size
+    distribution itself, which is exactly the skew AQE handles — and
+    the aggregation is map-side partial first, so even a giant host
+    arrives pre-combined.
     """
+    from pyspark.sql import Window as W
+
     stats = host_chunk_stats(df, host_col, id_col, text_col, w, mask)
-    # fingerprint -> on how many distinct hosts it occurs
-    fp_hosts = stats.groupBy("chunk_fp").agg(
-        F.count(F.lit(1)).cast("long").alias("n_hosts")
+    # fingerprint -> on how many distinct hosts it occurs (see above)
+    s = stats.withColumn(
+        "n_hosts", F.count(F.lit(1)).over(W.partitionBy("chunk_fp"))
     )
-    s = stats.join(fp_hosts, "chunk_fp")
     shared = F.col("n_hosts") > 1
     toks_all = F.col("n_copies") * F.col("chunk_tokens")
     per_host = s.groupBy("host").agg(
@@ -169,17 +178,42 @@ def host_mirror_pairs(
     universally-shared chunk is bounded by ``max_hosts_per_fp``
     (a chunk on >64 hosts is boilerplate, not mirror evidence; audit
     the exclusions with cooccur.dropped_baskets on the same frame).
+    basket_pairs' own cap filters AFTER the collect_set, which is fine
+    for session baskets but not for a web corpus where one boilerplate
+    fingerprint can sit on millions of hosts — so the cap is applied
+    HERE first, as a COUNT(*) window over the distinct (fp, host)
+    frame (no set buffer anywhere), and the collect_set only ever sees
+    surviving fingerprints (buffer bounded by the cap by construction).
+
+    The (fp, host) frame feeds three consumers (cap filter → pairs,
+    and the per-host sizes); an eager localCheckpoint computes the
+    chunking pipeline ONCE instead of duplicating the corpus scan into
+    each plan branch — at real scale this frame is the persisted
+    chunk-stats table the curation pipeline materializes anyway.
 
     Output: ``(host_a, host_b, shared_fps, n_fp_a, n_fp_b,
     containment, jaccard)``, host_a < host_b."""
-    hf = host_chunk_stats(df, host_col, id_col, text_col, w, mask).select(
-        "chunk_fp", "host"
+    from pyspark.sql import Window as W
+
+    hf = (
+        host_chunk_stats(df, host_col, id_col, text_col, w, mask)
+        .select("chunk_fp", "host")
+        .localCheckpoint(eager=True)
     )
+    capped = hf
+    if max_hosts_per_fp is not None:
+        capped = (
+            hf.withColumn(
+                "__nh", F.count(F.lit(1)).over(W.partitionBy("chunk_fp"))
+            )
+            .filter(F.col("__nh") <= max_hosts_per_fp)
+            .drop("__nh")
+        )
     pairs = basket_pairs(
-        hf,
+        capped,
         basket_col="chunk_fp",
         item_col="host",
-        max_basket=max_hosts_per_fp,
+        max_basket=None,
         min_support=min_shared,
     ).select(
         F.col("item_a").alias("host_a"),

@@ -628,8 +628,9 @@ _LATE: tuple[str, ...] = (
     # (q_dsir_select, q_bank_mart). 26 + 22 + 2 = 50, window-sized.
     #
     # CADENCE POLICY (unchanged, set r07): re-certification period is
-    # K=4 rounds. Capacity: 48 rotating slots x K = 192 >= 174
-    # rotation-eligible paired (175 paired - 1 retired). The cadence
+    # K=4 rounds. Capacity: 48 rotating slots x K = 192 >= 179
+    # rotation-eligible paired (175 paired - 1 retired + 5 r09
+    # registrations: the domain/versioning family + incremental CDC). The cadence
     # test (tests/test_oracle_parity.py) asserts the overdue check and
     # the feasibility bound mechanically, exempting _RETIRED entries
     # and entries seated in the written _SEAT_PLAN for the staged
@@ -649,7 +650,7 @@ _LATE: tuple[str, ...] = (
     #   q_count_distinct (subsumed by q_distinct + q_group_agg),
     #   q_date_arithmetic (subsumed by q_age_band + q_date_key, both
     #     certified r08).
-    # Current headroom: 192 - 174 = 18.
+    # Current headroom: 192 - 179 = 13.
     #
     # Forward schedule (machine-readable: _SEAT_PLAN below):
     #   r10 window: remaining 25 r06 entries + 23 of the r07 (=r04)
@@ -808,6 +809,7 @@ _LATE: tuple[str, ...] = (
     "q_host_mirror",
     "q_doc_versions",
     "q_version_churn",
+    "q_dedup_cdc_incremental",
     # -- rows-only (no cross-engine oracle; property/reference-pinned):
     "q_approx_distinct",
     "q_bpe_learn",
@@ -932,6 +934,7 @@ _SEAT_PLAN: dict[int, frozenset[str]] = {
         "q_version_churn",
     }),
     12: frozenset({
+        "q_dedup_cdc_incremental",
         "q_embed_centroid",
         "q_chunk_docs",
         "q_chunk_udtf",

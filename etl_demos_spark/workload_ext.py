@@ -7951,14 +7951,20 @@ def q_cdc_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _cdc_chunks_cte(src: str, sfx: str, carry: str = "") -> str:
+def _cdc_chunks_cte(src: str, sfx: str, carry: str = "", with_text: bool = False) -> str:
     """DuckDB CTE chain reproducing operators/dedup.py:cdc_chunks
     (w=3, mask=16) over a CTE ``src`` with (doc_id, text[, carry]) —
     the same chunking SQL the hash-certified _CDC_REMOVAL_ORACLE uses,
-    factored so the domain-rollup and versioning oracles don't fork
-    the boundary rule. Emits ``chunks_{sfx}``: one row per (doc,
-    chunk) with (doc_id[, carry], c, fp, n_toks)."""
+    factored so the domain-rollup / versioning / incremental oracles
+    don't fork the boundary rule. Emits ``chunks_{sfx}``: one row per
+    (doc, chunk) with (doc_id[, carry], c, fp, n_toks[, chunk_text
+    when ``with_text`` — needed for byte-certified rebuilds])."""
     cc = f", {carry}" if carry else ""
+    text_col = (
+        ",\n               string_agg(tok, ' ' ORDER BY p) AS chunk_text"
+        if with_text
+        else ""
+    )
     return f"""
     alltoks_{sfx} AS (
         SELECT doc_id{cc},
@@ -7985,7 +7991,7 @@ def _cdc_chunks_cte(src: str, sfx: str, carry: str = "") -> str:
     ), chunks_{sfx} AS (
         SELECT doc_id{cc}, c,
                md5(string_agg(tok, ' ' ORDER BY p)) AS fp,
-               COUNT(*) AS n_toks
+               COUNT(*) AS n_toks{text_col}
         FROM chunked_{sfx} GROUP BY doc_id{cc}, c
     )"""
 
@@ -8297,3 +8303,60 @@ def q_version_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.first("source").alias("source"))
     )
     return churn_rollup(diff, dims, "source")
+
+
+_CDC_INCREMENTAL_ORACLE = f"""
+    WITH docs AS (
+        SELECT doc_id, doc_id % 3 AS batch, text FROM documents
+    ),
+    {_cdc_chunks_cte("docs", "ic", carry="batch", with_text=True)},
+    ranked AS (
+        SELECT doc_id, batch, c, n_toks, chunk_text,
+               ROW_NUMBER() OVER (PARTITION BY fp
+                                  ORDER BY batch, doc_id, c) AS rn
+        FROM chunks_ic
+    ),
+    clean AS (
+        SELECT doc_id,
+               string_agg(chunk_text, ' ' ORDER BY c) AS clean_text,
+               SUM(n_toks) AS kept
+        FROM ranked WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT a.doc_id,
+           CAST(a.batch AS BIGINT) AS batch,
+           COALESCE(c.clean_text, '') AS clean_text,
+           CAST(COALESCE(c.kept, 0) AS BIGINT) AS kept_tokens,
+           CAST(len(a.t) - COALESCE(c.kept, 0) AS BIGINT) AS removed_tokens
+    FROM alltoks_ic a LEFT JOIN clean c USING (doc_id)
+    """
+
+
+@workload(
+    "q_dedup_cdc_incremental", oracle=_CDC_INCREMENTAL_ORACLE, tags=("ext-dedup",)
+)
+def q_dedup_cdc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental chunk-store CDC dedup (operators/dedup.py
+    incremental_cdc_dedup): the daily-increment form of q_cdc_removal
+    — each new batch is chunked once and probed against the persisted
+    chunk-fingerprint store (fps only, never text), exactly like
+    q_dedup_incremental's signature store at exact-chunk granularity.
+    The query replays THREE sequential batches (doc_id % 3) through
+    the real operator — store handed forward each time — and the
+    oracle certifies the replay-equals-batch identity: sequential
+    first-seen-wins must equal ONE global keep-first pass ranked by
+    (batch, id, chunk_idx), byte-for-byte on the rebuilt text and
+    exact on the kept/removed accounting for every document.
+    Per-increment cost at corpus scale: |batch| chunking + one
+    fp-keyed anti-join — the store is never re-chunked. Registered
+    _LATE r09; seats at r12 per _SEAT_PLAN."""
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    store = None
+    outs = []
+    for b in range(3):
+        bd = d.filter(F.col("doc_id") % 3 == b)
+        clean, store = dedup.incremental_cdc_dedup(bd, store, "doc_id", "text")
+        outs.append(clean.withColumn("batch", F.lit(b).cast("long")))
+    out = outs[0].unionByName(outs[1]).unionByName(outs[2])
+    return out.withColumnRenamed("id", "doc_id").select(
+        "doc_id", "batch", "clean_text", "kept_tokens", "removed_tokens"
+    )

@@ -893,3 +893,50 @@ def test_lsh_recall_sampled_slice(spark):
     # each, and their union is a PARTITION-restricted subset of the
     # full pair set (never more)
     assert total_exact <= full["n_exact"]
+
+
+def test_incremental_cdc_dedup_replay_equals_batch(spark):
+    """Replay-equals-batch identity: feeding batches b0, b1 through
+    incremental_cdc_dedup (store handed forward) must equal ONE
+    remove_duplicated_cdc_chunks pass over the concatenation with ids
+    ordered (batch, id) — first-seen-wins at chunk granularity. Also
+    pins the store contract: one column of fingerprints, growing to
+    the union of all seen chunk fps."""
+    from etl_demos_spark.operators import dedup as D
+
+    base = " ".join(f"w{i} x{i % 5} y{i % 3}" for i in range(40))
+    other = "unrelated content " + " ".join(f"z{i}" for i in range(30))
+    b0 = spark.createDataFrame(
+        [(1, base), (2, other)], "doc_id long, text string"
+    )
+    # batch 1: an exact re-crawl of doc 1 (all chunks cut), one new doc
+    b1 = spark.createDataFrame(
+        [(11, base), (12, "novel text " + other)], "doc_id long, text string"
+    )
+    c0, store = D.incremental_cdc_dedup(b0, None, "doc_id", "text")
+    c1, store = D.incremental_cdc_dedup(b1, store, "doc_id", "text")
+    got = {
+        r["id"]: (r["clean_text"], r["kept_tokens"], r["removed_tokens"])
+        for r in c0.unionByName(c1).collect()
+    }
+
+    # oracle: one global keep-first pass (batch-0 ids sort first)
+    one = spark.createDataFrame(
+        [(1, base), (2, other), (11, base), (12, "novel text " + other)],
+        "doc_id long, text string",
+    )
+    want = {
+        r["id"]: (r["clean_text"], r["kept_tokens"], r["removed_tokens"])
+        for r in D.remove_duplicated_cdc_chunks(one, "doc_id", "text").collect()
+    }
+    assert got == want
+    # the re-crawl lost everything; the novel doc kept its novel prefix
+    assert got[11][0] == "" and got[11][2] > 0
+    assert got[12][1] > 0
+
+    assert store.columns == ["chunk_fp"]
+    all_fps = {
+        r["chunk_fp"]
+        for r in D.cdc_chunks(one, "doc_id", "text").select("chunk_fp").collect()
+    }
+    assert {r["chunk_fp"] for r in store.collect()} == all_fps

@@ -712,3 +712,53 @@ def test_pyds_scan_plans_one_partition_per_row_group(spark):
     assert df.rdd.getNumPartitions() == max(
         pq.ParquetFile(path).num_row_groups, 1
     )
+
+
+def test_domain_family_no_cartesian_single_chunk_pass(spark):
+    """r09 family: the host rollup must read the TEXT column exactly
+    once — the first cut duplicated the whole chunking pipeline into
+    two plan subtrees via a fp-count groupBy + self-join (5 parquet
+    scans, 2 of them full text scans); the window-count form keeps one
+    text scan plus two thin column-pruned scans (id/source for the
+    host join, source for the doc count). Keyed equi-joins only.
+    The mirror detector materializes its shared chunk-stats frame
+    (eager localCheckpoint), so its executed plan reads the RDD leaf —
+    zero re-scans of documents.parquet."""
+    df = REGISTRY["q_domain_rollup"].fn(spark, SF_DIR)
+    p = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert p.count("documents.parquet") == 3, p.count("documents.parquet")
+    assert p.count("text:string") == 1  # chunking scan only
+    m = REGISTRY["q_host_mirror"].fn(spark, SF_DIR)
+    pm = plan_of(m)
+    assert "BroadcastNestedLoopJoin" not in pm and "CartesianProduct" not in pm
+    assert "documents.parquet" not in pm  # chunk stats computed once
+
+
+def test_mirror_cap_prefilters_before_collect(spark):
+    """The max_hosts_per_fp cap must bound the collect_set BUFFER, not
+    just the output: the window-count filter on __nh has to sit BELOW
+    the aggregate that builds host sets (optimized plan prints
+    top-down, so the collect_set must appear before the __nh filter)."""
+    from etl_demos_spark.operators.domains import host_mirror_pairs
+    from tests.conftest import SF_DIR as _sf
+
+    docs = spark.read.parquet(f"{_sf}/documents.parquet")
+    df = host_mirror_pairs(docs, "source", "doc_id", "text", max_hosts_per_fp=8)
+    p = optimized_of(df)
+    i_nh = p.find("__nh")
+    i_cs = p.find("collect_set")
+    assert i_nh != -1 and i_cs != -1
+    assert i_cs < i_nh, (i_cs, i_nh)
+
+
+def test_versioning_no_cartesian_two_chunk_passes(spark):
+    """Cross-snapshot diff: two cdc_chunks passes (old + synthesized
+    new over the same parquet) joined on (id, fp) — equi-joins only,
+    output one row per doc id."""
+    df = REGISTRY["q_doc_versions"].fn(spark, SF_DIR)
+    p = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    c = REGISTRY["q_version_churn"].fn(spark, SF_DIR)
+    pc = plan_of(c)
+    assert "BroadcastNestedLoopJoin" not in pc and "CartesianProduct" not in pc
