@@ -8360,3 +8360,90 @@ def q_dedup_cdc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("id", "doc_id").select(
         "doc_id", "batch", "clean_text", "kept_tokens", "removed_tokens"
     )
+
+
+_BITEXT_ORACLE = """
+    WITH src AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE label % 2 = 0
+    ),
+    tgt AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE label % 2 = 1
+    ),
+    fwd_scored AS (
+        SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+               CAST(round(list_cosine_similarity(t.v, s.v) * 1000000)
+                    AS BIGINT) AS cq,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.vec_id
+                   ORDER BY list_cosine_similarity(t.v, s.v) DESC, t.vec_id
+               ) AS rn
+        FROM src s CROSS JOIN tgt t
+    ),
+    fwd AS (SELECT src_id, tgt_id, cq FROM fwd_scored WHERE rn <= 4),
+    bwd_scored AS (
+        SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+               CAST(round(list_cosine_similarity(s.v, t.v) * 1000000)
+                    AS BIGINT) AS cq,
+               ROW_NUMBER() OVER (
+                   PARTITION BY t.vec_id
+                   ORDER BY list_cosine_similarity(s.v, t.v) DESC, s.vec_id
+               ) AS rn
+        FROM tgt t CROSS JOIN src s
+    ),
+    bwd AS (SELECT src_id, tgt_id, cq FROM bwd_scored WHERE rn <= 4),
+    f_avg AS (SELECT src_id, SUM(cq) AS fsum, COUNT(*) AS fn
+              FROM fwd GROUP BY 1),
+    b_avg AS (SELECT tgt_id, SUM(cq) AS bsum, COUNT(*) AS bn
+              FROM bwd GROUP BY 1),
+    cands AS (
+        SELECT src_id, tgt_id, MAX(cq) AS cq FROM (
+            SELECT * FROM fwd UNION ALL SELECT * FROM bwd
+        ) GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT src_id, tgt_id, cq,
+               CASE WHEN (CAST(fsum AS DOUBLE) / fn
+                          + CAST(bsum AS DOUBLE) / bn) / 2.0 <> 0.0
+                    THEN CAST(cq AS DOUBLE)
+                         / ((CAST(fsum AS DOUBLE) / fn
+                             + CAST(bsum AS DOUBLE) / bn) / 2.0)
+                    ELSE 0.0 END AS m
+        FROM cands JOIN f_avg USING (src_id) JOIN b_avg USING (tgt_id)
+    ),
+    ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY src_id
+                                  ORDER BY m DESC, tgt_id) AS rs,
+               ROW_NUMBER() OVER (PARTITION BY tgt_id
+                                  ORDER BY m DESC, src_id) AS rt
+        FROM scored
+    )
+    SELECT src_id, tgt_id,
+           round(CAST(cq AS DOUBLE) / 1000000, 6) AS cos_sim,
+           round(m, 6) AS margin
+    FROM ranked WHERE rs = 1 AND rt = 1 AND m >= 1.06
+    """
+
+
+@workload("q_bitext_mine", oracle=_BITEXT_ORACLE, tags=("ext-sim",))
+def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (operators/bitext.py mine_bitext —
+    the public Artetxe & Schwenk ACL'19 ratio-margin recipe): even
+    labels play the source language, odd labels the target; pairs are
+    mutual margin-best matches with margin ≥ 1.06 (the ratio margin
+    normalizes hubness away — raw-cosine best matches over-select hub
+    vectors). k-NN both directions via the exact GEMM corpus scan;
+    everything after the top-k frames is exact-integer arithmetic
+    (cosines quantized to 1e-6 BIGINT units), which is what lets the
+    oracle replay the entire mine and the driver hash-certify mined
+    pairs. At web scale swap the exact scan for the LSH/IVF candidate
+    paths upstream of the same margin filter. Registered _LATE r09;
+    seats at r12 per _SEAT_PLAN."""
+    from etl_demos_spark.operators.bitext import mine_bitext
+
+    e = T(spark, sf_dir, "embeddings")
+    src = e.filter(F.col("label") % 2 == 0)
+    tgt = e.filter(F.col("label") % 2 == 1)
+    return mine_bitext(src, tgt, "vec_id", "embedding", k=4, threshold=1.06)
