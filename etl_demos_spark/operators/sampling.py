@@ -146,3 +146,80 @@ def weighted_sample_topk(
         .orderBy(F.col(key_out).asc(), c.asc())
         .limit(k)
     )
+
+
+def mixture_plan(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, float],
+    budget_tokens: int,
+    text_col: str = "text",
+    max_epochs: float = 4.0,
+) -> DataFrame:
+    """Training-mixture planner: turn target mixture WEIGHTS plus a
+    token BUDGET into per-group sampling rates — the arithmetic layer
+    that sits above the rate-based samplers (epoch replication in
+    q_mixture_sample) and below the packer. Public recipe shape
+    (Pile/Dolma-style mixture tables): weight w_g of the budget goes
+    to group g, so rate_g = (w_g / Σw over PRESENT groups) · B /
+    tokens_g epochs of g's data; rates are capped at ``max_epochs``
+    (oversampling a tiny source beyond a few epochs hurts more than
+    the mixture miss) and the induced shortfall is REPORTED, not
+    silently eaten — the no-silent-caps discipline.
+
+    Groups absent from ``weights`` get weight 0.0 (excluded, visible
+    as rate 0 rows). One groupBy + one |groups|-row global window for
+    the renormalization — nothing driver-side, nothing quadratic. The
+    renormalizing sum runs over weights QUANTIZED to 1e-6 BIGINT units
+    (a double sum over an unordered window is ulp-order-dependent;
+    integer sums are not — the engine-portability idiom the pagerank /
+    bitext margins use), so every rate is a deterministic function of
+    exact integers and the DuckDB oracle replays it bit-for-bit.
+
+    Output: ``(group, n_docs, total_tokens, weight, rate,
+    epochs, planned_tokens, shortfall_tokens)`` — rate is the uncapped
+    ask, epochs the capped plan; planned = round(epochs·tokens),
+    shortfall = round((rate−epochs)·tokens) where capped, 0 otherwise.
+    """
+    from pyspark.sql import Window as W
+
+    from etl_demos_spark.operators.text import token_count
+
+    g = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(token_count(text_col)).cast("long").alias("total_tokens"),
+    )
+    wexpr = F.lit(0.0)
+    for key, val in sorted(weights.items()):
+        wexpr = F.when(F.col("group") == key, F.lit(float(val))).otherwise(wexpr)
+    g = (
+        g.withColumn("weight", wexpr)
+        .withColumn(
+            "__wq", F.round(F.col("weight") * 1_000_000).cast("long")
+        )
+        .withColumn("__wsumq", F.sum("__wq").over(W.partitionBy()))
+    )
+    rate = F.when(
+        (F.col("total_tokens") > 0) & (F.col("__wsumq") > 0),
+        F.col("__wq").cast("double")
+        / F.col("__wsumq").cast("double")
+        * F.lit(float(budget_tokens))
+        / F.col("total_tokens").cast("double"),
+    ).otherwise(F.lit(0.0))
+    g = g.withColumn("rate", rate).withColumn(
+        "epochs", F.least(F.col("rate"), F.lit(float(max_epochs)))
+    )
+    return g.select(
+        "group",
+        "n_docs",
+        "total_tokens",
+        "weight",
+        F.round("rate", 6).alias("rate"),
+        F.round("epochs", 6).alias("epochs"),
+        F.round(F.col("epochs") * F.col("total_tokens"))
+        .cast("long")
+        .alias("planned_tokens"),
+        F.round((F.col("rate") - F.col("epochs")) * F.col("total_tokens"))
+        .cast("long")
+        .alias("shortfall_tokens"),
+    )

@@ -8447,3 +8447,62 @@ def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = e.filter(F.col("label") % 2 == 0)
     tgt = e.filter(F.col("label") % 2 == 1)
     return mine_bitext(src, tgt, "vec_id", "embedding", k=4, threshold=1.06)
+
+
+_MIXTURE_PLAN_ORACLE = """
+    WITH g AS (
+        SELECT source AS "group",
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+')))
+                    AS BIGINT) AS total_tokens
+        FROM documents GROUP BY 1
+    ),
+    w AS (
+        SELECT *,
+               CAST(CASE "group"
+                    WHEN 'src0' THEN 0.30 WHEN 'src1' THEN 0.20
+                    WHEN 'src2' THEN 0.10 WHEN 'src3' THEN 0.05
+                    WHEN 'src4' THEN 0.25 WHEN 'src5' THEN 0.10
+                    ELSE 0.0 END AS DOUBLE) AS weight
+        FROM g
+    ),
+    q AS (SELECT *, CAST(round(weight * 1000000) AS BIGINT) AS wq FROM w),
+    s AS (SELECT *, SUM(wq) OVER () AS wsumq FROM q),
+    r AS (
+        SELECT *,
+               CASE WHEN total_tokens > 0 AND wsumq > 0
+                    THEN CAST(wq AS DOUBLE) / CAST(wsumq AS DOUBLE)
+                         * 40000.0 / CAST(total_tokens AS DOUBLE)
+                    ELSE 0.0 END AS rate
+        FROM s
+    ),
+    e AS (SELECT *, least(rate, 4.0) AS epochs FROM r)
+    SELECT "group", n_docs, total_tokens, weight,
+           round(rate, 6) AS rate,
+           round(epochs, 6) AS epochs,
+           CAST(round(epochs * total_tokens) AS BIGINT) AS planned_tokens,
+           CAST(round((rate - epochs) * total_tokens) AS BIGINT)
+               AS shortfall_tokens
+    FROM e
+    """
+
+
+@workload("q_mixture_plan", oracle=_MIXTURE_PLAN_ORACLE, tags=("ext-trainprep",))
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture planner (operators/sampling.py mixture_plan):
+    Pile/Dolma-style mixture weights + a token budget → per-source
+    sampling rates, with the oversampling cap at 4 epochs and the
+    induced shortfall REPORTED (no silent caps). This is the
+    arithmetic layer above the rate-based sampler (q_mixture_sample
+    consumes rates like these) and below the packer. The renormalizing
+    weight sum runs over 1e-6-quantized BIGINT units so the whole plan
+    is a deterministic function of exact integers — bit-replayable in
+    DuckDB. Registered _LATE r09; seats at r12 per _SEAT_PLAN."""
+    from etl_demos_spark.operators.sampling import mixture_plan
+
+    d = T(spark, sf_dir, "documents")
+    weights = {
+        "src0": 0.30, "src1": 0.20, "src2": 0.10,
+        "src3": 0.05, "src4": 0.25, "src5": 0.10,
+    }
+    return mixture_plan(d, "source", weights, budget_tokens=40000, max_epochs=4.0)
