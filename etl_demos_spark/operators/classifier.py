@@ -269,3 +269,69 @@ def predict(
         F.round(prob, 6).alias("prob"),
         (prob >= F.lit(threshold)).alias("pred"),
     )
+
+
+def calibration_report(
+    scored: DataFrame,
+    label_col: str = "y",
+    prob_col: str = "prob",
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability table + expected calibration error for a scored
+    corpus — the acceptance gate a quality-classifier deployment needs
+    before its probabilities drive sampling rates (a model can rank
+    well and still be badly calibrated; ECE is the standard measure).
+
+    Per confidence bin b: count, positives, mean confidence, empirical
+    positive rate, |gap|; plus the corpus ECE = Σ_b (n_b/N)·gap_b
+    repeated on every row for one-table consumption.
+
+    Determinism discipline: ``prob_col`` is already 4-decimal-rounded
+    (linear_score_milli's contract), so probabilities quantize to
+    exact 1e-4 BIGINT units and every aggregate here is an
+    order-independent integer sum. ECE in particular reduces to
+
+        ece = Σ_b |sum_prob_q_b − 10⁴·pos_b|  /  (10⁴·N)
+
+    — an integer numerator over a constant denominator, one double
+    division at the end — so the DuckDB oracle replays it bit-for-bit
+    (a naive Σ of per-bin double products would be summation-order
+    dependent). One groupBy + one |bins|-row global window; nothing
+    driver-side."""
+    from pyspark.sql import Window as W
+
+    p = F.col(prob_col)
+    b = F.least(F.floor(p * bins), F.lit(bins - 1)).cast("long")
+    pq = F.round(p * 10_000).cast("long")
+    g = (
+        scored.select(
+            b.alias("bin"),
+            pq.alias("__pq"),
+            F.col(label_col).cast("long").alias("__y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("__y").cast("long").alias("n_pos"),
+            F.sum("__pq").cast("long").alias("__spq"),
+        )
+    )
+    dev = F.abs(F.col("__spq") - 10_000 * F.col("n_pos"))
+    g = g.withColumn("__dev", dev).withColumn(
+        "__devsum", F.sum("__dev").over(W.partitionBy())
+    ).withColumn("__ntot", F.sum("n").over(W.partitionBy()))
+    return g.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.round(F.col("__spq").cast("double") / F.col("n") / 10_000.0, 6).alias(
+            "avg_conf"
+        ),
+        F.round(F.col("n_pos").cast("double") / F.col("n"), 6).alias("frac_pos"),
+        F.round(F.col("__dev").cast("double") / F.col("n") / 10_000.0, 6).alias(
+            "abs_gap"
+        ),
+        F.round(
+            F.col("__devsum").cast("double") / (F.col("__ntot") * 10_000.0), 6
+        ).alias("ece"),
+    )

@@ -628,8 +628,8 @@ _LATE: tuple[str, ...] = (
     # (q_dsir_select, q_bank_mart). 26 + 22 + 2 = 50, window-sized.
     #
     # CADENCE POLICY (unchanged, set r07): re-certification period is
-    # K=4 rounds. Capacity: 48 rotating slots x K = 192 >= 181
-    # rotation-eligible paired (175 paired - 1 retired + 7 r09
+    # K=4 rounds. Capacity: 48 rotating slots x K = 192 >= 182
+    # rotation-eligible paired (175 paired - 1 retired + 8 r09
     # registrations: domain/versioning + incremental CDC + bitext). The cadence
     # test (tests/test_oracle_parity.py) asserts the overdue check and
     # the feasibility bound mechanically, exempting _RETIRED entries
@@ -650,7 +650,7 @@ _LATE: tuple[str, ...] = (
     #   q_count_distinct (subsumed by q_distinct + q_group_agg),
     #   q_date_arithmetic (subsumed by q_age_band + q_date_key, both
     #     certified r08).
-    # Current headroom: 192 - 181 = 11.
+    # Current headroom: 192 - 182 = 10.
     #
     # Forward schedule (machine-readable: _SEAT_PLAN below):
     #   r10 window: remaining 25 r06 entries + 23 of the r07 (=r04)
@@ -812,6 +812,7 @@ _LATE: tuple[str, ...] = (
     "q_dedup_cdc_incremental",
     "q_bitext_mine",
     "q_mixture_plan",
+    "q_calibration",
     # -- rows-only (no cross-engine oracle; property/reference-pinned):
     "q_approx_distinct",
     "q_bpe_learn",
@@ -939,6 +940,7 @@ _SEAT_PLAN: dict[int, frozenset[str]] = {
         "q_dedup_cdc_incremental",
         "q_bitext_mine",
         "q_mixture_plan",
+        "q_calibration",
         "q_embed_centroid",
         "q_chunk_docs",
         "q_chunk_udtf",

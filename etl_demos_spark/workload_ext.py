@@ -8506,3 +8506,82 @@ def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src3": 0.05, "src4": 0.25, "src5": 0.10,
     }
     return mixture_plan(d, "source", weights, budget_tokens=40000, max_epochs=4.0)
+
+
+_CALIBRATION_ORACLE = """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+        FROM documents
+    ), feats AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 4096
+                   AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM tok WHERE tok <> '' GROUP BY 1, 2
+    ), w AS (
+        SELECT i AS bucket,
+               CAST('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 15)
+                    AS BIGINT) % 2001 - 1000 AS w_int
+        FROM range(4096) t(i)
+    ), s AS (
+        SELECT doc_id,
+               ROUND(1.0 / (1.0 + exp(-(CAST(SUM(cnt * w_int) AS DOUBLE)
+                                        / 1000.0))), 4) AS prob
+        FROM feats JOIN w USING (bucket)
+        GROUP BY doc_id
+    ), lab AS (
+        SELECT s.doc_id, s.prob,
+               CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM s JOIN documents d USING (doc_id)
+    ), binned AS (
+        SELECT least(CAST(floor(prob * 10) AS BIGINT), 9) AS bin,
+               CAST(round(prob * 10000) AS BIGINT) AS pq, y
+        FROM lab
+    ), g AS (
+        SELECT bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS n_pos,
+               CAST(SUM(pq) AS BIGINT) AS spq
+        FROM binned GROUP BY 1
+    ), t AS (
+        SELECT *,
+               abs(spq - 10000 * n_pos) AS dev,
+               SUM(abs(spq - 10000 * n_pos)) OVER () AS devsum,
+               SUM(n) OVER () AS ntot
+        FROM g
+    )
+    SELECT bin, n, n_pos,
+           round(CAST(spq AS DOUBLE) / n / 10000.0, 6) AS avg_conf,
+           round(CAST(n_pos AS DOUBLE) / n, 6) AS frac_pos,
+           round(CAST(dev AS DOUBLE) / n / 10000.0, 6) AS abs_gap,
+           round(CAST(devsum AS DOUBLE) / (ntot * 10000.0), 6) AS ece
+    FROM t
+    """
+
+
+@workload("q_calibration", oracle=_CALIBRATION_ORACLE, tags=("ext-classify",))
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier calibration report (operators/classifier.py
+    calibration_report): reliability table + expected calibration
+    error for the seeded fixture model's probabilities against the
+    lang='en' ground truth — the acceptance gate a quality-classifier
+    deployment runs before probabilities drive sampling rates. ECE
+    reduces to an exact-integer numerator over a constant denominator
+    (probs quantize to 1e-4 BIGINT units; Σ_b |sum_pq_b − 10⁴·pos_b|
+    is order-independent), so the whole report replays bit-for-bit in
+    DuckDB — a naive double Σ of per-bin products would not.
+    Registered _LATE r09; seats at r12 per _SEAT_PLAN."""
+    from etl_demos_spark.operators import classifier as clf
+
+    d = T(spark, sf_dir, "documents")
+    feats = clf.hashed_features(d, "text", "doc_id", 4096)
+    w = spark.range(4096).select(
+        F.col("id").alias("bucket"),
+        clf.seeded_milli_weights(F.col("id")).alias("w_int"),
+    )
+    scored = clf.linear_score_milli(feats, w, "doc_id").join(
+        d.select("doc_id", (F.col("lang") == "en").cast("long").alias("y")),
+        "doc_id",
+    )
+    return clf.calibration_report(scored, "y", "prob", bins=10)

@@ -174,3 +174,28 @@ def test_predict_with_ids_scores_featureless_docs_at_bias(spark):
     assert set(full) == {0, 1, 2, 3}
     expect = round(1.0 / (1.0 + math.exp(-0.25)), 6)
     assert full[2] == expect and full[3] == expect
+
+
+def test_calibration_report_exact(spark):
+    """calibration_report vs hand arithmetic: 6 docs, 2 bins, known
+    probs/labels; ECE must equal the exact integer-numerator formula."""
+    import pyspark.sql.functions as F
+
+    from etl_demos_spark.operators.classifier import calibration_report
+
+    rows = [
+        (1, 0.10, 0), (2, 0.15, 0), (3, 0.12, 1),   # bin 1 (with bins=10)
+        (4, 0.90, 1), (5, 0.95, 1), (6, 0.92, 0),   # bin 9
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, prob double, y long")
+    out = {r["bin"]: r for r in calibration_report(df, "y", "prob", bins=10).collect()}
+    assert set(out) == {1, 9}
+    b1, b9 = out[1], out[9]
+    assert (b1["n"], b1["n_pos"]) == (3, 1) and (b9["n"], b9["n_pos"]) == (3, 2)
+    assert b1["avg_conf"] == round((1000 + 1500 + 1200) / 3 / 10000, 6)
+    assert b9["frac_pos"] == round(2 / 3, 6)
+    # exact integer ECE: |3700-10000*1| + |27700-10000*2| over 10^4*6
+    ece = (abs(3700 - 10000) + abs(27700 - 20000)) / (10000 * 6)
+    assert b1["ece"] == b9["ece"] == round(ece, 6)
+    # per-bin gap identity
+    assert b1["abs_gap"] == round(abs(3700 - 10000) / 3 / 10000, 6)
