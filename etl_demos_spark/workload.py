@@ -607,30 +607,27 @@ def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The driver full-checks only the FIRST 50 entries of get_queries()
 # (row count + schema + value hash vs the DuckDB oracle); later entries
 # get no driver signal at all. Far more paired queries are registered
-# than window slots (120 registered / 108 paired as of session 3 —
+# than window slots (189 registered / 183 paired as of round 10 —
 # counts grow; the invariant, asserted in tests, is that every window
 # slot holds a hash-checkable query), so ordering is an explicit policy. _LATE names the entries deliberately
 # registered past the window — the rows-only queries (no SQL-expressible
 # oracle; property/recall-tested instead) and oracle-paired queries whose
 # semantics are duplicated by in-window relatives. Newly added operator
-# families (round-3 trainprep/embedding-prep) take window slots over
-# long-stable queries so every NEW op gets at least one driver hash-check.
-# ALL paired queries, late ones included, remain hash-verified locally by
-# tests/test_oracle_parity.py at sf0.001 and (slow marker) sf0.01 — the
-# same compare the driver runs.
+# families take window slots over long-stable queries so every NEW op
+# gets at least one driver hash-check. ALL paired queries, late ones
+# included, remain hash-verified locally by tests/test_oracle_parity.py
+# at sf0.001 and (slow marker) sf0.01 — the same compare the driver runs.
 _LATE: tuple[str, ...] = (
-    # ---- round-9 rotation (executed per the forward schedule written
-    # at r08 — VERDICT r8 rec 1). In-window this round, as the round's
-    # FIRST commit: the remaining 26 r05-certified entries (due back by
-    # r09 under K=4 — exactly on time) + 22 of the r06-certified block
-    # (due r10, seated one round early; q_dedup_ngram RETIRED instead
-    # of reseated — see _RETIRED below) + the two standing §2 anchors
-    # (q_dsir_select, q_bank_mart). 26 + 22 + 2 = 50, window-sized.
+    # ---- round-10 rotation (executed per _SEAT_PLAN[10], written at
+    # r09 — VERDICT r9 rec 2). In-window this round, as the round's
+    # FIRST commit: the remaining 25 r06-certified entries (due back by
+    # r10 under K=4 — exactly on time) + 23 of the r07-certified block
+    # (due r11, seated one round early) + the two standing §2 anchors
+    # (q_dsir_select, q_bank_mart). 25 + 23 + 2 = 50, window-sized.
     #
     # CADENCE POLICY (unchanged, set r07): re-certification period is
-    # K=4 rounds. Capacity: 48 rotating slots x K = 192 >= 182
-    # rotation-eligible paired (175 paired - 1 retired + 8 r09
-    # registrations: domain/versioning + incremental CDC + bitext). The cadence
+    # K=4 rounds. Capacity: 48 rotating slots x K = 192 >= 180
+    # rotation-eligible paired (183 paired - 3 retired). The cadence
     # test (tests/test_oracle_parity.py) asserts the overdue check and
     # the feasibility bound mechanically, exempting _RETIRED entries
     # and entries seated in the written _SEAT_PLAN for the staged
@@ -642,55 +639,35 @@ _LATE: tuple[str, ...] = (
     # would cross the bound, retire (drop from rotation, KEEP the
     # local pytest oracle) queries whose semantics are a STRICT SUBSET
     # of another paired query that has been driver-certified at least
-    # twice. First batch EXECUTED this round: q_dedup_ngram (subsumed
-    # by q_dedup_minhash's shingle path, certified r04 + r07).
-    # Next candidates when headroom is needed, in order:
-    #   q_filter_eq (strict subset of q_filter_notnull's scan+filter
-    #     shape and of every certified TPC-H family filter),
-    #   q_count_distinct (subsumed by q_distinct + q_group_agg),
-    #   q_date_arithmetic (subsumed by q_age_band + q_date_key, both
-    #     certified r08).
-    # Current headroom: 192 - 182 = 10.
+    # twice. First batch r09: q_dedup_ngram (subsumed by
+    # q_dedup_minhash's shingle path, certified r04+r07). Second batch
+    # EXECUTED this round (r10): q_count_distinct (certified
+    # r01/r02/r06/r09; subsumed by q_distinct r04+r07 + q_group_agg
+    # r04+r07) and q_date_arithmetic (certified r03/r06/r09; subsumed
+    # by q_age_band + q_date_key, both certified r05+r08). Next
+    # candidate when headroom is needed: q_filter_eq (strict subset of
+    # q_filter_notnull's scan+filter shape and of every certified
+    # TPC-H family filter) — after its seated r10 certification.
+    # Current headroom: 192 - 180 = 12.
     #
     # Forward schedule (machine-readable: _SEAT_PLAN below):
-    #   r10 window: remaining 25 r06 entries + 23 of the r07 (=r04)
-    #        block + 2 anchors = 50 (r06 due r10, on time; r07 block
-    #        due r11, 23 seated early).
     #   r11 window: remaining 25 r07-block entries + the three
     #        r08-registered never-certified queries (q_dedup_cdc,
-    #        q_lsh_recall, q_cdc_removal — first driver hashes) + 20
-    #        of the r08-certified block (due r12, early) + 2 anchors.
-    #   r12+: steady state — ~43 recertifications + 2 anchors per
-    #        round, ~5 free slots for new registrations.
+    #        q_lsh_recall, q_cdc_removal — first driver hashes) + 16
+    #        of the r08-certified block (due r12, early) + the 4
+    #        r09-registered domain/versioning queries + 2 anchors.
+    #   r12 window: remaining 32 r08-certified + the 4 remaining
+    #        r09-registered (q_dedup_cdc_incremental, q_bitext_mine,
+    #        q_mixture_plan, q_calibration) + 2 anchors + 12 free
+    #        slots for r10 registrations.
+    #   r13 window: the 46 r09-certified entries (due r13, on time)
+    #        + 2 anchors + 2 free.
     #
     # Everything below is annotated with its latest driver-certified
     # round ("r0N"; all remain hash-verified locally every pytest run
     # by tests/test_oracle_parity.py at sf0.001+sf0.01).
-    # -- certified r07 (the r04 block; due back by r11 — 23 seat at
-    #    r10, the remaining 25 at r11):
-    "q_project_cast",
-    "q_filter_notnull",
-    "q_filter_eq",
-    "q_case_banding",
-    "q_group_agg",
-    "q_distinct",
-    "q_window_dedup",
-    "q_surrogate_key",
-    "q_date_spine",
-    "q_star_join",
-    "q_join_agg",
-    "q_bpe_tokens",
-    "q_text_quality",
-    "q_lang_id",
-    "q_dedup_exact",
-    "q_dedup_minhash",
-    "q_dedup_simhash",
-    "q_dup_spans",
-    "q_ann_cosine",
-    "q_hard_negatives",
-    "q_ann_lsh",
-    "q_multimodal_decode",
-    "q_event_sessions",
+    # -- certified r07 (the r04 block), the 25 NOT seated this round
+    #    (due back by r11; all 25 seat at r11):
     "q_attribution",
     "q_variant_shred",
     "q_pyds_scan",
@@ -716,39 +693,8 @@ _LATE: tuple[str, ...] = (
     "q_bfs_dist",
     "q_tfidf",
     "q_quality_report",
-    # -- certified r06, the 25 NOT seated this round (due back by r10;
-    #    all 25 seat at r10):
-    "q_event_funnel",
-    "q_pack_sequences",
-    "q_repetition",
-    "q_quantiles",
-    "q_binning",
-    "q_grouped_agg_udf",
-    "q_snapshot_diff",
-    "q_sketch_rollup",
-    "q_text_search",
-    "q_array_funcs",
-    "q_scalar_subquery",
-    "q_cust_distribution",
-    "q_waiting_supplier",
-    "q_idle_accounts",
-    "q_fuzzy_join",
-    "q_null_safe_join",
-    "q_unpivot",
-    "q_rank_family",
-    "q_supplier_cnt",
-    "q_range_frame",
-    "q_string_agg",
-    "q_map_funcs",
-    "q_twap",
-    "q_orc_roundtrip",
-    "q_argmax",
-    # -- RETIRED from rotation r09 (kept registered + oracle-paired so
-    #    tests/test_oracle_parity.py still hash-verifies it locally;
-    #    never reseated in a driver window):
-    "q_dedup_ngram",
-    # -- certified r08 (the backlog-drain window minus the 2 anchors;
-    #    due back by r12 — 20 seat at r11, the rest r12):
+    # -- certified r08, 16 seating at r11 per _SEAT_PLAN (due r12,
+    #    one round early):
     "q_date_key",
     "q_date_join",
     "q_dup_span_removal",
@@ -765,6 +711,7 @@ _LATE: tuple[str, ...] = (
     "q_corpus_shuffle",
     "q_embed_norms",
     "q_embed_quantize",
+    # -- certified r08, the remaining 32 (due back by r12; seat r12):
     "q_embed_centroid",
     "q_chunk_docs",
     "q_chunk_udtf",
@@ -797,14 +744,65 @@ _LATE: tuple[str, ...] = (
     "q_drift_report",
     "q_event_transitions",
     "q_bit_funcs",
+    # -- certified r09 (the r09 window minus the 2 anchors and the 2
+    #    entries retired this round; due back by r13 — all seat r13):
+    "q_ann_ivf",
+    "q_binary_meta",
+    "q_cube",
+    "q_event_sliding",
+    "q_event_tumbling",
+    "q_fingerprint",
+    "q_hash_split",
+    "q_hierarchy",
+    "q_hybrid_search",
+    "q_image_features",
+    "q_interval_merge",
+    "q_item_sim",
+    "q_json_extract",
+    "q_kmeans_assign",
+    "q_kmv_distinct",
+    "q_kmv_overlap",
+    "q_market_share",
+    "q_markov_transitions",
+    "q_math_funcs",
+    "q_matview",
+    "q_mixture_sample",
+    "q_pandas_udf",
+    "q_pii_redact",
+    "q_pivot",
+    "q_psi_drift",
+    "q_quantile_sketch",
+    "q_rest_json",
+    "q_rolling_anomaly",
+    "q_rollup",
+    "q_safe_parse_date",
+    "q_salted_agg",
+    "q_scd2_dim",
+    "q_schema_report",
+    "q_semantic_dedup",
+    "q_semi_anti_join",
+    "q_set_ops",
+    "q_stats_agg",
+    "q_string_funcs",
+    "q_text_stats",
+    "q_topk",
+    "q_trend_ols",
+    "q_triangles",
+    "q_union_literal",
+    "q_url_curation",
+    "q_weighted_sample",
+    "q_window_analytics",
     # -- registered r08, never driver-certified (locally hash-verified;
-    #    seats at r11 per _SEAT_PLAN):
+    #    first driver hashes at r11 per _SEAT_PLAN):
     "q_dedup_cdc",
     "q_lsh_recall",
     "q_cdc_removal",
-    # -- registered r09, never driver-certified (locally hash-verified;
-    #    seats at r11 per _SEAT_PLAN — the domain-rollup + versioning
-    #    family, VERDICT r8 rec 7):
+    # -- registered r09, never driver-certified (locally hash-verified).
+    #    Seats split per _SEAT_PLAN: the domain/versioning family
+    #    (q_domain_rollup, q_host_mirror, q_doc_versions,
+    #    q_version_churn) seats r11; the incremental-CDC / bitext /
+    #    mixture / calibration quartet (q_dedup_cdc_incremental,
+    #    q_bitext_mine, q_mixture_plan, q_calibration) seats r12:
     "q_domain_rollup",
     "q_host_mirror",
     "q_doc_versions",
@@ -813,6 +811,13 @@ _LATE: tuple[str, ...] = (
     "q_bitext_mine",
     "q_mixture_plan",
     "q_calibration",
+    # -- RETIRED from rotation (kept registered + oracle-paired so
+    #    tests/test_oracle_parity.py still hash-verifies them locally;
+    #    never reseated in a driver window). q_dedup_ngram r09;
+    #    q_count_distinct + q_date_arithmetic r10 (see policy above):
+    "q_dedup_ngram",
+    "q_count_distinct",
+    "q_date_arithmetic",
     # -- rows-only (no cross-engine oracle; property/reference-pinned):
     "q_approx_distinct",
     "q_bpe_learn",
@@ -826,7 +831,11 @@ _LATE: tuple[str, ...] = (
 # above. They stay in REGISTRY with their oracle (local pytest parity
 # still runs them at both scale factors); they just never take another
 # driver window slot, and the cadence test exempts them.
-_RETIRED: frozenset[str] = frozenset({"q_dedup_ngram"})
+_RETIRED: frozenset[str] = frozenset({
+    "q_dedup_ngram",
+    "q_count_distinct",
+    "q_date_arithmetic",
+})
 
 # Machine-readable forward seating plan: staged round -> names promised
 # a window seat in THAT round's first-commit rotation. The cadence test
@@ -836,146 +845,143 @@ _RETIRED: frozenset[str] = frozenset({"q_dedup_ngram"})
 # code (not prose) is what lets the tree stay green at handoff when the
 # driver drops the new artifact after the final commit.
 _SEAT_PLAN: dict[int, frozenset[str]] = {
-    10: frozenset({
-        "q_event_funnel",
-        "q_pack_sequences",
-        "q_repetition",
-        "q_quantiles",
-        "q_binning",
-        "q_grouped_agg_udf",
-        "q_snapshot_diff",
-        "q_sketch_rollup",
-        "q_text_search",
-        "q_array_funcs",
-        "q_scalar_subquery",
-        "q_cust_distribution",
-        "q_waiting_supplier",
-        "q_idle_accounts",
-        "q_fuzzy_join",
-        "q_null_safe_join",
-        "q_unpivot",
-        "q_rank_family",
-        "q_supplier_cnt",
-        "q_range_frame",
-        "q_string_agg",
-        "q_map_funcs",
-        "q_twap",
-        "q_orc_roundtrip",
-        "q_argmax",
-        "q_project_cast",
-        "q_filter_notnull",
-        "q_filter_eq",
-        "q_case_banding",
-        "q_group_agg",
-        "q_distinct",
-        "q_window_dedup",
-        "q_surrogate_key",
-        "q_date_spine",
-        "q_star_join",
-        "q_join_agg",
-        "q_bpe_tokens",
-        "q_text_quality",
-        "q_lang_id",
-        "q_dedup_exact",
-        "q_dedup_minhash",
-        "q_dedup_simhash",
-        "q_dup_spans",
-        "q_ann_cosine",
-        "q_hard_negatives",
-        "q_ann_lsh",
-        "q_multimodal_decode",
-        "q_event_sessions",
-    }),
     11: frozenset({
-        "q_attribution",
-        "q_variant_shred",
-        "q_pyds_scan",
-        "q_incremental_merge",
-        "q_asof_join",
-        "q_dedup_embedding",
-        "q_top_unshipped",
-        "q_decontaminate",
-        "q_dedup_text_e2e",
-        "q_embed_covariance",
-        "q_pagerank",
-        "q_feature_scale",
-        "q_range_join",
-        "q_rollup_cascade",
-        "q_lm_quality",
-        "q_heavy_hitters",
-        "q_bloom_filter",
-        "q_hll_distinct",
-        "q_linear_score",
-        "q_neg_sample",
-        "q_ppmi",
-        "q_label_prop",
-        "q_bfs_dist",
-        "q_tfidf",
-        "q_quality_report",
-        "q_dedup_cdc",
-        "q_lsh_recall",
-        "q_cdc_removal",
-        "q_date_key",
-        "q_date_join",
-        "q_dup_span_removal",
-        "q_event_response",
         "q_age_band",
-        "q_csv_roundtrip",
-        "q_extract_parts",
-        "q_winnow_fingerprint",
-        "q_top_terms",
-        "q_null_funcs",
-        "q_returned_revenue",
-        "q_profile_table",
-        "q_stratified_sample",
+        "q_asof_join",
+        "q_attribution",
+        "q_bfs_dist",
+        "q_bloom_filter",
+        "q_cdc_removal",
         "q_corpus_shuffle",
+        "q_csv_roundtrip",
+        "q_date_join",
+        "q_date_key",
+        "q_decontaminate",
+        "q_dedup_cdc",
+        "q_dedup_embedding",
+        "q_dedup_text_e2e",
+        "q_doc_versions",
+        "q_domain_rollup",
+        "q_dup_span_removal",
+        "q_embed_covariance",
         "q_embed_norms",
         "q_embed_quantize",
-        "q_domain_rollup",
+        "q_event_response",
+        "q_extract_parts",
+        "q_feature_scale",
+        "q_heavy_hitters",
+        "q_hll_distinct",
         "q_host_mirror",
-        "q_doc_versions",
+        "q_incremental_merge",
+        "q_label_prop",
+        "q_linear_score",
+        "q_lm_quality",
+        "q_lsh_recall",
+        "q_neg_sample",
+        "q_null_funcs",
+        "q_pagerank",
+        "q_ppmi",
+        "q_profile_table",
+        "q_pyds_scan",
+        "q_quality_report",
+        "q_range_join",
+        "q_returned_revenue",
+        "q_rollup_cascade",
+        "q_stratified_sample",
+        "q_tfidf",
+        "q_top_terms",
+        "q_top_unshipped",
+        "q_variant_shred",
         "q_version_churn",
+        "q_winnow_fingerprint",
     }),
     12: frozenset({
-        "q_dedup_cdc_incremental",
+        "q_ab_test",
+        "q_anomaly_mad",
+        "q_bit_funcs",
         "q_bitext_mine",
-        "q_mixture_plan",
+        "q_bootstrap_ci",
         "q_calibration",
-        "q_embed_centroid",
         "q_chunk_docs",
         "q_chunk_udtf",
-        "q_copurchase",
-        "q_ab_test",
-        "q_seasonal_naive",
-        "q_bootstrap_ci",
-        "q_anomaly_mad",
-        "q_exists_subquery",
-        "q_having_subquery",
-        "q_dedup_incremental",
-        "q_edit_distance",
-        "q_gap_fill",
         "q_cohort_retention",
-        "q_promo_share",
-        "q_forecast_revenue",
-        "q_local_volume",
-        "q_nation_volume",
-        "q_product_profit",
-        "q_important_parts",
-        "q_priority_class",
-        "q_top_supplier",
+        "q_copurchase",
+        "q_dedup_cdc_incremental",
+        "q_dedup_incremental",
         "q_disjunctive_rev",
         "q_dominant_suppliers",
-        "q_min_cost_supplier",
-        "q_grouping_sets",
-        "q_regression",
-        "q_union_by_name",
-        "q_join_elim",
         "q_drift_report",
+        "q_edit_distance",
+        "q_embed_centroid",
         "q_event_transitions",
-        "q_bit_funcs",
+        "q_exists_subquery",
+        "q_forecast_revenue",
+        "q_gap_fill",
+        "q_grouping_sets",
+        "q_having_subquery",
+        "q_important_parts",
+        "q_join_elim",
+        "q_local_volume",
+        "q_min_cost_supplier",
+        "q_mixture_plan",
+        "q_nation_volume",
+        "q_priority_class",
+        "q_product_profit",
+        "q_promo_share",
+        "q_regression",
+        "q_seasonal_naive",
+        "q_top_supplier",
+        "q_union_by_name",
+    }),
+    13: frozenset({
+        "q_ann_ivf",
+        "q_binary_meta",
+        "q_cube",
+        "q_event_sliding",
+        "q_event_tumbling",
+        "q_fingerprint",
+        "q_hash_split",
+        "q_hierarchy",
+        "q_hybrid_search",
+        "q_image_features",
+        "q_interval_merge",
+        "q_item_sim",
+        "q_json_extract",
+        "q_kmeans_assign",
+        "q_kmv_distinct",
+        "q_kmv_overlap",
+        "q_market_share",
+        "q_markov_transitions",
+        "q_math_funcs",
+        "q_matview",
+        "q_mixture_sample",
+        "q_pandas_udf",
+        "q_pii_redact",
+        "q_pivot",
+        "q_psi_drift",
+        "q_quantile_sketch",
+        "q_rest_json",
+        "q_rolling_anomaly",
+        "q_rollup",
+        "q_safe_parse_date",
+        "q_salted_agg",
+        "q_scd2_dim",
+        "q_schema_report",
+        "q_semantic_dedup",
+        "q_semi_anti_join",
+        "q_set_ops",
+        "q_stats_agg",
+        "q_string_funcs",
+        "q_text_stats",
+        "q_topk",
+        "q_trend_ols",
+        "q_triangles",
+        "q_union_literal",
+        "q_url_curation",
+        "q_weighted_sample",
+        "q_window_analytics",
     }),
 }
-
 
 
 def ordered_names() -> list[str]:
