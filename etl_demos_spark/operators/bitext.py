@@ -15,8 +15,15 @@ threshold (the paper's "intersection" strategy — deterministic and
 join-expressible, unlike the sequential greedy variant).
 
 Engine shape: both k-NN directions go through
-operators/similarity.brute_force_topk (Arrow-batch GEMM corpus scan,
-per-batch partial top-k). Everything after the two top-k frames is
+operators/similarity.blocked_topk — the two-sided tiled GEMM (hash
+blocks × hash blocks, per-tile partial top-k inside applyInPandas) —
+because BOTH sides of a bitext mine are corpora: brute_force_topk's
+gemm path collects its query side to the driver (its contract says
+"queries expected to be small"), which a corpus-sized mine violates
+by design. Nothing in this module reaches the driver; the per-pair
+cosine is the same full-length float64 dot in either strategy, so
+blocked and brute-force mines are pinned identical (tests/
+test_bitext.py). Everything after the two top-k frames is
 exact-integer arithmetic: cosines are quantized to 1e-6 BIGINT units
 first, so the k-NN sums — and therefore every margin, comparison and
 tie-break downstream — are order-independent and engine-portable (the
@@ -24,11 +31,12 @@ pagerank quantized-contribution idiom). That is what lets the DuckDB
 oracle replay the entire mine and the driver hash-certify mined pairs
 end-to-end.
 
-Scale: the registered query mines corpus-sized sides via the exact
-GEMM scan (one pass per direction). At web scale the same margin
-arithmetic runs unchanged on top of an ANN candidate set — swap
-brute_force_topk for the LSH/IVF paths in operators/similarity.py,
-which trade recall for cost upstream of the margin filter.
+Scale: the tiled k-NN is exact but O(|src|·|tgt|·d) flops spread over
+the tile grid — bounded memory everywhere, quadratic compute. At web
+scale the same margin arithmetic runs unchanged on top of an ANN
+candidate set — swap blocked_topk for the LSH/IVF paths in
+operators/similarity.py, which trade recall for flops upstream of the
+margin filter.
 
 No analogue in the reference repo (rytakahas/etl-demos) — part of the
 LLM-training-data extension surface.
@@ -39,7 +47,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from etl_demos_spark.operators.similarity import brute_force_topk
+from etl_demos_spark.operators.similarity import blocked_topk
 
 # cosine quantization scale: 1e-6 units (the ANN family's certified
 # rounding grain — q_ann_cosine pins GEMM vs DuckDB agreement at 1e-6)
@@ -55,8 +63,9 @@ def _knn_quantized(
     q_id_col: str,
 ) -> DataFrame:
     """Top-k neighbors with cosine quantized to exact 1e-6 BIGINT units:
-    (q_id_col, id_col, cq)."""
-    topk = brute_force_topk(
+    (q_id_col, id_col, cq). Both sides corpus-sized → the tiled
+    two-sided k-NN; no driver collect anywhere in the mine."""
+    topk = blocked_topk(
         corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")),
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")

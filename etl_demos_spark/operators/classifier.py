@@ -301,8 +301,17 @@ def calibration_report(
     from pyspark.sql import Window as W
 
     p = F.col(prob_col)
-    b = F.least(F.floor(p * bins), F.lit(bins - 1)).cast("long")
     pq = F.round(p * 10_000).cast("long")
+    # Bin on the integer form, not floor(prob*bins): double products of
+    # e.g. 0.3*10 land at 2.999...96 and bin DOWN at every 1/bins
+    # boundary (ADVICE r9). (pq*bins)/10⁴ is exact in float64 — the
+    # numerator is a small exact integer and a denominator-10⁴ rational
+    # is either exactly integral or ≥ 1e-4 away from the next integer,
+    # far beyond ulp — so floor() here is true integer division and the
+    # oracle replays the identical arithmetic.
+    b = F.least(
+        F.floor((pq * bins) / F.lit(10_000.0)).cast("long"), F.lit(bins - 1)
+    )
     g = (
         scored.select(
             b.alias("bin"),

@@ -168,8 +168,15 @@ def mixture_plan(
     silently eaten — the no-silent-caps discipline.
 
     Groups absent from ``weights`` get weight 0.0 (excluded, visible
-    as rate 0 rows). One groupBy + one |groups|-row global window for
-    the renormalization — nothing driver-side, nothing quadratic. The
+    as rate 0 rows). Weight KEYS absent from the corpus surface as
+    zero-count rows with their weight still in the renormalizing sum —
+    a typo'd source name shows up as a dead row carrying visible
+    budget mass instead of silently redistributing its share to the
+    other groups (the no-silent-caps discipline, both directions).
+    One groupBy + one full-outer join against the |weights|-row
+    literal frame (both sides are group-level — tiny; full outer can't
+    broadcast, and needn't) + one |groups|-row global window for the
+    renormalization — nothing driver-side, nothing quadratic. The
     renormalizing sum runs over weights QUANTIZED to 1e-6 BIGINT units
     (a double sum over an unordered window is ulp-order-dependent;
     integer sums are not — the engine-portability idiom the pagerank /
@@ -189,11 +196,23 @@ def mixture_plan(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(token_count(text_col)).cast("long").alias("total_tokens"),
     )
-    wexpr = F.lit(0.0)
-    for key, val in sorted(weights.items()):
-        wexpr = F.when(F.col("group") == key, F.lit(float(val))).otherwise(wexpr)
+    # full outer against the literal weights frame: observed groups
+    # missing a weight get 0.0; weight keys missing from the corpus
+    # KEEP their row (n_docs/total_tokens 0) and their mass in the sum
+    wdf = df.sparkSession.createDataFrame(
+        [(k, float(v)) for k, v in sorted(weights.items())],
+        "group string, weight double",
+    )
     g = (
-        g.withColumn("weight", wexpr)
+        g.join(wdf, "group", "full_outer")
+        .select(
+            "group",
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce("total_tokens", F.lit(0))
+            .cast("long")
+            .alias("total_tokens"),
+            F.coalesce("weight", F.lit(0.0)).alias("weight"),
+        )
         .withColumn(
             "__wq", F.round(F.col("weight") * 1_000_000).cast("long")
         )

@@ -168,6 +168,111 @@ def brute_force_topk(
     )
 
 
+def blocked_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "query_vec",
+    n_corpus_blocks: int = 8,
+    n_query_blocks: int = 8,
+) -> DataFrame:
+    """Exact top-k where BOTH sides are corpus-sized — no driver collect.
+
+    brute_force_topk's gemm path collects the query side to the driver
+    (its contract: queries small/broadcastable). When the "queries" are
+    themselves a corpus — bitext mining, all-to-all retrieval — that
+    collect is a driver OOM at scale. This is the two-sided form: the
+    cosine_pairs_tiled block-join shape, except the two sides are
+    DISTINCT frames and each tile emits a per-tile partial top-k per
+    query instead of thresholded pairs.
+
+    Shape: corpus rows hash into ``n_corpus_blocks`` blocks, query rows
+    into ``n_query_blocks``; tile (ci, qj) GEMM-scores corpus block ci
+    against query block qj inside ``applyInPandas``. Each corpus row is
+    replicated n_query_blocks times and each query row n_corpus_blocks
+    times (the O(n·√T) bound); no single task ever holds more than one
+    (|corpus|/n_c × |queries|/n_q) tile, and nothing reaches the driver.
+    The global top-k per query is a subset of the union of per-tile
+    top-ks under the same (cos_sim desc, id asc) key — per-tile
+    pre-pruning is lossless, so the final window input is ≈
+    k·n_corpus_blocks rows per query. A pair's cosine is one full-length
+    dot of the same two normalized float64 vectors in every strategy, so
+    results are pinned identical to brute_force_topk (tests).
+    """
+    _require_integral_ids(
+        "blocked_topk", (corpus, id_col), (queries, q_id_col)
+    )
+    c_rep = corpus.select(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_corpus_blocks))
+        .cast("int")
+        .alias("_cb"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_query_blocks - 1))).alias("_qb"),
+        F.lit(0).alias("_side"),
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+    )
+    q_rep = queries.select(
+        F.explode(F.sequence(F.lit(0), F.lit(n_corpus_blocks - 1))).alias("_cb"),
+        F.pmod(F.xxhash64(F.col(q_id_col)), F.lit(n_query_blocks))
+        .cast("int")
+        .alias("_qb"),
+        F.lit(1).alias("_side"),
+        F.col(q_id_col).alias("_id"),
+        F.col(q_vec_col).alias("_vec"),
+    )
+    rep = c_rep.unionByName(q_rep)
+    out_schema = f"{q_id_col} long, {id_col} long, cos_sim double"
+
+    # no type hints: `from __future__ import annotations` stringifies them
+    # and the applyInPandas hint resolver warns on unresolvable strings
+    def tile(key, pdf):
+        cmask = pdf["_side"].to_numpy() == 0
+        C_pdf, Q_pdf = pdf[cmask], pdf[~cmask]
+        empty = pd.DataFrame({q_id_col: [], id_col: [], "cos_sim": []}).astype(
+            {q_id_col: "int64", id_col: "int64", "cos_sim": "float64"}
+        )
+        if not len(C_pdf) or not len(Q_pdf):
+            return empty
+        C = _np_norm_rows(np.array(list(C_pdf["_vec"]), dtype=np.float64))
+        Q = _np_norm_rows(np.array(list(Q_pdf["_vec"]), dtype=np.float64))
+        c_ids = C_pdf["_id"].to_numpy()
+        q_ids = Q_pdf["_id"].to_numpy()
+        kk = min(k, len(c_ids))
+        # GEMM in query-side chunks: caps the live similarity slab at
+        # ~256 MB regardless of tile size (same discipline as
+        # cosine_pairs_tiled) while keeping each multiply a real dgemm.
+        chunk = max(1, 32_000_000 // max(len(c_ids), 1))
+        parts = []
+        for s in range(0, len(q_ids), chunk):
+            S = C @ Q[s : s + chunk].T  # (corpus_rows, chunk)
+            for j in range(S.shape[1]):
+                col = S[:, j]
+                idx = np.lexsort((c_ids, -col))[:kk]  # cos desc, id asc
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            q_id_col: np.full(kk, q_ids[s + j]),
+                            id_col: c_ids[idx],
+                            "cos_sim": col[idx],
+                        }
+                    )
+                )
+        return pd.concat(parts, ignore_index=True) if parts else empty
+
+    scored = rep.groupBy("_cb", "_qb").applyInPandas(tile, out_schema)
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
 def rp_lsh_buckets(
     planes: Sequence[Sequence[float]],
     vec_col: str = "embedding",

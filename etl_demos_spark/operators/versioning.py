@@ -135,7 +135,12 @@ def snapshot_chunk_diff(
     )
 
 
-def churn_rollup(diff: DataFrame, dims: DataFrame | None = None, dim_col: str = "source") -> DataFrame:
+def churn_rollup(
+    diff: DataFrame,
+    dims: DataFrame | None = None,
+    dim_col: str = "source",
+    dims_id_col: str = "id",
+) -> DataFrame:
     """Corpus-level churn report over :func:`snapshot_chunk_diff`
     output, optionally grouped by a dimension joined on id (e.g. the
     host). Token accounting: ``tokens_added`` = new-side tokens with no
@@ -143,12 +148,31 @@ def churn_rollup(diff: DataFrame, dims: DataFrame | None = None, dim_col: str = 
     ``tokens_retained`` = the common multiset — added + retained =
     new_tokens and removed + retained = old_tokens, per group.
 
+    ``dims`` must carry its document id in ``dims_id_col`` (default
+    ``"id"``, matching snapshot_chunk_diff's output) — named, never
+    positional: renaming whatever column happens to be first silently
+    renames a DIMENSION to the join key when a caller passes e.g.
+    (source, doc_id), producing an empty join instead of an error
+    (ADVICE r9).
+
     Output: ``([dim,] status, n_docs, tokens_added, tokens_removed,
     tokens_retained)``."""
     d = diff
     keys = ["status"]
     if dims is not None:
-        d = d.join(dims.withColumnRenamed(dims.columns[0], "id"), "id", "left")
+        if dims_id_col not in dims.columns:
+            raise ValueError(
+                f"churn_rollup: dims has no id column {dims_id_col!r} "
+                f"(columns: {dims.columns}); pass dims_id_col="
+            )
+        if dim_col not in dims.columns:
+            raise ValueError(
+                f"churn_rollup: dims has no dimension column {dim_col!r} "
+                f"(columns: {dims.columns}); pass dim_col="
+            )
+        d = d.join(
+            dims.select(F.col(dims_id_col).alias("id"), dim_col), "id", "left"
+        )
         keys = [dim_col, "status"]
     return d.groupBy(*keys).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

@@ -8302,7 +8302,7 @@ def q_version_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.first("source").alias("source"))
     )
-    return churn_rollup(diff, dims, "source")
+    return churn_rollup(diff, dims, "source", dims_id_col="doc_id")
 
 
 _CDC_INCREMENTAL_ORACLE = f"""
@@ -8434,13 +8434,14 @@ def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels play the source language, odd labels the target; pairs are
     mutual margin-best matches with margin ≥ 1.06 (the ratio margin
     normalizes hubness away — raw-cosine best matches over-select hub
-    vectors). k-NN both directions via the exact GEMM corpus scan;
-    everything after the top-k frames is exact-integer arithmetic
-    (cosines quantized to 1e-6 BIGINT units), which is what lets the
-    oracle replay the entire mine and the driver hash-certify mined
-    pairs. At web scale swap the exact scan for the LSH/IVF candidate
-    paths upstream of the same margin filter. Registered _LATE r09;
-    seats at r12 per _SEAT_PLAN."""
+    vectors). k-NN both directions via the two-sided tiled GEMM
+    (similarity.blocked_topk — both sides are corpora, so nothing may
+    collect to the driver); everything after the top-k frames is
+    exact-integer arithmetic (cosines quantized to 1e-6 BIGINT units),
+    which is what lets the oracle replay the entire mine and the
+    driver hash-certify mined pairs. At web scale swap the exact tiled
+    scan for the LSH/IVF candidate paths upstream of the same margin
+    filter. Registered _LATE r09; seats at r12 per _SEAT_PLAN."""
     from etl_demos_spark.operators.bitext import mine_bitext
 
     e = T(spark, sf_dir, "embeddings")
@@ -8534,10 +8535,15 @@ _CALIBRATION_ORACLE = """
         SELECT s.doc_id, s.prob,
                CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
         FROM s JOIN documents d USING (doc_id)
+    ), quant AS (
+        SELECT CAST(round(prob * 10000) AS BIGINT) AS pq, y FROM lab
     ), binned AS (
-        SELECT least(CAST(floor(prob * 10) AS BIGINT), 9) AS bin,
-               CAST(round(prob * 10000) AS BIGINT) AS pq, y
-        FROM lab
+        -- bin on the integer form (pq*bins)/10^4, same exact-in-float64
+        -- arithmetic the Spark side uses — floor(prob*bins) on doubles
+        -- bins 0.3 down at every 1/bins boundary
+        SELECT least(CAST(floor((pq * 10) / 10000.0) AS BIGINT), 9) AS bin,
+               pq, y
+        FROM quant
     ), g AS (
         SELECT bin,
                CAST(COUNT(*) AS BIGINT) AS n,

@@ -188,7 +188,7 @@ def test_churn_rollup_identities(spark):
     dims = spark.createDataFrame(
         [(1, "s1"), (2, "s1"), (3, "s2")], "doc_id long, source string"
     )
-    rows = churn_rollup(diff, dims, "source").collect()
+    rows = churn_rollup(diff, dims, "source", dims_id_col="doc_id").collect()
     assert {(r["source"], r["status"]) for r in rows} == {
         ("s1", "modified"),
         ("s1", "deleted"),
@@ -204,3 +204,26 @@ def test_churn_rollup_identities(spark):
             per_id[i]["old_tokens"] - per_id[i]["common_tokens"] for i in ids
         )
         assert r["tokens_retained"] == sum(per_id[i]["common_tokens"] for i in ids)
+
+
+def test_churn_rollup_rejects_misshapen_dims(spark):
+    """dims id is named, never positional: a (source, doc_id) frame
+    must raise, not silently rename the dimension to the join key and
+    return an empty join (ADVICE r9)."""
+    import pytest
+
+    old = spark.createDataFrame([(1, _BODY)], "doc_id long, text string")
+    new = spark.createDataFrame([(1, _BODY)], "doc_id long, text string")
+    diff = snapshot_chunk_diff(old, new)
+    swapped = spark.createDataFrame(
+        [("s1", 1)], "source string, doc_id long"
+    )
+    with pytest.raises(ValueError, match="no id column"):
+        churn_rollup(diff, swapped, "source")
+    with pytest.raises(ValueError, match="no dimension column"):
+        churn_rollup(
+            diff,
+            spark.createDataFrame([(1,)], "doc_id long"),
+            "source",
+            dims_id_col="doc_id",
+        )

@@ -356,3 +356,51 @@ def test_hybrid_search_disjunctive_recall(spark):
     ).collect()
     assert {r["doc_id"] for r in got} == {1, 2, 3}
     assert got[0]["doc_id"] == 1  # best cosine to [1,0] ranks first
+
+
+def test_mixture_plan_surfaces_absent_weight_keys(spark):
+    """A typo'd source name in the weights table must NOT silently
+    redistribute its budget mass: it surfaces as a zero-count row whose
+    weight stays in the renormalizing sum (ADVICE r9)."""
+    from etl_demos_spark.operators.sampling import mixture_plan
+
+    docs = spark.createDataFrame(
+        [("a", "one two three"), ("a", "four five"), ("b", "six seven")],
+        "source string, text string",
+    )
+    rows = {
+        r["group"]: r
+        for r in mixture_plan(
+            docs,
+            "source",
+            {"a": 0.5, "b": 0.25, "c_typo": 0.25},
+            budget_tokens=100,
+        ).collect()
+    }
+    # the absent key is a visible dead row, not a silent drop
+    assert set(rows) == {"a", "b", "c_typo"}
+    ghost = rows["c_typo"]
+    assert ghost["n_docs"] == 0 and ghost["total_tokens"] == 0
+    assert ghost["weight"] == 0.25 and ghost["rate"] == 0.0
+    assert ghost["planned_tokens"] == 0 and ghost["shortfall_tokens"] == 0
+    # and its mass is NOT redistributed: a's rate uses the FULL weight
+    # sum (0.5/1.0), not the present-only sum (0.5/0.75)
+    a = rows["a"]
+    assert abs(a["rate"] - 0.5 * 100 / a["total_tokens"]) < 1e-9
+    # present groups unaffected otherwise
+    assert rows["b"]["n_docs"] == 1
+
+
+def test_mixture_plan_unweighted_group_is_visible_rate_zero(spark):
+    from etl_demos_spark.operators.sampling import mixture_plan
+
+    docs = spark.createDataFrame(
+        [("a", "one two"), ("z", "three four")],
+        "source string, text string",
+    )
+    rows = {
+        r["group"]: r
+        for r in mixture_plan(docs, "source", {"a": 1.0}, 10).collect()
+    }
+    assert rows["z"]["weight"] == 0.0 and rows["z"]["rate"] == 0.0
+    assert rows["z"]["n_docs"] == 1

@@ -355,3 +355,70 @@ def test_rp_lsh_rejects_plane_overflow(spark):
     df = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="62 planes"):
         similarity.rp_lsh_buckets_gemm(df, planes63)
+
+
+def test_blocked_topk_matches_brute_force(spark, vectors):
+    """The two-sided tiled k-NN must be pinned identical to the
+    collect-based gemm scan: per-tile partial top-k under the same
+    (cos desc, id asc) key is lossless, and each pair's cosine is one
+    full-length float64 dot in either strategy."""
+    X, df = vectors
+    q = (
+        df.filter(F.col("vec_id") % 3 == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+    want = {
+        (r["query_id"], r["vec_id"]): r["cos_sim"]
+        for r in similarity.brute_force_topk(df, q, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["vec_id"]): r["cos_sim"]
+        for r in similarity.blocked_topk(
+            df, q, k=5, n_corpus_blocks=4, n_query_blocks=3
+        ).collect()
+    }
+    assert got.keys() == want.keys()
+    for key, cos in got.items():
+        assert abs(cos - want[key]) < 1e-12, key
+
+
+def test_blocked_topk_more_blocks_than_rows(spark, vectors):
+    """Degenerate tiling (blocks >> rows → most tiles one-sided or
+    empty) must still return the exact top-k."""
+    X, df = vectors
+    small = df.filter(F.col("vec_id") < 6)
+    q = small.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    want = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.brute_force_topk(small, q, k=3).collect()
+    }
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.blocked_topk(
+            small, q, k=3, n_corpus_blocks=16, n_query_blocks=16
+        ).collect()
+    }
+    assert got == want
+
+
+def test_blocked_topk_empty_queries(spark, vectors):
+    X, df = vectors
+    q = df.filter(F.lit(False)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    assert similarity.blocked_topk(df, q, k=3).count() == 0
+
+
+def test_blocked_topk_rejects_string_ids(spark, vectors):
+    X, df = vectors
+    q = df.select(
+        F.col("vec_id").cast("string").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    with pytest.raises(TypeError, match="integer ids"):
+        similarity.blocked_topk(df, q, k=3)
