@@ -966,45 +966,42 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
-    max_hamming: int = 3,
-    base_hash: str = "md5",
+def hamming_chunk_pairs(
+    sigs: DataFrame,
+    sig_bits: int,
+    max_hamming: int,
+    id_col: str = "id",
+    sig_col: str = "sig",
 ) -> DataFrame:
-    """Pairs within a Hamming ball via pigeonhole chunk join: split the
-    signature into max_hamming+1 chunks covering ALL signature bits (the
-    last chunk absorbs the remainder); any pair within distance
-    max_hamming agrees on ≥1 chunk → equi-join per chunk, verify exactly.
-    Full-coverage chunking is what makes the join COMPLETE (recall 1
-    within the Hamming ball) — which is also why a DuckDB oracle can
-    verify the output with a plain all-pairs Hamming filter.
-    """
+    """Pairs within a Hamming ball over ANY integer-signature frame via
+    the pigeonhole chunk join: split the signature into max_hamming+1
+    chunks covering ALL ``sig_bits`` (the last chunk absorbs the
+    remainder); any pair within distance max_hamming agrees on ≥1 chunk
+    → equi-join per chunk, verify exactly. Full-coverage chunking makes
+    the join COMPLETE (recall 1 within the ball), which is what lets a
+    DuckDB oracle verify output with a plain all-pairs Hamming filter.
+
+    This is the signature-agnostic core shared by text SimHash
+    (:func:`simhash_pairs`) and perceptual image hashes
+    (operators/image_dedup.py dHash/pHash) — same join, different
+    fingerprint upstream. ``sigs`` should be cheap to recompute or
+    already materialized; both join sides reference it.
+
+    Output: ``(id_a, id_b, hamming)`` with id_a < id_b, each unordered
+    pair exactly once."""
     k = max_hamming + 1
-    sig_bits = SIMHASH_BITS if base_hash == "md5" else 63
     chunk_bits = sig_bits // k
     # chunk i covers [starts[i], starts[i+1]); last chunk takes remainder
     starts = [i * chunk_bits for i in range(k)] + [sig_bits]
-    docs = shingled_docs(df, id_col, text_col, n)
-    sigs = simhash_signatures(docs, "id", "sh", base_hash)
-    # reused by both chunk-join sides — eager localCheckpoint, not
-    # persist(): computed once, plan truncated, and the executor-side
-    # blocks are released when the frame is garbage-collected. A
-    # persist() here leaks a CacheManager entry per CALL (driver GC
-    # never frees those), which thrashes any long-running caller
-    # invoking dedup repeatedly
-    sigs = materialize_reused(sigs)
     chunked = sigs.select(
-        "id",
-        "sig",
+        F.col(id_col).alias("id"),
+        F.col(sig_col).alias("sig"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk"),
-                        F.shiftrightunsigned("sig", starts[i])
+                        F.shiftrightunsigned(F.col(sig_col), starts[i])
                         .bitwiseAND(F.lit((1 << (starts[i + 1] - starts[i])) - 1))
                         .alias("val"),
                     )
@@ -1035,6 +1032,34 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_hamming: int = 3,
+    base_hash: str = "md5",
+) -> DataFrame:
+    """Text SimHash pairs within a Hamming ball: shingle → signature →
+    the signature-agnostic pigeonhole chunk join
+    (:func:`hamming_chunk_pairs`). Full-coverage chunking is what makes
+    the join COMPLETE (recall 1 within the Hamming ball) — which is also
+    why a DuckDB oracle can verify the output with a plain all-pairs
+    Hamming filter.
+    """
+    sig_bits = SIMHASH_BITS if base_hash == "md5" else 63
+    docs = shingled_docs(df, id_col, text_col, n)
+    sigs = simhash_signatures(docs, "id", "sh", base_hash)
+    # reused by both chunk-join sides — eager localCheckpoint, not
+    # persist(): computed once, plan truncated, and the executor-side
+    # blocks are released when the frame is garbage-collected. A
+    # persist() here leaks a CacheManager entry per CALL (driver GC
+    # never frees those), which thrashes any long-running caller
+    # invoking dedup repeatedly
+    sigs = materialize_reused(sigs)
+    return hamming_chunk_pairs(sigs, sig_bits, max_hamming)
 
 
 # ---------------------------------------------------------------------------

