@@ -1007,17 +1007,32 @@ _IMG_BOTH_DUCK = (
 
 
 def _planted_image_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one documents scan and ONE sha2 raster per doc, exploded into the
+    # (original, mutant) pair — a union of two selects would read the
+    # text column and recompute the raster twice (the same
+    # read-once discipline the r9 domain rollup was pinned to)
     d = T(spark, sf_dir, "documents")
-    orig = d.selectExpr(
-        "doc_id as id",
-        f"encode(concat({_IMG_HDR_SPARK}, {_IMG_RASTER_SPARK}), 'UTF-8') as content",
+    base = d.selectExpr(
+        "doc_id",
+        f"{_IMG_HDR_SPARK} as hdr",
+        f"{_IMG_RASTER_SPARK} as raster",
     )
-    mut = d.selectExpr(
-        "doc_id + 1000000 as id",
-        f"encode(concat({_IMG_HDR_SPARK}, 'z', substring({_IMG_RASTER_SPARK}, 2)),"
-        " 'UTF-8') as content",
-    )
-    return orig.unionByName(mut)
+    return base.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_id").alias("id"),
+                    F.concat("hdr", "raster").alias("s"),
+                ),
+                F.struct(
+                    (F.col("doc_id") + 1000000).alias("id"),
+                    F.concat(
+                        F.col("hdr"), F.lit("z"), F.expr("substring(raster, 2)")
+                    ).alias("s"),
+                ),
+            )
+        ).alias("x")
+    ).select(F.col("x.id").alias("id"), F.encode("x.s", "UTF-8").alias("content"))
 
 
 def _img_gray_duck(div: int) -> str:

@@ -762,3 +762,20 @@ def test_versioning_no_cartesian_two_chunk_passes(spark):
     c = REGISTRY["q_version_churn"].fn(spark, SF_DIR)
     pc = plan_of(c)
     assert "BroadcastNestedLoopJoin" not in pc and "CartesianProduct" not in pc
+
+
+def test_image_corpus_single_documents_scan(spark):
+    """_planted_image_corpus reads documents ONCE and computes one sha2
+    raster per doc, exploding the (original, mutant) pair from it — a
+    union of two selects would scan text and recompute the raster twice
+    (the r9 domain-rollup read-once discipline). Pinned on the
+    signature frame (pre-checkpoint; the full query truncates lineage
+    at materialize_reused)."""
+    from etl_demos_spark.operators.image_dedup import image_signatures
+    from etl_demos_spark.workload_ext import _planted_image_corpus
+
+    sigs = image_signatures(_planted_image_corpus(spark, SF_DIR), "dhash")
+    plan = plan_of(sigs)
+    assert plan.count("Scan parquet") == 1, plan
+    opt = optimized_of(sigs)
+    assert opt.count("sha2") == 1, opt
