@@ -8,13 +8,13 @@ Design (the part that matters at 100 TB):
   ``mapInPandas`` UDFs: one Python worker per partition, zero-copy Arrow
   transfer, batch-shaped (pandas.Series of bytes → pandas.DataFrame).
   Partitioning is preserved; there is no shuffle in the decode path.
-- Decoding is codec-pluggable. Three real, dependency-free decoders ship
-  in-repo — PPM/PGM (P5/P6), uncompressed BMP (24/32-bit), and PNG
-  (stdlib zlib; 8-bit gray/RGB/RGBA, non-interlaced) — dispatched by
-  magic-byte sniffing. Formats needing external codecs (JPEG/video/
-  audio) remain a declared NotImplementedError boundary; plug PIL/ffmpeg
-  there at deployment. A deterministic fake decoder is kept for
-  plumbing-only tests.
+- Decoding is codec-pluggable. Four real, dependency-free decoders ship
+  in-repo — PPM/PGM (P5/P6), uncompressed BMP (24/32-bit), PNG
+  (stdlib zlib; 8-bit gray/RGB/RGBA, non-interlaced), and WAV (RIFF
+  PCM 8/16-bit) — dispatched by magic-byte sniffing. Formats needing
+  external codecs (JPEG/video/compressed audio) remain a declared
+  NotImplementedError boundary; plug PIL/ffmpeg there at deployment. A
+  deterministic fake decoder is kept for plumbing-only tests.
 """
 
 from __future__ import annotations
@@ -371,6 +371,103 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
                         "height": out_h,
                         "mode": mode,
                         "pixels": small.tobytes(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return df.select("id", "content").mapInPandas(run, schema)
+
+
+def decode_wav(buf: bytes):
+    """RIFF/WAVE PCM decoder → (sample_rate, channels, bits, ndarray).
+
+    Dependency-free, like the image codecs: chunk-walks the RIFF
+    container, reads ``fmt `` (PCM only — compressed WAV variants are
+    the declared external-codec boundary, same as JPEG) and ``data``.
+    8-bit PCM is unsigned (centered: sample − 128); 16-bit is signed
+    little-endian. Returns samples shaped (n_frames, channels) int32."""
+    import numpy as np
+
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+        body = buf[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits not in (8, 16):
+        raise NotImplementedError(
+            f"only PCM 8/16-bit WAV supported (format={audio_format}, "
+            f"bits={bits}); plug ffmpeg/soundfile at deployment"
+        )
+    if bits == 8:
+        s = np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128
+    else:
+        n = len(data) - len(data) % 2
+        s = np.frombuffer(data[:n], dtype="<i2").astype(np.int32)
+    frames = len(s) // channels
+    return sample_rate, channels, bits, s[: frames * channels].reshape(
+        frames, channels
+    )
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """Decode→featurize for audio: real WAV parse per payload, exact
+    integer aggregates (peak = max |sample|, sumsq = Σ sample²), one
+    deterministic double at the edge (rms = round(√(sumsq/n), 6) — the
+    image-features sqrt-ulp-guard precedent). duration_ms is integer
+    floor math: n_frames·1000 // rate. Same mapInPandas shape as the
+    image passes: no shuffle, bytes never leave the executor."""
+    import math
+
+    from pyspark.sql.types import DoubleType
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("sample_rate", IntegerType()),
+            StructField("channels", IntegerType()),
+            StructField("bits", IntegerType()),
+            StructField("n_frames", LongType()),
+            StructField("duration_ms", LongType()),
+            StructField("peak", LongType()),
+            StructField("sumsq", LongType()),
+            StructField("rms", DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for id_, content in zip(pdf["id"], pdf["content"]):
+                rate, ch, bits, s = decode_wav(bytes(content))
+                n_frames = s.shape[0]
+                n = n_frames * ch
+                sumsq = int((s.astype("int64") ** 2).sum()) if n else 0
+                peak = int(abs(s).max()) if n else 0
+                rms = round(math.sqrt(sumsq / n), 6) if n else 0.0
+                rows.append(
+                    {
+                        "id": int(id_),
+                        "sample_rate": rate,
+                        "channels": ch,
+                        "bits": bits,
+                        "n_frames": n_frames,
+                        "duration_ms": n_frames * 1000 // rate,
+                        "peak": peak,
+                        "sumsq": sumsq,
+                        "rms": rms,
                     }
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])

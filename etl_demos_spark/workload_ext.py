@@ -1180,6 +1180,140 @@ def q_dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Planted WAV corpus: even docs 8-bit mono @8 kHz, odd docs 16-bit
+# stereo @16 kHz; PCM payload = the doc's sha256-hex chars (ASCII
+# 48-102, so 16-bit LE pairs stay positive and every sample value is
+# reconstructible in SQL via ascii(substr(...))). Payload length L =
+# 64 + (doc_id % 16) * 4 — multiple of 4, so stereo-16 frames divide
+# exactly. The RIFF container is assembled by a tiny Arrow-batch
+# builder (test scaffolding); the OPERATOR does a real header parse, so
+# the driver hash certifies the codec, not the plumbing — the
+# q_multimodal_decode pattern, now for audio.
+_WAV_LEN_SQL = "64 + (doc_id % 16) * 4"
+_WAV_RASTER_SPARK = (
+    "substring(repeat(sha2(encode(text, 'UTF-8'), 256), 2), 1, "
+    f"cast({_WAV_LEN_SQL} as int))"
+)
+
+
+def _planted_audio_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import struct
+
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    base = d.selectExpr("doc_id", f"{_WAV_RASTER_SPARK} as raster")
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("content", BinaryType())]
+    )
+
+    def build(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id, raster in zip(pdf["doc_id"], pdf["raster"]):
+                payload = raster.encode("ascii")
+                if doc_id % 2 == 0:
+                    rate, ch, bits = 8000, 1, 8
+                else:
+                    rate, ch, bits = 16000, 2, 16
+                block = ch * bits // 8
+                fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * block, block, bits)
+                chunks = (
+                    b"fmt "
+                    + struct.pack("<I", len(fmt))
+                    + fmt
+                    + b"data"
+                    + struct.pack("<I", len(payload))
+                    + payload
+                )
+                ids.append(int(doc_id))
+                blobs.append(b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks)
+            import pandas as pd
+
+            yield pd.DataFrame({"id": ids, "content": blobs})
+
+    return base.mapInPandas(build, schema)
+
+
+_AUDIO_FEATURES_ORACLE = f"""
+    WITH wav AS (
+        SELECT doc_id AS id,
+               CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS sample_rate,
+               CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS channels,
+               CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS bits,
+               CAST({_WAV_LEN_SQL} AS INT) AS len,
+               substr(repeat(sha256(text), 2), 1, CAST({_WAV_LEN_SQL} AS INT))
+                   AS raster
+        FROM documents
+    ),
+    samples AS (
+        -- 8-bit: one unsigned byte per sample, centered (-128);
+        -- 16-bit LE pairs of hex chars are always positive (< 32768)
+        SELECT w.id,
+               CASE WHEN w.bits = 8
+                    THEN ascii(substr(w.raster, t.i + 1, 1)) - 128
+                    ELSE ascii(substr(w.raster, t.i * 2 + 1, 1))
+                         + 256 * ascii(substr(w.raster, t.i * 2 + 2, 1))
+               END AS s
+        FROM wav w, range(124) t(i)
+        WHERE t.i < CASE WHEN w.bits = 8 THEN w.len ELSE w.len // 2 END
+    ),
+    agg AS (
+        SELECT id,
+               CAST(MAX(abs(s)) AS BIGINT) AS peak,
+               CAST(SUM(s * s) AS BIGINT) AS sumsq,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM samples GROUP BY id
+    )
+    SELECT w.id, w.sample_rate, w.channels, w.bits,
+           CAST(CASE WHEN w.bits = 8 THEN w.len
+                     ELSE w.len // 4 END AS BIGINT) AS n_frames,
+           CAST((CASE WHEN w.bits = 8 THEN w.len ELSE w.len // 4 END)
+                * 1000 // w.sample_rate AS BIGINT) AS duration_ms,
+           a.peak, a.sumsq,
+           round(sqrt(CAST(a.sumsq AS DOUBLE) / a.n), 6) AS rms
+    FROM wav w JOIN agg a ON w.id = a.id
+    """
+
+
+@workload(
+    "q_audio_features",
+    oracle=_AUDIO_FEATURES_ORACLE,
+    tags=("ext-multimodal",),
+)
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode→featurize (operators/multimodal.py decode_wav +
+    audio_features): real RIFF/WAVE PCM header parse (8-bit unsigned
+    mono and 16-bit signed-LE stereo variants both planted), exact
+    integer aggregates (peak, Σ sample²), integer-floor duration, one
+    deterministic double at the edge (rms, sqrt-ulp-guarded by round —
+    the image-features precedent). The oracle recomputes every sample
+    from the planted definition via ascii(substr(...)), so the driver
+    hash certifies the CODEC (chunk walk, fmt parse, sample decode) —
+    the q_multimodal_decode pattern extended to the audio modality.
+    Registered _LATE r10; seats at r12 per _SEAT_PLAN."""
+    from etl_demos_spark.operators.multimodal import audio_features
+
+    feats = audio_features(_planted_audio_corpus(spark, sf_dir))
+    return feats.select(
+        "id",
+        F.col("sample_rate").cast("int").alias("sample_rate"),
+        F.col("channels").cast("int").alias("channels"),
+        F.col("bits").cast("int").alias("bits"),
+        "n_frames",
+        "duration_ms",
+        "peak",
+        "sumsq",
+        "rms",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Event-time windows (streaming surface, batch-checkable analogs)
 # ---------------------------------------------------------------------------

@@ -191,3 +191,96 @@ def test_resize_nearest_neighbor_matches_numpy(spark):
     np.testing.assert_array_equal(
         np.frombuffer(bytes(out["pixels"]), dtype=np.uint8).reshape(5, 4, 3), expect
     )
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF PCM) decoder
+# ---------------------------------------------------------------------------
+
+
+def _wav(payload: bytes, rate=8000, ch=1, bits=8, extra_chunk=False) -> bytes:
+    import struct
+
+    block = ch * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * block, block, bits)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if extra_chunk:  # decoders must chunk-walk, not assume layout
+        chunks += b"LIST" + struct.pack("<I", 5) + b"junk!" + b"\x00"
+    chunks += b"data" + struct.pack("<I", len(payload)) + payload
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_wav_8bit_mono_roundtrip():
+    import numpy as np
+
+    from etl_demos_spark.operators.multimodal import decode_wav
+
+    payload = bytes(range(200, 210)) + bytes(range(0, 10))
+    rate, ch, bits, s = decode_wav(_wav(payload, rate=44100))
+    assert (rate, ch, bits) == (44100, 1, 8)
+    assert s.shape == (20, 1)
+    want = np.array(list(payload), dtype=np.int32) - 128
+    assert (s[:, 0] == want).all()
+
+
+def test_wav_16bit_stereo_roundtrip_and_sign():
+    import struct
+
+    from etl_demos_spark.operators.multimodal import decode_wav
+
+    vals = [0, 1, -1, 32767, -32768, 1000, -1000, 12345]
+    payload = b"".join(struct.pack("<h", v) for v in vals)
+    rate, ch, bits, s = decode_wav(_wav(payload, rate=16000, ch=2, bits=16))
+    assert (rate, ch, bits) == (16000, 2, 16)
+    assert s.shape == (4, 2)
+    assert s.ravel().tolist() == vals
+
+
+def test_wav_chunk_walk_skips_unknown_chunks():
+    from etl_demos_spark.operators.multimodal import decode_wav
+
+    payload = bytes([128, 129, 130, 131])
+    _, _, _, s = decode_wav(_wav(payload, extra_chunk=True))
+    assert s[:, 0].tolist() == [0, 1, 2, 3]
+
+
+def test_wav_rejects_non_riff_and_compressed():
+    import struct
+
+    import pytest
+
+    from etl_demos_spark.operators.multimodal import decode_wav
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"OggS" + b"\x00" * 40)
+    # audio_format=2 (ADPCM) is the declared external-codec boundary
+    fmt = struct.pack("<HHIIHH", 2, 1, 8000, 8000, 1, 8)
+    buf = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", 0)
+    )
+    with pytest.raises(NotImplementedError, match="PCM"):
+        decode_wav(buf)
+
+
+def test_audio_features_exact_integers(spark):
+    """Hand-checkable: 4 samples of 8-bit PCM [138, 118, 128, 228] →
+    centered [10, -10, 0, 100]: peak 100, sumsq 10200, rms
+    √(10200/4) = √2550."""
+    import math
+
+    from etl_demos_spark.operators.multimodal import audio_features
+
+    buf = _wav(bytes([138, 118, 128, 228]), rate=8000)
+    df = spark.createDataFrame([(7, buf)], "id long, content binary")
+    r = audio_features(df).collect()[0]
+    assert (r["sample_rate"], r["channels"], r["bits"]) == (8000, 1, 8)
+    assert r["n_frames"] == 4 and r["duration_ms"] == 0
+    assert r["peak"] == 100 and r["sumsq"] == 10200
+    assert r["rms"] == round(math.sqrt(2550.0), 6)
