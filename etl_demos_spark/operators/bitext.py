@@ -34,9 +34,11 @@ end-to-end.
 Scale: the tiled k-NN is exact but O(|src|·|tgt|·d) flops spread over
 the tile grid — bounded memory everywhere, quadratic compute. At web
 scale the same margin arithmetic runs unchanged on top of an ANN
-candidate set — swap blocked_topk for the LSH/IVF paths in
-operators/similarity.py, which trade recall for flops upstream of the
-margin filter.
+candidate set: ``mine_bitext(..., knn="lsh", planes=...)`` routes both
+directions through the non-broadcast LSH candidate join
+(ann_topk_lsh(broadcast_queries=False)), trading recall for flops
+upstream of the margin filter. The registered/certified query stays on
+the exact blocked form.
 
 No analogue in the reference repo (rytakahas/etl-demos) — part of the
 LLM-training-data extension surface.
@@ -47,7 +49,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from etl_demos_spark.operators.similarity import blocked_topk
+from etl_demos_spark.operators.similarity import ann_topk_lsh, blocked_topk
 
 # cosine quantization scale: 1e-6 units (the ANN family's certified
 # rounding grain — q_ann_cosine pins GEMM vs DuckDB agreement at 1e-6)
@@ -61,17 +63,29 @@ def _knn_quantized(
     id_col: str,
     vec_col: str,
     q_id_col: str,
+    knn: str = "blocked",
+    planes=None,
 ) -> DataFrame:
     """Top-k neighbors with cosine quantized to exact 1e-6 BIGINT units:
     (q_id_col, id_col, cq). Both sides corpus-sized → the tiled
-    two-sided k-NN; no driver collect anywhere in the mine."""
-    topk = blocked_topk(
-        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")),
-        queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
-        ),
-        k=k,
+    two-sided k-NN (``knn="blocked"``, exact) or the LSH candidate
+    route (``knn="lsh"``, recall < 1, flops ∝ bucket collisions instead
+    of |src|·|tgt|) — either way, no driver collect and no broadcast of
+    a corpus-sized side anywhere in the mine."""
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
     )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    if knn == "blocked":
+        topk = blocked_topk(c, q, k=k)
+    elif knn == "lsh":
+        if planes is None:
+            raise ValueError("knn='lsh' requires planes (random hyperplanes)")
+        topk = ann_topk_lsh(c, q, planes, k=k, broadcast_queries=False)
+    else:
+        raise ValueError(f"unknown knn route {knn!r}: blocked|lsh")
     return topk.select(
         F.col("query_id").alias(q_id_col),
         F.col("vec_id").alias(id_col),
@@ -86,8 +100,18 @@ def mine_bitext(
     vec_col: str = "embedding",
     k: int = 4,
     threshold: float = 1.0,
+    knn: str = "blocked",
+    planes=None,
 ) -> DataFrame:
     """Mine aligned pairs between two embedding corpora.
+
+    ``knn`` picks the candidate substrate: ``"blocked"`` (default) is
+    the exact tiled two-sided k-NN — quadratic flops, bounded memory —
+    and the hash-certified form; ``"lsh"`` routes both directions
+    through the bucketed candidate join (``planes`` required; recall
+    < 1, cost ∝ bucket collisions) while the margin arithmetic runs
+    unchanged on top — the web-scale trade documented in the module
+    header, now a parameter rather than a prose promise.
 
     Candidates are the union of both k-NN directions; each candidate's
     ratio margin divides its quantized cosine by the mean of the two
@@ -104,10 +128,10 @@ def mine_bitext(
     required (the sides are separate frames). Sides smaller than ``k``
     use their true neighbor count in the average — the estimator
     degrades gracefully instead of dividing by a padded k."""
-    fwd = _knn_quantized(tgt, src, k, id_col, vec_col, "src_id").select(
+    fwd = _knn_quantized(tgt, src, k, id_col, vec_col, "src_id", knn, planes).select(
         "src_id", F.col(id_col).alias("tgt_id"), "cq"
     )
-    bwd = _knn_quantized(src, tgt, k, id_col, vec_col, "tgt_id").select(
+    bwd = _knn_quantized(src, tgt, k, id_col, vec_col, "tgt_id", knn, planes).select(
         F.col(id_col).alias("src_id"), "tgt_id", "cq"
     )
     # per-side k-NN averages as exact integer sums + counts

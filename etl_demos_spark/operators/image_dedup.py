@@ -175,3 +175,35 @@ def image_near_dup_pairs(
     # (same eager-materialize rationale as simhash_pairs)
     sigs = materialize_reused(sigs)
     return hamming_chunk_pairs(sigs, sig_bits, max_hamming)
+
+
+def dedup_by_image_hash(
+    df: DataFrame,
+    algo: str = "dhash",
+    max_hamming: int = 4,
+    id_col: str = "id",
+    content_col: str = "content",
+    prefer=None,
+) -> DataFrame:
+    """End-to-end perceptual image dedup: Hamming-ball pairs →
+    connected components → keep one representative per cluster — the
+    dedup_by_minhash / dedup_by_embedding composition with the
+    perceptual-hash candidate graph. Transitive near-dup chains
+    collapse to ONE survivor (pairwise filtering keeps A and C when
+    A~B~C but A≁C).
+
+    ``prefer=None`` keeps the min-id member (free — it IS the
+    component label); a ``prefer`` column expression keeps the
+    highest-scoring member instead (e.g. largest n_bytes = best
+    resolution copy)."""
+    from etl_demos_spark.operators.dedup import keep_best_per_cluster
+    from etl_demos_spark.operators.embedding_dedup import connected_components
+
+    pairs = image_near_dup_pairs(df, algo, max_hamming, id_col, content_col)
+    comps = connected_components(pairs)
+    if prefer is None:
+        losers = comps.filter(F.col("node") != F.col("comp")).select(
+            F.col("node").alias(id_col)
+        )
+        return df.join(losers, id_col, "left_anti")
+    return keep_best_per_cluster(df, comps, id_col, prefer)

@@ -348,6 +348,7 @@ def ann_topk_lsh(
     q_vec_col: str = "query_vec",
     multiprobe: int = 0,
     bucket_method: str = "gemm",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k: exact cosine only within matching LSH buckets.
     Recall < 1 by construction; raise the plane count for precision, or
@@ -357,14 +358,23 @@ def ann_topk_lsh(
 
     ``bucket_method="gemm"`` (default) assigns corpus buckets with the
     vectorized numpy pass (rp_lsh_buckets_gemm) — the corpus-scale path;
-    queries always use the expression form (tiny, broadcast). The
-    interpreted expression form (``"expr"``) is kept as the oracle
-    cross-check; both pinned identical in tests/test_similarity.py."""
+    broadcast queries use the expression form (tiny). The interpreted
+    expression form (``"expr"``) is kept as the oracle cross-check; both
+    pinned identical in tests/test_similarity.py.
+
+    ``broadcast_queries=False`` is the TWO-CORPUS form (bitext mining,
+    all-to-all retrieval): the query side is gemm-bucketed like the
+    corpus and the candidate join is a plain shuffle join on bucket —
+    nothing broadcast, nothing collected; AQE's skew split handles hot
+    buckets. Output is identical to the broadcast form (pinned)."""
     if bucket_method == "gemm":
         c = rp_lsh_buckets_gemm(corpus, planes, vec_col)
     else:
         c = corpus.withColumn("bucket", rp_lsh_buckets(planes, vec_col))
-    q = queries.withColumn("bucket", rp_lsh_buckets(planes, q_vec_col))
+    if broadcast_queries:
+        q = queries.withColumn("bucket", rp_lsh_buckets(planes, q_vec_col))
+    else:
+        q = rp_lsh_buckets_gemm(queries, planes, q_vec_col)
     if multiprobe > 0:
         probes = F.array_distinct(
             F.array(
@@ -376,7 +386,7 @@ def ann_topk_lsh(
             )
         )
         q = q.withColumn("bucket", F.explode(probes))
-    cand = c.join(F.broadcast(q), "bucket")
+    cand = c.join(F.broadcast(q) if broadcast_queries else q, "bucket")
     scored = cand.select(
         F.col(q_id_col),
         F.col(id_col),

@@ -92,3 +92,54 @@ def test_mine_bitext_matches_numpy_reference(spark):
     srcs = [i for i, _ in got]
     tgts = [j for _, j in got]
     assert len(srcs) == len(set(srcs)) and len(tgts) == len(set(tgts))
+
+
+def test_mine_bitext_lsh_route_recovers_planted_pairs(spark):
+    """knn='lsh' runs the identical margin arithmetic over bucketed
+    candidates: deterministic given the planes, no broadcast of either
+    corpus-sized side, and with a reasonable signature it still
+    recovers most planted translation pairs."""
+    rng = np.random.default_rng(11)
+    S = rng.normal(size=(24, 16)).astype(np.float32)
+    T = np.vstack(
+        [
+            S[:12] + rng.normal(scale=0.05, size=(12, 16)).astype(np.float32),
+            rng.normal(size=(12, 16)).astype(np.float32),
+        ]
+    ).astype(np.float32)
+    src = spark.createDataFrame(
+        [(i, S[i].tolist()) for i in range(len(S))],
+        "vec_id long, embedding array<float>",
+    )
+    tgt = spark.createDataFrame(
+        [(j, T[j].tolist()) for j in range(len(T))],
+        "vec_id long, embedding array<float>",
+    )
+    planes = np.random.default_rng(0).normal(size=(8, 16)).tolist()
+    got = {
+        (r["src_id"], r["tgt_id"])
+        for r in mine_bitext(
+            src, tgt, k=K, threshold=THRESH, knn="lsh", planes=planes
+        ).collect()
+    }
+    again = {
+        (r["src_id"], r["tgt_id"])
+        for r in mine_bitext(
+            src, tgt, k=K, threshold=THRESH, knn="lsh", planes=planes
+        ).collect()
+    }
+    assert got == again  # deterministic given planes
+    planted = sum(1 for (i, j) in got if i == j and j < 12)
+    assert planted >= 7, (planted, sorted(got))
+
+
+def test_mine_bitext_lsh_requires_planes(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="requires planes"):
+        mine_bitext(df, df, knn="lsh").collect()
+    with pytest.raises(ValueError, match="unknown knn route"):
+        mine_bitext(df, df, knn="ivf").collect()

@@ -155,3 +155,39 @@ def test_dhash_works_on_png_and_bmp_decoders():
     assert idp.dhash_int(decode_image(ppm)[3]) == idp.dhash_int(
         decode_image(png)[3]
     )
+
+
+def test_dedup_by_image_hash_collapses_transitive_chains(spark):
+    """A ~ B ~ C with A≁C must still collapse to one survivor: the
+    candidate graph goes through connected components, not pairwise
+    filtering. Chain built from three images that differ by one raster
+    byte each (dhash distance ≤ 2 per hop)."""
+    rng = np.random.default_rng(9)
+    a = _ppm(12, 8, rng)
+    b = _mutate(a)
+    c = _mutate(b)  # same position mutated twice -> differs from a too
+    # make c differ from b at a DIFFERENT raster position
+    idx = -1
+    for _ in range(3):
+        idx = c.index(b"\n", idx + 1)
+    body = bytearray(b)
+    body[idx + 5] = (body[idx + 5] + 128) % 256
+    c = bytes(body)
+    unrelated = _ppm(12, 8, rng)
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (4, unrelated)], "id long, content binary"
+    )
+    kept = sorted(
+        r["id"] for r in idp.dedup_by_image_hash(df, "dhash", max_hamming=4).collect()
+    )
+    assert kept == [1, 4]
+    # prefer: keep the largest id instead of the min-id representative
+    import pyspark.sql.functions as F
+
+    kept_pref = sorted(
+        r["id"]
+        for r in idp.dedup_by_image_hash(
+            df, "dhash", max_hamming=4, prefer=F.col("id")
+        ).collect()
+    )
+    assert kept_pref == [3, 4]

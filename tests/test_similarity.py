@@ -422,3 +422,28 @@ def test_blocked_topk_rejects_string_ids(spark, vectors):
     )
     with pytest.raises(TypeError, match="integer ids"):
         similarity.blocked_topk(df, q, k=3)
+
+
+def test_ann_lsh_nonbroadcast_matches_broadcast_form(spark, vectors):
+    """broadcast_queries=False (the two-corpus route) is output-identical
+    to the broadcast form — only the join strategy and the query-side
+    bucket assignment (gemm vs expression) differ, and those are pinned
+    equal elsewhere."""
+    import numpy as np
+
+    X, df = vectors
+    planes = np.random.default_rng(2).normal(size=(10, 16)).tolist()
+    q = df.filter(F.col("vec_id") % 7 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    a = {
+        (r["query_id"], r["vec_id"], round(r["cos_sim"], 9))
+        for r in similarity.ann_topk_lsh(df, q, planes, k=5).collect()
+    }
+    b = {
+        (r["query_id"], r["vec_id"], round(r["cos_sim"], 9))
+        for r in similarity.ann_topk_lsh(
+            df, q, planes, k=5, broadcast_queries=False
+        ).collect()
+    }
+    assert a == b
