@@ -966,6 +966,51 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def hamming_chunk_keys(
+    sigs: DataFrame,
+    sig_bits: int,
+    max_hamming: int,
+    id_col: str = "id",
+    sig_col: str = "sig",
+) -> DataFrame:
+    """Pigeonhole chunk keys for a signature frame: max_hamming+1
+    chunks covering ALL ``sig_bits`` (last chunk absorbs the
+    remainder) → one (id, sig, chunk, val) row per chunk. Any pair
+    within Hamming distance max_hamming shares ≥1 (chunk, val) key —
+    the banded probe surface for both the batch self-join
+    (:func:`hamming_chunk_pairs`) and the incremental store probe
+    (image_dedup.incremental_image_dedup), where only these small keys
+    ship, never payloads."""
+    k = max_hamming + 1
+    chunk_bits = sig_bits // k
+    # chunk i covers [starts[i], starts[i+1]); last chunk takes remainder
+    starts = [i * chunk_bits for i in range(k)] + [sig_bits]
+
+    def mask(width: int) -> int:
+        # a full-64-bit chunk's mask is all-ones = -1 in two's
+        # complement; (1<<64)-1 overflows the signed long literal
+        m = (1 << width) - 1
+        return m - (1 << 64) if m > 0x7FFFFFFFFFFFFFFF else m
+
+    return sigs.select(
+        F.col(id_col).alias("id"),
+        F.col(sig_col).alias("sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftrightunsigned(F.col(sig_col), starts[i])
+                        .bitwiseAND(F.lit(mask(starts[i + 1] - starts[i])))
+                        .alias("val"),
+                    )
+                    for i in range(k)
+                ]
+            )
+        ).alias("ck"),
+    ).select("id", "sig", F.col("ck.chunk").alias("chunk"), F.col("ck.val").alias("val"))
+
+
 def hamming_chunk_pairs(
     sigs: DataFrame,
     sig_bits: int,
@@ -989,27 +1034,7 @@ def hamming_chunk_pairs(
 
     Output: ``(id_a, id_b, hamming)`` with id_a < id_b, each unordered
     pair exactly once."""
-    k = max_hamming + 1
-    chunk_bits = sig_bits // k
-    # chunk i covers [starts[i], starts[i+1]); last chunk takes remainder
-    starts = [i * chunk_bits for i in range(k)] + [sig_bits]
-    chunked = sigs.select(
-        F.col(id_col).alias("id"),
-        F.col(sig_col).alias("sig"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("chunk"),
-                        F.shiftrightunsigned(F.col(sig_col), starts[i])
-                        .bitwiseAND(F.lit((1 << (starts[i + 1] - starts[i])) - 1))
-                        .alias("val"),
-                    )
-                    for i in range(k)
-                ]
-            )
-        ).alias("ck"),
-    ).select("id", "sig", F.col("ck.chunk").alias("chunk"), F.col("ck.val").alias("val"))
+    chunked = hamming_chunk_keys(sigs, sig_bits, max_hamming, id_col, sig_col)
     right = chunked.select(
         F.col("id").alias("id2"), F.col("sig").alias("sig2"), "chunk", "val"
     )

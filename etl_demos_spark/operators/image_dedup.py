@@ -207,3 +207,77 @@ def dedup_by_image_hash(
         )
         return df.join(losers, id_col, "left_anti")
     return keep_best_per_cluster(df, comps, id_col, prefer)
+
+
+def incremental_image_dedup(
+    new_df: DataFrame,
+    existing_sigs: DataFrame | None,
+    algo: str = "dhash",
+    max_hamming: int = 0,
+    id_col: str = "id",
+    content_col: str = "content",
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a NEW image batch against itself AND a persisted signature
+    store — the daily-increment form of the perceptual family
+    (incremental_minhash_dedup's shape at the pixel granularity): the
+    existing corpus is never re-decoded; per increment the work is one
+    decode pass over the batch plus banded key collisions. Only the
+    8-byte signatures and their chunk keys ever ship — payload bytes
+    stay where they were decoded.
+
+    Policy is **first-seen wins**: a new image within ``max_hamming``
+    of the store is dropped; within the batch, clusters keep their
+    min id. At ``max_hamming=0`` (exact perceptual match — identical
+    signature) the relation is transitive, so repeated application
+    over increments equals one global min-per-signature pass — the
+    replay identity the registered query certifies. At radius > 0 the
+    ball is not transitive and replay equality holds only for
+    transitivity-free duplicate sets (the same scoping as the MinHash
+    incremental, documented there).
+
+    Returns ``(kept_new_ids, updated_sigs)``: surviving new ids (one
+    column, ``id_col``) and the (id, sig) store for the next increment
+    (existing ∪ survivors)."""
+    from etl_demos_spark.operators.dedup import (
+        hamming_chunk_keys,
+        hamming_chunk_pairs,
+    )
+    from etl_demos_spark.operators.embedding_dedup import connected_components
+
+    sig_bits = DHASH_BITS if algo == "dhash" else PHASH_BITS
+    new_sigs = image_signatures(new_df, algo, id_col, content_col)
+    # referenced by the store probe, the self-join and the survivor
+    # anti-join: decode once, truncate the plan (the simhash_pairs /
+    # incremental_minhash eager-checkpoint discipline)
+    new_sigs = materialize_reused(new_sigs)
+
+    if existing_sigs is not None:
+        ex_keys = hamming_chunk_keys(
+            existing_sigs.select("id", "sig"), sig_bits, max_hamming
+        ).select(F.col("id").alias("id2"), F.col("sig").alias("sig2"), "chunk", "val")
+        new_keys = hamming_chunk_keys(new_sigs, sig_bits, max_hamming)
+        from etl_demos_spark.operators.dedup import hamming64
+
+        matched = (
+            new_keys.join(ex_keys, ["chunk", "val"])
+            .filter(hamming64(F.col("sig"), F.col("sig2")) <= max_hamming)
+            .select("id")
+            .distinct()
+        )
+        fresh = new_sigs.join(matched, "id", "left_anti")
+        fresh = materialize_reused(fresh)
+    else:
+        fresh = new_sigs
+
+    pairs = hamming_chunk_pairs(fresh, sig_bits, max_hamming)
+    comps = connected_components(pairs)
+    losers = comps.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias("id")
+    )
+    kept = fresh.join(losers, "id", "left_anti")
+    updated = (
+        kept.select("id", "sig")
+        if existing_sigs is None
+        else existing_sigs.select("id", "sig").unionByName(kept.select("id", "sig"))
+    )
+    return kept.select(F.col("id").alias(id_col)), updated

@@ -1049,14 +1049,13 @@ def _img_gray_duck(div: int) -> str:
                END"""
 
 
-def _dhash_pairs_sql(max_hamming: int = 10) -> str:
-    # The chunk join is complete within the Hamming ball (full bit
-    # coverage), so the oracle is the plain all-pairs filter — same
-    # contract the SimHash oracle certifies. Bit 63 can't be built with
-    # 1<<63 (BIGINT overflow in both engines' literal rules); it lands
-    # via two's-complement subtraction.
-    return f"""
-    WITH {_IMG_BOTH_DUCK},
+def _dhash_sigs_cte() -> str:
+    """CTE chain ``imgs → grid → bits → sigs``: the full dHash-64
+    rebuild in SQL, shared by the pairs oracle and the incremental
+    replay oracle so the signature rule cannot fork. Bit 63 can't be
+    built with 1<<63 (BIGINT overflow in both engines' literal rules);
+    it lands via two's-complement subtraction."""
+    return f"""{_IMG_BOTH_DUCK},
     grid AS (
         SELECT i.id, t1.r, t2.c, {_img_gray_duck(9)} AS g
         FROM imgs i, range(8) t1(r), range(9) t2(c)
@@ -1076,7 +1075,15 @@ def _dhash_pairs_sql(max_hamming: int = 10) -> str:
                       THEN (-9223372036854775807 - 1)::BIGINT
                       ELSE 0::BIGINT END AS sig
         FROM bits GROUP BY id
-    )
+    )"""
+
+
+def _dhash_pairs_sql(max_hamming: int = 10) -> str:
+    # The chunk join is complete within the Hamming ball (full bit
+    # coverage), so the oracle is the plain all-pairs filter — same
+    # contract the SimHash oracle certifies.
+    return f"""
+    WITH {_dhash_sigs_cte()}
     SELECT a.id AS id_a, b.id AS id_b,
            CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
     FROM sigs a JOIN sigs b ON a.id < b.id
@@ -1178,6 +1185,55 @@ def q_dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_near_dup_pairs(
         _planted_image_corpus(spark, sf_dir), "phash", max_hamming=6
     )
+
+
+_IMG_INCR_ORACLE = f"""
+    WITH {_dhash_sigs_cte()}
+    SELECT id FROM (
+        SELECT id,
+               row_number() OVER (PARTITION BY sig ORDER BY id % 3, id) AS rn
+        FROM sigs
+    ) WHERE rn = 1
+    """
+
+
+@workload(
+    "q_dedup_image_incremental",
+    oracle=_IMG_INCR_ORACLE,
+    tags=("ext-multimodal", "ext-dedup"),
+)
+def q_dedup_image_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental perceptual dedup replay certification
+    (operators/image_dedup.py incremental_image_dedup): the planted
+    image corpus split into three increments (id % 3, processed in
+    order), each batch deduped against itself AND the persisted
+    signature store from the previous increments — the existing corpus
+    is never re-decoded, only 8-byte signatures and their banded chunk
+    keys ship. At max_hamming=0 the match relation (identical dHash)
+    is transitive, so the sequential replay must equal one global
+    first-seen-wins pass — which the oracle states directly: the
+    winner per signature is the member first in processing order
+    (ORDER BY id % 3, id). Registered _LATE r10; seats at r12 per
+    _SEAT_PLAN."""
+    from etl_demos_spark.operators.dedup import materialize_reused
+    from etl_demos_spark.operators.image_dedup import incremental_image_dedup
+
+    corpus = _planted_image_corpus(spark, sf_dir)
+    store = None
+    kept_frames = []
+    for m in range(3):
+        inc = corpus.filter(F.col("id") % 3 == m)
+        kept, store = incremental_image_dedup(inc, store, "dhash", max_hamming=0)
+        # the kept frame feeds BOTH the store for the next increment and
+        # the final union; the store is re-probed next round — freeze
+        # both so increment m+1 never recomputes increment m's pipeline
+        kept = materialize_reused(kept)
+        store = materialize_reused(store)
+        kept_frames.append(kept)
+    out = kept_frames[0]
+    for f in kept_frames[1:]:
+        out = out.unionByName(f)
+    return out
 
 
 # Planted WAV corpus: even docs 8-bit mono @8 kHz, odd docs 16-bit

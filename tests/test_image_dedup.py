@@ -191,3 +191,63 @@ def test_dedup_by_image_hash_collapses_transitive_chains(spark):
         ).collect()
     )
     assert kept_pref == [3, 4]
+
+
+def test_incremental_image_dedup_matches_sequential_reference(spark):
+    """Three increments against a growing store must equal a sequential
+    one-at-a-time first-seen-wins replay (python reference), at radius
+    0 (transitive) AND at radius 4 on a chain-free corpus."""
+    rng = np.random.default_rng(12)
+    imgs = []
+    for i in range(12):
+        buf = _ppm(10, 8, rng)
+        imgs.append((i, buf))
+        imgs.append((i + 100, _mutate(buf)))       # near-dup of i
+        imgs.append((i + 200, buf))                # exact clone of i
+    all_sigs = {
+        r["id"]: r["sig"]
+        for r in idp.image_signatures(
+            spark.createDataFrame(imgs, "id long, content binary"), "dhash"
+        ).collect()
+    }
+
+    for radius in (0, 4):
+        df = spark.createDataFrame(imgs, "id long, content binary")
+        store, kept_all = None, []
+        for m in range(3):
+            inc = df.filter((df.id % 3) == m)
+            kept, store = idp.incremental_image_dedup(
+                inc, store, "dhash", max_hamming=radius
+            )
+            from etl_demos_spark.operators.dedup import materialize_reused
+
+            kept = materialize_reused(kept)
+            store = materialize_reused(store)
+            kept_all += [r["id"] for r in kept.collect()]
+
+        # python reference: process ids in (id%3, id) order one at a time
+        def ham(a, b):
+            return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+        ref_kept = []
+        batch_events = sorted(all_sigs, key=lambda i: (i % 3, i))
+        # within a batch the operator keeps min-id per connected
+        # component; on this corpus components are cliques (exact
+        # clones / single-hop mutants), so one-at-a-time == min-id
+        for i in batch_events:
+            if all(ham(all_sigs[i], all_sigs[j]) > radius for j in ref_kept):
+                ref_kept.append(i)
+        assert sorted(kept_all) == sorted(ref_kept), (radius, sorted(kept_all))
+
+
+def test_hamming_chunk_keys_full_width_mask(spark):
+    """max_hamming=0 puts all 64 bits in one chunk: the all-ones mask
+    must be the two's-complement -1, not the overflowing (1<<64)-1
+    literal (regression: Py4J NumberFormatException)."""
+    from etl_demos_spark.operators.dedup import hamming_chunk_keys
+
+    sigs = spark.createDataFrame(
+        [(1, -5), (2, -5), (3, 7)], "id long, sig long"
+    )
+    rows = hamming_chunk_keys(sigs, 64, 0).collect()
+    assert {(r["id"], r["val"]) for r in rows} == {(1, -5), (2, -5), (3, 7)}
