@@ -475,6 +475,89 @@ def audio_features(df: DataFrame) -> DataFrame:
     return df.select("id", "content").mapInPandas(run, schema)
 
 
+def decode_avi(buf: bytes) -> dict:
+    """AVI (RIFF) container metadata decoder — real nested chunk walk,
+    no frame decode: RIFF/'AVI ' → LIST hdrl → avih (usec_per_frame,
+    total_frames, width, height, n_streams) and LIST movi → per-frame
+    chunk census (count + payload bytes for ##dc/##db/##wb chunks).
+    Frame PAYLOADS (usually MJPEG/codec data) stay the declared
+    external-codec boundary — this parses the container, which is what
+    a frame-sampling plan needs (replaces make_video_table's
+    n_frames-as-a-column crutch with parsed truth)."""
+
+    def le32(b: bytes) -> int:
+        return int.from_bytes(b, "little")
+
+    if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+
+    def walk(pos: int, end: int):
+        while pos + 8 <= end:
+            cid = buf[pos : pos + 4]
+            size = le32(buf[pos + 4 : pos + 8])
+            yield cid, pos + 8, size
+            pos += 8 + size + (size & 1)  # word-aligned
+
+    avih = None
+    movi_frames = 0
+    movi_bytes = 0
+    for cid, p, size in walk(12, len(buf)):
+        if cid != b"LIST":
+            continue
+        ltype = buf[p : p + 4]
+        if ltype == b"hdrl":
+            for cid2, p2, size2 in walk(p + 4, p + size):
+                if cid2 == b"avih":
+                    avih = buf[p2 : p2 + size2]
+        elif ltype == b"movi":
+            for cid2, p2, size2 in walk(p + 4, p + size):
+                if cid2[2:4] in (b"dc", b"db", b"wb"):
+                    movi_frames += 1
+                    movi_bytes += size2
+    if avih is None:
+        raise ValueError("missing avih header")
+    return {
+        "usec_per_frame": le32(avih[0:4]),
+        "total_frames": le32(avih[16:20]),
+        "n_streams": le32(avih[24:28]),
+        "width": le32(avih[32:36]),
+        "height": le32(avih[36:40]),
+        "movi_frames": movi_frames,
+        "movi_bytes": movi_bytes,
+    }
+
+
+def video_meta(df: DataFrame) -> DataFrame:
+    """Container-parse pass for video: one Arrow-batch mapInPandas
+    decode_avi per payload — (id, usec_per_frame, total_frames,
+    n_streams, width, height, movi_frames, movi_bytes). All integers;
+    the same no-shuffle decode shape as the image/audio passes."""
+    from pyspark.sql.types import DoubleType  # noqa: F401 (schema symmetry)
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("usec_per_frame", LongType()),
+            StructField("total_frames", LongType()),
+            StructField("n_streams", LongType()),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+            StructField("movi_frames", LongType()),
+            StructField("movi_bytes", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for id_, content in zip(pdf["id"], pdf["content"]):
+                m = decode_avi(bytes(content))
+                rows.append({"id": int(id_), **m})
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return df.select("id", "content").mapInPandas(run, schema)
+
+
 def make_video_table(df: DataFrame, id_col: str, payload_col: str, n_frames_col: str) -> DataFrame:
     """Video layout: opaque binary + frame-count metadata (the container
     header would supply n_frames in a real decode; here it's a column)."""

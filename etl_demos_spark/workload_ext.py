@@ -1370,6 +1370,99 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Planted AVI corpus: per doc, an avih header (frame period, frame
+# count, dimensions derived from doc_id) + a movi LIST with
+# total_frames '00dc' chunks whose payload lengths vary per frame
+# (8 + (doc_id+i) % 5, zero-filled — frame PAYLOAD decode stays the
+# declared codec boundary; the certified surface is the nested RIFF
+# container walk itself).
+def _planted_video_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import struct
+
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    schema = StructType(
+        [StructField("id", LongType()), StructField("content", BinaryType())]
+    )
+
+    def build(batches):
+        import pandas as pd
+
+        def chunk(cid, body):
+            pad = b"\x00" if len(body) % 2 else b""
+            return cid + struct.pack("<I", len(body)) + body + pad
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                usec = 33333 + (doc_id % 5) * 1000
+                frames = 4 + doc_id % 7
+                w, h = 16 + doc_id % 9, 8
+                avih = struct.pack(
+                    "<14I", usec, 0, 0, 0, frames, 0, 1, 0, w, h, 0, 0, 0, 0
+                )
+                hdrl_body = b"hdrl" + chunk(b"avih", avih)
+                movi_body = b"movi" + b"".join(
+                    chunk(b"00dc", b"\x00" * (8 + (doc_id + i) % 5))
+                    for i in range(frames)
+                )
+                payload = (
+                    b"AVI "
+                    + chunk(b"LIST", hdrl_body)
+                    + chunk(b"LIST", movi_body)
+                )
+                ids.append(doc_id)
+                blobs.append(b"RIFF" + struct.pack("<I", len(payload)) + payload)
+            yield pd.DataFrame({"id": ids, "content": blobs})
+
+    return d.mapInPandas(build, schema)
+
+
+@workload(
+    "q_video_meta",
+    oracle="""
+    WITH v AS (
+        SELECT doc_id AS id,
+               CAST(33333 + (doc_id % 5) * 1000 AS BIGINT) AS usec_per_frame,
+               CAST(4 + doc_id % 7 AS BIGINT) AS total_frames,
+               CAST(1 AS BIGINT) AS n_streams,
+               CAST(16 + doc_id % 9 AS BIGINT) AS width,
+               CAST(8 AS BIGINT) AS height
+        FROM documents
+    ),
+    fb AS (
+        SELECT v.id, CAST(SUM(8 + (v.id + t.i) % 5) AS BIGINT) AS movi_bytes
+        FROM v, range(10) t(i) WHERE t.i < v.total_frames GROUP BY v.id
+    )
+    SELECT v.id, v.usec_per_frame, v.total_frames, v.n_streams,
+           v.width, v.height, v.total_frames AS movi_frames, fb.movi_bytes
+    FROM v JOIN fb ON v.id = fb.id
+    """,
+    tags=("ext-multimodal",),
+)
+def q_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video container metadata via a real nested RIFF walk
+    (operators/multimodal.py decode_avi + video_meta): LIST hdrl →
+    avih (frame period, count, dimensions, stream count) and LIST movi
+    → per-frame chunk census with word-alignment handling — the parsed
+    truth that frame_sample_plan previously took on faith as an
+    n_frames column. Frame payloads stay the declared codec boundary;
+    the oracle recomputes every planted header field and the
+    variable-length movi byte census, so the driver hash certifies the
+    container walk itself. Registered _LATE r10; seats at r12 per
+    _SEAT_PLAN."""
+    from etl_demos_spark.operators.multimodal import video_meta
+
+    return video_meta(_planted_video_corpus(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Event-time windows (streaming surface, batch-checkable analogs)
 # ---------------------------------------------------------------------------

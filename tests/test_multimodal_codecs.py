@@ -284,3 +284,53 @@ def test_audio_features_exact_integers(spark):
     assert r["n_frames"] == 4 and r["duration_ms"] == 0
     assert r["peak"] == 100 and r["sumsq"] == 10200
     assert r["rms"] == round(math.sqrt(2550.0), 6)
+
+
+# ---------------------------------------------------------------------------
+# AVI (RIFF container) walker
+# ---------------------------------------------------------------------------
+
+
+def _avi(frames, usec=40000, w=32, h=8, extra_list=False):
+    import struct
+
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    avih = struct.pack("<14I", usec, 0, 0, 0, len(frames), 0, 1, 0, w, h, 0, 0, 0, 0)
+    body = b"AVI " + chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+    if extra_list:  # walkers must skip unknown LISTs, not assume layout
+        body += chunk(b"LIST", b"INFO" + chunk(b"ISFT", b"testtool"))
+    body += chunk(b"LIST", b"movi" + b"".join(chunk(b"00dc", f) for f in frames))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_avi_walker_counts_frames_and_bytes():
+    from etl_demos_spark.operators.multimodal import decode_avi
+
+    frames = [b"abc", b"defgh", b"i"]  # odd sizes force pad handling
+    m = decode_avi(_avi(frames, usec=33333, w=17, h=9))
+    assert m["usec_per_frame"] == 33333
+    assert (m["width"], m["height"], m["n_streams"]) == (17, 9, 1)
+    assert m["total_frames"] == 3
+    assert m["movi_frames"] == 3
+    assert m["movi_bytes"] == 3 + 5 + 1
+
+
+def test_avi_walker_skips_unknown_lists():
+    from etl_demos_spark.operators.multimodal import decode_avi
+
+    m = decode_avi(_avi([b"xy"], extra_list=True))
+    assert m["movi_frames"] == 1 and m["movi_bytes"] == 2
+
+
+def test_avi_walker_rejects_non_avi():
+    import pytest
+
+    from etl_demos_spark.operators.multimodal import decode_avi
+
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        decode_avi(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(ValueError, match="avih"):
+        decode_avi(b"RIFF\x04\x00\x00\x00AVI ")
