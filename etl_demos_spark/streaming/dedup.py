@@ -104,6 +104,64 @@ def near_dedup_batch_processor(
     DataFrames (the semantics tests drive it that way, deterministically
     ordered)."""
     from etl_demos_spark.operators.dedup import incremental_minhash_dedup
+
+    def dedup_fn(batch_df: DataFrame, store: DataFrame | None):
+        return incremental_minhash_dedup(
+            batch_df, store, id_col=id_col, text_col=text_col,
+            threshold=threshold,
+        )
+
+    return _store_probe_batch_processor(out_path, store_path, id_col, dedup_fn)
+
+
+def image_dedup_batch_processor(
+    out_path: str,
+    store_path: str,
+    id_col: str = "id",
+    content_col: str = "content",
+    algo: str = "dhash",
+    max_hamming: int = 0,
+):
+    """foreachBatch body for streaming PERCEPTUAL image dedup — the
+    pixel-granularity twin of :func:`near_dedup_batch_processor`:
+    per micro-batch, decode + signature the batch once, probe the
+    persisted (id, sig) store via banded chunk keys
+    (operators/image_dedup.incremental_image_dedup — prior payloads are
+    never re-decoded), append survivors, swap the updated store.
+    First-seen-wins across batches; crash-safety (partition-scoped
+    replay overwrite + staging-then-swap store) is the shared
+    scaffolding's — see _store_probe_batch_processor."""
+    from etl_demos_spark.operators.image_dedup import incremental_image_dedup
+
+    def dedup_fn(batch_df: DataFrame, store: DataFrame | None):
+        return incremental_image_dedup(
+            batch_df, store, algo, max_hamming, id_col, content_col
+        )
+
+    return _store_probe_batch_processor(out_path, store_path, id_col, dedup_fn)
+
+
+def _store_probe_batch_processor(
+    out_path: str,
+    store_path: str,
+    id_col: str,
+    dedup_fn,
+):
+    """Shared crash-safe scaffolding for probe-a-persisted-store dedup
+    processors (MinHash text, perceptual image): ``dedup_fn(batch_df,
+    store_or_None) -> (kept_ids, updated_store)`` supplies the
+    semantics; this supplies the at-least-once armor:
+
+    - survivors land under a ``__batch_id`` partition via DYNAMIC
+      partition overwrite — a replay replaces its own partition instead
+      of appending duplicates;
+    - the signature store updates through the staging-then-swap
+      discipline (plans/incremental.merge_upsert's), so a crash mid-
+      write leaves the OLD store intact, never a deleted/partial one;
+    - replay after a completed store swap is also safe: the batch's
+      rows now match their own stored signatures, kept comes back
+      empty, the (dynamic) overwrite touches no partition, and the
+      store union is a no-op — the previously-written output stands."""
     from etl_demos_spark.plans.incremental import (
         backfill_partitions,
         swap_table,
@@ -114,7 +172,7 @@ def near_dedup_batch_processor(
         from pyspark.sql import functions as F
 
         spark = batch_df.sparkSession
-        # an at-least-once source can deliver the same doc twice WITHIN
+        # an at-least-once source can deliver the same row twice WITHIN
         # one micro-batch: signatures collapse to one row but a join
         # back against the raw batch would multiply the survivor
         batch_df = batch_df.dropDuplicates([id_col])
@@ -127,10 +185,7 @@ def near_dedup_batch_processor(
             if table_exists(store_path)
             else None
         )
-        kept, updated = incremental_minhash_dedup(
-            batch_df, store, id_col=id_col, text_col=text_col,
-            threshold=threshold,
-        )
+        kept, updated = dedup_fn(batch_df, store)
         survivors = batch_df.join(kept, id_col).withColumn(
             "__batch_id", F.lit(batch_id)
         )
@@ -162,6 +217,33 @@ def run_near_dedup_stream(
         stream.writeStream.foreachBatch(
             near_dedup_batch_processor(
                 out_path, store_path, id_col, text_col, threshold
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_image_dedup_stream(
+    spark,
+    src_path: str,
+    out_path: str,
+    store_path: str,
+    schema,
+    checkpoint: str,
+    id_col: str = "id",
+    content_col: str = "content",
+    algo: str = "dhash",
+    max_hamming: int = 0,
+):
+    """Wire ``image_dedup_batch_processor`` to a file-source stream
+    (availableNow trigger — drains the backlog then stops)."""
+    stream = spark.readStream.schema(schema).parquet(src_path)
+    return (
+        stream.writeStream.foreachBatch(
+            image_dedup_batch_processor(
+                out_path, store_path, id_col, content_col, algo, max_hamming
             )
         )
         .option("checkpointLocation", checkpoint)

@@ -786,3 +786,71 @@ def test_drain_available_now_requires_offset_stability():
         assert e is boom
     else:
         raise AssertionError("expected the query error to re-raise")
+
+
+def test_image_dedup_processor_across_batches_and_replay(spark, tmp_path):
+    """Streaming twin of incremental_image_dedup: survivors across two
+    micro-batches equal the sequential first-seen-wins replay, and a
+    full replay of a completed batch_id (at-least-once delivery) leaves
+    output and store unchanged — the shared crash-safe scaffolding."""
+    import numpy as np
+
+    from etl_demos_spark.streaming.dedup import image_dedup_batch_processor
+
+    rng = np.random.default_rng(21)
+
+    def ppm(seed_rng):
+        raster = seed_rng.integers(0, 256, size=10 * 8 * 3, dtype=np.uint8)
+        return b"P6\n10 8\n255\n" + raster.tobytes()
+
+    a, b = ppm(rng), ppm(rng)
+    out = str(tmp_path / "out")
+    store = str(tmp_path / "store")
+    proc = image_dedup_batch_processor(out, store)
+
+    b1 = spark.createDataFrame(
+        [(0, a), (0, a), (1, b)], "id long, content binary"
+    )  # same-batch physical replay of id 0
+    b2 = spark.createDataFrame(
+        [(10, a), (11, ppm(rng))], "id long, content binary"
+    )  # 10 = perceptual dup of 0, 11 novel
+    proc(b1, 0)
+    proc(b2, 1)
+    got = {r["id"] for r in spark.read.parquet(out).collect()}
+    assert got == {0, 1, 11}
+    store_ids = {r["id"] for r in spark.read.parquet(store).collect()}
+    assert store_ids == {0, 1, 11}
+    # full replay of batch 1 after its store swap: idempotent
+    proc(b2, 1)
+    again = {r["id"] for r in spark.read.parquet(out).collect()}
+    assert again == {0, 1, 11}
+    assert {r["id"] for r in spark.read.parquet(store).collect()} == {0, 1, 11}
+
+
+def test_image_dedup_stream_end_to_end(spark, tmp_path):
+    """availableNow drain over a file source: deduped image output and
+    a populated signature store."""
+    import numpy as np
+
+    from etl_demos_spark.streaming.dedup import run_image_dedup_stream
+
+    rng = np.random.default_rng(22)
+    raster = rng.integers(0, 256, size=10 * 8 * 3, dtype=np.uint8).tobytes()
+    img = b"P6\n10 8\n255\n" + raster
+    other = b"P6\n10 8\n255\n" + rng.integers(
+        0, 256, size=10 * 8 * 3, dtype=np.uint8
+    ).tobytes()
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(0, img), (1, other), (2, img)], "id long, content binary"
+    ).coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    q = run_image_dedup_stream(
+        spark, src, str(tmp_path / "out"), str(tmp_path / "store"),
+        schema, str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    got = {r["id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert got == {0, 1}
