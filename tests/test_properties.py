@@ -1015,3 +1015,106 @@ def test_cdc_chunks_match_python_reference(spark, texts, mask):
         # reconstruction: chunks re-join to the token stream
         toks = re.findall("[A-Za-z0-9]+", t.lower())
         assert " ".join(c for _, c in expect) == " ".join(toks)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal codecs: build→decode round-trips on arbitrary parameters
+# ---------------------------------------------------------------------------
+
+
+@given(
+    rate=st.sampled_from([8000, 16000, 22050, 44100]),
+    ch=st.integers(1, 2),
+    bits=st.sampled_from([8, 16]),
+    payload=st.binary(min_size=0, max_size=200),
+)
+@settings(max_examples=30, deadline=None)
+def test_wav_build_decode_roundtrip(rate, ch, bits, payload):
+    """decode_wav recovers exactly the PCM frames any well-formed
+    RIFF/WAVE container carries, for every (rate, channels, width)
+    combination — trailing bytes that don't fill a frame are dropped,
+    never misread."""
+    import struct
+
+    import numpy as np
+
+    from etl_demos_spark.operators.multimodal import decode_wav
+
+    block = ch * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * block, block, bits)
+    buf = b"RIFF" + struct.pack(
+        "<I", 4 + 8 + len(fmt) + 8 + len(payload)
+    ) + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack(
+        "<I", len(payload)
+    ) + payload
+    r, c, b_, s = decode_wav(buf)
+    assert (r, c, b_) == (rate, ch, bits)
+    if bits == 8:
+        want = np.frombuffer(payload, dtype=np.uint8).astype(np.int32) - 128
+    else:
+        n = len(payload) - len(payload) % 2
+        want = np.frombuffer(payload[:n], dtype="<i2").astype(np.int32)
+    frames = len(want) // ch
+    assert s.shape == (frames, ch)
+    assert (s.ravel() == want[: frames * ch]).all()
+
+
+@given(
+    frames=st.lists(st.binary(min_size=0, max_size=9), min_size=0, max_size=12),
+    usec=st.integers(1, 100000),
+    w=st.integers(1, 4096),
+    h=st.integers(1, 4096),
+)
+@settings(max_examples=30, deadline=None)
+def test_avi_build_decode_census(frames, usec, w, h):
+    """decode_avi's movi census equals the built frame list for any
+    frame-size mix (odd sizes exercise word-alignment padding)."""
+    import struct
+
+    from etl_demos_spark.operators.multimodal import decode_avi
+
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    avih = struct.pack("<14I", usec, 0, 0, 0, len(frames), 0, 1, 0, w, h, 0, 0, 0, 0)
+    body = (
+        b"AVI "
+        + chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+        + chunk(b"LIST", b"movi" + b"".join(chunk(b"00dc", f) for f in frames))
+    )
+    m = decode_avi(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert m["usec_per_frame"] == usec
+    assert (m["width"], m["height"]) == (w, h)
+    assert m["total_frames"] == len(frames)
+    assert m["movi_frames"] == len(frames)
+    assert m["movi_bytes"] == sum(len(f) for f in frames)
+
+
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    seed=st.integers(0, 2**31 - 1),
+    gray=st.booleans(),
+)
+@settings(max_examples=30, deadline=None)
+def test_perceptual_hashes_in_range_for_any_dims(w, h, seed, gray):
+    """dHash/pHash are total over arbitrary image dimensions (including
+    degenerate 1xN / Nx1) and land in their declared bit ranges."""
+    import numpy as np
+
+    from etl_demos_spark.operators import image_dedup as idp
+    from etl_demos_spark.operators.multimodal import decode_image
+
+    rng = np.random.default_rng(seed)
+    ch = 1 if gray else 3
+    raster = rng.integers(0, 256, size=w * h * ch, dtype=np.uint8).tobytes()
+    magic = b"P5" if gray else b"P6"
+    buf = magic + b"\n%d %d\n255\n" % (w, h) + raster
+    _, _, _, px = decode_image(buf)
+    d = idp.dhash_int(px)
+    p = idp.phash_int(px)
+    assert -(1 << 63) <= d < (1 << 63)
+    assert 0 <= p < (1 << 63)
+    # determinism: same pixels, same hash
+    assert d == idp.dhash_int(px) and p == idp.phash_int(px)
