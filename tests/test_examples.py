@@ -18,6 +18,7 @@ EXAMPLES = [
     "data_selection.py",
     "graph_analytics.py",
     "event_analytics.py",
+    "multimodal_curation.py",
 ]
 EX_DIR = Path(__file__).resolve().parent.parent / "examples"
 
