@@ -188,6 +188,17 @@ class Engine:
         )
         return Vectors(df, id_col, vec_col)
 
+    def media(
+        self, df_or_name, id_col: str = "id", content_col: str = "content"
+    ) -> "Media":
+        """Media facade over a binary-payload DataFrame or source name."""
+        df = (
+            df_or_name
+            if isinstance(df_or_name, DataFrame)
+            else self.table(df_or_name)
+        )
+        return Media(df, id_col, content_col)
+
     def events(
         self,
         df_or_name,
@@ -428,6 +439,106 @@ class Vectors:
         from etl_demos_spark.operators.embeddings import kmeans_lloyd
 
         return kmeans_lloyd(self.df, k, iters, self.id_col, self.vec_col)
+
+
+class Media:
+    """Multimodal facade over a binary-payload DataFrame — the
+    decode / featurize / perceptual-dedup operators behind one
+    discoverable surface (each method delegates to operators/multimodal
+    or operators/image_dedup, where the codec boundaries and scale
+    notes live).
+
+        media = Engine.local().media(images_df)   # (id, content binary)
+        media.image_meta()                        # real header decode
+        media.dedup()                             # dHash + keep-one
+        kept, store = media.dedup_incremental(store)
+        media.audio_features()                    # WAV PCM decode
+        media.video_meta()                        # AVI container walk
+    """
+
+    def __init__(self, df: DataFrame, id_col: str = "id", content_col: str = "content"):
+        self.df = df
+        self.id_col = id_col
+        self.content_col = content_col
+
+    def _normalized(self) -> DataFrame:
+        import pyspark.sql.functions as F
+
+        if self.id_col == "id" and self.content_col == "content":
+            return self.df
+        return self.df.select(
+            F.col(self.id_col).alias("id"),
+            F.col(self.content_col).alias("content"),
+        )
+
+    # -- images -----------------------------------------------------------
+    def image_meta(self) -> DataFrame:
+        """→ (id, n_bytes, sha, width, height, mode) via real codecs."""
+        from etl_demos_spark.operators.multimodal import extract_image_meta
+
+        return extract_image_meta(self._normalized())
+
+    def image_stats(self) -> DataFrame:
+        """→ per-channel pixel mean/std (decode→featurize pass)."""
+        from etl_demos_spark.operators.multimodal import image_channel_stats
+
+        return image_channel_stats(self._normalized())
+
+    def signatures(self, algo: str = "dhash") -> DataFrame:
+        """→ (id, sig) perceptual hashes (dhash | phash)."""
+        from etl_demos_spark.operators.image_dedup import image_signatures
+
+        return image_signatures(self._normalized(), algo)
+
+    def near_dups(self, algo: str = "dhash", max_hamming: int = 4) -> DataFrame:
+        """→ (id_a, id_b, hamming) within the Hamming ball — banded
+        pigeonhole join, never all-pairs."""
+        from etl_demos_spark.operators.image_dedup import image_near_dup_pairs
+
+        return image_near_dup_pairs(self._normalized(), algo, max_hamming)
+
+    def dedup(
+        self, algo: str = "dhash", max_hamming: int = 4, prefer=None
+    ) -> "Media":
+        """Perceptual keep-one-per-cluster → Media of survivors."""
+        from etl_demos_spark.operators.image_dedup import dedup_by_image_hash
+
+        kept = dedup_by_image_hash(
+            self._normalized(), algo, max_hamming, prefer=prefer
+        )
+        return Media(kept, "id", "content")
+
+    def dedup_incremental(
+        self,
+        store: DataFrame | None,
+        algo: str = "dhash",
+        max_hamming: int = 0,
+    ):
+        """→ (kept_new_ids, updated_store) — probe a persisted
+        signature store; prior payloads are never re-decoded."""
+        from etl_demos_spark.operators.image_dedup import incremental_image_dedup
+
+        return incremental_image_dedup(self._normalized(), store, algo, max_hamming)
+
+    def resize(self, w: int, h: int) -> DataFrame:
+        from etl_demos_spark.operators.multimodal import resize_images
+
+        return resize_images(self._normalized(), w, h)
+
+    # -- audio / video ------------------------------------------------------
+    def audio_features(self) -> DataFrame:
+        """→ (id, sample_rate, channels, bits, n_frames, duration_ms,
+        peak, sumsq, rms) via the in-repo WAV PCM decoder."""
+        from etl_demos_spark.operators.multimodal import audio_features
+
+        return audio_features(self._normalized())
+
+    def video_meta(self) -> DataFrame:
+        """→ avih header fields + movi frame census via the nested
+        RIFF container walk."""
+        from etl_demos_spark.operators.multimodal import video_meta
+
+        return video_meta(self._normalized())
 
 
 class Events:

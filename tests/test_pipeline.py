@@ -568,3 +568,45 @@ def test_events_funnel_empty_input_counts_zero(spark):
         for r in Engine(spark).events(empty).funnel("view", "click").collect()
     }
     assert got == {"view": 0, "click": 0}
+
+
+def test_media_facade_matches_operator_calls(spark):
+    """Media facade delegates: every method must equal the direct
+    operator call on the same frame, including non-default column
+    names (the _normalized rename path)."""
+    import numpy as np
+
+    from etl_demos_spark.engine import Engine
+    from etl_demos_spark.operators.image_dedup import image_signatures
+
+    rng = np.random.default_rng(31)
+    raster = rng.integers(0, 256, size=10 * 8 * 3, dtype=np.uint8).tobytes()
+    img = b"P6\n10 8\n255\n" + raster
+    df = spark.createDataFrame(
+        [(1, img), (2, img), (3, b"P6\n10 8\n255\n" + rng.integers(
+            0, 256, size=10 * 8 * 3, dtype=np.uint8).tobytes())],
+        "img_id long, payload binary",
+    )
+    media = Engine(spark).media(df, id_col="img_id", content_col="payload")
+
+    meta = {r["id"]: r["width"] for r in media.image_meta().collect()}
+    assert meta == {1: 10, 2: 10, 3: 10}
+
+    want_sigs = {
+        r["id"]: r["sig"]
+        for r in image_signatures(
+            df.selectExpr("img_id as id", "payload as content")
+        ).collect()
+    }
+    got_sigs = {r["id"]: r["sig"] for r in media.signatures().collect()}
+    assert got_sigs == want_sigs
+
+    pairs = {(r["id_a"], r["id_b"]) for r in media.near_dups().collect()}
+    assert pairs == {(1, 2)}
+
+    kept = sorted(r["id"] for r in media.dedup().df.collect())
+    assert kept == [1, 3]
+
+    kept_ids, store = media.dedup_incremental(None)
+    assert sorted(r["id"] for r in kept_ids.collect()) == [1, 3]
+    assert sorted(r["id"] for r in store.collect()) == [1, 3]
