@@ -607,7 +607,7 @@ def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The driver full-checks only the FIRST 50 entries of get_queries()
 # (row count + schema + value hash vs the DuckDB oracle); later entries
 # get no driver signal at all. Far more paired queries are registered
-# than window slots (194 registered / 188 paired as of round 10 —
+# than window slots (195 registered / 189 paired as of round 10 —
 # counts grow; the invariant, asserted in tests, is that every window
 # slot holds a hash-checkable query), so ordering is an explicit policy. _LATE names the entries deliberately
 # registered past the window — the rows-only queries (no SQL-expressible
@@ -626,8 +626,8 @@ _LATE: tuple[str, ...] = (
     # (q_dsir_select, q_bank_mart). 25 + 23 + 2 = 50, window-sized.
     #
     # CADENCE POLICY (unchanged, set r07): re-certification period is
-    # K=4 rounds. Capacity: 48 rotating slots x K = 192 >= 185
-    # rotation-eligible paired (188 paired - 3 retired). The cadence
+    # K=4 rounds. Capacity: 48 rotating slots x K = 192 >= 186
+    # rotation-eligible paired (189 paired - 3 retired). The cadence
     # test (tests/test_oracle_parity.py) asserts the overdue check and
     # the feasibility bound mechanically, exempting _RETIRED entries
     # and entries seated in the written _SEAT_PLAN for the staged
@@ -648,7 +648,7 @@ _LATE: tuple[str, ...] = (
     # candidate when headroom is needed: q_filter_eq (strict subset of
     # q_filter_notnull's scan+filter shape and of every certified
     # TPC-H family filter) — after its seated r10 certification.
-    # Current headroom: 192 - 185 = 7.
+    # Current headroom: 192 - 186 = 6.
     #
     # Forward schedule (machine-readable: _SEAT_PLAN below):
     #   r11 window: remaining 25 r07-block entries + the three
@@ -661,8 +661,8 @@ _LATE: tuple[str, ...] = (
     #        q_mixture_plan, q_calibration) + the 2 r10-registered
     #        r10-registered extension queries (q_dedup_image_dhash,
     #        q_dedup_image_phash, q_dedup_image_incremental,
-    #        q_audio_features, q_video_meta — first driver hashes) +
-    #        2 anchors + 7 free slots.
+    #        q_dedup_image_e2e, q_audio_features, q_video_meta — first
+    #        driver hashes) + 2 anchors + 6 free slots.
     #   r13 window: the 46 r09-certified entries (due r13, on time)
     #        + 2 anchors + 2 free.
     #
@@ -815,12 +815,13 @@ _LATE: tuple[str, ...] = (
     "q_mixture_plan",
     "q_calibration",
     # -- registered r10, never driver-certified (locally hash-verified;
-    #    the perceptual image dedup family (pairs + incremental
-    #    replay) + the audio/video decode queries — seat at r12 per
-    #    _SEAT_PLAN, taking 5 of that window's 12 free slots):
+    #    the perceptual image dedup family (pairs, e2e keep-one,
+    #    incremental replay) + the audio/video decode queries — seat at
+    #    r12 per _SEAT_PLAN, taking 6 of that window's 12 free slots):
     "q_dedup_image_dhash",
     "q_dedup_image_phash",
     "q_dedup_image_incremental",
+    "q_dedup_image_e2e",
     "q_audio_features",
     "q_video_meta",
     # -- RETIRED from rotation (kept registered + oracle-paired so
@@ -911,6 +912,7 @@ _SEAT_PLAN: dict[int, frozenset[str]] = {
         "q_dedup_image_dhash",
         "q_dedup_image_phash",
         "q_dedup_image_incremental",
+        "q_dedup_image_e2e",
         "q_audio_features",
         "q_video_meta",
         "q_ab_test",

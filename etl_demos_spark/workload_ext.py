@@ -1187,6 +1187,42 @@ def q_dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IMG_E2E_ORACLE = f"""
+    WITH RECURSIVE {_dhash_sigs_cte()},
+    edges AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM sigs a JOIN sigs b ON a.id < b.id
+        WHERE bit_count(xor(a.sig, b.sig)) <= 4
+    ),
+    {_CC_SQL}
+    SELECT id FROM sigs WHERE id NOT IN (SELECT node FROM losers)
+    """
+
+
+@workload(
+    "q_dedup_image_e2e",
+    oracle=_IMG_E2E_ORACLE,
+    tags=("ext-multimodal", "ext-dedup"),
+)
+def q_dedup_image_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END perceptual image dedup certification
+    (operators/image_dedup.py dedup_by_image_hash): planted corpus →
+    dHash-64 → pigeonhole chunk join (radius 4) → connected components
+    → min-id survivor per cluster — the full pipeline including the
+    CLUSTERING step, which pairwise certification (q_dedup_image_dhash)
+    can't see: transitive chains must collapse to one survivor. The
+    oracle replays the whole thing — signature rebuild, all-pairs
+    Hamming edges, and the recursive reachability closure (the
+    q_dedup_text_e2e _CC_SQL pattern) — so the driver hash certifies
+    survivor selection, not just pair discovery. Registered _LATE r10;
+    seats at r12 per _SEAT_PLAN."""
+    from etl_demos_spark.operators.image_dedup import dedup_by_image_hash
+
+    return dedup_by_image_hash(
+        _planted_image_corpus(spark, sf_dir), "dhash", max_hamming=4
+    ).select("id")
+
+
 _IMG_INCR_ORACLE = f"""
     WITH {_dhash_sigs_cte()}
     SELECT id FROM (
