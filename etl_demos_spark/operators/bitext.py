@@ -16,14 +16,19 @@ join-expressible, unlike the sequential greedy variant).
 
 Engine shape: both k-NN directions go through
 operators/similarity.blocked_topk — the two-sided tiled GEMM (hash
-blocks × hash blocks, per-tile partial top-k inside applyInPandas) —
-because BOTH sides of a bitext mine are corpora: brute_force_topk's
-gemm path collects its query side to the driver (its contract says
-"queries expected to be small"), which a corpus-sized mine violates
-by design. Nothing in this module reaches the driver; the per-pair
-cosine is the same full-length float64 dot in either strategy, so
-blocked and brute-force mines are pinned identical (tests/
-test_bitext.py). Everything after the two top-k frames is
+blocks × hash blocks, per-tile vectorized partial top-k inside
+applyInPandas) — because BOTH sides of a bitext mine are corpora:
+brute_force_topk's gemm path collects its query side to the driver
+(its contract says "queries expected to be small"), which a
+corpus-sized mine violates by design. A fused bidirectional tile pass
+was A/B'd and REJECTED at 0.5× (perf/ab_bitext_fused_r10.json): tile
+cost is top-k extraction ∝ rows × directions, which fusion cannot
+reduce, and its materialization barrier serialized the two directions
+that the two-pass plan runs as parallel branches of one job. Nothing
+in this module reaches the driver; the per-pair cosine is the same
+full-length float64 dot in either strategy, so blocked and
+brute-force mines are pinned identical (tests/test_bitext.py).
+Everything after the two top-k frames is
 exact-integer arithmetic: cosines are quantized to 1e-6 BIGINT units
 first, so the k-NN sums — and therefore every margin, comparison and
 tie-break downstream — are order-independent and engine-portable (the
@@ -128,12 +133,18 @@ def mine_bitext(
     required (the sides are separate frames). Sides smaller than ``k``
     use their true neighbor count in the average — the estimator
     degrades gracefully instead of dividing by a padded k."""
-    fwd = _knn_quantized(tgt, src, k, id_col, vec_col, "src_id", knn, planes).select(
-        "src_id", F.col(id_col).alias("tgt_id"), "cq"
-    )
-    bwd = _knn_quantized(src, tgt, k, id_col, vec_col, "tgt_id", knn, planes).select(
-        F.col(id_col).alias("src_id"), "tgt_id", "cq"
-    )
+    # Two independent blocked passes, NOT a fused bidirectional tile
+    # pass: an r10 A/B (perf/ab_bitext_fused_r10.json) measured fusion
+    # at 0.5× — the tile cost is top-k extraction, which is
+    # proportional to rows × directions regardless of fusion, and the
+    # fused form's materialization barrier also serialized what the
+    # two-pass plan runs as parallel branches of one job.
+    fwd = _knn_quantized(
+        tgt, src, k, id_col, vec_col, "src_id", knn, planes
+    ).select("src_id", F.col(id_col).alias("tgt_id"), "cq")
+    bwd = _knn_quantized(
+        src, tgt, k, id_col, vec_col, "tgt_id", knn, planes
+    ).select(F.col(id_col).alias("src_id"), "tgt_id", "cq")
     # per-side k-NN averages as exact integer sums + counts
     f_avg = fwd.groupBy("src_id").agg(
         F.sum("cq").alias("fsum"), F.count(F.lit(1)).alias("fn")

@@ -136,24 +136,29 @@ def brute_force_topk(
             for pdf in batches:
                 if not len(pdf):
                     continue
-                C = _np_norm_rows(np.array(list(pdf[vec_col]), dtype=np.float64))
-                S = C @ Q.T  # (batch_rows, n_queries) — one GEMM per batch
                 c_ids = pdf[id_col].to_numpy()
+                # pre-sort the batch by corpus id: a STABLE argsort of
+                # -S down the corpus axis is then exactly (cos desc, id
+                # asc) — ONE C-level sort for ALL queries, replacing a
+                # python lexsort + DataFrame per query (r10 A/B:
+                # extraction, not GEMM, dominated the pass)
+                order = np.argsort(c_ids, kind="stable")
+                c_ids = c_ids[order]
+                C = _np_norm_rows(
+                    np.array(list(pdf[vec_col]), dtype=np.float64)
+                )[order]
+                S = C @ Q.T  # (batch_rows, n_queries) — one GEMM per batch
                 kk = min(k, len(c_ids))
-                out = []
-                for j in range(len(qids)):
-                    col = S[:, j]
-                    idx = np.lexsort((c_ids, -col))[:kk]  # cos desc, id asc
-                    out.append(
-                        pd.DataFrame(
-                            {
-                                q_id_col: np.full(kk, qids[j]),
-                                id_col: c_ids[idx],
-                                "cos_sim": col[idx],
-                            }
-                        )
-                    )
-                yield pd.concat(out, ignore_index=True)
+                top = np.argsort(-S, axis=0, kind="stable")[:kk]  # (kk, nq)
+                rows = top.T.ravel()  # query-major corpus indices
+                cols = np.repeat(np.arange(len(qids)), kk)
+                yield pd.DataFrame(
+                    {
+                        q_id_col: np.repeat(qids, kk),
+                        id_col: c_ids[rows],
+                        "cos_sim": S[rows, cols],
+                    }
+                )
 
         scored = corpus.select(id_col, vec_col).mapInPandas(
             score, f"{q_id_col} long, {id_col} long, cos_sim double"
@@ -236,9 +241,16 @@ def blocked_topk(
         )
         if not len(C_pdf) or not len(Q_pdf):
             return empty
-        C = _np_norm_rows(np.array(list(C_pdf["_vec"]), dtype=np.float64))
-        Q = _np_norm_rows(np.array(list(Q_pdf["_vec"]), dtype=np.float64))
         c_ids = C_pdf["_id"].to_numpy()
+        # pre-sort the corpus side by id: a STABLE argsort of -S down
+        # the corpus axis is then exactly (cos desc, id asc) — one
+        # C-level sort per chunk for ALL its queries, replacing a
+        # python lexsort + DataFrame per query (r10 A/B: extraction,
+        # not GEMM, dominated the tile pass)
+        order = np.argsort(c_ids, kind="stable")
+        c_ids = c_ids[order]
+        C = _np_norm_rows(np.array(list(C_pdf["_vec"]), dtype=np.float64))[order]
+        Q = _np_norm_rows(np.array(list(Q_pdf["_vec"]), dtype=np.float64))
         q_ids = Q_pdf["_id"].to_numpy()
         kk = min(k, len(c_ids))
         # GEMM in query-side chunks: caps the live similarity slab at
@@ -248,18 +260,18 @@ def blocked_topk(
         parts = []
         for s in range(0, len(q_ids), chunk):
             S = C @ Q[s : s + chunk].T  # (corpus_rows, chunk)
-            for j in range(S.shape[1]):
-                col = S[:, j]
-                idx = np.lexsort((c_ids, -col))[:kk]  # cos desc, id asc
-                parts.append(
-                    pd.DataFrame(
-                        {
-                            q_id_col: np.full(kk, q_ids[s + j]),
-                            id_col: c_ids[idx],
-                            "cos_sim": col[idx],
-                        }
-                    )
+            top = np.argsort(-S, axis=0, kind="stable")[:kk]  # (kk, chunk)
+            rows = top.T.ravel()  # query-major corpus indices
+            cols = np.repeat(np.arange(S.shape[1]), kk)
+            parts.append(
+                pd.DataFrame(
+                    {
+                        q_id_col: np.repeat(q_ids[s : s + chunk], kk),
+                        id_col: c_ids[rows],
+                        "cos_sim": S[rows, cols],
+                    }
                 )
+            )
         return pd.concat(parts, ignore_index=True) if parts else empty
 
     scored = rep.groupBy("_cb", "_qb").applyInPandas(tile, out_schema)
