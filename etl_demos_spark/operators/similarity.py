@@ -736,36 +736,42 @@ def hard_negatives(
                 pdf = pdf[pdf[label_col].notna()]
                 if not len(pdf):
                     continue
+                c_ids = pdf[id_col].to_numpy()
+                # pre-sort by id so ONE stable argsort of -S down the
+                # corpus axis is (cos desc, id asc) for every query at
+                # once (the blocked_topk/brute_force_topk r10
+                # vectorization); same-label rows are masked to -inf
+                # per column and dropped after extraction — taking k
+                # rows then filtering -inf equals the old per-query
+                # kk=min(k, valid) slice exactly
+                order = np.argsort(c_ids, kind="stable")
+                c_ids = c_ids[order]
                 C = _np_norm_rows(
                     np.array(list(pdf[vec_col]), dtype=np.float64)
-                )
-                S = C @ Q.T
-                c_ids = pdf[id_col].to_numpy()
+                )[order]
                 # post-notna the dtype can be float64 (Arrow nullable
                 # long) — cast back so the 'neg_label long' schema and
                 # the label comparison stay integral
-                c_lab = pdf[label_col].to_numpy().astype(np.int64)
-                out = []
-                for j in range(len(qids)):
-                    col = S[:, j].copy()
-                    valid = c_lab != qlab[j]
-                    col[~valid] = -np.inf
-                    kk = min(k, int(valid.sum()))
-                    if kk == 0:
-                        continue
-                    idx = np.lexsort((c_ids, -col))[:kk]
-                    out.append(
-                        pd.DataFrame(
-                            {
-                                q_id_col: np.full(kk, qids[j]),
-                                id_col: c_ids[idx],
-                                "neg_label": c_lab[idx],
-                                "cos_sim": S[idx, j],
-                            }
-                        )
+                c_lab = pdf[label_col].to_numpy().astype(np.int64)[order]
+                S = C @ Q.T
+                masked = np.where(
+                    c_lab[:, None] == qlab[None, :], -np.inf, S
+                )
+                kk = min(k, len(c_ids))
+                top = np.argsort(-masked, axis=0, kind="stable")[:kk]
+                rows = top.T.ravel()
+                cols = np.repeat(np.arange(len(qids)), kk)
+                sims = masked[rows, cols]
+                keep = sims != -np.inf
+                if keep.any():
+                    yield pd.DataFrame(
+                        {
+                            q_id_col: np.repeat(qids, kk)[keep],
+                            id_col: c_ids[rows][keep],
+                            "neg_label": c_lab[rows][keep],
+                            "cos_sim": sims[keep],
+                        }
                     )
-                if out:
-                    yield pd.concat(out, ignore_index=True)
 
         scored = corpus.select(id_col, vec_col, label_col).mapInPandas(
             score,
