@@ -607,7 +607,7 @@ def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The driver full-checks only the FIRST 50 entries of get_queries()
 # (row count + schema + value hash vs the DuckDB oracle); later entries
 # get no driver signal at all. Far more paired queries are registered
-# than window slots (195 registered / 189 paired as of round 10 —
+# than window slots (196 registered / 190 paired as of round 10 —
 # counts grow; the invariant, asserted in tests, is that every window
 # slot holds a hash-checkable query), so ordering is an explicit policy. _LATE names the entries deliberately
 # registered past the window — the rows-only queries (no SQL-expressible
@@ -626,8 +626,8 @@ _LATE: tuple[str, ...] = (
     # (q_dsir_select, q_bank_mart). 25 + 23 + 2 = 50, window-sized.
     #
     # CADENCE POLICY (unchanged, set r07): re-certification period is
-    # K=4 rounds. Capacity: 48 rotating slots x K = 192 >= 186
-    # rotation-eligible paired (189 paired - 3 retired). The cadence
+    # K=4 rounds. Capacity: 48 rotating slots x K = 192 >= 187
+    # rotation-eligible paired (190 paired - 3 retired). The cadence
     # test (tests/test_oracle_parity.py) asserts the overdue check and
     # the feasibility bound mechanically, exempting _RETIRED entries
     # and entries seated in the written _SEAT_PLAN for the staged
@@ -648,7 +648,7 @@ _LATE: tuple[str, ...] = (
     # candidate when headroom is needed: q_filter_eq (strict subset of
     # q_filter_notnull's scan+filter shape and of every certified
     # TPC-H family filter) — after its seated r10 certification.
-    # Current headroom: 192 - 186 = 6.
+    # Current headroom: 192 - 187 = 5.
     #
     # Forward schedule (machine-readable: _SEAT_PLAN below):
     #   r11 window: remaining 25 r07-block entries + the three
@@ -661,8 +661,9 @@ _LATE: tuple[str, ...] = (
     #        q_mixture_plan, q_calibration) + the 2 r10-registered
     #        r10-registered extension queries (q_dedup_image_dhash,
     #        q_dedup_image_phash, q_dedup_image_incremental,
-    #        q_dedup_image_e2e, q_audio_features, q_video_meta — first
-    #        driver hashes) + 2 anchors + 6 free slots.
+    #        q_dedup_image_e2e, q_audio_features, q_dedup_audio_fp,
+    #        q_video_meta — first driver hashes) + 2 anchors + 5 free
+    #        slots.
     #   r13 window: the 46 r09-certified entries (due r13, on time)
     #        + 2 anchors + 2 free.
     #
@@ -823,6 +824,7 @@ _LATE: tuple[str, ...] = (
     "q_dedup_image_incremental",
     "q_dedup_image_e2e",
     "q_audio_features",
+    "q_dedup_audio_fp",
     "q_video_meta",
     # -- RETIRED from rotation (kept registered + oracle-paired so
     #    tests/test_oracle_parity.py still hash-verifies them locally;
@@ -914,6 +916,7 @@ _SEAT_PLAN: dict[int, frozenset[str]] = {
         "q_dedup_image_incremental",
         "q_dedup_image_e2e",
         "q_audio_features",
+        "q_dedup_audio_fp",
         "q_video_meta",
         "q_ab_test",
         "q_anomaly_mad",

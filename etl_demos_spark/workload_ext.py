@@ -1288,7 +1288,19 @@ _WAV_RASTER_SPARK = (
 )
 
 
-def _planted_audio_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+# the audio-DEDUP corpus uses longer payloads: the energy-gradient
+# fingerprint needs >= N_FRAMES (64) mono samples to discriminate, and
+# 16-bit stereo consumes 4 bytes per mono sample — L2 yields 64-95
+# stereo frames / 256-383 mono samples (repeat(sha,6) = 384 chars)
+_WAV_LEN2_SQL = "256 + (doc_id % 32) * 4"
+
+
+def _planted_audio_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    len_sql: str = _WAV_LEN_SQL,
+    mutants: bool = False,
+) -> DataFrame:
     import struct
 
     from pyspark.sql.types import (
@@ -1299,33 +1311,47 @@ def _planted_audio_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = T(spark, sf_dir, "documents")
-    base = d.selectExpr("doc_id", f"{_WAV_RASTER_SPARK} as raster")
+    raster_sql = (
+        "substring(repeat(sha2(encode(text, 'UTF-8'), 256), 6), 1, "
+        f"cast({len_sql} as int))"
+    )
+    base = d.selectExpr("doc_id", f"{raster_sql} as raster")
 
     schema = StructType(
         [StructField("id", LongType()), StructField("content", BinaryType())]
     )
 
     def build(batches):
+        def wav(doc_id: int, payload: bytes) -> bytes:
+            if doc_id % 2 == 0:
+                rate, ch, bits = 8000, 1, 8
+            else:
+                rate, ch, bits = 16000, 2, 16
+            block = ch * bits // 8
+            fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * block, block, bits)
+            chunks = (
+                b"fmt "
+                + struct.pack("<I", len(fmt))
+                + fmt
+                + b"data"
+                + struct.pack("<I", len(payload))
+                + payload
+            )
+            return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
         for pdf in batches:
             ids, blobs = [], []
             for doc_id, raster in zip(pdf["doc_id"], pdf["raster"]):
+                doc_id = int(doc_id)
                 payload = raster.encode("ascii")
-                if doc_id % 2 == 0:
-                    rate, ch, bits = 8000, 1, 8
-                else:
-                    rate, ch, bits = 16000, 2, 16
-                block = ch * bits // 8
-                fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * block, block, bits)
-                chunks = (
-                    b"fmt "
-                    + struct.pack("<I", len(fmt))
-                    + fmt
-                    + b"data"
-                    + struct.pack("<I", len(payload))
-                    + payload
-                )
-                ids.append(int(doc_id))
-                blobs.append(b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks)
+                ids.append(doc_id)
+                blobs.append(wav(doc_id, payload))
+                if mutants:
+                    # near-dup twin: first payload byte flipped to 'z'
+                    # under id+10^6 — one raster read builds both
+                    # (the image corpus read-once discipline)
+                    ids.append(doc_id + 1_000_000)
+                    blobs.append(wav(doc_id, b"z" + payload[1:]))
             import pandas as pd
 
             yield pd.DataFrame({"id": ids, "content": blobs})
@@ -1372,6 +1398,91 @@ _AUDIO_FEATURES_ORACLE = f"""
            round(sqrt(CAST(a.sumsq AS DOUBLE) / a.n), 6) AS rms
     FROM wav w JOIN agg a ON w.id = a.id
     """
+
+
+_AUDIO_FP_ORACLE = f"""
+    WITH wav AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS bits,
+               CAST({_WAV_LEN2_SQL} AS INT) AS len,
+               substr(repeat(sha256(text), 6), 1, CAST({_WAV_LEN2_SQL} AS INT))
+                   AS raster
+        FROM documents
+    ),
+    wavs AS (
+        SELECT doc_id AS id, bits, len, raster FROM wav
+        UNION ALL
+        SELECT doc_id + 1000000, bits, len, 'z' || substr(raster, 2) FROM wav
+    ),
+    mono AS (
+        -- mono sample stream: 8-bit = centered bytes; 16-bit stereo =
+        -- floor-mean of the interleaved LE pair (both positive here)
+        SELECT b.id,
+               CASE WHEN b.bits = 8 THEN b.len ELSE b.len // 4 END AS n,
+               t.i,
+               CASE WHEN b.bits = 8
+                    THEN ascii(substr(b.raster, t.i + 1, 1)) - 128
+                    ELSE ((ascii(substr(b.raster, t.i * 4 + 1, 1))
+                           + 256 * ascii(substr(b.raster, t.i * 4 + 2, 1)))
+                        + (ascii(substr(b.raster, t.i * 4 + 3, 1))
+                           + 256 * ascii(substr(b.raster, t.i * 4 + 4, 1)))) // 2
+               END AS m
+        FROM wavs b, range(384) t(i)
+        WHERE t.i < CASE WHEN b.bits = 8 THEN b.len ELSE b.len // 4 END
+    ),
+    framed AS (
+        -- frame f covers mono indices [f*n//64, (f+1)*n//64)
+        SELECT mo.id, fr.f, mo.m
+        FROM mono mo JOIN range(64) fr(f)
+          ON fr.f * mo.n // 64 <= mo.i AND mo.i < (fr.f + 1) * mo.n // 64
+    ),
+    energy AS (
+        SELECT g.id, g.f, COALESCE(SUM(fr.m * fr.m), 0) AS e
+        FROM (SELECT b.id, frm.f FROM wavs b, range(64) frm(f)) g
+        LEFT JOIN framed fr ON fr.id = g.id AND fr.f = g.f
+        GROUP BY g.id, g.f
+    ),
+    sigs AS (
+        SELECT a.id,
+               CAST(SUM(CASE WHEN b.e > a.e
+                             THEN (1::BIGINT << CAST(a.f AS INT))
+                             ELSE 0 END) AS BIGINT) AS sig
+        FROM energy a JOIN energy b ON a.id = b.id AND b.f = a.f + 1
+        GROUP BY a.id
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM sigs a JOIN sigs b ON a.id < b.id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 4
+    """
+
+
+@workload(
+    "q_dedup_audio_fp",
+    oracle=_AUDIO_FP_ORACLE,
+    tags=("ext-multimodal", "ext-dedup"),
+)
+def q_dedup_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual AUDIO near-dup via the energy-gradient fingerprint
+    (operators/audio_dedup.py — decode WAV, floor-mean mono mix, 64
+    equal frames, bit = energy gradient sign; 63 bits, all exact
+    integer) + the shared pigeonhole chunk join at radius 4 — the third
+    modality in the dedup matrix (text: 5 granularities; image:
+    dHash/pHash; audio: this). Corpus = the longer-payload planted WAVs
+    (gradient needs ≥64 mono samples; stereo consumes 4 bytes per) plus
+    one near-dup mutant each (first payload byte flipped under id+10⁶ —
+    a one-byte edit moves only the two gradient comparisons that see
+    frame 0). The oracle rebuilds the whole fingerprint in SQL — mono
+    mix, floor frame boundaries, energy sums, gradient bits — and
+    certifies pairs with the plain all-pairs Hamming filter, the
+    SimHash/dHash pattern. Registered _LATE r10; seats at r12 per
+    _SEAT_PLAN."""
+    from etl_demos_spark.operators.audio_dedup import audio_near_dup_pairs
+
+    corpus = _planted_audio_corpus(
+        spark, sf_dir, len_sql=_WAV_LEN2_SQL, mutants=True
+    )
+    return audio_near_dup_pairs(corpus, max_hamming=4)
 
 
 @workload(
