@@ -533,6 +533,19 @@ class Media:
 
         return audio_features(self._normalized())
 
+    def audio_fingerprints(self) -> DataFrame:
+        """→ (id, sig) 63-bit energy-gradient fingerprints."""
+        from etl_demos_spark.operators.audio_dedup import audio_fp_signatures
+
+        return audio_fp_signatures(self._normalized())
+
+    def audio_near_dups(self, max_hamming: int = 4) -> DataFrame:
+        """→ (id_a, id_b, hamming) perceptual audio near-dups via the
+        shared banded Hamming join."""
+        from etl_demos_spark.operators.audio_dedup import audio_near_dup_pairs
+
+        return audio_near_dup_pairs(self._normalized(), max_hamming)
+
     def video_meta(self) -> DataFrame:
         """→ avih header fields + movi frame census via the nested
         RIFF container walk."""

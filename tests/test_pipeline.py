@@ -610,3 +610,32 @@ def test_media_facade_matches_operator_calls(spark):
     kept_ids, store = media.dedup_incremental(None)
     assert sorted(r["id"] for r in kept_ids.collect()) == [1, 3]
     assert sorted(r["id"] for r in store.collect()) == [1, 3]
+
+
+def test_media_facade_audio_methods(spark):
+    import struct
+
+    import numpy as np
+
+    from etl_demos_spark.engine import Engine
+    from etl_demos_spark.operators.audio_dedup import audio_fp_signatures
+
+    rng = np.random.default_rng(33)
+
+    def wav(payload: bytes) -> bytes:
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+        chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                  + b"data" + struct.pack("<I", len(payload)) + payload)
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    p = bytes(rng.integers(0, 256, size=256, dtype=np.uint8))
+    df = spark.createDataFrame(
+        [(1, wav(p)), (2, wav(bytes([(p[0] + 128) % 256]) + p[1:]))],
+        "id long, content binary",
+    )
+    media = Engine(spark).media(df)
+    want = {r["id"]: r["sig"] for r in audio_fp_signatures(df).collect()}
+    got = {r["id"]: r["sig"] for r in media.audio_fingerprints().collect()}
+    assert got == want
+    pairs = {(r["id_a"], r["id_b"]) for r in media.audio_near_dups().collect()}
+    assert pairs == {(1, 2)}
