@@ -618,12 +618,17 @@ def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # included, remain hash-verified locally by tests/test_oracle_parity.py
 # at sf0.001 and (slow marker) sf0.01 — the same compare the driver runs.
 _LATE: tuple[str, ...] = (
-    # ---- round-10 rotation (executed per _SEAT_PLAN[10], written at
-    # r09 — VERDICT r9 rec 2). In-window this round, as the round's
-    # FIRST commit: the remaining 25 r06-certified entries (due back by
-    # r10 under K=4 — exactly on time) + 23 of the r07-certified block
-    # (due r11, seated one round early) + the two standing §2 anchors
-    # (q_dsir_select, q_bank_mart). 25 + 23 + 2 = 50, window-sized.
+    # ---- round-11 rotation (executed per _SEAT_PLAN[11], written at
+    # r10 — VERDICT r10 rec 1). In-window this round, as the round's
+    # FIRST commit: the remaining 25 r07-certified entries (due back by
+    # r11 under K=4 — exactly on time) + 16 of the r08-certified block
+    # (due r12, seated one round early) + the 3 r08-registered
+    # never-certified queries (q_dedup_cdc, q_lsh_recall,
+    # q_cdc_removal — first driver hashes) + the 4 r09-registered
+    # domain/versioning queries (q_domain_rollup, q_host_mirror,
+    # q_doc_versions, q_version_churn — first driver hashes) + the two
+    # standing §2 anchors (q_dsir_select, q_bank_mart).
+    # 25 + 16 + 3 + 4 + 2 = 50, window-sized.
     #
     # CADENCE POLICY (unchanged, set r07): re-certification period is
     # K=4 rounds. Capacity: 48 rotating slots x K = 192 >= 187
@@ -651,70 +656,22 @@ _LATE: tuple[str, ...] = (
     # Current headroom: 192 - 187 = 5.
     #
     # Forward schedule (machine-readable: _SEAT_PLAN below):
-    #   r11 window: remaining 25 r07-block entries + the three
-    #        r08-registered never-certified queries (q_dedup_cdc,
-    #        q_lsh_recall, q_cdc_removal — first driver hashes) + 16
-    #        of the r08-certified block (due r12, early) + the 4
-    #        r09-registered domain/versioning queries + 2 anchors.
     #   r12 window: remaining 32 r08-certified + the 4 remaining
     #        r09-registered (q_dedup_cdc_incremental, q_bitext_mine,
-    #        q_mixture_plan, q_calibration) + the 2 r10-registered
-    #        r10-registered extension queries (q_dedup_image_dhash,
+    #        q_mixture_plan, q_calibration) + the 7 r10-registered
+    #        extension queries (q_dedup_image_dhash,
     #        q_dedup_image_phash, q_dedup_image_incremental,
     #        q_dedup_image_e2e, q_audio_features, q_dedup_audio_fp,
     #        q_video_meta — first driver hashes) + 2 anchors + 5 free
     #        slots.
     #   r13 window: the 46 r09-certified entries (due r13, on time)
     #        + 2 anchors + 2 free.
+    #   r14 window: the 48 r10-certified entries (due r14, on time)
+    #        + 2 anchors.
     #
     # Everything below is annotated with its latest driver-certified
     # round ("r0N"; all remain hash-verified locally every pytest run
     # by tests/test_oracle_parity.py at sf0.001+sf0.01).
-    # -- certified r07 (the r04 block), the 25 NOT seated this round
-    #    (due back by r11; all 25 seat at r11):
-    "q_attribution",
-    "q_variant_shred",
-    "q_pyds_scan",
-    "q_incremental_merge",
-    "q_asof_join",
-    "q_dedup_embedding",
-    "q_top_unshipped",
-    "q_decontaminate",
-    "q_dedup_text_e2e",
-    "q_embed_covariance",
-    "q_pagerank",
-    "q_feature_scale",
-    "q_range_join",
-    "q_rollup_cascade",
-    "q_lm_quality",
-    "q_heavy_hitters",
-    "q_bloom_filter",
-    "q_hll_distinct",
-    "q_linear_score",
-    "q_neg_sample",
-    "q_ppmi",
-    "q_label_prop",
-    "q_bfs_dist",
-    "q_tfidf",
-    "q_quality_report",
-    # -- certified r08, 16 seating at r11 per _SEAT_PLAN (due r12,
-    #    one round early):
-    "q_date_key",
-    "q_date_join",
-    "q_dup_span_removal",
-    "q_event_response",
-    "q_age_band",
-    "q_csv_roundtrip",
-    "q_extract_parts",
-    "q_winnow_fingerprint",
-    "q_top_terms",
-    "q_null_funcs",
-    "q_returned_revenue",
-    "q_profile_table",
-    "q_stratified_sample",
-    "q_corpus_shuffle",
-    "q_embed_norms",
-    "q_embed_quantize",
     # -- certified r08, the remaining 32 (due back by r12; seat r12):
     "q_embed_centroid",
     "q_chunk_docs",
@@ -796,21 +753,59 @@ _LATE: tuple[str, ...] = (
     "q_url_curation",
     "q_weighted_sample",
     "q_window_analytics",
-    # -- registered r08, never driver-certified (locally hash-verified;
-    #    first driver hashes at r11 per _SEAT_PLAN):
-    "q_dedup_cdc",
-    "q_lsh_recall",
-    "q_cdc_removal",
-    # -- registered r09, never driver-certified (locally hash-verified).
-    #    Seats split per _SEAT_PLAN: the domain/versioning family
-    #    (q_domain_rollup, q_host_mirror, q_doc_versions,
-    #    q_version_churn) seats r11; the incremental-CDC / bitext /
-    #    mixture / calibration quartet (q_dedup_cdc_incremental,
-    #    q_bitext_mine, q_mixture_plan, q_calibration) seats r12:
-    "q_domain_rollup",
-    "q_host_mirror",
-    "q_doc_versions",
-    "q_version_churn",
+    # -- certified r10 (the full r10 window minus the 2 anchors;
+    #    due back by r14 — all 48 seat r14 per _SEAT_PLAN):
+    "q_ann_cosine",
+    "q_ann_lsh",
+    "q_argmax",
+    "q_array_funcs",
+    "q_binning",
+    "q_bpe_tokens",
+    "q_case_banding",
+    "q_cust_distribution",
+    "q_date_spine",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_distinct",
+    "q_dup_spans",
+    "q_event_funnel",
+    "q_event_sessions",
+    "q_filter_eq",
+    "q_filter_notnull",
+    "q_fuzzy_join",
+    "q_group_agg",
+    "q_grouped_agg_udf",
+    "q_hard_negatives",
+    "q_idle_accounts",
+    "q_join_agg",
+    "q_lang_id",
+    "q_map_funcs",
+    "q_multimodal_decode",
+    "q_null_safe_join",
+    "q_orc_roundtrip",
+    "q_pack_sequences",
+    "q_project_cast",
+    "q_quantiles",
+    "q_range_frame",
+    "q_rank_family",
+    "q_repetition",
+    "q_scalar_subquery",
+    "q_sketch_rollup",
+    "q_snapshot_diff",
+    "q_star_join",
+    "q_string_agg",
+    "q_supplier_cnt",
+    "q_surrogate_key",
+    "q_text_quality",
+    "q_text_search",
+    "q_twap",
+    "q_unpivot",
+    "q_waiting_supplier",
+    "q_window_dedup",
+    # -- registered r09, never driver-certified (locally
+    #    hash-verified); the incremental-CDC / bitext / mixture /
+    #    calibration quartet seats r12 per _SEAT_PLAN:
     "q_dedup_cdc_incremental",
     "q_bitext_mine",
     "q_mixture_plan",
@@ -1002,6 +997,56 @@ _SEAT_PLAN: dict[int, frozenset[str]] = {
         "q_url_curation",
         "q_weighted_sample",
         "q_window_analytics",
+    }),
+    14: frozenset({
+        "q_ann_cosine",
+        "q_ann_lsh",
+        "q_argmax",
+        "q_array_funcs",
+        "q_binning",
+        "q_bpe_tokens",
+        "q_case_banding",
+        "q_cust_distribution",
+        "q_date_spine",
+        "q_dedup_exact",
+        "q_dedup_minhash",
+        "q_dedup_simhash",
+        "q_distinct",
+        "q_dup_spans",
+        "q_event_funnel",
+        "q_event_sessions",
+        "q_filter_eq",
+        "q_filter_notnull",
+        "q_fuzzy_join",
+        "q_group_agg",
+        "q_grouped_agg_udf",
+        "q_hard_negatives",
+        "q_idle_accounts",
+        "q_join_agg",
+        "q_lang_id",
+        "q_map_funcs",
+        "q_multimodal_decode",
+        "q_null_safe_join",
+        "q_orc_roundtrip",
+        "q_pack_sequences",
+        "q_project_cast",
+        "q_quantiles",
+        "q_range_frame",
+        "q_rank_family",
+        "q_repetition",
+        "q_scalar_subquery",
+        "q_sketch_rollup",
+        "q_snapshot_diff",
+        "q_star_join",
+        "q_string_agg",
+        "q_supplier_cnt",
+        "q_surrogate_key",
+        "q_text_quality",
+        "q_text_search",
+        "q_twap",
+        "q_unpivot",
+        "q_waiting_supplier",
+        "q_window_dedup",
     }),
 }
 
