@@ -30,7 +30,6 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from etl_demos_spark.operators.dedup import hamming_chunk_pairs, materialize_reused

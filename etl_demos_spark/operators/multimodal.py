@@ -395,6 +395,11 @@ def decode_wav(buf: bytes):
         cid = buf[pos : pos + 4]
         size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
         body = buf[pos + 8 : pos + 8 + size]
+        if len(body) != size and cid in (b"fmt ", b"data"):
+            raise ValueError(
+                f"truncated WAV: chunk {cid!r} declares {size} bytes, "
+                f"buffer holds {len(body)}"
+            )
         if cid == b"fmt ":
             fmt = body
         elif cid == b"data":
@@ -406,6 +411,10 @@ def decode_wav(buf: bytes):
     channels = int.from_bytes(fmt[2:4], "little")
     sample_rate = int.from_bytes(fmt[4:8], "little")
     bits = int.from_bytes(fmt[14:16], "little")
+    if channels < 1 or sample_rate < 1:
+        raise ValueError(
+            f"malformed fmt chunk (channels={channels}, rate={sample_rate})"
+        )
     if audio_format != 1 or bits not in (8, 16):
         raise NotImplementedError(
             f"only PCM 8/16-bit WAV supported (format={audio_format}, "

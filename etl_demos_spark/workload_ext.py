@@ -1282,10 +1282,6 @@ def q_dedup_image_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the driver hash certifies the codec, not the plumbing — the
 # q_multimodal_decode pattern, now for audio.
 _WAV_LEN_SQL = "64 + (doc_id % 16) * 4"
-_WAV_RASTER_SPARK = (
-    "substring(repeat(sha2(encode(text, 'UTF-8'), 256), 2), 1, "
-    f"cast({_WAV_LEN_SQL} as int))"
-)
 
 
 # the audio-DEDUP corpus uses longer payloads: the energy-gradient

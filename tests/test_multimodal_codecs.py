@@ -269,6 +269,35 @@ def test_wav_rejects_non_riff_and_compressed():
         decode_wav(buf)
 
 
+def test_wav_rejects_zero_channels_and_truncated_data():
+    import struct
+
+    import pytest
+
+    from etl_demos_spark.operators.multimodal import decode_wav
+
+    # channels=0: must be the codec's ValueError, not ZeroDivisionError
+    fmt = struct.pack("<HHIIHH", 1, 0, 8000, 0, 0, 8)
+    buf = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", 0)
+    )
+    with pytest.raises(ValueError, match="channels=0"):
+        decode_wav(buf)
+
+    # data chunk declaring more bytes than the buffer holds: error, not
+    # a silently-shorter (plausible-but-wrong) sample array
+    whole = _wav(bytes([128, 129, 130, 131]))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(whole[:-2])
+
+
 def test_audio_features_exact_integers(spark):
     """Hand-checkable: 4 samples of 8-bit PCM [138, 118, 128, 228] →
     centered [10, -10, 0, 100]: peak 100, sumsq 10200, rms
