@@ -972,6 +972,7 @@ def hamming_chunk_keys(
     max_hamming: int,
     id_col: str = "id",
     sig_col: str = "sig",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Pigeonhole chunk keys for a signature frame: max_hamming+1
     chunks covering ALL ``sig_bits`` (last chunk absorbs the
@@ -980,7 +981,11 @@ def hamming_chunk_keys(
     the banded probe surface for both the batch self-join
     (:func:`hamming_chunk_pairs`) and the incremental store probe
     (image_dedup.incremental_image_dedup), where only these small keys
-    ship, never payloads."""
+    ship, never payloads.
+
+    ``extra_cols`` are carried through unchanged so callers can extend
+    the equi-join key (e.g. video frame alignment joins on
+    (frame_idx, chunk, val) — operators/video_dedup.py)."""
     k = max_hamming + 1
     chunk_bits = sig_bits // k
     # chunk i covers [starts[i], starts[i+1]); last chunk takes remainder
@@ -995,6 +1000,7 @@ def hamming_chunk_keys(
     return sigs.select(
         F.col(id_col).alias("id"),
         F.col(sig_col).alias("sig"),
+        *[F.col(c) for c in extra_cols],
         F.explode(
             F.array(
                 *[
@@ -1008,7 +1014,13 @@ def hamming_chunk_keys(
                 ]
             )
         ).alias("ck"),
-    ).select("id", "sig", F.col("ck.chunk").alias("chunk"), F.col("ck.val").alias("val"))
+    ).select(
+        "id",
+        "sig",
+        *extra_cols,
+        F.col("ck.chunk").alias("chunk"),
+        F.col("ck.val").alias("val"),
+    )
 
 
 def hamming_chunk_pairs(

@@ -484,6 +484,43 @@ def audio_features(df: DataFrame) -> DataFrame:
     return df.select("id", "content").mapInPandas(run, schema)
 
 
+def _riff_walk(buf: bytes, pos: int, end: int):
+    """Yield (chunk_id, body_offset, body_size) for a RIFF chunk run —
+    word-aligned, the container grammar shared by decode_avi's census
+    and avi_frame_payloads' extraction."""
+    while pos + 8 <= end:
+        cid = buf[pos : pos + 4]
+        size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+        yield cid, pos + 8, size
+        pos += 8 + size + (size & 1)  # word-aligned
+
+
+def avi_frame_payloads(buf: bytes) -> list[bytes]:
+    """Ordered frame payloads from an AVI's LIST movi run: the bytes of
+    every ##dc/##db/##wb chunk, in container order. This is the
+    per-frame surface the video dedup family signs
+    (operators/video_dedup.py) — whether a payload is *decodable* is
+    the codec boundary question answered downstream (in-repo netpbm/BMP
+    frames decode; compressed codecs fall back to exact payload
+    hashing)."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    frames: list[bytes] = []
+    for cid, p, size in _riff_walk(buf, 12, len(buf)):
+        if cid != b"LIST" or buf[p : p + 4] != b"movi":
+            continue
+        for cid2, p2, size2 in _riff_walk(buf, p + 4, p + size):
+            if cid2[2:4] in (b"dc", b"db", b"wb"):
+                body = buf[p2 : p2 + size2]
+                if len(body) != size2:
+                    raise ValueError(
+                        f"truncated AVI: frame chunk declares {size2} "
+                        f"bytes, buffer holds {len(body)}"
+                    )
+                frames.append(body)
+    return frames
+
+
 def decode_avi(buf: bytes) -> dict:
     """AVI (RIFF) container metadata decoder — real nested chunk walk,
     no frame decode: RIFF/'AVI ' → LIST hdrl → avih (usec_per_frame,
@@ -500,12 +537,7 @@ def decode_avi(buf: bytes) -> dict:
     if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI file")
 
-    def walk(pos: int, end: int):
-        while pos + 8 <= end:
-            cid = buf[pos : pos + 4]
-            size = le32(buf[pos + 4 : pos + 8])
-            yield cid, pos + 8, size
-            pos += 8 + size + (size & 1)  # word-aligned
+    walk = lambda pos, end: _riff_walk(buf, pos, end)  # noqa: E731
 
     avih = None
     movi_frames = 0

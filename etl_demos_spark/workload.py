@@ -665,7 +665,9 @@ _LATE: tuple[str, ...] = (
     #        q_video_meta — first driver hashes) + 2 anchors + 5 free
     #        slots.
     #   r13 window: the 46 r09-certified entries (due r13, on time)
-    #        + 2 anchors + 2 free.
+    #        + 2 anchors + the 2 r11-registered video-dedup queries
+    #        (q_dedup_video_dhash, q_dedup_video_exact — first driver
+    #        hashes).
     #   r14 window: the 48 r10-certified entries (due r14, on time)
     #        + 2 anchors.
     #
@@ -821,6 +823,11 @@ _LATE: tuple[str, ...] = (
     "q_audio_features",
     "q_dedup_audio_fp",
     "q_video_meta",
+    # -- registered r11, never driver-certified (locally hash-verified;
+    #    the video dedup family — VERDICT r10 rec 6 — seats r13 per
+    #    _SEAT_PLAN, taking that window's 2 free slots):
+    "q_dedup_video_dhash",
+    "q_dedup_video_exact",
     # -- RETIRED from rotation (kept registered + oracle-paired so
     #    tests/test_oracle_parity.py still hash-verifies them locally;
     #    never reseated in a driver window). q_dedup_ngram r09;
@@ -997,6 +1004,8 @@ _SEAT_PLAN: dict[int, frozenset[str]] = {
         "q_url_curation",
         "q_weighted_sample",
         "q_window_analytics",
+        "q_dedup_video_dhash",
+        "q_dedup_video_exact",
     }),
     14: frozenset({
         "q_ann_cosine",

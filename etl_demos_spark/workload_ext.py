@@ -1606,6 +1606,217 @@ def q_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_meta(_planted_video_corpus(spark, sf_dir))
 
 
+# Planted video-dedup corpus: per doc, an AVI whose 00db frames are
+# complete P5 (grayscale netpbm) images — w = 4 + doc_id % 9, height 8,
+# nf = 2 + doc_id % 3 frames, frame i's raster = chars [i*w*8,
+# (i+1)*w*8) of repeat(sha256(text), 6) (384 chars = the 4-frame,
+# w=12 maximum). Each doc reappears under id+10⁶ as a mutant:
+# mode='perceptual' edits frame 0's first raster byte to 'z' for EVERY
+# doc (a near-dup the Hamming join must find); mode='exact' plants a
+# byte-identical copy for even doc_ids and the 'z' edit for odd ones
+# (so the exact-fingerprint join has both positives and negatives).
+# The builder is test scaffolding (same stance as
+# _planted_video_corpus); the OPERATOR does the real container walk,
+# frame decode and signature math the oracle replays char-by-char.
+def _planted_video_dedup_corpus(
+    spark: SparkSession, sf_dir: str, mode: str
+) -> DataFrame:
+    import struct
+
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    d = T(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "repeat(sha2(encode(text, 'UTF-8'), 256), 6) as slab",
+    )
+    schema = StructType(
+        [StructField("id", LongType()), StructField("content", BinaryType())]
+    )
+
+    def build(batches):
+        import pandas as pd
+
+        def chunk(cid, body):
+            pad = b"\x00" if len(body) % 2 else b""
+            return cid + struct.pack("<I", len(body)) + body + pad
+
+        def avi(frames):
+            avih = struct.pack(
+                "<14I", 33333, 0, 0, 0, len(frames), 0, 1, 0, 0, 0, 0, 0, 0, 0
+            )
+            payload = (
+                b"AVI "
+                + chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+                + chunk(
+                    b"LIST",
+                    b"movi" + b"".join(chunk(b"00db", f) for f in frames),
+                )
+            )
+            return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id, slab in zip(pdf["doc_id"], pdf["slab"]):
+                doc_id = int(doc_id)
+                w, nf = 4 + doc_id % 9, 2 + doc_id % 3
+                hdr = f"P5\n{w} 8\n255\n".encode()
+                rasters = [
+                    slab[i * w * 8 : (i + 1) * w * 8].encode()
+                    for i in range(nf)
+                ]
+                frames = [hdr + r for r in rasters]
+                if mode == "perceptual" or doc_id % 2 == 1:
+                    mut0 = hdr + b"z" + rasters[0][1:]
+                else:  # exact mode, even doc: byte-identical copy
+                    mut0 = frames[0]
+                ids += [doc_id, doc_id + 1000000]
+                blobs += [avi(frames), avi([mut0] + frames[1:])]
+            yield pd.DataFrame({"id": ids, "content": blobs})
+
+    return d.mapInPandas(build, schema)
+
+
+# Shared oracle scaffolding: rebuild every (video, frame) raster —
+# originals + mutants — from the planted definition. ``mut_frame0``
+# is the mutant's frame-0 raster expression in terms of r0 (the
+# original frame-0 raster).
+def _video_frames_duck(mut_frame0: str) -> str:
+    return f"""
+    vid AS (
+        SELECT doc_id,
+               CAST(4 + doc_id % 9 AS INT) AS w,
+               CAST(2 + doc_id % 3 AS INT) AS nf,
+               repeat(sha256(text), 6) AS slab
+        FROM documents
+    ),
+    vf0 AS (
+        SELECT doc_id, w, nf, f.i AS frame_idx,
+               substr(slab, f.i * w * 8 + 1, w * 8) AS raster
+        FROM vid, range(4) f(i) WHERE f.i < nf
+    ),
+    vf AS (
+        SELECT doc_id AS id, w, nf, frame_idx, raster FROM vf0
+        UNION ALL
+        SELECT doc_id + 1000000, w, nf, frame_idx,
+               CASE WHEN frame_idx = 0 THEN {mut_frame0}
+                    ELSE raster END
+        FROM vf0 r0
+    )"""
+
+
+@workload(
+    "q_dedup_video_dhash",
+    oracle=f"""
+    WITH {_video_frames_duck("'z' || substr(r0.raster, 2)")},
+    grid AS (
+        SELECT v.id, v.frame_idx, t1.r, t2.c,
+               ascii(substr(v.raster,
+                            (t1.r * v.w + (t2.c * v.w) // 9) + 1, 1)) AS g
+        FROM vf v, range(8) t1(r), range(9) t2(c)
+    ),
+    bits AS (
+        SELECT a.id, a.frame_idx, a.r, a.c,
+               CASE WHEN a.g > b.g THEN 1 ELSE 0 END AS bit
+        FROM grid a JOIN grid b
+          ON a.id = b.id AND a.frame_idx = b.frame_idx
+         AND a.r = b.r AND b.c = a.c + 1
+        WHERE a.c < 8
+    ),
+    sigs AS (
+        SELECT id, frame_idx,
+               CAST(SUM(CASE WHEN bit = 1 AND r * 8 + c < 63
+                             THEN (1::BIGINT << CAST(r * 8 + c AS INT))
+                             ELSE 0 END) AS BIGINT)
+               + CASE WHEN MAX(CASE WHEN r * 8 + c = 63
+                                    THEN bit ELSE 0 END) = 1
+                      THEN (-9223372036854775807 - 1)::BIGINT
+                      ELSE 0::BIGINT END AS sig
+        FROM bits GROUP BY id, frame_idx
+    ),
+    vmeta AS (SELECT DISTINCT id, nf FROM vf),
+    fm AS (
+        SELECT a.id AS id_a, b.id AS id_b, a.frame_idx,
+               CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS h
+        FROM sigs a JOIN sigs b
+          ON a.id < b.id AND a.frame_idx = b.frame_idx
+        WHERE bit_count(xor(a.sig, b.sig)) <= 4
+    )
+    SELECT fm.id_a, fm.id_b, CAST(ma.nf AS INT) AS n_frames,
+           CAST(SUM(fm.h) AS INT) AS total_hamming
+    FROM fm
+    JOIN vmeta ma ON fm.id_a = ma.id
+    JOIN vmeta mb ON fm.id_b = mb.id AND mb.nf = ma.nf
+    GROUP BY fm.id_a, fm.id_b, ma.nf
+    HAVING COUNT(*) = ma.nf
+    """,
+    tags=("ext-multimodal", "ext-dedup"),
+)
+def q_dedup_video_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual video near-dup pairs (operators/video_dedup.py):
+    real AVI container walk → per-frame netpbm decode → per-frame
+    dHash-64 → frame-aligned pigeonhole chunk join → all-frames-within-
+    radius gate. Candidates are banded per (frame_idx, chunk, val) —
+    never all-pairs — and the full-coverage chunking keeps recall 1
+    within the ball, so the oracle is the plain all-pairs replay: it
+    rebuilds every frame raster char-by-char, recomputes each dHash in
+    SQL, and re-derives exactly the same-frame-count,
+    every-aligned-frame ≤ 4 bit pairs. Closes the dedup matrix's video
+    row (VERDICT r10 rec 6). Seats r13 per _SEAT_PLAN."""
+    from etl_demos_spark.operators.video_dedup import video_near_dup_pairs
+
+    return video_near_dup_pairs(
+        _planted_video_dedup_corpus(spark, sf_dir, "perceptual"),
+        "dhash",
+        max_hamming=4,
+    )
+
+
+@workload(
+    "q_dedup_video_exact",
+    oracle=f"""
+    WITH {_video_frames_duck(
+        "CASE WHEN r0.doc_id % 2 = 1 THEN 'z' || substr(r0.raster, 2) "
+        "ELSE r0.raster END"
+    )},
+    payloads AS (
+        SELECT id, nf, frame_idx,
+               concat('P5', chr(10), CAST(w AS VARCHAR), ' 8', chr(10),
+                      '255', chr(10), raster) AS payload
+        FROM vf
+    ),
+    fps AS (
+        SELECT id, nf,
+               sha256(string_agg(sha256(payload), '' ORDER BY frame_idx))
+                   AS fp
+        FROM payloads GROUP BY id, nf
+    )
+    SELECT a.id AS id_a, b.id AS id_b, CAST(a.nf AS INT) AS n_frames
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.id < b.id
+    """,
+    tags=("ext-multimodal", "ext-dedup"),
+)
+def q_dedup_video_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact container-level video dup pairs — the opaque-codec
+    fallback of the video dedup family (frame payloads that the image
+    codecs can't decode are signed by SHA-256; the video fingerprint is
+    the SHA-256 of the ordered frame-digest concatenation, so frame
+    ORDER is part of the identity). The planted corpus copies each even
+    doc's container byte-for-byte (a true dup) and perturbs frame 0 of
+    each odd doc's copy (a near-dup the EXACT join must NOT pair); the
+    oracle replays both fingerprint layers in SQL. Seats r13 per
+    _SEAT_PLAN."""
+    from etl_demos_spark.operators.video_dedup import video_exact_dup_pairs
+
+    return video_exact_dup_pairs(
+        _planted_video_dedup_corpus(spark, sf_dir, "exact")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Event-time windows (streaming surface, batch-checkable analogs)
 # ---------------------------------------------------------------------------
