@@ -146,6 +146,108 @@ def image_signatures(
     return df.select(id_col, content_col).mapInPandas(run, "id long, sig long")
 
 
+def image_signatures_both(
+    df: DataFrame,
+    id_col: str = "id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Both perceptual signatures from ONE decode pass — ``(id, dsig,
+    psig)``. Decode is the family's scale bottleneck (pure-Python pixel
+    walk), so the composite pair join must not pay it twice; the two
+    hashes share the decoded array."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, dsigs, psigs = [], [], []
+            for id_, content in zip(pdf[id_col], pdf[content_col]):
+                _, _, _, px = decode_image(bytes(content))
+                ids.append(int(id_))
+                dsigs.append(dhash_int(px))
+                psigs.append(phash_int(px))
+            yield pd.DataFrame(
+                {
+                    "id": pd.array(ids, dtype="int64"),
+                    "dsig": pd.array(dsigs, dtype="int64"),
+                    "psig": pd.array(psigs, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(
+        run, "id long, dsig long, psig long"
+    )
+
+
+def image_near_dup_pairs_composite(
+    df: DataFrame,
+    dhash_hamming: int = 4,
+    phash_hamming: int = 6,
+    id_col: str = "id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Composite perceptual near-dup pairs: dHash-ball ∪ pHash-ball.
+
+    Single hashes trade off failure modes — a single-pixel edit moves a
+    gradient (dHash) signature ≤ a few bits (100% planted-mutant
+    recall, SURVEY §16) but SMEARS across all DCT coefficients, so
+    pHash alone recovers only ~79% of the same mutants at radius 6;
+    conversely global tone shifts move dHash more than pHash. The
+    union keeps a pair when EITHER hash is within its radius, so
+    composite recall ≥ max(single-hash recalls) by construction
+    (measured in tests/test_image_dedup.py's recall table).
+
+    Candidates come from TWO pigeonhole chunk joins (one per signature,
+    each complete within its own ball — so the union is complete for
+    the OR predicate and a plain all-pairs SQL oracle can verify it).
+    Both joins read the same single-decode signature frame
+    (:func:`image_signatures_both`); each carries the other signature
+    as a pass-through column, so both Hamming distances are map-side
+    projections — no second decode, no extra join back.
+
+    Output ``(id_a, id_b, hamming_dhash, hamming_phash)``, each
+    unordered pair once."""
+    from etl_demos_spark.operators.dedup import (
+        hamming64,
+        hamming_chunk_keys,
+    )
+
+    sigs = materialize_reused(image_signatures_both(df, id_col, content_col))
+    keep = (F.col("hamming_dhash") <= dhash_hamming) | (
+        F.col("hamming_phash") <= phash_hamming
+    )
+
+    def side(sig_col: str, bits: int, h: int, other: str) -> DataFrame:
+        keys = hamming_chunk_keys(
+            sigs, bits, h, sig_col=sig_col, extra_cols=(other,)
+        )
+        right = keys.select(
+            F.col("id").alias("id2"),
+            F.col("sig").alias("sig2"),
+            F.col(other).alias("other2"),
+            "chunk",
+            "val",
+        )
+        keyed = hamming64(F.col("sig"), F.col("sig2"))
+        carried = hamming64(F.col(other), F.col("other2"))
+        d, p = (keyed, carried) if sig_col == "dsig" else (carried, keyed)
+        return (
+            keys.join(right, ["chunk", "val"])
+            .filter(F.col("id") < F.col("id2"))
+            .select(
+                F.col("id").alias("id_a"),
+                F.col("id2").alias("id_b"),
+                d.alias("hamming_dhash"),
+                p.alias("hamming_phash"),
+            )
+            .filter(keep)
+        )
+
+    return (
+        side("dsig", DHASH_BITS, dhash_hamming, "psig")
+        .unionByName(side("psig", PHASH_BITS, phash_hamming, "dsig"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def image_near_dup_pairs(
     df: DataFrame,
     algo: str = "dhash",

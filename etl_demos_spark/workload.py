@@ -649,11 +649,15 @@ _LATE: tuple[str, ...] = (
     # EXECUTED this round (r10): q_count_distinct (certified
     # r01/r02/r06/r09; subsumed by q_distinct r04+r07 + q_group_agg
     # r04+r07) and q_date_arithmetic (certified r03/r06/r09; subsumed
-    # by q_age_band + q_date_key, both certified r05+r08). Next
-    # candidate when headroom is needed: q_filter_eq (strict subset of
+    # by q_age_band + q_date_key, both certified r05+r08). Third batch
+    # EXECUTED r11: q_filter_eq (certified r05/r10; strict subset of
     # q_filter_notnull's scan+filter shape and of every certified
-    # TPC-H family filter) — after its seated r10 certification.
-    # Current headroom: 192 - 187 = 5.
+    # TPC-H family filter), retired alongside the 3 r11 registrations
+    # (q_dedup_video_dhash, q_dedup_video_exact,
+    # q_dedup_image_composite). Current headroom: 192 - 189 = 3. Next
+    # candidates when headroom is needed: q_date_key (subsumed by
+    # q_date_spine + q_extract_parts once both re-certify) or
+    # q_union_literal (strict subset of q_union_by_name).
     #
     # Forward schedule (machine-readable: _SEAT_PLAN below):
     #   r12 window: remaining 32 r08-certified + the 4 remaining
@@ -668,8 +672,8 @@ _LATE: tuple[str, ...] = (
     #        + 2 anchors + the 2 r11-registered video-dedup queries
     #        (q_dedup_video_dhash, q_dedup_video_exact — first driver
     #        hashes).
-    #   r14 window: the 48 r10-certified entries (due r14, on time)
-    #        + 2 anchors.
+    #   r14 window: the 47 r10-certified entries still in rotation
+    #        (q_filter_eq retired r11) + 2 anchors + 1 free.
     #
     # Everything below is annotated with its latest driver-certified
     # round ("r0N"; all remain hash-verified locally every pytest run
@@ -755,8 +759,9 @@ _LATE: tuple[str, ...] = (
     "q_url_curation",
     "q_weighted_sample",
     "q_window_analytics",
-    # -- certified r10 (the full r10 window minus the 2 anchors;
-    #    due back by r14 — all 48 seat r14 per _SEAT_PLAN):
+    # -- certified r10 (the r10 window minus the 2 anchors and the
+    #    r11-retired q_filter_eq; due back by r14 — all 47 seat r14
+    #    per _SEAT_PLAN):
     "q_ann_cosine",
     "q_ann_lsh",
     "q_argmax",
@@ -773,7 +778,6 @@ _LATE: tuple[str, ...] = (
     "q_dup_spans",
     "q_event_funnel",
     "q_event_sessions",
-    "q_filter_eq",
     "q_filter_notnull",
     "q_fuzzy_join",
     "q_group_agg",
@@ -825,16 +829,23 @@ _LATE: tuple[str, ...] = (
     "q_video_meta",
     # -- registered r11, never driver-certified (locally hash-verified;
     #    the video dedup family — VERDICT r10 rec 6 — seats r13 per
-    #    _SEAT_PLAN, taking that window's 2 free slots):
+    #    _SEAT_PLAN, taking that window's 2 free slots; the composite
+    #    image query — rec 5 — seats r12 with its family):
     "q_dedup_video_dhash",
     "q_dedup_video_exact",
+    "q_dedup_image_composite",
     # -- RETIRED from rotation (kept registered + oracle-paired so
     #    tests/test_oracle_parity.py still hash-verifies them locally;
     #    never reseated in a driver window). q_dedup_ngram r09;
-    #    q_count_distinct + q_date_arithmetic r10 (see policy above):
+    #    q_count_distinct + q_date_arithmetic r10; q_filter_eq r11
+    #    (third batch — certified r10 per plan, strict subset of
+    #    q_filter_notnull's scan+filter shape and of every certified
+    #    TPC-H family filter; retired alongside the 3 r11
+    #    registrations to keep headroom ≥ 3):
     "q_dedup_ngram",
     "q_count_distinct",
     "q_date_arithmetic",
+    "q_filter_eq",
     # -- rows-only (no cross-engine oracle; property/reference-pinned):
     "q_approx_distinct",
     "q_bpe_learn",
@@ -852,6 +863,7 @@ _RETIRED: frozenset[str] = frozenset({
     "q_dedup_ngram",
     "q_count_distinct",
     "q_date_arithmetic",
+    "q_filter_eq",
 })
 
 # Machine-readable forward seating plan: staged round -> names promised
@@ -915,6 +927,7 @@ _SEAT_PLAN: dict[int, frozenset[str]] = {
     12: frozenset({
         "q_dedup_image_dhash",
         "q_dedup_image_phash",
+        "q_dedup_image_composite",
         "q_dedup_image_incremental",
         "q_dedup_image_e2e",
         "q_audio_features",
@@ -1024,7 +1037,6 @@ _SEAT_PLAN: dict[int, frozenset[str]] = {
         "q_dup_spans",
         "q_event_funnel",
         "q_event_sessions",
-        "q_filter_eq",
         "q_filter_notnull",
         "q_fuzzy_join",
         "q_group_agg",

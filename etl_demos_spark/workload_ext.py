@@ -1092,6 +1092,20 @@ def _dhash_pairs_sql(max_hamming: int = 10) -> str:
 
 
 def _phash_pairs_sql(max_hamming: int = 10) -> str:
+    return f"""
+    WITH {_IMG_BOTH_DUCK},
+    {_phash_sigs_chain()}
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM sigs a JOIN sigs b ON a.id < b.id
+    WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+    """
+
+
+def _phash_sigs_chain(grid: str = "grid", sigs: str = "sigs") -> str:
+    """pHash-63 signature CTE chain (``tt → grid → coef → ac → thr →
+    sigs``), names parameterized so the composite oracle can splice it
+    next to the dHash chain without CTE collisions."""
     from etl_demos_spark.operators.image_dedup import DCT_T
 
     tt_rows = ",\n        ".join(
@@ -1099,17 +1113,15 @@ def _phash_pairs_sql(max_hamming: int = 10) -> str:
         for u, row in enumerate(DCT_T)
         for r, t in enumerate(row)
     )
-    return f"""
-    WITH {_IMG_BOTH_DUCK},
-    tt(i, j, t) AS (VALUES {tt_rows}),
-    grid AS (
+    return f"""tt(i, j, t) AS (VALUES {tt_rows}),
+    {grid} AS (
         SELECT i.id, t1.r, t2.c, {_img_gray_duck(8)} AS g
         FROM imgs i, range(8) t1(r), range(8) t2(c)
     ),
     coef AS (
         SELECT g.id, tu.i AS u, tv.i AS v,
                CAST(SUM(tu.t * g.g * tv.t) AS BIGINT) AS cval
-        FROM grid g JOIN tt tu ON tu.j = g.r JOIN tt tv ON tv.j = g.c
+        FROM {grid} g JOIN tt tu ON tu.j = g.r JOIN tt tv ON tv.j = g.c
         GROUP BY 1, 2, 3
     ),
     ac AS (
@@ -1118,17 +1130,31 @@ def _phash_pairs_sql(max_hamming: int = 10) -> str:
         FROM coef WHERE NOT (u = 0 AND v = 0)
     ),
     thr AS (SELECT id, cval AS t FROM ac WHERE rn = 32),
-    sigs AS (
+    {sigs} AS (
         SELECT ac.id,
                CAST(SUM(CASE WHEN ac.cval > thr.t
                              THEN (1::BIGINT << CAST(ac.u * 8 + ac.v - 1 AS INT))
                              ELSE 0 END) AS BIGINT) AS sig
         FROM ac JOIN thr ON ac.id = thr.id GROUP BY ac.id
-    )
+    )"""
+
+
+def _composite_pairs_sql(hd: int, hp: int) -> str:
+    # both signature chains over the SAME imgs CTE; the predicate is the
+    # OR of the two Hamming balls — the all-pairs statement of what the
+    # two complete pigeonhole joins union to.
+    return f"""
+    WITH {_dhash_sigs_cte()},
+    {_phash_sigs_chain(grid="grid_p", sigs="sigs_p")}
     SELECT a.id AS id_a, b.id AS id_b,
-           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
-    FROM sigs a JOIN sigs b ON a.id < b.id
-    WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming_dhash,
+           CAST(bit_count(xor(pa.sig, pb.sig)) AS INT) AS hamming_phash
+    FROM sigs a
+    JOIN sigs b ON a.id < b.id
+    JOIN sigs_p pa ON pa.id = a.id
+    JOIN sigs_p pb ON pb.id = b.id
+    WHERE bit_count(xor(a.sig, b.sig)) <= {hd}
+       OR bit_count(xor(pa.sig, pb.sig)) <= {hp}
     """
 
 
@@ -1184,6 +1210,36 @@ def q_dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return image_near_dup_pairs(
         _planted_image_corpus(spark, sf_dir), "phash", max_hamming=6
+    )
+
+
+@workload(
+    "q_dedup_image_composite",
+    oracle=_composite_pairs_sql(4, 6),
+    tags=("ext-multimodal", "ext-dedup"),
+)
+def q_dedup_image_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite perceptual near-dup: dHash-ball(4) ∪ pHash-ball(6)
+    (operators/image_dedup.py image_near_dup_pairs_composite — VERDICT
+    r10 rec 5). Single hashes have complementary failure modes: a
+    single-pixel edit moves the gradient hash ≤ a few bits (100%
+    planted-mutant recall) but smears across all DCT coefficients
+    (pHash alone recovers 79% at radius 6), so the union's recall is
+    ≥ max of the singles by construction — measured per-radius in
+    tests/test_image_dedup.py's recall table. ONE decode pass emits
+    both signatures (decode is the family's scale bottleneck, rec 4);
+    the two pigeonhole joins each carry the other signature as a
+    pass-through column so both Hamming distances stay map-side. Each
+    join is complete within its own ball, so their union is complete
+    for the OR predicate and the oracle is the plain all-pairs OR
+    filter over both SQL-rebuilt signature sets. Registered r11; seats
+    r12 per _SEAT_PLAN."""
+    from etl_demos_spark.operators.image_dedup import (
+        image_near_dup_pairs_composite,
+    )
+
+    return image_near_dup_pairs_composite(
+        _planted_image_corpus(spark, sf_dir), dhash_hamming=4, phash_hamming=6
     )
 
 

@@ -157,6 +157,75 @@ def test_dhash_works_on_png_and_bmp_decoders():
     )
 
 
+def test_composite_pairs_union_and_single_decode(spark):
+    """Composite = dHash-ball ∪ pHash-ball, verified against the
+    brute-force OR filter over both signature sets; both hammings in
+    the output must match the per-signature distances."""
+    rng = np.random.default_rng(14)
+    imgs = []
+    for i in range(16):
+        buf = _ppm(4 + i % 13, 8, rng, gray=(i % 2 == 0))
+        imgs.append((i, buf))
+        imgs.append((i + 1000, _mutate(buf)))
+    df = spark.createDataFrame(imgs, "id long, content binary")
+    hd, hp = 4, 6
+    got = {
+        (r["id_a"], r["id_b"]): (r["hamming_dhash"], r["hamming_phash"])
+        for r in idp.image_near_dup_pairs_composite(df, hd, hp).collect()
+    }
+    dsig = {r["id"]: r["sig"] for r in idp.image_signatures(df, "dhash").collect()}
+    psig = {r["id"]: r["sig"] for r in idp.image_signatures(df, "phash").collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    want = {}
+    ids = sorted(dsig)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d, p = ham(dsig[a], dsig[b]), ham(psig[a], psig[b])
+            if d <= hd or p <= hp:
+                want[(a, b)] = (d, p)
+    assert got == want
+    # the single-decode frame agrees with the per-algo passes
+    both = {r["id"]: (r["dsig"], r["psig"])
+            for r in idp.image_signatures_both(df).collect()}
+    assert both == {k: (dsig[k], psig[k]) for k in dsig}
+
+
+def test_composite_recall_table_on_planted_mutants(spark):
+    """The measured recall story behind q_dedup_image_composite
+    (VERDICT r10 rec 5): over single-byte planted mutants, dHash(4)
+    recovers every pair, pHash(6) misses some (the DCT smears local
+    edits), and the composite equals the union — recall 1.0, >= both
+    singles by construction."""
+    rng = np.random.default_rng(15)
+    n = 40
+    imgs = []
+    for i in range(n):
+        buf = _ppm(4 + i % 13, 8, rng, gray=(i % 2 == 0))
+        imgs.append((i, buf))
+        imgs.append((i + 1000, _mutate(buf)))
+    df = spark.createDataFrame(imgs, "id long, content binary")
+    planted = {(i, i + 1000) for i in range(n)}
+
+    def recall(pairs):
+        return len(planted & pairs) / len(planted)
+
+    r_d = recall({(r["id_a"], r["id_b"])
+                  for r in idp.image_near_dup_pairs(df, "dhash", 4).collect()})
+    r_p = recall({(r["id_a"], r["id_b"])
+                  for r in idp.image_near_dup_pairs(df, "phash", 6).collect()})
+    r_c = recall({(r["id_a"], r["id_b"])
+                  for r in idp.image_near_dup_pairs_composite(df, 4, 6).collect()})
+    # the documented shape: gradient hash carries single-pixel recall,
+    # DCT hash is confirmatory, the union gives up nothing
+    assert r_d == 1.0
+    assert r_p < 1.0
+    assert r_c == 1.0
+    assert r_c >= max(r_d, r_p)
+
+
 def test_dedup_by_image_hash_collapses_transitive_chains(spark):
     """A ~ B ~ C with A≁C must still collapse to one survivor: the
     candidate graph goes through connected components, not pairwise
