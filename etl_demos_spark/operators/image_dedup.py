@@ -279,6 +279,55 @@ def image_near_dup_pairs(
     return hamming_chunk_pairs(sigs, sig_bits, max_hamming)
 
 
+def write_image_signature_store(
+    df: DataFrame,
+    path: str,
+    id_col: str = "id",
+    content_col: str = "content",
+) -> None:
+    """Decode ONCE, persist the 16-bytes-per-image signature store
+    ``(id, dsig, psig)`` as parquet — the scale recipe for re-runs
+    (VERDICT r10 rec 4): at 100 TB the perceptual family's cost is the
+    pure-Python pixel decode in mapInPandas, not the banded join, and
+    the decode output is 16 bytes/image of pure function of the
+    content. Any later pairs / e2e / incremental run probes the store
+    (:func:`pairs_from_signature_store`) instead of re-decoding;
+    incremental batches append their survivors
+    (incremental_image_dedup already returns the updated store).
+
+    Plugging a NATIVE codec (the measured bottleneck beyond the
+    in-repo uncompressed formats): replace
+    ``multimodal.decode_image`` — the ONLY pixel entry point this
+    family calls — with a binding that returns the same
+    ``(w, h, mode, ndarray)`` tuple (e.g. libvips/turbojpeg via a
+    pandas-batched FFI). Signatures, chunk joins, stores, and oracles
+    are unchanged: everything downstream consumes the decoded array
+    through dhash_int/phash_int only."""
+    image_signatures_both(df, id_col, content_col).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def pairs_from_signature_store(
+    spark,
+    path: str,
+    algo: str = "dhash",
+    max_hamming: int = 4,
+) -> DataFrame:
+    """Near-dup pairs straight from a persisted signature store — the
+    re-run path that skips decode entirely. Same pigeonhole chunk join
+    and output contract as :func:`image_near_dup_pairs`; the scan
+    reads two 8-byte columns (column pruning keeps ``content`` bytes
+    out of the plan entirely because they are not even in the store)."""
+    if algo not in ("dhash", "phash"):
+        raise ValueError(f"unknown perceptual hash {algo!r}: dhash|phash")
+    sig_bits = DHASH_BITS if algo == "dhash" else PHASH_BITS
+    sigs = spark.read.parquet(path).select(
+        "id", F.col("dsig" if algo == "dhash" else "psig").alias("sig")
+    )
+    return hamming_chunk_pairs(sigs, sig_bits, max_hamming)
+
+
 def dedup_by_image_hash(
     df: DataFrame,
     algo: str = "dhash",

@@ -226,6 +226,46 @@ def test_composite_recall_table_on_planted_mutants(spark):
     assert r_c >= max(r_d, r_p)
 
 
+def test_signature_store_roundtrip_matches_decode_path(spark, tmp_path):
+    """Persist → probe must equal the decode-every-time path for both
+    algos: the store is a pure function of content, so a re-run that
+    skips decode loses nothing."""
+    rng = np.random.default_rng(21)
+    imgs = []
+    for i in range(12):
+        buf = _ppm(4 + i % 13, 8, rng, gray=(i % 2 == 0))
+        imgs.append((i, buf))
+        imgs.append((i + 1000, _mutate(buf)))
+    df = spark.createDataFrame(imgs, "id long, content binary")
+    store = str(tmp_path / "sigstore")
+    idp.write_image_signature_store(df, store)
+    for algo, h in (("dhash", 4), ("phash", 6)):
+        from_store = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in idp.pairs_from_signature_store(spark, store, algo, h).collect()
+        }
+        from_decode = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in idp.image_near_dup_pairs(df, algo, h).collect()
+        }
+        assert from_store == from_decode
+    # the store feeds the incremental probe unchanged (same columns)
+    stored = spark.read.parquet(store).select("id", F_sig("dsig"))
+    kept, updated = idp.incremental_image_dedup(
+        spark.createDataFrame([(5000, imgs[0][1])], "id long, content binary"),
+        stored,
+        max_hamming=0,
+    )
+    assert [r["id"] for r in kept.collect()] == []  # exact dup of id 0
+    assert updated.count() == stored.count()
+
+
+def F_sig(col):
+    import pyspark.sql.functions as F
+
+    return F.col(col).alias("sig")
+
+
 def test_dedup_by_image_hash_collapses_transitive_chains(spark):
     """A ~ B ~ C with A≁C must still collapse to one survivor: the
     candidate graph goes through connected components, not pairwise
