@@ -338,6 +338,14 @@ def bfs_distances(
         # the union's plan depth grows only linearly in rounds (every
         # constituent is a checkpointed RDD). A/B-measured equal at
         # 500k nodes (5.4-6.7 s both, interleaved in one session).
+        # Empty frontier = converged: every remaining round would join
+        # |E| against nothing and anti-join nothing — pure job overhead
+        # (take(1) on the just-checkpointed delta is one cheap local
+        # scan). Output-identical by construction: BFS discovers
+        # nothing after the frontier empties (r11 A/B:
+        # perf/ab_tailflags_r11.json).
+        if not new.take(1):
+            break
         dist = dist.unionByName(new)
         frontier = new
     # dist's union plan references only checkpointed deltas, so und is
