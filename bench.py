@@ -79,6 +79,15 @@ HEADLINE = [
     "q_psi_drift",
     "q_trend_ols",
     "q_quantile_sketch",
+    # r11 (VERDICT r10 rec 8): the 5 slowest former blind-spot entries
+    # from the r10 tail sweep, folded in so the per-round bench covers
+    # them (q_dedup_incremental/q_bfs_dist after their rec-3
+    # fixture/operator split — perf/ab_tailflags_r11.json)
+    "q_dedup_incremental",
+    "q_bfs_dist",
+    "q_lsh_recall",
+    "q_bootstrap_ci",
+    "q_dedup_text_e2e",
 ]
 
 
