@@ -654,7 +654,8 @@ _LATE: tuple[str, ...] = (
     # q_filter_notnull's scan+filter shape and of every certified
     # TPC-H family filter), retired alongside the 3 r11 registrations
     # (q_dedup_video_dhash, q_dedup_video_exact,
-    # q_dedup_image_composite). Current headroom: 192 - 189 = 3. Next
+    # q_dedup_image_composite; q_dedup_video_e2e joined later in the
+    # round). Current headroom: 192 - 190 = 2. Next
     # candidates when headroom is needed: q_date_key (subsumed by
     # q_date_spine + q_extract_parts once both re-certify) or
     # q_union_literal (strict subset of q_union_by_name).
@@ -828,12 +829,14 @@ _LATE: tuple[str, ...] = (
     "q_dedup_audio_fp",
     "q_video_meta",
     # -- registered r11, never driver-certified (locally hash-verified;
-    #    the video dedup family — VERDICT r10 rec 6 — seats r13 per
-    #    _SEAT_PLAN, taking that window's 2 free slots; the composite
-    #    image query — rec 5 — seats r12 with its family):
+    #    the video dedup PAIRS queries — VERDICT r10 rec 6 — seat r13
+    #    per _SEAT_PLAN, taking that window's 2 free slots; the
+    #    composite image query (rec 5) and the video e2e keep-one seat
+    #    r12 with the multimodal family):
     "q_dedup_video_dhash",
     "q_dedup_video_exact",
     "q_dedup_image_composite",
+    "q_dedup_video_e2e",
     # -- RETIRED from rotation (kept registered + oracle-paired so
     #    tests/test_oracle_parity.py still hash-verifies them locally;
     #    never reseated in a driver window). q_dedup_ngram r09;
@@ -928,6 +931,7 @@ _SEAT_PLAN: dict[int, frozenset[str]] = {
         "q_dedup_image_dhash",
         "q_dedup_image_phash",
         "q_dedup_image_composite",
+        "q_dedup_video_e2e",
         "q_dedup_image_incremental",
         "q_dedup_image_e2e",
         "q_audio_features",

@@ -1765,10 +1765,11 @@ def _video_frames_duck(mut_frame0: str) -> str:
     )"""
 
 
-@workload(
-    "q_dedup_video_dhash",
-    oracle=f"""
-    WITH {_video_frames_duck("'z' || substr(r0.raster, 2)")},
+# Per-frame dHash chain + aligned-frame Hamming matches over the
+# planted video corpus — shared by the pairs oracle
+# (q_dedup_video_dhash) and the e2e keep-one oracle
+# (q_dedup_video_e2e) so the per-frame signature rule cannot fork.
+_VIDEO_DHASH_FM_CTE = f"""{_video_frames_duck("'z' || substr(r0.raster, 2)")},
     grid AS (
         SELECT v.id, v.frame_idx, t1.r, t2.c,
                ascii(substr(v.raster,
@@ -1801,7 +1802,13 @@ def _video_frames_duck(mut_frame0: str) -> str:
         FROM sigs a JOIN sigs b
           ON a.id < b.id AND a.frame_idx = b.frame_idx
         WHERE bit_count(xor(a.sig, b.sig)) <= 4
-    )
+    )"""
+
+
+@workload(
+    "q_dedup_video_dhash",
+    oracle=f"""
+    WITH {_VIDEO_DHASH_FM_CTE}
     SELECT fm.id_a, fm.id_b, CAST(ma.nf AS INT) AS n_frames,
            CAST(SUM(fm.h) AS INT) AS total_hamming
     FROM fm
@@ -1871,6 +1878,46 @@ def q_dedup_video_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_exact_dup_pairs(
         _planted_video_dedup_corpus(spark, sf_dir, "exact")
     )
+
+
+@workload(
+    "q_dedup_video_e2e",
+    oracle=f"""
+    WITH RECURSIVE {_VIDEO_DHASH_FM_CTE},
+    vpairs AS (
+        SELECT fm.id_a, fm.id_b
+        FROM fm
+        JOIN vmeta ma ON fm.id_a = ma.id
+        JOIN vmeta mb ON fm.id_b = mb.id AND mb.nf = ma.nf
+        GROUP BY fm.id_a, fm.id_b, ma.nf
+        HAVING COUNT(*) = ma.nf
+    ),
+    edges AS (SELECT id_a, id_b FROM vpairs),
+    {_CC_SQL}
+    SELECT id FROM vmeta WHERE id NOT IN (SELECT node FROM losers)
+    """,
+    tags=("ext-multimodal", "ext-dedup"),
+)
+def q_dedup_video_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END perceptual video dedup certification
+    (operators/video_dedup.py dedup_videos): planted corpus →
+    per-frame dHash → frame-aligned pigeonhole pairs → connected
+    components → min-id survivor per cluster — the survivor-SELECTION
+    step that pairwise certification (q_dedup_video_dhash) can't see
+    (the q_dedup_image_e2e / q_dedup_text_e2e precedent, now at the
+    video granularity). The oracle replays the whole pipeline: shared
+    per-frame signature chain (_VIDEO_DHASH_FM_CTE — literally the
+    same CTEs as the pairs oracle, so the rules cannot fork), the
+    all-frames-aligned pair gate, and the recursive reachability
+    closure (_CC_SQL). Registered r11; seats r12 with the multimodal
+    family per _SEAT_PLAN."""
+    from etl_demos_spark.operators.video_dedup import dedup_videos
+
+    return dedup_videos(
+        _planted_video_dedup_corpus(spark, sf_dir, "perceptual"),
+        "dhash",
+        max_hamming=4,
+    ).select("id")
 
 
 # ---------------------------------------------------------------------------
