@@ -553,6 +553,46 @@ class Media:
 
         return video_meta(self._normalized())
 
+    def video_frame_signatures(self, algo: str = "dhash") -> DataFrame:
+        """→ (id, frame_idx, n_frames, sig) — per-frame perceptual
+        hashes over decodable AVI frame payloads."""
+        from etl_demos_spark.operators.video_dedup import video_frame_signatures
+
+        return video_frame_signatures(self._normalized(), algo)
+
+    def video_near_dups(
+        self, algo: str = "dhash", max_hamming: int = 4
+    ) -> DataFrame:
+        """→ (id_a, id_b, n_frames, total_hamming): same frame count,
+        every aligned frame within the per-frame Hamming ball — the
+        frame-aligned banded join."""
+        from etl_demos_spark.operators.video_dedup import video_near_dup_pairs
+
+        return video_near_dup_pairs(self._normalized(), algo, max_hamming)
+
+    def video_fingerprints(self) -> DataFrame:
+        """→ (id, n_frames, fp) exact container fingerprints (SHA-256
+        over the ordered frame-digest concatenation) — the opaque-codec
+        fallback."""
+        from etl_demos_spark.operators.video_dedup import video_exact_fingerprints
+
+        return video_exact_fingerprints(self._normalized())
+
+    def video_dedup(self, algo: str = "dhash", max_hamming: int = 4) -> "Media":
+        """Perceptual keep-one-per-cluster over videos → Media of
+        survivors."""
+        from etl_demos_spark.operators.video_dedup import dedup_videos
+
+        kept = dedup_videos(self._normalized(), algo, max_hamming)
+        return Media(kept, "id", "content")
+
+    def video_dedup_incremental(self, store: DataFrame | None):
+        """→ (kept_new_ids, updated_store) — probe a persisted exact
+        fingerprint store; prior payloads are never re-walked."""
+        from etl_demos_spark.operators.video_dedup import incremental_video_dedup
+
+        return incremental_video_dedup(self._normalized(), store)
+
 
 class Events:
     """Event-analytics facade over an event-stream DataFrame — the

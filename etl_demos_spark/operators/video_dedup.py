@@ -225,6 +225,54 @@ def video_exact_dup_pairs(
     )
 
 
+def incremental_video_dedup(
+    new_df: DataFrame,
+    existing_fps: DataFrame | None,
+    id_col: str = "id",
+    content_col: str = "content",
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a NEW video batch against itself AND a persisted
+    fingerprint store — the daily-increment form at the container
+    granularity (incremental_image_dedup's shape with the exact
+    fingerprint instead of a Hamming ball): prior payloads are never
+    re-walked; per increment the work is one fingerprint pass over the
+    batch plus an equi-join on 64-hex-char fingerprints (only
+    fingerprints ever ship).
+
+    Policy is **first-seen wins**: a new video whose fingerprint is in
+    the store is dropped; within the batch, each fingerprint keeps its
+    min id. Exact fingerprint equality is TRANSITIVE, so repeated
+    application over increments equals one global min-per-fingerprint
+    pass — the replay identity the image family certifies at
+    max_hamming=0, holding here unconditionally.
+
+    Returns ``(kept_new_ids, updated_fps)``: surviving new ids (one
+    column, ``id_col``) and the (id, n_frames, fp) store for the next
+    increment (existing ∪ survivors)."""
+    fps = materialize_reused(
+        video_exact_fingerprints(new_df, id_col, content_col)
+    )
+    if existing_fps is not None:
+        matched = (
+            fps.join(existing_fps.select("fp").distinct(), "fp")
+            .select("id")
+            .distinct()
+        )
+        fresh = materialize_reused(fps.join(matched, "id", "left_anti"))
+    else:
+        fresh = fps
+    winners = fresh.groupBy("fp").agg(F.min("id").alias("id"))
+    kept = fresh.join(winners.select("id"), "id")
+    updated = (
+        kept.select("id", "n_frames", "fp")
+        if existing_fps is None
+        else existing_fps.select("id", "n_frames", "fp").unionByName(
+            kept.select("id", "n_frames", "fp")
+        )
+    )
+    return kept.select(F.col("id").alias(id_col)), updated
+
+
 def dedup_videos(
     df: DataFrame,
     algo: str = "dhash",

@@ -141,6 +141,31 @@ def image_dedup_batch_processor(
     return _store_probe_batch_processor(out_path, store_path, id_col, dedup_fn)
 
 
+def video_dedup_batch_processor(
+    out_path: str,
+    store_path: str,
+    id_col: str = "id",
+    content_col: str = "content",
+):
+    """foreachBatch body for streaming EXACT video dedup — the
+    container-granularity twin of :func:`image_dedup_batch_processor`:
+    per micro-batch, walk + fingerprint the batch's AVI payloads once
+    (operators/video_dedup.incremental_video_dedup — prior payloads
+    are never re-walked; only 64-hex fingerprints ship), probe the
+    persisted (id, n_frames, fp) store, append survivors, swap the
+    updated store. First-seen-wins across batches; exact fingerprint
+    equality is transitive, so the replay identity holds
+    unconditionally. Crash-safety (partition-scoped replay overwrite +
+    staging-then-swap store) is the shared scaffolding's — see
+    _store_probe_batch_processor."""
+    from etl_demos_spark.operators.video_dedup import incremental_video_dedup
+
+    def dedup_fn(batch_df: DataFrame, store: DataFrame | None):
+        return incremental_video_dedup(batch_df, store, id_col, content_col)
+
+    return _store_probe_batch_processor(out_path, store_path, id_col, dedup_fn)
+
+
 def _store_probe_batch_processor(
     out_path: str,
     store_path: str,
@@ -245,6 +270,29 @@ def run_image_dedup_stream(
             image_dedup_batch_processor(
                 out_path, store_path, id_col, content_col, algo, max_hamming
             )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_video_dedup_stream(
+    spark,
+    src_path: str,
+    out_path: str,
+    store_path: str,
+    schema,
+    checkpoint: str,
+    id_col: str = "id",
+    content_col: str = "content",
+):
+    """Wire ``video_dedup_batch_processor`` to a file-source stream
+    (availableNow trigger — drains the backlog then stops)."""
+    stream = spark.readStream.schema(schema).parquet(src_path)
+    return (
+        stream.writeStream.foreachBatch(
+            video_dedup_batch_processor(out_path, store_path, id_col, content_col)
         )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)

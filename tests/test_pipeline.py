@@ -639,3 +639,58 @@ def test_media_facade_audio_methods(spark):
     assert got == want
     pairs = {(r["id_a"], r["id_b"]) for r in media.audio_near_dups().collect()}
     assert pairs == {(1, 2)}
+
+
+def test_media_facade_video_methods(spark):
+    import struct
+
+    from etl_demos_spark.engine import Engine
+    from etl_demos_spark.operators.video_dedup import (
+        video_exact_fingerprints,
+        video_frame_signatures,
+    )
+
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def avi(frames):
+        avih = struct.pack("<14I", 33333, 0, 0, 0, len(frames), 0, 1, 0,
+                           0, 0, 0, 0, 0, 0)
+        payload = (b"AVI " + chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+                   + chunk(b"LIST", b"movi"
+                           + b"".join(chunk(b"00db", f) for f in frames)))
+        return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+    def pgm(raster):
+        return b"P5\n8 8\n255\n" + raster
+
+    base = bytes((i * 7 + 3) % 256 for i in range(64))
+    mut = b"\xff" + base[1:]
+    df = spark.createDataFrame(
+        [(1, avi([pgm(base), pgm(base)])),
+         (2, avi([pgm(mut), pgm(base)])),
+         (3, avi([pgm(bytes(255 - b for b in base))]))],
+        "id long, content binary",
+    )
+    media = Engine(spark).media(df)
+
+    want = {(r["id"], r["frame_idx"]): r["sig"]
+            for r in video_frame_signatures(df).collect()}
+    got = {(r["id"], r["frame_idx"]): r["sig"]
+           for r in media.video_frame_signatures().collect()}
+    assert got == want
+
+    pairs = {(r["id_a"], r["id_b"]) for r in media.video_near_dups().collect()}
+    assert pairs == {(1, 2)}
+
+    want_fp = {r["id"]: r["fp"] for r in video_exact_fingerprints(df).collect()}
+    got_fp = {r["id"]: r["fp"] for r in media.video_fingerprints().collect()}
+    assert got_fp == want_fp
+
+    kept = sorted(r["id"] for r in media.video_dedup().df.collect())
+    assert kept == [1, 3]
+
+    kept_ids, store = media.video_dedup_incremental(None)
+    assert sorted(r["id"] for r in kept_ids.collect()) == [1, 2, 3]
+    assert store.count() == 3

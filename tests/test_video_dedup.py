@@ -129,6 +129,97 @@ def test_video_exact_fingerprint_is_order_sensitive(spark):
     assert pairs == [(1, 2)]
 
 
+def test_incremental_video_dedup_matches_sequential_reference(spark):
+    """Three increments against a growing store must equal a sequential
+    one-at-a-time first-seen-wins replay (exact fingerprints are
+    transitive, so the identity holds unconditionally)."""
+    from etl_demos_spark.operators.video_dedup import incremental_video_dedup
+
+    def vid(seed):
+        return _avi([bytes([seed + j]) * 8 for j in range(3)])
+
+    batches = [
+        [(0, vid(1)), (1, vid(2))],
+        [(10, vid(1)), (11, vid(3)), (12, vid(3))],  # 10 dup of 0; 12 of 11
+        [(20, vid(2)), (21, vid(4))],
+    ]
+    store = None
+    kept_all = []
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "id long, content binary")
+        kept, store = incremental_video_dedup(df, store)
+        kept_all += [r["id"] for r in kept.collect()]
+
+    # sequential python reference
+    seen, want = {}, []
+    for rows in batches:
+        for id_, buf in rows:
+            frames = tuple(avi_frame_payloads(buf))
+            if frames not in seen:
+                seen[frames] = id_
+                want.append(id_)
+    assert sorted(kept_all) == sorted(want) == [0, 1, 11, 21]
+    assert {r["id"] for r in store.collect()} == set(want)
+
+
+def test_video_dedup_processor_across_batches_and_replay(spark, tmp_path):
+    """Streaming twin: survivors across two micro-batches equal the
+    first-seen-wins replay, and a full replay of a completed batch_id
+    (at-least-once delivery) leaves output and store unchanged — the
+    shared crash-safe scaffolding, now at the container granularity."""
+    from etl_demos_spark.streaming.dedup import video_dedup_batch_processor
+
+    a = _avi([b"frame-a1", b"frame-a2"])
+    b = _avi([b"frame-b1"])
+    c = _avi([b"frame-c1", b"frame-c2", b"frame-c3"])
+    out = str(tmp_path / "out")
+    store = str(tmp_path / "store")
+    proc = video_dedup_batch_processor(out, store)
+
+    b1 = spark.createDataFrame(
+        [(0, a), (0, a), (1, b)], "id long, content binary"
+    )  # same-batch physical replay of id 0
+    b2 = spark.createDataFrame(
+        [(10, a), (11, c)], "id long, content binary"
+    )  # 10 = exact dup of 0, 11 novel
+    proc(b1, 0)
+    proc(b2, 1)
+    got = {r["id"] for r in spark.read.parquet(out).collect()}
+    assert got == {0, 1, 11}
+    assert {r["id"] for r in spark.read.parquet(store).collect()} == {0, 1, 11}
+    # full replay of batch 1 after its store swap: idempotent
+    proc(b2, 1)
+    assert {r["id"] for r in spark.read.parquet(out).collect()} == {0, 1, 11}
+    assert {r["id"] for r in spark.read.parquet(store).collect()} == {0, 1, 11}
+
+
+def test_video_dedup_stream_end_to_end(spark, tmp_path):
+    """availableNow drain over a file source: deduped video output and
+    a populated fingerprint store."""
+    from etl_demos_spark.streaming.dedup import run_video_dedup_stream
+    from etl_demos_spark.streaming.stateful import drain_available_now
+
+    v1 = _avi([b"payload-one", b"payload-two"])
+    v2 = _avi([b"payload-three"])
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(0, v1), (1, v2), (2, v1)], "id long, content binary"
+    ).coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    q = run_video_dedup_stream(
+        spark, src, str(tmp_path / "out"), str(tmp_path / "store"),
+        schema, str(tmp_path / "ckpt"),
+    )
+    assert drain_available_now(q)
+
+    got = {r["id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert got == {0, 1}
+    fps = {r["id"]: r["fp"] for r in
+           spark.read.parquet(str(tmp_path / "store")).collect()}
+    assert set(fps) == {0, 1} and len(set(fps.values())) == 2
+
+
 def test_dedup_videos_keeps_one_per_cluster(spark):
     from etl_demos_spark.operators.video_dedup import dedup_videos
 
