@@ -108,6 +108,29 @@ def main() -> int:
         f"{consistent.count()} census-consistent, "
         f"{plan.count()} frames in the sampling plan"
     )
+
+    # --- video dedup: per-frame perceptual + exact container fallback ----
+    from etl_demos_spark.operators.video_dedup import (
+        dedup_videos,
+        incremental_video_dedup,
+    )
+    from etl_demos_spark.workload_ext import _planted_video_dedup_corpus
+
+    dvids = _planted_video_dedup_corpus(spark, sf_dir, "perceptual")
+    nv0 = dvids.count()
+    vkept = dedup_videos(dvids, "dhash", max_hamming=4)
+    nv1 = vkept.count()
+    print(f"video dedup: {nv0} -> {nv1} after per-frame perceptual clustering")
+
+    # day-2 video increment: exact container fingerprints only — prior
+    # payloads never re-walked
+    _, vstore = incremental_video_dedup(vkept, None)
+    day2v = vkept.limit(50).select((F.col("id") + 9_000_000).alias("id"), "content")
+    vkept2, _ = incremental_video_dedup(day2v, vstore.localCheckpoint())
+    print(
+        f"day-2 video increment: {day2v.count()} containers -> "
+        f"{vkept2.count()} genuinely new (exact-fingerprint probe)"
+    )
     return 0
 
 
