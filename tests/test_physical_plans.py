@@ -356,6 +356,29 @@ def test_fuzzy_join_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
 
 
+def test_video_near_dup_join_no_cartesian(spark):
+    """The frame-aligned video pair join must candidate-generate
+    through the (frame_idx, chunk, val) equi-join — never a cross
+    product — and decode exactly once (one Arrow-eval stage feeding
+    both join sides via the materialized signature frame)."""
+    df = REGISTRY["q_dedup_video_dhash"].fn(spark, SF_DIR)
+    p = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    # the decode pass ran at materialize time, not inside the pair
+    # plan: payload bytes must not appear in the join stages
+    assert "content" not in p
+
+
+def test_composite_image_join_no_cartesian_single_decode(spark):
+    """Composite pairs: both pigeonhole joins are equi-joins and the
+    plan reads the single-decode signature frame (no second
+    mapInPandas decode stage inside the union)."""
+    df = REGISTRY["q_dedup_image_composite"].fn(spark, SF_DIR)
+    p = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "content" not in p
+
+
 def test_interval_merge_single_window_pass(spark):
     """Gaps-and-islands: one scan of orders, window work, no self-join."""
     df = REGISTRY["q_interval_merge"].fn(spark, SF_DIR)
