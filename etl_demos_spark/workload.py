@@ -654,8 +654,9 @@ _LATE: tuple[str, ...] = (
     # q_filter_notnull's scan+filter shape and of every certified
     # TPC-H family filter), retired alongside the 3 r11 registrations
     # (q_dedup_video_dhash, q_dedup_video_exact,
-    # q_dedup_image_composite; q_dedup_video_e2e joined later in the
-    # round). Current headroom: 192 - 190 = 2. Next
+    # q_dedup_image_composite; q_dedup_video_e2e and
+    # q_dedup_video_incremental joined later in the round). Current
+    # headroom: 192 - 191 = 1. Next
     # candidates when headroom is needed: q_date_key (subsumed by
     # q_date_spine + q_extract_parts once both re-certify) or
     # q_union_literal (strict subset of q_union_by_name).
@@ -837,6 +838,7 @@ _LATE: tuple[str, ...] = (
     "q_dedup_video_exact",
     "q_dedup_image_composite",
     "q_dedup_video_e2e",
+    "q_dedup_video_incremental",
     # -- RETIRED from rotation (kept registered + oracle-paired so
     #    tests/test_oracle_parity.py still hash-verifies them locally;
     #    never reseated in a driver window). q_dedup_ngram r09;
@@ -932,6 +934,7 @@ _SEAT_PLAN: dict[int, frozenset[str]] = {
         "q_dedup_image_phash",
         "q_dedup_image_composite",
         "q_dedup_video_e2e",
+        "q_dedup_video_incremental",
         "q_dedup_image_incremental",
         "q_dedup_image_e2e",
         "q_audio_features",

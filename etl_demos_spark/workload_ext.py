@@ -1839,10 +1839,11 @@ def q_dedup_video_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@workload(
-    "q_dedup_video_exact",
-    oracle=f"""
-    WITH {_video_frames_duck(
+# Container fingerprints over the exact-mode planted corpus (even docs
+# get byte-identical mutants, odd docs perturbed ones) — shared by the
+# exact-pairs oracle and the incremental replay oracle so the
+# fingerprint rule cannot fork.
+_VIDEO_FPS_CTE = f"""{_video_frames_duck(
         "CASE WHEN r0.doc_id % 2 = 1 THEN 'z' || substr(r0.raster, 2) "
         "ELSE r0.raster END"
     )},
@@ -1857,7 +1858,13 @@ def q_dedup_video_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                sha256(string_agg(sha256(payload), '' ORDER BY frame_idx))
                    AS fp
         FROM payloads GROUP BY id, nf
-    )
+    )"""
+
+
+@workload(
+    "q_dedup_video_exact",
+    oracle=f"""
+    WITH {_VIDEO_FPS_CTE}
     SELECT a.id AS id_a, b.id AS id_b, CAST(a.nf AS INT) AS n_frames
     FROM fps a JOIN fps b ON a.fp = b.fp AND a.id < b.id
     """,
@@ -1918,6 +1925,56 @@ def q_dedup_video_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dhash",
         max_hamming=4,
     ).select("id")
+
+
+@workload(
+    "q_dedup_video_incremental",
+    oracle=f"""
+    WITH {_VIDEO_FPS_CTE}
+    SELECT id FROM (
+        SELECT id,
+               row_number() OVER (PARTITION BY fp ORDER BY id % 3, id) AS rn
+        FROM fps
+    ) WHERE rn = 1
+    """,
+    tags=("ext-multimodal", "ext-dedup"),
+)
+def q_dedup_video_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental video dedup replay certification
+    (operators/video_dedup.py incremental_video_dedup): the exact-mode
+    planted corpus split into three increments (id % 3, processed in
+    order), each batch fingerprinted once and probed against the
+    persisted store — prior payloads are never re-walked, only
+    64-hex-char fingerprints ship. Exact fingerprint equality is
+    transitive, so the sequential replay must equal one global
+    first-seen-wins pass — which the oracle states directly: the
+    winner per fingerprint is the member first in PROCESSING order
+    (ORDER BY id % 3, id) — and since mutant ids sit at +10⁶ ≡ +1
+    (mod 3), a doc with id % 3 = 2 is OUTLIVED by its own copy (the
+    copy's increment processes first), so the certified winner set is
+    not simply min-id: the driver hash pins the order-dependence of
+    first-seen-wins itself (the q_dedup_image_incremental pattern at
+    the container granularity). Registered r11; seats r12 with the
+    multimodal family per _SEAT_PLAN."""
+    from etl_demos_spark.operators.matutil import materialize_reused
+    from etl_demos_spark.operators.video_dedup import incremental_video_dedup
+
+    corpus = _planted_video_dedup_corpus(spark, sf_dir, "exact")
+    store = None
+    kept_frames = []
+    for m in range(3):
+        inc = corpus.filter(F.col("id") % 3 == m)
+        kept, store = incremental_video_dedup(inc, store)
+        # the kept frame feeds the final union and (via the store) the
+        # next increment's probe — freeze both so increment m+1 never
+        # recomputes increment m's pipeline
+        kept = materialize_reused(kept)
+        store = materialize_reused(store)
+        kept_frames.append(kept)
+    out = kept_frames[0]
+    for f in kept_frames[1:]:
+        out = out.unionByName(f)
+    return out
 
 
 # ---------------------------------------------------------------------------

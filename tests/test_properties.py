@@ -1118,3 +1118,35 @@ def test_perceptual_hashes_in_range_for_any_dims(w, h, seed, gray):
     assert 0 <= p < (1 << 63)
     # determinism: same pixels, same hash
     assert d == idp.dhash_int(px) and p == idp.phash_int(px)
+
+
+@given(
+    frames=st.lists(st.binary(min_size=0, max_size=40), min_size=0, max_size=8),
+    mix_ids=st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_avi_frame_payloads_roundtrip(frames, mix_ids):
+    """avi_frame_payloads recovers exactly the built frame list — bytes
+    and ORDER — for any frame-size mix (odd lengths exercise the RIFF
+    word-alignment pad), with ##dc/##db chunk ids interchangeable and
+    non-frame chunks skipped."""
+    import struct
+
+    from etl_demos_spark.operators.multimodal import avi_frame_payloads
+
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    avih = struct.pack("<14I", 1, 0, 0, 0, len(frames), 0, 1, 0, 4, 4,
+                       0, 0, 0, 0)
+    movi = b"movi"
+    for i, f in enumerate(frames):
+        cid = b"00db" if (mix_ids and i % 2) else b"00dc"
+        movi += chunk(cid, f)
+        if i == 0:
+            movi += chunk(b"ix00", b"idx")  # non-frame chunk: skipped
+    body = (b"AVI " + chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+            + chunk(b"LIST", movi))
+    got = avi_frame_payloads(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert got == frames
