@@ -88,6 +88,11 @@ HEADLINE = [
     "q_lsh_recall",
     "q_bootstrap_ci",
     "q_dedup_text_e2e",
+    # r11 tail-sweep's two new top flags (the e2e CC certification
+    # queries registered r10/r11) — benched so the iterative floor is
+    # tracked per round instead of living in the blind spot
+    "q_dedup_image_e2e",
+    "q_dedup_video_e2e",
 ]
 
 
