@@ -495,14 +495,22 @@ def _riff_walk(buf: bytes, pos: int, end: int):
         pos += 8 + size + (size & 1)  # word-aligned
 
 
-def avi_frame_payloads(buf: bytes) -> list[bytes]:
+def avi_frame_payloads(
+    buf: bytes, kinds: tuple[bytes, ...] = (b"dc", b"db", b"wb")
+) -> list[bytes]:
     """Ordered frame payloads from an AVI's LIST movi run: the bytes of
-    every ##dc/##db/##wb chunk, in container order. This is the
-    per-frame surface the video dedup family signs
+    every chunk whose 2-char type suffix is in ``kinds``, in container
+    order. This is the per-frame surface the video dedup family signs
     (operators/video_dedup.py) — whether a payload is *decodable* is
     the codec boundary question answered downstream (in-repo netpbm/BMP
     frames decode; compressed codecs fall back to exact payload
-    hashing)."""
+    hashing).
+
+    ``kinds`` is the STREAM separation knob for muxed A/V containers:
+    the default (dc/db/wb) is the full-container census — right for
+    exact fingerprints, where the audio track is part of the identity —
+    while the perceptual per-frame path passes ``(b"dc", b"db")`` so
+    ##wb audio chunks never reach the image decoder."""
     if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI file")
     frames: list[bytes] = []
@@ -510,7 +518,7 @@ def avi_frame_payloads(buf: bytes) -> list[bytes]:
         if cid != b"LIST" or buf[p : p + 4] != b"movi":
             continue
         for cid2, p2, size2 in _riff_walk(buf, p + 4, p + size):
-            if cid2[2:4] in (b"dc", b"db", b"wb"):
+            if cid2[2:4] in kinds:
                 body = buf[p2 : p2 + size2]
                 if len(body) != size2:
                     raise ValueError(

@@ -65,11 +65,14 @@ def video_frame_signatures(
     content_col: str = "content",
 ) -> DataFrame:
     """Per-frame perceptual signatures: walk each AVI's movi run,
-    decode every frame payload with the in-repo image codecs, hash
-    with dHash/pHash. One Arrow-batch mapInPandas pass — no shuffle,
+    decode every VIDEO frame payload (##dc/##db — ##wb audio chunks of
+    a muxed A/V container are stream-separated out, never fed to the
+    image decoder) with the in-repo image codecs, hash with
+    dHash/pHash. One Arrow-batch mapInPandas pass — no shuffle,
     payload bytes never leave the executor. Output
-    ``(id, frame_idx, n_frames, sig)``; a non-decodable frame payload
-    raises (use :func:`video_exact_fingerprints` for opaque codecs)."""
+    ``(id, frame_idx, n_frames, sig)``; a non-decodable video frame
+    payload raises (use :func:`video_exact_fingerprints` for opaque
+    codecs)."""
     if algo not in ("dhash", "phash"):
         raise ValueError(f"unknown perceptual hash {algo!r}: dhash|phash")
     hash_fn = dhash_int if algo == "dhash" else phash_int
@@ -78,7 +81,9 @@ def video_frame_signatures(
         for pdf in batches:
             ids, idxs, counts, sigs = [], [], [], []
             for id_, content in zip(pdf[id_col], pdf[content_col]):
-                frames = avi_frame_payloads(bytes(content))
+                frames = avi_frame_payloads(
+                    bytes(content), kinds=(b"dc", b"db")
+                )
                 for i, payload in enumerate(frames):
                     _, _, _, px = decode_image(payload)
                     ids.append(int(id_))

@@ -49,6 +49,55 @@ def test_avi_frame_payloads_skips_non_frame_chunks():
     assert avi_frame_payloads(_avi(frames, extra_chunk=True)) == frames
 
 
+def test_muxed_av_container_stream_separation(spark):
+    """A muxed A/V container (00dc video + 01wb audio chunks): the
+    perceptual path signs ONLY video frames (audio bytes never reach
+    the image decoder), while the exact fingerprint covers the whole
+    container — the audio track is part of the identity."""
+    import struct
+
+    from etl_demos_spark.operators.video_dedup import (
+        video_exact_fingerprints,
+        video_frame_signatures,
+    )
+
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    raster = bytes((i * 5 + 1) % 256 for i in range(8 * 8))
+    vid_frame = b"P5\n8 8\n255\n" + raster
+    audio = b"\x00\x01not-an-image"
+    avih = struct.pack("<14I", 1, 0, 0, 0, 2, 0, 2, 0, 8, 8, 0, 0, 0, 0)
+    movi = (b"movi" + chunk(b"00dc", vid_frame) + chunk(b"01wb", audio)
+            + chunk(b"00dc", vid_frame) + chunk(b"01wb", audio))
+    body = (b"AVI " + chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+            + chunk(b"LIST", movi))
+    muxed = b"RIFF" + struct.pack("<I", len(body)) + body
+    video_only_body = (b"AVI " + chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+                       + chunk(b"LIST", b"movi" + chunk(b"00dc", vid_frame)
+                               + chunk(b"00dc", vid_frame)))
+    video_only = b"RIFF" + struct.pack("<I", len(video_only_body)) + video_only_body
+
+    # payload extraction: default census sees all 4, video-kinds sees 2
+    assert len(avi_frame_payloads(muxed)) == 4
+    assert avi_frame_payloads(muxed, kinds=(b"dc", b"db")) == [vid_frame, vid_frame]
+
+    df = spark.createDataFrame(
+        [(1, muxed), (2, video_only)], "id long, content binary"
+    )
+    sigs = video_frame_signatures(df).collect()  # must not raise on audio
+    per_id = {}
+    for r in sigs:
+        per_id.setdefault(r["id"], []).append(r["sig"])
+    # same video track -> same perceptual signatures, n_frames = 2 both
+    assert per_id[1] == per_id[2]
+    assert all(r["n_frames"] == 2 for r in sigs)
+    # exact fingerprint differs: the audio track is part of identity
+    fps = {r["id"]: r["fp"] for r in video_exact_fingerprints(df).collect()}
+    assert fps[1] != fps[2]
+
+
 def test_avi_frame_payloads_rejects_non_avi_and_truncated():
     with pytest.raises(ValueError, match="AVI"):
         avi_frame_payloads(b"RIFF\x04\x00\x00\x00WAVE")
