@@ -63,6 +63,7 @@ def video_frame_signatures(
     algo: str = "dhash",
     id_col: str = "id",
     content_col: str = "content",
+    frame_stride: int = 1,
 ) -> DataFrame:
     """Per-frame perceptual signatures: walk each AVI's movi run,
     decode every VIDEO frame payload (##dc/##db — ##wb audio chunks of
@@ -72,9 +73,21 @@ def video_frame_signatures(
     payload bytes never leave the executor. Output
     ``(id, frame_idx, n_frames, sig)``; a non-decodable video frame
     payload raises (use :func:`video_exact_fingerprints` for opaque
-    codecs)."""
+    codecs).
+
+    ``frame_stride`` is the LONG-VIDEO scale knob: sign only every
+    k-th video frame (container order). At thousand-frame production
+    containers, signing every frame makes decode cost ∝ total frames;
+    a stride bounds it at frames/k while keeping alignment exact —
+    ``frame_idx`` stays the ORIGINAL container index, so two
+    equal-length videos signed at the same stride compare the same
+    sampled positions, and ``n_frames`` becomes the SAMPLED count so
+    the all-frames pair gate stays consistent. Stride 1 ≡ sign
+    everything (the certified default)."""
     if algo not in ("dhash", "phash"):
         raise ValueError(f"unknown perceptual hash {algo!r}: dhash|phash")
+    if frame_stride < 1:
+        raise ValueError(f"frame_stride must be >= 1, got {frame_stride}")
     hash_fn = dhash_int if algo == "dhash" else phash_int
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -84,11 +97,12 @@ def video_frame_signatures(
                 frames = avi_frame_payloads(
                     bytes(content), kinds=(b"dc", b"db")
                 )
-                for i, payload in enumerate(frames):
-                    _, _, _, px = decode_image(payload)
+                sampled = list(range(0, len(frames), frame_stride))
+                for i in sampled:
+                    _, _, _, px = decode_image(frames[i])
                     ids.append(int(id_))
                     idxs.append(i)
-                    counts.append(len(frames))
+                    counts.append(len(sampled))
                     sigs.append(hash_fn(px))
             yield pd.DataFrame(
                 {
@@ -110,6 +124,7 @@ def video_near_dup_pairs(
     max_hamming: int = 4,
     id_col: str = "id",
     content_col: str = "content",
+    frame_stride: int = 1,
 ) -> DataFrame:
     """Near-duplicate video pairs: same frame count, every aligned
     frame within ``max_hamming`` perceptual bits. Candidates come from
@@ -122,9 +137,13 @@ def video_near_dup_pairs(
 
     Output ``(id_a, id_b, n_frames, total_hamming)``, each unordered
     pair once — total_hamming = Σ per-frame Hamming distance, 0 for
-    bit-identical frame tracks."""
+    bit-identical frame tracks. ``frame_stride`` passes through to the
+    signature pass (the long-video scale knob: compare every k-th
+    frame; n_frames becomes the sampled count on both sides)."""
     sig_bits = DHASH_BITS if algo == "dhash" else PHASH_BITS
-    sigs = video_frame_signatures(df, algo, id_col, content_col)
+    sigs = video_frame_signatures(
+        df, algo, id_col, content_col, frame_stride=frame_stride
+    )
     # both chunk-join sides and the frame-count gate reference the
     # decoded signatures: decode once, truncate the plan (the
     # simhash_pairs eager-materialize discipline)

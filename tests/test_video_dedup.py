@@ -153,6 +153,44 @@ def test_video_near_dup_pairs_all_frames_gate(spark):
     assert 0 < pairs[(1, 2)]["total_hamming"] <= 4
 
 
+def test_frame_stride_samples_aligned_positions(spark):
+    """frame_stride signs every k-th container frame: stride 1 is the
+    full pass; stride 2 signs indices 0,2,... with n_frames = sampled
+    count, and two videos that agree on the sampled positions pair even
+    if an UNSAMPLED frame differs (the documented sampling trade-off)."""
+    import pytest
+
+    from etl_demos_spark.operators.video_dedup import (
+        video_frame_signatures,
+        video_near_dup_pairs,
+    )
+
+    base = [bytes((i * 11 + j * 3) % 256 for j in range(8 * 8)) for i in range(4)]
+    # differs ONLY at frame 1 (unsampled at stride 2) — and drastically
+    far1 = bytes(255 - b for b in base[1])
+    v1 = _avi([_pgm(8, r) for r in base])
+    v2 = _avi([_pgm(8, base[0]), _pgm(8, far1), _pgm(8, base[2]), _pgm(8, base[3])])
+    df = spark.createDataFrame([(1, v1), (2, v2)], "id long, content binary")
+
+    s1 = video_frame_signatures(df, frame_stride=1).collect()
+    s2 = video_frame_signatures(df, frame_stride=2).collect()
+    assert {r["frame_idx"] for r in s1} == {0, 1, 2, 3}
+    assert {r["frame_idx"] for r in s2} == {0, 2}
+    assert all(r["n_frames"] == 2 for r in s2)
+    # stride-2 signatures equal the full pass at the sampled indices
+    full = {(r["id"], r["frame_idx"]): r["sig"] for r in s1}
+    for r in s2:
+        assert r["sig"] == full[(r["id"], r["frame_idx"])]
+
+    # full compare: frame 1 is far -> no pair; stride 2 skips it -> pair
+    assert video_near_dup_pairs(df, max_hamming=4).count() == 0
+    pairs = video_near_dup_pairs(df, max_hamming=4, frame_stride=2).collect()
+    assert [(r["id_a"], r["id_b"], r["n_frames"]) for r in pairs] == [(1, 2, 2)]
+
+    with pytest.raises(ValueError, match="frame_stride"):
+        video_frame_signatures(df, frame_stride=0).collect()
+
+
 def test_video_exact_fingerprint_is_order_sensitive(spark):
     from etl_demos_spark.operators.video_dedup import (
         video_exact_dup_pairs,
