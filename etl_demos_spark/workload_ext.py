@@ -5348,23 +5348,18 @@ _LPA_ORACLE = (
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Support-≥2 co-purchase edge list, persisted once per filesystem
-    (_fixture_parquet): the graph queries ship ITERATIVE OPERATORS
-    (BFS, label propagation) — in production the link graph exists
-    upstream; rebuilding basket_pairs inside every evaluation times
-    graph construction, not the operator (the q_dedup_incremental
-    fixture/operator split, rec 3 — measured 2.6 s of a 5.96 s wall at
-    sf0.1, perf/ab_tailflags_r11.json). basket_pairs is deterministic,
-    so output is unchanged."""
+    """Support-≥2 co-purchase edge list, built inline from the parquet
+    inputs every evaluation (no cross-run persistence: a certified
+    query must compute from its declared inputs each run). The graph
+    operators downstream materialize the undirected edge table once per
+    evaluation themselves, so basket_pairs runs exactly once per call;
+    its cost is part of the query's honest wall."""
     from etl_demos_spark.operators import cooccur
 
-    def build() -> DataFrame:
-        li = T(spark, sf_dir, "lineitem")
-        return cooccur.basket_pairs(
-            li, "l_orderkey", "l_partkey", max_basket=64, min_support=2
-        ).select(F.col("item_a").alias("a"), F.col("item_b").alias("b"))
-
-    return _fixture_parquet(spark, f"copurchase_edges_s2_b64:{sf_dir}", build)
+    li = T(spark, sf_dir, "lineitem")
+    return cooccur.basket_pairs(
+        li, "l_orderkey", "l_partkey", max_basket=64, min_support=2
+    ).select(F.col("item_a").alias("a"), F.col("item_b").alias("b"))
 
 
 
@@ -5380,9 +5375,8 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the driver hash certify the whole community assignment. Per
     round: one |E| join + one (node,label) combiner agg + one per-node
     window top-1, lineage truncated per round (the pagerank
-    localCheckpoint discipline). Edge list comes from the persisted
-    co-purchase fixture (_copurchase_edges — rec 3's fixture/operator
-    split; deterministic, output unchanged)."""
+    localCheckpoint discipline). Edge list is built inline from
+    lineitem every evaluation (_copurchase_edges)."""
     from etl_demos_spark.operators import graph
 
     edges = _copurchase_edges(spark, sf_dir)
@@ -5450,9 +5444,8 @@ def q_bfs_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver hash certifies the full distance table. Per round one |E|
     join + one node-keyed min agg; unreached nodes are absent (bounded
     frontier — the transitive closure is never materialized). Edge
-    list comes from the persisted co-purchase fixture
-    (_copurchase_edges — rec 3's fixture/operator split; deterministic,
-    output unchanged)."""
+    list is built inline from lineitem every evaluation
+    (_copurchase_edges)."""
     from etl_demos_spark.operators import graph
 
     edges = _copurchase_edges(spark, sf_dir)
@@ -6836,59 +6829,33 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linkage.fuzzy_join(left, right, "doc_id", "text", threshold=0.5)
 
 
-def _fixture_parquet(spark: SparkSession, key: str, build_fn) -> DataFrame:
-    """Build-once parquet fixture cache: the OPERATOR a query ships may
-    probe a persisted store that in production already exists (built by
-    yesterday's run); rebuilding that store inside the registered query
-    times fixture construction, not the operator (VERDICT r10 rec 3).
-    The store is a pure deterministic function of the static testdata,
-    so persisting it under /tmp changes nothing about output — first
-    evaluation in a fresh filesystem pays the build once, every later
-    evaluation times the probe, which is what ships."""
-    import hashlib
-    import os
-
-    path = os.path.join(
-        "/tmp/etl_demos_spark_fixtures",
-        hashlib.md5(key.encode()).hexdigest()[:16],
-    )
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        build_fn().write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
-
-
 @workload(
     "q_dedup_incremental", oracle=_dedup_incremental_sql(), tags=("ext-dedup",)
 )
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental MinHash dedup (dedup.incremental_minhash_dedup): the
     daily-increment form — the first half of documents stands in for the
-    already-deduped corpus via its PERSISTED signature store (built
-    once per filesystem by _fixture_parquet — rec 3's fixture/operator
-    split: in production the store exists from the previous increment,
-    so the query times the probe the operator actually ships), the
-    second half is the new batch. The corpus text is never re-read: the
-    probe ships banded bucket keys only, and per-increment work is
-    |batch| signatures + collisions. First-seen-wins policy; pinned
-    behavioral tests (cross-batch drop, within-batch min-id, replay
-    idempotency, store ≡ batch signatures) in tests/test_dedup.py.
-    md5-portable signatures → the oracle replays the full two-stage
-    probe (corpus match, within-batch CC survivor) and the driver hash
-    certifies the kept-id set."""
+    already-deduped corpus via its signature store (built inline from
+    the parquet inputs every evaluation: no cross-run persistence — in
+    production the store exists from the previous increment, but a
+    certified query must compute from its declared inputs each run),
+    the second half is the new batch. The probe ships banded bucket
+    keys only, and per-increment work is |batch| signatures +
+    collisions. First-seen-wins policy; pinned behavioral tests
+    (cross-batch drop, within-batch min-id, replay idempotency,
+    store ≡ batch signatures) in tests/test_dedup.py. md5-portable
+    signatures → the oracle replays the full two-stage probe (corpus
+    match, within-batch CC survivor) and the driver hash certifies the
+    kept-id set."""
     from etl_demos_spark.operators import dedup as dd
 
     d = T(spark, sf_dir, "documents")
     half = d.agg((F.max("doc_id") / 2).cast("long").alias("h")).collect()[0]["h"]
     new = d.filter(F.col("doc_id") > half)
 
-    def build_store() -> DataFrame:
-        existing = d.filter(F.col("doc_id") <= half)
-        grams = dd.exploded_shingles(existing, "doc_id", "text", 3)
-        return dd.minhash_signatures_from_grams(grams, "id", "g", 128)
-
-    store = _fixture_parquet(
-        spark, f"minhash_store_128_n3:{sf_dir}", build_store
-    )
+    existing = d.filter(F.col("doc_id") <= half)
+    grams = dd.exploded_shingles(existing, "doc_id", "text", 3)
+    store = dd.minhash_signatures_from_grams(grams, "id", "g", 128)
     kept, _ = dd.incremental_minhash_dedup(new, store, threshold=0.5)
     return kept.orderBy("doc_id")
 
