@@ -196,19 +196,83 @@ def cosine_pairs_tiled(
     return rep.groupBy("_ta", "_tb").applyInPandas(tile, PAIR_SCHEMA)
 
 
+# Edge sets at or below this route to the single-task numpy path: the
+# whole (deduped) edge list fits one executor task with room to spare
+# (5M edges ≈ 80 MB of int64 pairs), and min-label propagation over
+# numpy arrays beats 3-6 distributed rounds by an order of magnitude.
+# Above it, the iterative DataFrame loop is the 100 TB path. Override
+# per deployment via env (scale-adaptive, not a local[32] constant).
+CC_SINGLE_TASK_EDGE_CAP = 5_000_000
+
+
+def _cc_labels_numpy(u, v):
+    """Exact connected components over in-memory edge arrays:
+    min-label propagation with pointer jumping (label[label] path
+    compression), all numpy — O(E) per pass, O(log diameter) passes.
+    Returns (nodes, comp) aligned arrays; comp = min reachable node.
+    Works for any dtype with a total order np.unique supports (ints,
+    strings) because labels are INDICES into the sorted node array, so
+    the minimum index IS the minimum node id."""
+    nodes = np.unique(np.concatenate([u, v]))
+    ui = np.searchsorted(nodes, u)
+    vi = np.searchsorted(nodes, v)
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        before = label
+        m = np.minimum(label[ui], label[vi])
+        label = label.copy()
+        np.minimum.at(label, ui, m)
+        np.minimum.at(label, vi, m)
+        while True:  # pointer jumping to a per-pass fixpoint
+            nxt = label[label]
+            if np.array_equal(nxt, label):
+                break
+            label = nxt
+        if np.array_equal(before, label):
+            break
+    return nodes, nodes[label]
+
+
 def connected_components(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 50
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+    single_task_edge_cap: int | None = None,
 ) -> DataFrame:
-    """(node, component) where component = min node id reachable, by
-    synchronous min-label propagation: each round every node adopts the
-    minimum label among itself and its neighbors, so convergence takes
-    O(graph diameter) rounds (NOT the O(log n) of small-star/large-star
-    — near-dup clusters are short-diameter by construction, which is
-    why the simpler propagation wins here; each round early-exits the
-    moment nothing changes). A component whose diameter exceeds
-    ``max_iter`` raises RuntimeError rather than silently returning a
-    split cluster (silent under-dedup is the one unacceptable failure
-    mode). Each round is two keyed shuffles over the edge set."""
+    """(node, component) where component = min node id reachable.
+
+    Size-routed (the cosine_pairs_gemm router discipline):
+
+    - **single-task** (edge count ≤ ``single_task_edge_cap``): the
+      deduped edge list — already materialized, ∝ near-dups, tiny
+      relative to the corpus — is handed to ONE executor task that runs
+      numpy min-label propagation with pointer jumping. Zero
+      distributed rounds, one shuffle-free job. This is where every
+      real dedup graph at bench scale lands, and legitimately so: the
+      expensive, corpus-∝ work (signatures, banded joins) has already
+      happened upstream; the component closure runs over candidate
+      PAIRS only.
+    - **iterative** (above the cap — the 100 TB path): synchronous
+      min-label propagation, one keyed join per round over the
+      pre-stacked undirected edge list (previously two joins + a
+      change-detection join: the self-label rides the same aggregation
+      as an ``own`` column now, so convergence detection is a
+      filter-count over the checkpointed round output, not a join).
+      Converges in O(component diameter) rounds with per-round
+      early-exit; a component whose diameter exceeds ``max_iter``
+      raises RuntimeError rather than silently returning a split
+      cluster (silent under-dedup is the one unacceptable failure
+      mode).
+
+    Both paths are exact and identical in output (pinned against each
+    other in tests/test_dedup.py)."""
+    import os
+
+    if single_task_edge_cap is None:
+        single_task_edge_cap = int(
+            os.environ.get("ETL_CC_SINGLE_TASK_EDGE_CAP", CC_SINGLE_TASK_EDGE_CAP)
+        )
     edges = pairs.select(
         F.col(id_a).alias("u"), F.col(id_b).alias("v")
     ).filter(F.col("u") != F.col("v"))
@@ -216,46 +280,71 @@ def connected_components(
     edges = edges.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     ).distinct()
-    # The edge set is joined twice per round: without lineage truncation
+    # The edge set is referenced every round: without lineage truncation
     # every iteration re-executes the FULL upstream pair-generation plan
     # (for MinHash callers that is the banded LSH probe + the 128-agg
-    # signature computation), and the label plan compounds 3x per round —
+    # signature computation), and the label plan compounds per round —
     # plan *compilation* itself OOMs a default-heap driver (the same trap
     # graph.py documents for PageRank). Candidate pairs ∝ near-dups, so
     # the materialized edge set is small by construction.
     edges = edges.localCheckpoint(eager=True)
+    node_t = edges.schema["u"].dataType.simpleString()
+
+    if edges.count() <= single_task_edge_cap:
+        out_schema = f"node {node_t}, comp {node_t}"
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            us, vs = [], []
+            for pdf in batches:
+                us.append(pdf["u"].to_numpy())
+                vs.append(pdf["v"].to_numpy())
+            if not us:
+                return
+            nodes, comp = _cc_labels_numpy(
+                np.concatenate(us), np.concatenate(vs)
+            )
+            step = 1_000_000  # bound any one Arrow batch
+            for i in range(0, len(nodes), step):
+                yield pd.DataFrame(
+                    {"node": nodes[i : i + step], "comp": comp[i : i + step]}
+                )
+
+        return edges.coalesce(1).mapInPandas(run, out_schema)
+
+    # ---- iterative path: one keyed join per round over 2|E| rows ----
+    # (a narrow double-projection of the checkpointed edges — no extra
+    # materialization job needed)
+    und = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).union(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
 
     labels = (
-        edges.select(F.col("u").alias("node")).union(edges.select("v"))
+        und.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
     )
     for _ in range(max_iter):
-        # propagate: each node adopts min(comp) among itself + neighbors
-        lu = edges.join(labels, edges["u"] == labels["node"]).select(
-            F.col("v").alias("node"), "comp"
-        )
-        lv = edges.join(labels, edges["v"] == labels["node"]).select(
-            F.col("u").alias("node"), "comp"
+        # each node adopts min(comp) among itself + neighbors; the
+        # self row carries the previous comp in `own` so the change
+        # check needs no join against the previous round
+        nbr = und.join(labels, und["src"] == labels["node"]).select(
+            F.col("dst").alias("node"),
+            "comp",
+            F.lit(None).cast(node_t).alias("own"),
         )
         new_labels = (
-            labels.select("node", "comp")
-            .union(lu)
-            .union(lv)
+            labels.select("node", "comp", F.col("comp").alias("own"))
+            .union(nbr)
             .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
+            .agg(F.min("comp").alias("comp"), F.min("own").alias("own"))
         )
         # truncate the per-round lineage: persist alone keeps the logical
-        # plan nesting (3 label copies + 2 edge copies per round)
+        # plan nesting growing per round
         new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
+            new_labels.filter(F.col("comp") < F.col("own")).limit(1).count()
         )
-        labels = new_labels
+        labels = new_labels.select("node", "comp")
         if changed == 0:
             break
     else:

@@ -197,6 +197,62 @@ def test_connected_components_chain(spark):
     assert comps[10] == comps[11] == 10
 
 
+def test_connected_components_paths_identical(spark):
+    """The size-routed single-task numpy path and the iterative
+    DataFrame path must return the exact same (node, comp) labeling —
+    pinned on a random graph with chains, cliques, isolated edges, a
+    self-loop, and shuffled insert order."""
+    import random
+
+    from etl_demos_spark.operators.embedding_dedup import connected_components
+
+    rng = random.Random(7)
+    edges = []
+    # 10 cliques of 4 (ids 0..39), a 12-node chain (100..111),
+    # star (200 center), isolated pairs, a self-loop, dup edges
+    for c in range(10):
+        ids = [c * 4 + i for i in range(4)]
+        edges += [(a, b) for a in ids for b in ids if a < b]
+    edges += [(100 + i, 101 + i) for i in range(11)]
+    edges += [(200, 300 + i) for i in range(5)]
+    edges += [(400, 401), (500, 501), (77, 77)]
+    edges += edges[:7]  # duplicates
+    rng.shuffle(edges)
+    # reversed orientation on a subset
+    edges = [(b, a) if rng.random() < 0.5 else (a, b) for a, b in edges]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    fast = {
+        (r["node"], r["comp"])
+        for r in connected_components(pairs, single_task_edge_cap=10**9).collect()
+    }
+    slow = {
+        (r["node"], r["comp"])
+        for r in connected_components(pairs, single_task_edge_cap=0).collect()
+    }
+    assert fast == slow
+    comps = dict(fast)
+    assert comps[111] == 100  # chain collapses to min id
+    assert comps[304] == 200  # star
+    assert all(comps[c * 4 + i] == c * 4 for c in range(10) for i in range(4))
+    assert 77 not in comps  # self-loop contributes no edge, node dropped
+
+
+def test_connected_components_string_ids(spark):
+    """Both CC paths support non-integer node ids (min = lexicographic)."""
+    from etl_demos_spark.operators.embedding_dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], "id_a string, id_b string"
+    )
+    for cap in (0, 10**9):
+        comps = {
+            r["node"]: r["comp"]
+            for r in connected_components(pairs, single_task_edge_cap=cap).collect()
+        }
+        assert comps == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
 def test_dedup_by_minhash_prefer_keeps_best(spark):
     """With prefer=quality, the survivor of each near-dup cluster is the
     highest-quality member (not the min id); unclustered docs untouched."""
