@@ -32,6 +32,11 @@ their out-degrees and reused; the per-round shuffle moves only the
 
 from __future__ import annotations
 
+import os
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -40,6 +45,27 @@ from etl_demos_spark.operators.matutil import materialize_reused
 # floor(x * _Q) as BIGINT: exact, order-independent, engine-portable
 # quantization at 1e-12 (see module docstring).
 _Q = 1e12
+
+# Size routing for the iterative operators (the connected_components /
+# cosine_pairs_gemm router discipline): an edge list at or below this
+# fits one executor task comfortably (5M directed edges ≈ 80 MB of
+# int64 pairs), and replaying the rounds over numpy arrays in a single
+# shuffle-free job beats 3-10 distributed rounds of join+agg+checkpoint
+# by an order of magnitude. Every quantity these operators compute is
+# deliberately engine-portable (exact integers, or order-independent
+# integer-quantized doubles — see the module docstring), so the numpy
+# replay is BIT-IDENTICAL to the distributed rounds; both paths are
+# pinned against each other in tests/test_graph.py. Above the cap the
+# distributed path runs unchanged. Env-overridable per deployment.
+GRAPH_SINGLE_TASK_EDGE_CAP = 5_000_000
+
+
+def _single_task_cap(override: int | None) -> int:
+    if override is not None:
+        return override
+    return int(
+        os.environ.get("ETL_GRAPH_SINGLE_TASK_EDGE_CAP", GRAPH_SINGLE_TASK_EDGE_CAP)
+    )
 
 
 def _undirected(edges: DataFrame, src: str, dst: str) -> DataFrame:
@@ -58,22 +84,82 @@ def _undirected(edges: DataFrame, src: str, dst: str) -> DataFrame:
     ).select("_e.n", "_e.m")
 
 
+def _pagerank_numpy(src, dst, iters: int, damping: float):
+    """Numpy replay of the distributed PageRank rounds — bit-identical
+    by construction: the per-edge contribution is the same
+    floor(rank·Q/deg) int64, the per-dst sum is an integer sum (order
+    independent), and the rank update applies the identical IEEE double
+    op tree left-to-right. In-edges are pre-sorted by dst once so each
+    round's aggregation is one np.add.reduceat, not a scatter."""
+    nodes = np.unique(np.concatenate([src, dst]))
+    n = len(nodes)
+    si = np.searchsorted(nodes, src).astype(np.int64)
+    di = np.searchsorted(nodes, dst).astype(np.int64)
+    deg = np.zeros(n, dtype=np.int64)
+    np.add.at(deg, si, 1)
+    dangling = deg == 0
+    order = np.argsort(di, kind="stable")
+    si_o, di_o = si[order], di[order]
+    bounds = np.flatnonzero(np.r_[True, di_o[1:] != di_o[:-1]])
+    dst_ids = di_o[bounds]
+    rank = np.full(n, 1.0 / n)
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        c = np.floor(rank[si_o] * _Q / deg[si_o]).astype(np.int64)
+        contrib = np.zeros(n)
+        if len(c):
+            contrib[dst_ids] = np.add.reduceat(c, bounds) / _Q
+        dq = int(np.floor(rank[dangling] * _Q).astype(np.int64).sum())
+        dangling_share = (damping * (dq / _Q)) / float(n)
+        rank = (base + dangling_share) + damping * contrib
+    return nodes, rank
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = 10,
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    single_task_edge_cap: int | None = None,
 ) -> DataFrame:
     """Damped PageRank over a (src, dst) edge list; returns (node, rank).
 
     Dangling nodes (no out-edges) redistribute their mass uniformly each
     iteration — the standard stochastic-matrix completion, so ranks sum
     to 1 every round (asserted in tests). Duplicate edges count once.
-    """
+
+    Size-routed (see GRAPH_SINGLE_TASK_EDGE_CAP): at or below the cap
+    the deduped edge list goes to ONE executor task that replays all
+    ``iters`` rounds over numpy arrays — bit-identical output, zero
+    distributed rounds; above it, the keyed-shuffle rounds below."""
     e = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
     ).distinct()
+    # referenced by the router count + nodes/deg/ed (large path) or the
+    # single-task pass (small path): the distinct shuffle runs once
+    e = materialize_reused(e)
+
+    if e.count() <= _single_task_cap(single_task_edge_cap):
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            srcs, dsts = [], []
+            for pdf in batches:
+                srcs.append(pdf["src"].to_numpy(dtype=np.int64))
+                dsts.append(pdf["dst"].to_numpy(dtype=np.int64))
+            if not srcs or not sum(len(a) for a in srcs):
+                return
+            nodes, rank = _pagerank_numpy(
+                np.concatenate(srcs), np.concatenate(dsts), iters, damping
+            )
+            step = 1_000_000
+            for i in range(0, len(nodes), step):
+                yield pd.DataFrame(
+                    {"node": nodes[i : i + step], "rank": rank[i : i + step]}
+                )
+
+        return e.coalesce(1).mapInPandas(run, "node long, rank double")
+
     # explode, not self-union: the union form evaluated e (itself a
     # distinct shuffle) twice unless exchange reuse happened to fire
     nodes = materialize_reused(
@@ -216,11 +302,45 @@ def flatten_hierarchy(
     return state.select("node", F.col("anc").alias("root"), "depth")
 
 
+def _lpa_numpy(n_arr, m_arr, iters: int):
+    """Numpy replay of the synchronous min-tie-break LPA rounds over
+    the doubled (receiver, neighbor) edge arrays. Labels are INDICES
+    into the sorted node array, so smallest-label tie-break is
+    smallest-index; counts per (receiver, label) come from one
+    np.unique over a composite key per round (sorted ⇒ labels ascend
+    within each receiver segment, so the first max-count entry IS the
+    tie-broken winner). Exact integer counts — identical output to the
+    DataFrame rounds by construction."""
+    nodes = np.unique(np.concatenate([n_arr, m_arr]))
+    n = len(nodes)
+    ni = np.searchsorted(nodes, n_arr).astype(np.int64)
+    mi = np.searchsorted(nodes, m_arr).astype(np.int64)
+    label = np.arange(n, dtype=np.int64)
+    for _ in range(iters):
+        key = ni * n + label[mi]
+        uk, cnt = np.unique(key, return_counts=True)
+        rec = uk // n
+        lbl = uk % n
+        bounds = np.flatnonzero(np.r_[True, rec[1:] != rec[:-1]])
+        seg_id = np.repeat(
+            np.arange(len(bounds)), np.diff(np.r_[bounds, len(uk)])
+        )
+        seg_max = np.maximum.reduceat(cnt, bounds)
+        is_max = cnt == seg_max[seg_id]
+        idx = np.arange(len(uk), dtype=np.int64)
+        first = np.minimum.reduceat(np.where(is_max, idx, len(uk)), bounds)
+        new_label = label.copy()
+        new_label[rec[bounds]] = lbl[first]
+        label = new_label
+    return nodes, nodes[label]
+
+
 def label_propagation(
     edges: DataFrame,
     iters: int = 3,
     src: str = "a",
     dst: str = "b",
+    single_task_edge_cap: int | None = None,
 ) -> DataFrame:
     """Community detection by synchronous label propagation (Raghavan et
     al. 2007), made DETERMINISTIC: every node starts labeled with its
@@ -241,9 +361,43 @@ def label_propagation(
     Isolated nodes never appear in an edge list and so keep their own
     label by construction of the caller's node set.
 
+    Size-routed (see GRAPH_SINGLE_TASK_EDGE_CAP): at or below the cap,
+    one executor task replays the rounds over numpy arrays —
+    identical output (pinned in tests/test_graph.py), zero
+    distributed rounds.
+
     Returns (node, community).
     """
     und = materialize_reused(_undirected(edges, src, dst))
+
+    if und.count() <= 2 * _single_task_cap(single_task_edge_cap):
+        node_t = und.schema["n"].dataType.simpleString()
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            ns, ms = [], []
+            for pdf in batches:
+                ns.append(pdf["n"].to_numpy())
+                ms.append(pdf["m"].to_numpy())
+            if not ns or not sum(len(a) for a in ns):
+                return
+            nodes, comm = _lpa_numpy(
+                np.concatenate(ns), np.concatenate(ms), iters
+            )
+            step = 1_000_000
+            for i in range(0, len(nodes), step):
+                yield pd.DataFrame(
+                    {
+                        "node": nodes[i : i + step],
+                        "community": comm[i : i + step],
+                    }
+                )
+
+        # no unpersist here: the returned frame still reads und lazily;
+        # checkpoint blocks free via GC once the caller drops it
+        return und.coalesce(1).mapInPandas(
+            run, f"node {node_t}, community {node_t}"
+        )
+
     labels = und.select(F.col("n").alias("node")).distinct().select(
         "node", F.col("node").alias("community")
     )
@@ -281,6 +435,7 @@ def bfs_distances(
     src: str = "a",
     dst: str = "b",
     node_col: str = "node",
+    single_task_edge_cap: int | None = None,
 ) -> DataFrame:
     """Multi-source BFS (unweighted shortest-path distance, hop-bounded):
     the curation primitive behind 'within-k-hops of a trusted seed set'
@@ -309,9 +464,61 @@ def bfs_distances(
     Nodes not reached within ``iters`` hops are absent from the result
     (callers coalesce to an 'unreachable' sentinel if needed).
 
+    Size-routed (see GRAPH_SINGLE_TASK_EDGE_CAP): at or below the cap,
+    one executor task replays the hop rounds over numpy arrays —
+    identical output (pinned in tests/test_graph.py), zero distributed
+    rounds. Seeds ride into the same task as flagged self-rows of the
+    edge frame (keeps the id column a non-null long through Arrow), so
+    nothing is ever collected to the driver on either path.
+
     Returns (node, dist).
     """
     und = materialize_reused(_undirected(edges, src, dst))
+
+    if und.count() <= 2 * _single_task_cap(single_task_edge_cap):
+        seeds = sources.select(
+            F.col(node_col).cast("long").alias("n"),
+            F.col(node_col).cast("long").alias("m"),
+            F.lit(1).alias("s"),
+        )
+        combined = und.select("n", "m", F.lit(0).alias("s")).unionByName(seeds)
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            ns, ms, seed_parts = [], [], []
+            for pdf in batches:
+                edge_rows = pdf[pdf["s"] == 0]
+                ns.append(edge_rows["n"].to_numpy(dtype=np.int64))
+                ms.append(edge_rows["m"].to_numpy(dtype=np.int64))
+                seed_parts.append(
+                    pdf.loc[pdf["s"] == 1, "n"].to_numpy(dtype=np.int64)
+                )
+            seed_arr = (
+                np.concatenate(seed_parts) if seed_parts else np.array([], np.int64)
+            )
+            if not len(seed_arr):
+                return
+            n_arr = np.concatenate(ns) if ns else np.array([], np.int64)
+            m_arr = np.concatenate(ms) if ms else np.array([], np.int64)
+            nodes = np.unique(np.concatenate([n_arr, m_arr, seed_arr]))
+            si = np.searchsorted(nodes, n_arr)
+            di = np.searchsorted(nodes, m_arr)
+            inf = np.iinfo(np.int64).max
+            d = np.full(len(nodes), inf, dtype=np.int64)
+            d[np.searchsorted(nodes, seed_arr)] = 0
+            for i in range(iters):
+                nd = di[d[si] == i]
+                fresh = nd[d[nd] == inf]
+                if not len(fresh):
+                    break
+                d[fresh] = i + 1
+            keep = d < inf
+            out = pd.DataFrame({"node": nodes[keep], "dist": d[keep]})
+            step = 1_000_000
+            for i in range(0, len(out), step):
+                yield out.iloc[i : i + step]
+
+        return combined.coalesce(1).mapInPandas(run, "node long, dist long")
+
     dist = (
         sources.select(
             F.col(node_col).cast("long").alias("node"),

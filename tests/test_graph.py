@@ -185,3 +185,58 @@ def test_pagerank_empty_edges_returns_empty(spark):
 
     e = spark.createDataFrame([], "src long, dst long")
     assert pagerank(e, iters=2).count() == 0
+
+
+def test_graph_single_task_and_iterative_paths_identical(spark):
+    """The size-routed single-task numpy replay and the distributed
+    iterative rounds must be value-identical (pagerank: bit-identical
+    doubles) on a random irregular graph — cliques, a long chain, a
+    hub, dangling/isolated structure, duplicate + reversed edges."""
+    import random
+
+    from etl_demos_spark.operators.graph import (
+        bfs_distances,
+        label_propagation,
+        pagerank,
+    )
+
+    rng = random.Random(13)
+    E = []
+    for c in range(6):  # cliques of 5
+        ids = [c * 5 + i for i in range(5)]
+        E += [(a, b) for a in ids for b in ids if a < b]
+    E += [(100 + i, 101 + i) for i in range(15)]  # chain
+    E += [(200, 300 + i) for i in range(8)]  # hub
+    E += [(400, 401), (1, 100), (29, 200)]
+    E += E[:9]  # duplicates
+    E = [(b, a) if rng.random() < 0.4 else (a, b) for a, b in E]
+    rng.shuffle(E)
+    df = spark.createDataFrame(E, "a long, b long")
+
+    # pagerank (directed, src/dst cols)
+    pr = df.selectExpr("a as src", "b as dst")
+    fast = {r["node"]: r["rank"] for r in pagerank(pr, iters=6, single_task_edge_cap=10**9).collect()}
+    slow = {r["node"]: r["rank"] for r in pagerank(pr, iters=6, single_task_edge_cap=0).collect()}
+    assert fast == slow  # bit-identical doubles by construction
+
+    fast = {r["node"]: r["community"] for r in label_propagation(df, iters=3, single_task_edge_cap=10**9).collect()}
+    slow = {r["node"]: r["community"] for r in label_propagation(df, iters=3, single_task_edge_cap=0).collect()}
+    assert fast == slow
+
+    seeds = spark.createDataFrame([(0,), (107,)], "node long")
+    fast = {r["node"]: r["dist"] for r in bfs_distances(df, seeds, iters=4, single_task_edge_cap=10**9).collect()}
+    slow = {r["node"]: r["dist"] for r in bfs_distances(df, seeds, iters=4, single_task_edge_cap=0).collect()}
+    assert fast == slow
+
+
+def test_bfs_seed_only_and_empty_routes(spark):
+    """Fast-path edge cases: a seed not present in any edge appears at
+    dist 0; an empty seed set yields an empty result."""
+    from etl_demos_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame([(1, 2)], "a long, b long")
+    seeds = spark.createDataFrame([(99,)], "node long")
+    got = {r["node"]: r["dist"] for r in bfs_distances(edges, seeds, iters=3).collect()}
+    assert got == {99: 0}
+    empty_seeds = seeds.filter("node < 0")
+    assert bfs_distances(edges, empty_seeds, iters=3).count() == 0
