@@ -238,11 +238,38 @@ def pagerank(
     return ranks
 
 
+def _flatten_numpy(ids, parents, parent_is_null, max_iter: int):
+    """Numpy replay of the pointer-jumping rounds (requires unique ids
+    — the router checks). anc positions propagate as indices
+    (pos[pos] = grandparent position), dangling ancestors stay put at
+    position −1 — identical per-round recurrence to the DataFrame
+    join, so the fixpoint state is identical."""
+    order = np.argsort(ids, kind="stable")
+    ids_s = ids[order]
+    anc = np.where(parent_is_null, ids, parents)
+    pos = np.searchsorted(ids_s, anc)
+    pos_clip = np.minimum(pos, len(ids_s) - 1)
+    valid = ids_s[pos_clip] == anc
+    # anc position in ORIGINAL row order; -1 = dangling ancestor
+    anc_pos = np.where(valid, order[pos_clip], -1)
+    depth = np.where(parent_is_null, 0, 1).astype(np.int64)
+    for _ in range(max_iter):
+        ok = anc_pos >= 0
+        new_anc = np.where(ok, anc[anc_pos], anc)
+        new_depth = depth + np.where(ok, depth[anc_pos], 0)
+        new_pos = np.where(ok, anc_pos[anc_pos], anc_pos)
+        if np.array_equal(new_anc, anc):
+            break
+        anc, depth, anc_pos = new_anc, new_depth, new_pos
+    return anc, depth
+
+
 def flatten_hierarchy(
     nodes: DataFrame,
     id_col: str = "node",
     parent_col: str = "parent",
     max_iter: int = 32,
+    single_task_node_cap: int | None = None,
 ) -> DataFrame:
     """(node, root, depth) for a parent-pointer hierarchy — the
     recursive-CTE workload (org charts, category trees, BOM rollups)
@@ -257,7 +284,49 @@ def flatten_hierarchy(
     lineage is truncated per round with ``localCheckpoint`` (the
     pagerank lesson above). Convergence = no pointer moved this round —
     one limit(1) probe, no full count.
+
+    Size-routed (see GRAPH_SINGLE_TASK_EDGE_CAP): at or below the node
+    cap — and only when ids are unique, which one routing aggregate
+    checks (duplicate ids multiply the hop join; the fast path cannot
+    replicate that, so it declines) — one executor task replays the
+    doubling rounds over numpy index arrays; identical fixpoint
+    (pinned in tests/test_graph.py).
     """
+    cap = _single_task_cap(single_task_node_cap)
+    stats = nodes.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col(id_col)).alias("nd"),
+    ).collect()[0]
+    if stats["n"] <= cap and stats["n"] == stats["nd"]:
+        node_t = nodes.schema[id_col].dataType.simpleString()
+        # null parents are coalesced to the node's own id JVM-SIDE so
+        # the column crossing Arrow is never nullable — a nullable long
+        # materializes as float64 in pandas and silently rounds ids
+        # ≥ 2^53 (the exact-int64 Arrow discipline, see _arrow_exact_id)
+        slim = nodes.select(
+            F.col(id_col).alias("node"),
+            F.coalesce(F.col(parent_col), F.col(id_col)).alias("parent"),
+            F.col(parent_col).isNull().alias("pnull"),
+        )
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            parts = [pdf for pdf in batches if len(pdf)]
+            if not parts:
+                return
+            pdf = pd.concat(parts, ignore_index=True)
+            isnull = pdf["pnull"].to_numpy(dtype=bool)
+            ids = pdf["node"].to_numpy()
+            parents = pdf["parent"].to_numpy()
+            root, depth = _flatten_numpy(ids, parents, isnull, max_iter)
+            out = pd.DataFrame({"node": ids, "root": root, "depth": depth})
+            step = 1_000_000
+            for i in range(0, len(out), step):
+                yield out.iloc[i : i + step]
+
+        return slim.coalesce(1).mapInPandas(
+            run, f"node {node_t}, root {node_t}, depth long"
+        )
+
     state = nodes.select(
         F.col(id_col).alias("node"),
         F.coalesce(F.col(parent_col), F.col(id_col)).alias("anc"),

@@ -240,3 +240,41 @@ def test_bfs_seed_only_and_empty_routes(spark):
     assert got == {99: 0}
     empty_seeds = seeds.filter("node < 0")
     assert bfs_distances(edges, empty_seeds, iters=3).count() == 0
+
+
+def test_flatten_hierarchy_paths_identical(spark):
+    """Single-task numpy replay vs distributed pointer jumping — same
+    (root, depth) fixpoint on a forest with deep chains, dangling
+    parents, and roots."""
+    rows = []
+    # chain of depth 20 under root 0
+    rows.append((0, None))
+    rows += [(i, i - 1) for i in range(1, 21)]
+    # star under 100, dangling parent 999 for 200-202
+    rows.append((100, None))
+    rows += [(100 + i, 100) for i in range(1, 6)]
+    rows += [(200 + i, 999) for i in range(3)]
+    df = spark.createDataFrame(rows, "id long, parent long")
+
+    from etl_demos_spark.operators.graph import flatten_hierarchy
+
+    fast = {r["node"]: (r["root"], r["depth"])
+            for r in flatten_hierarchy(df, "id", "parent", single_task_node_cap=10**9).collect()}
+    slow = {r["node"]: (r["root"], r["depth"])
+            for r in flatten_hierarchy(df, "id", "parent", single_task_node_cap=0).collect()}
+    assert fast == slow
+    assert fast[20] == (0, 20) and fast[105] == (100, 1)
+    assert fast[201] == (999, 1)  # dangling parent kept, not resolved
+
+
+def test_flatten_hierarchy_duplicate_ids_decline_fast_path(spark):
+    """Duplicate ids must route to the distributed path (the fast path
+    cannot replicate the hop join's row multiplication); both paths
+    then agree trivially because only the distributed one runs."""
+    df = spark.createDataFrame(
+        [(1, None), (2, 1), (2, 1)], "id long, parent long"
+    )
+    from etl_demos_spark.operators.graph import flatten_hierarchy
+
+    out = flatten_hierarchy(df, "id", "parent", single_task_node_cap=10**9)
+    assert out.count() == 3  # dup rows preserved, as before
