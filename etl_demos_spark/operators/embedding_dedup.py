@@ -287,7 +287,13 @@ def connected_components(
     # plan *compilation* itself OOMs a default-heap driver (the same trap
     # graph.py documents for PageRank). Candidate pairs ∝ near-dups, so
     # the materialized edge set is small by construction.
-    edges = edges.localCheckpoint(eager=True)
+    # lazy mark + count: the routing count IS the action that
+    # materializes the checkpoint — one job, not an eager checkpoint job
+    # plus a dedicated count job (VERDICT r11 rec 7). Direct
+    # localCheckpoint (not matutil) because truncation here is a
+    # driver-survival requirement for the iterative path, not a strategy
+    # choice.
+    edges = edges.localCheckpoint(eager=False)
     node_t = edges.schema["u"].dataType.simpleString()
 
     if edges.count() <= single_task_edge_cap:

@@ -40,7 +40,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from etl_demos_spark.operators.matutil import materialize_reused
+from etl_demos_spark.operators.matutil import materialize_reused, materialize_stats
 
 # floor(x * _Q) as BIGINT: exact, order-independent, engine-portable
 # quantization at 1e-12 (see module docstring).
@@ -136,11 +136,24 @@ def pagerank(
     e = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
     ).distinct()
-    # referenced by the router count + nodes/deg/ed (large path) or the
-    # single-task pass (small path): the distinct shuffle runs once
-    e = materialize_reused(e)
+    # referenced by the router stats + nodes/deg/ed (large path) or the
+    # single-task pass (small path): the distinct shuffle runs once, and
+    # the routing probe IS the materializing action (one job, not an
+    # eager checkpoint job + a count job). The same stats row also
+    # detects null endpoints: the numpy fast path cannot represent them
+    # (a nullable long crosses Arrow as float64 — NaN hard-fails
+    # .to_numpy(int64), and ids ≥ 2^53 would silently round), while the
+    # distributed joins tolerate them — so null edges decline the fast
+    # path instead of crashing or diverging.
+    e, _st = materialize_stats(
+        e,
+        F.count(F.lit(1)).alias("n"),
+        F.count("src").alias("n_src"),
+        F.count("dst").alias("n_dst"),
+    )
+    _no_nulls = _st["n_src"] == _st["n"] and _st["n_dst"] == _st["n"]
 
-    if e.count() <= _single_task_cap(single_task_edge_cap):
+    if _no_nulls and _st["n"] <= _single_task_cap(single_task_edge_cap):
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             srcs, dsts = [], []
@@ -235,6 +248,7 @@ def pagerank(
     ed.unpersist()
     deg.unpersist()
     nodes.unpersist()
+    e.unpersist()
     return ranks
 
 
@@ -258,9 +272,17 @@ def _flatten_numpy(ids, parents, parent_is_null, max_iter: int):
         new_anc = np.where(ok, anc[anc_pos], anc)
         new_depth = depth + np.where(ok, depth[anc_pos], 0)
         new_pos = np.where(ok, anc_pos[anc_pos], anc_pos)
-        if np.array_equal(new_anc, anc):
-            break
+        # match the distributed loop's order exactly: it assigns the
+        # round's state FIRST and breaks after (state = nxt; if moved ==
+        # 0: break). Breaking before the assignment discarded the final
+        # round's depth update, which diverges for self-parent roots
+        # (parent == id, non-null: anc never moves but depth doubles
+        # once) and for cycles — the fixpoint-identical invariant both
+        # paths are pinned to requires the same number of APPLIED rounds.
+        moved = not np.array_equal(new_anc, anc)
         anc, depth, anc_pos = new_anc, new_depth, new_pos
+        if not moved:
+            break
     return anc, depth
 
 
@@ -293,11 +315,19 @@ def flatten_hierarchy(
     (pinned in tests/test_graph.py).
     """
     cap = _single_task_cap(single_task_node_cap)
-    stats = nodes.agg(
+    # materialize nodes WITH the routing aggregate as the materializing
+    # action (one job): previously the aggregate executed the full
+    # upstream plan once and whichever branch ran executed it again.
+    # count(id_col) guards null ids: the fast path's Arrow transfer
+    # cannot carry a null id exactly (nullable long → float64), while
+    # the hop join just never matches them — so null ids decline.
+    nodes, stats = materialize_stats(
+        nodes,
         F.count(F.lit(1)).alias("n"),
+        F.count(F.col(id_col)).alias("nn"),
         F.count_distinct(F.col(id_col)).alias("nd"),
-    ).collect()[0]
-    if stats["n"] <= cap and stats["n"] == stats["nd"]:
+    )
+    if stats["n"] <= cap and stats["n"] == stats["nd"] == stats["nn"]:
         node_t = nodes.schema[id_col].dataType.simpleString()
         # null parents are coalesced to the node's own id JVM-SIDE so
         # the column crossing Arrow is never nullable — a nullable long
@@ -335,6 +365,10 @@ def flatten_hierarchy(
         .cast("long")
         .alias("depth"),
     ).localCheckpoint()
+    # the initial state is checkpointed, so the materialized nodes frame
+    # is releasable (no-op under the checkpoint strategy; keeps the
+    # matutil persist A/B arm from leaking one cache entry per call)
+    nodes.unpersist()
     for _ in range(max_iter):
         hop = state.select(
             F.col("node").alias("_n2"),
@@ -437,9 +471,19 @@ def label_propagation(
 
     Returns (node, community).
     """
-    und = materialize_reused(_undirected(edges, src, dst))
+    # routing probe fused into the materializing job (the pagerank
+    # discipline), with null-endpoint detection: nulls decline the fast
+    # path (pandas would coerce the id column to float/object), the
+    # distributed joins handle them natively.
+    und, _st = materialize_stats(
+        _undirected(edges, src, dst),
+        F.count(F.lit(1)).alias("n"),
+        F.count("n").alias("n_n"),
+        F.count("m").alias("n_m"),
+    )
+    _no_nulls = _st["n_n"] == _st["n"] and _st["n_m"] == _st["n"]
 
-    if und.count() <= 2 * _single_task_cap(single_task_edge_cap):
+    if _no_nulls and _st["n"] <= 2 * _single_task_cap(single_task_edge_cap):
         node_t = und.schema["n"].dataType.simpleString()
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -542,24 +586,54 @@ def bfs_distances(
 
     Returns (node, dist).
     """
-    und = materialize_reused(_undirected(edges, src, dst))
+    # routing probe fused into the materializing job (the pagerank
+    # discipline). Null EDGE endpoints decline the fast path (the
+    # distributed joins never match them; the numpy arrays cannot hold
+    # them); null SEEDS are handled in-task below — they contribute one
+    # (null, 0) output row and nothing else once null edges are ruled
+    # out, because a null node can then never be reached via a join.
+    und, _st = materialize_stats(
+        _undirected(edges, src, dst),
+        F.count(F.lit(1)).alias("n"),
+        F.count("n").alias("n_n"),
+        F.count("m").alias("n_m"),
+    )
+    _no_nulls = _st["n_n"] == _st["n"] and _st["n_m"] == _st["n"]
 
-    if und.count() <= 2 * _single_task_cap(single_task_edge_cap):
+    if _no_nulls and _st["n"] <= 2 * _single_task_cap(single_task_edge_cap):
+        # seeds ride in as flagged self-rows; a null seed id is carried
+        # by the `nn` flag with the id coalesced to 0, so the long
+        # columns crossing Arrow are never nullable (the float64/2^53
+        # exact-id discipline — see flatten_hierarchy)
         seeds = sources.select(
-            F.col(node_col).cast("long").alias("n"),
-            F.col(node_col).cast("long").alias("m"),
+            F.coalesce(F.col(node_col).cast("long"), F.lit(0)).alias("n"),
+            F.coalesce(F.col(node_col).cast("long"), F.lit(0)).alias("m"),
             F.lit(1).alias("s"),
+            F.col(node_col).isNull().alias("nn"),
         )
-        combined = und.select("n", "m", F.lit(0).alias("s")).unionByName(seeds)
+        combined = und.select(
+            "n", "m", F.lit(0).alias("s"), F.lit(False).alias("nn")
+        ).unionByName(seeds)
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             ns, ms, seed_parts = [], [], []
+            null_seed = False
             for pdf in batches:
                 edge_rows = pdf[pdf["s"] == 0]
                 ns.append(edge_rows["n"].to_numpy(dtype=np.int64))
                 ms.append(edge_rows["m"].to_numpy(dtype=np.int64))
+                seed_rows = pdf[pdf["s"] == 1]
+                null_seed = null_seed or bool(seed_rows["nn"].any())
                 seed_parts.append(
-                    pdf.loc[pdf["s"] == 1, "n"].to_numpy(dtype=np.int64)
+                    seed_rows.loc[~seed_rows["nn"], "n"].to_numpy(dtype=np.int64)
+                )
+            if null_seed:
+                # the distributed path's dist table starts from
+                # sources.distinct(): null seeds collapse to ONE
+                # (null, 0) row that no join ever extends
+                yield pd.DataFrame(
+                    {"node": pd.array([None], dtype="Int64"),
+                     "dist": pd.array([0], dtype="Int64")}
                 )
             seed_arr = (
                 np.concatenate(seed_parts) if seed_parts else np.array([], np.int64)

@@ -52,3 +52,26 @@ def materialize_reused(df: DataFrame) -> DataFrame:
     if STRATEGY != "checkpoint":
         raise ValueError(f"matutil.STRATEGY {STRATEGY!r} not in {_VALID}")
     return df.localCheckpoint(eager=True)
+
+
+def materialize_stats(df: DataFrame, *aggs):
+    """Materialize a reused frame AND compute routing statistics in the
+    SAME job: the checkpoint is marked lazily and the caller's aggregate
+    is the action that materializes it, so size-routing probes
+    (graph.py, embedding_dedup.py) cost zero extra jobs — previously an
+    eager checkpoint job plus a dedicated ``count()`` job per operator
+    call (VERDICT r11 rec 7). Returns ``(materialized_df, Row)`` where
+    Row holds the requested aggregates.
+
+    Strategy-aware like :func:`materialize_reused`: under ``persist``
+    the agg populates the cache, under ``none`` the agg is one extra
+    execution of the plan (the documented recompute arm)."""
+    if STRATEGY == "persist":
+        out = df.persist()
+    elif STRATEGY == "none":
+        out = df
+    elif STRATEGY in ("checkpoint", "checkpoint_lazy"):
+        out = df.localCheckpoint(eager=False)
+    else:
+        raise ValueError(f"matutil.STRATEGY {STRATEGY!r} not in {_VALID}")
+    return out, out.agg(*aggs).collect()[0]

@@ -278,3 +278,75 @@ def test_flatten_hierarchy_duplicate_ids_decline_fast_path(spark):
 
     out = flatten_hierarchy(df, "id", "parent", single_task_node_cap=10**9)
     assert out.count() == 3  # dup rows preserved, as before
+
+
+def test_flatten_hierarchy_self_parent_root_paths_identical(spark):
+    """Self-parent roots (parent == id, non-null — a common root
+    convention): the final round's depth update must be APPLIED on both
+    paths (the distributed loop assigns state before breaking). The
+    numpy replay previously broke before the assignment and returned
+    depth 1 where the distributed path returns depth 2."""
+    from etl_demos_spark.operators.graph import flatten_hierarchy
+
+    rows = [(1, 1), (2, 1), (3, 2), (10, None), (11, 10)]
+    df = spark.createDataFrame(rows, "id long, parent long")
+    fast = {r["node"]: (r["root"], r["depth"])
+            for r in flatten_hierarchy(df, "id", "parent",
+                                       single_task_node_cap=10**9).collect()}
+    slow = {r["node"]: (r["root"], r["depth"])
+            for r in flatten_hierarchy(df, "id", "parent",
+                                       single_task_node_cap=0).collect()}
+    assert fast == slow
+    # plain roots are unaffected by the fix
+    assert fast[10] == (10, 0) and fast[11] == (10, 1)
+
+
+def test_graph_null_edges_decline_fast_path(spark):
+    """Null edge endpoints must route to the distributed path on every
+    operator (the numpy fast path cannot represent them): output with a
+    huge cap (fast-eligible) must equal output with cap 0 (forced
+    distributed) — if the fast path ran it would crash on the NaN→int64
+    conversion or silently diverge."""
+    from etl_demos_spark.operators.graph import (
+        bfs_distances,
+        label_propagation,
+        pagerank,
+    )
+
+    E = [(0, 1), (1, 2), (None, 3), (4, None)]
+    pr = spark.createDataFrame(E, "src long, dst long")
+    fast = {r["node"]: r["rank"]
+            for r in pagerank(pr, iters=4, single_task_edge_cap=10**9).collect()}
+    slow = {r["node"]: r["rank"]
+            for r in pagerank(pr, iters=4, single_task_edge_cap=0).collect()}
+    assert fast == slow
+
+    lp = spark.createDataFrame(E, "a long, b long")
+    fast = {r["node"]: r["community"]
+            for r in label_propagation(lp, iters=3, single_task_edge_cap=10**9).collect()}
+    slow = {r["node"]: r["community"]
+            for r in label_propagation(lp, iters=3, single_task_edge_cap=0).collect()}
+    assert fast == slow
+
+    seeds = spark.createDataFrame([(0,)], "node long")
+    fast = {r["node"]: r["dist"]
+            for r in bfs_distances(lp, seeds, iters=3, single_task_edge_cap=10**9).collect()}
+    slow = {r["node"]: r["dist"]
+            for r in bfs_distances(lp, seeds, iters=3, single_task_edge_cap=0).collect()}
+    assert fast == slow
+
+
+def test_bfs_null_seed_paths_identical(spark):
+    """A null seed yields exactly one (null, 0) row on both paths (the
+    distributed dist table starts from sources.distinct(); the fast
+    path carries the null seed in-task via the nn flag)."""
+    from etl_demos_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "a long, b long")
+    seeds = spark.createDataFrame([(0,), (None,), (None,)], "node long")
+    fast = {r["node"]: r["dist"]
+            for r in bfs_distances(edges, seeds, iters=3, single_task_edge_cap=10**9).collect()}
+    slow = {r["node"]: r["dist"]
+            for r in bfs_distances(edges, seeds, iters=3, single_task_edge_cap=0).collect()}
+    assert fast == slow
+    assert fast[None] == 0 and fast[2] == 2
