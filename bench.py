@@ -160,6 +160,11 @@ def main() -> None:
             boot_id = fh.read().strip()
     except OSError:
         boot_id = "unknown"
+    # cpus from the ACTUAL SparkContext master (not the env var), so the
+    # scaling contract is falsifiable: a reader can check the bench ran
+    # at the core count it claims (VERDICT r11 rec 2).
+    m = re.fullmatch(r"local\[(\d+)\]", spark.sparkContext.master or "")
+    cpus = int(m.group(1)) if m else spark.sparkContext.defaultParallelism
 
     # The driver captures only the TAIL of stdout and json-parses the
     # last line — BENCH_r05 was lost ("parsed": null) because the line
@@ -178,6 +183,7 @@ def main() -> None:
         "sweeps": n_sweeps,
         "dispersion_median_rel_spread": dispersion,
         "boot_id": boot_id,
+        "cpus": cpus,
     }
     detail = dict(out, queries_min=mins, runs={n: [round(t, 4) for t in rs] for n, rs in runs.items()})
     perf_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "perf")
