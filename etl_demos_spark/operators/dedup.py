@@ -442,15 +442,32 @@ def _minhash_from_base(base: DataFrame, num_hashes: int) -> DataFrame:
 
 
 def _minhash_from_base_arrow(prepared, num_hashes: int) -> DataFrame:
-    """Arrow partial-min signature reduction: per Arrow batch, numpy
-    builds the (rows x k) affine-hash matrix in one vectorized shot and
-    collapses it to per-id partial minima; the final groupBy(id) then
-    aggregates only ~n_partitions x n_ids partial rows instead of every
-    exploded gram. Signatures are bit-identical to the codegen variant
-    (asserted in tools/ab_minhash_sig.py and by the q_dedup_minhash
-    oracle). Memory per batch is bounded by the Arrow batch size
-    (10k rows -> 10k x 128 x 8 B = ~10 MB slab); products stay < 2^62
-    (h, a < 2^31), safe in int64. ``prepared`` comes from
+    """Arrow signature reduction over id-clustered gram rows — one
+    shuffle, no wide JVM aggregate (r12 rework, profiled in
+    perf/ab_sig_combine_r12.json).
+
+    The previous shape (per-batch partial minima + a JVM
+    groupBy(id).agg of ``num_hashes`` array-element mins) spent most of
+    its wall NOT moving or reducing data but in the 128-aggregate
+    combine plan itself (259-expression analysis/codegen per
+    invocation: measured ~1.5-3 s of a ~3-4 s stage at sf0.1, against
+    ~0.5 s of actual partial computation). Both shapes pay exactly ONE
+    shuffle of comparable volume (partial rows are ~1 KB x n_ids x
+    n_partitions vs 25 B x n_grams here, a wash at ~50 grams/doc), so
+    the combine bought nothing the repartition doesn't.
+
+    New shape: hash-repartition the narrow (id, h) rows by id (16 B +
+    id bytes per row), sort within partitions, then ONE mapInPandas
+    pass emits FINAL signatures: within a sorted partition every id's
+    grams are contiguous, so per-id minima are one np.minimum.reduceat
+    per batch plus a carried boundary row merged across batches. All
+    rows of an id land in one partition (hash partitioning, nulls
+    included), so per-task state is ONE 128-long carry row — memory is
+    Arrow-batch-bounded at any scale, and the sort spills like any
+    shuffle sort. Signatures are bit-identical to the codegen variant
+    (min over int64 is order-free; asserted in tools/ab_minhash_sig.py
+    and by the q_dedup_minhash oracle). Products stay < 2^62 (h, a <
+    2^31), safe in int64. ``prepared`` comes from
     :func:`_arrow_exact_id` (string-typed id, caller's h already
     null-filtered)."""
     import numpy as np
@@ -460,7 +477,15 @@ def _minhash_from_base_arrow(prepared, num_hashes: int) -> DataFrame:
     params = np.array(_affine_params(num_hashes), dtype=np.int64)
     a, b = params[:, 0], params[:, 1]
 
-    def partial(batches):
+    # repartition("id") sizes itself from spark.sql.shuffle.partitions
+    # (scale-adaptive via session.py) and co-locates every id's grams;
+    # the sort makes them contiguous so the reducer below can stream.
+    clustered = base.repartition("id").sortWithinPartitions("id")
+
+    _missing = object()  # null id is a real group — can't use None
+
+    def reduce_sorted(batches):
+        carry_id, carry_min = _missing, None
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -468,17 +493,30 @@ def _minhash_from_base_arrow(prepared, num_hashes: int) -> DataFrame:
             # int64 (a null anywhere would flip the column to float64)
             h = pdf["h"].to_numpy(dtype=np.int64)
             m = (h[:, None] * a + b) % MERSENNE31
-            part = pd.DataFrame(m)
-            part["id"] = pdf["id"].to_numpy()
-            # dropna=False: a null id is a real group under Spark's
-            # groupBy — the codegen twin emits its signature row
-            g = part.groupby("id", sort=False, dropna=False).min()
-            yield pd.DataFrame(
-                {"id": g.index.to_numpy(), "part": list(g.to_numpy())}
-            )
+            ids = pdf["id"].to_numpy()
+            bounds = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+            mins = np.minimum.reduceat(m, bounds, axis=0)
+            run_ids = ids[bounds]
+            if carry_id is not _missing:
+                # ids are sorted within the partition, so a batch can
+                # only continue the PREVIOUS batch's last id (None ==
+                # None is True for the null group)
+                if run_ids[0] == carry_id or (
+                    run_ids[0] is None and carry_id is None
+                ):
+                    mins[0] = np.minimum(mins[0], carry_min)
+                else:
+                    yield pd.DataFrame({"id": [carry_id], "sig": [carry_min]})
+            if len(run_ids) > 1:
+                yield pd.DataFrame(
+                    {"id": run_ids[:-1], "sig": list(mins[:-1])}
+                )
+            carry_id, carry_min = run_ids[-1], mins[-1]
+        if carry_id is not _missing:
+            yield pd.DataFrame({"id": [carry_id], "sig": [carry_min]})
 
-    partials = base.mapInPandas(partial, "id string, part array<long>")
-    return _combine_partials(partials, restore, num_hashes)
+    sigs = clustered.mapInPandas(reduce_sorted, "id string, sig array<long>")
+    return restore(sigs)
 
 
 def _combine_partials(partials: DataFrame, restore, num_hashes: int) -> DataFrame:
@@ -745,6 +783,17 @@ def incremental_minhash_dedup(
     # plan, so the five downstream references duplicate a LogicalRDD leaf
     # instead of the whole probe tree — self-join plan duplication is
     # what blows up analysis otherwise.
+    #
+    # NOT fused (r12, VERDICT r11 rec 1 attempted and REJECTED with an
+    # interleaved A/B): materializing the batch's banded keys once and
+    # deriving the self-join side as new_b ⋉ cross_matched (one banded
+    # subtree feeding both probes) measured 9.56 vs 7.89 s median
+    # (min 8.10 vs 6.87) on the full query — the two extra eager
+    # materialization jobs it requires (new_b, cross_matched; without
+    # them the self-join side would re-run the WHOLE unpersisted
+    # signature pipeline) cost more than the re-run banded explode over
+    # the already-checkpointed fresh frame, which is one narrow
+    # projection of 16 B keys.
     fresh = fresh.localCheckpoint(eager=True)
     # the checkpoint materialized everything upstream: release the two
     # scoped persists NOW. Cached plans live in the CacheManager until
