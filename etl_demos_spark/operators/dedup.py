@@ -938,19 +938,17 @@ def simhash_signatures(
     # same null contract as _minhash_from_base (entry points already
     # filter null grams; this makes the primitive itself safe)
     base = base.filter(F.col("h").isNotNull())
-    votes = None
     if _sig_impl() in ("arrow", "fused"):
         prepared = _arrow_exact_id(base)
         if prepared is not None:
-            votes = _simhash_votes_arrow(prepared, bits)
-    if votes is None:
-        aggs = [
-            F.sum(
-                F.when(F.col("h").bitwiseAND(F.lit(1 << i).cast("long")) != 0, 1).otherwise(-1)
-            ).alias(f"__v{i}")
-            for i in range(bits)
-        ]
-        votes = base.groupBy("id").agg(*aggs)
+            return _simhash_sigs_arrow(prepared, bits)
+    aggs = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << i).cast("long")) != 0, 1).otherwise(-1)
+        ).alias(f"__v{i}")
+        for i in range(bits)
+    ]
+    votes = base.groupBy("id").agg(*aggs)
     bit_terms = F.array(
         *[
             F.when(F.col(f"__v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
@@ -967,48 +965,69 @@ def simhash_signatures(
     )
 
 
-def _simhash_votes_arrow(prepared, bits: int) -> DataFrame:
-    """Arrow partial-vote reduction for SimHash — the same shape as
-    :func:`_minhash_from_base_arrow`: per Arrow batch, numpy unpacks the
-    (rows x bits) ±1 vote matrix in one vectorized shot and collapses it
-    to per-id partial sums; the final groupBy(id) sums only
-    ~n_partitions x n_ids partial rows instead of every exploded gram.
-    Votes are bit-identical to the codegen variant (asserted in
-    tools/ab_simhash_sig.py and by the q_dedup_simhash oracle). Output
-    columns match the codegen aggs (__v0..__v{bits-1}) so the bit
-    assembly downstream is shared. Arithmetic right-shift on negative
-    int64 extracts two's-complement bits exactly like the JVM's
-    bitwiseAND path (the xxhash64 base hash can be negative).
-    ``prepared`` comes from :func:`_arrow_exact_id` (string-typed id,
-    h already null-filtered by the caller)."""
+def _simhash_sigs_arrow(prepared, bits: int) -> DataFrame:
+    """Arrow SimHash over id-clustered gram rows — the
+    :func:`_minhash_from_base_arrow` r12 shape: hash-repartition the
+    narrow (id, h) rows by id, sort within partitions, then ONE
+    mapInPandas pass sums the ±1 vote matrix per contiguous id run
+    (np.add.reduceat, one carried boundary row across batches) and
+    assembles the FINAL signature long in numpy. Replaces the previous
+    per-batch partial votes + ``bits``-aggregate JVM combine +
+    ``bits``-branch bit assembly, whose 120+-expression plan cost more
+    in analysis/codegen than the stage's actual compute (measured on
+    the minhash twin, perf/ab_sig_combine_r12.json). Exact-integer
+    votes (order-free sums), arithmetic right-shift extracts
+    two's-complement bits exactly like the JVM bitwiseAND path (the
+    xxhash64 base hash can be negative), and bit weights stay in int64
+    (bit 62 max — ``bits`` ≤ 63). Signatures bit-identical to the
+    codegen variant (asserted in tools/ab_simhash_sig.py and by the
+    q_dedup_simhash oracle). ``prepared`` comes from
+    :func:`_arrow_exact_id` (string-typed id, h null-filtered by the
+    caller)."""
     import numpy as np
     import pandas as pd
 
     base, restore = prepared
     shifts = np.arange(bits, dtype=np.int64)
+    weights = np.int64(1) << shifts
 
-    def partial(batches):
+    clustered = base.repartition("id").sortWithinPartitions("id")
+
+    _missing = object()  # null id is a real group — can't use None
+
+    def _sig(votes):
+        return (votes > 0) @ weights
+
+    def reduce_sorted(batches):
+        carry_id, carry_votes = _missing, None
         for pdf in batches:
             if not len(pdf):
                 continue
             # h null-filtered JVM-side → exact int64 in pandas (a null
             # would flip the column to float64 and corrupt ≥2^53 hashes)
             h = pdf["h"].to_numpy(dtype=np.int64)
-            m = (((h[:, None] >> shifts) & 1) * 2 - 1).astype(np.int64)
-            part = pd.DataFrame(m)
-            part["id"] = pdf["id"].to_numpy()
-            # dropna=False: null ids are real groups under Spark groupBy
-            g = part.groupby("id", sort=False, dropna=False).sum()
-            yield pd.DataFrame(
-                {"id": g.index.to_numpy(), "part": list(g.to_numpy())}
-            )
+            m = ((h[:, None] >> shifts) & 1) * 2 - 1
+            ids = pdf["id"].to_numpy()
+            bounds = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+            sums = np.add.reduceat(m, bounds, axis=0)
+            run_ids = ids[bounds]
+            if carry_id is not _missing:
+                if run_ids[0] == carry_id or (
+                    run_ids[0] is None and carry_id is None
+                ):
+                    sums[0] += carry_votes
+                else:
+                    yield pd.DataFrame(
+                        {"id": [carry_id], "sig": [_sig(carry_votes)]}
+                    )
+            if len(run_ids) > 1:
+                yield pd.DataFrame({"id": run_ids[:-1], "sig": _sig(sums[:-1])})
+            carry_id, carry_votes = run_ids[-1], sums[-1]
+        if carry_id is not _missing:
+            yield pd.DataFrame({"id": [carry_id], "sig": [_sig(carry_votes)]})
 
-    partials = base.mapInPandas(partial, "id string, part array<long>")
-    return restore(
-        partials.groupBy("id").agg(
-            *[F.sum(F.col("part")[i]).alias(f"__v{i}") for i in range(bits)]
-        )
-    )
+    sigs = clustered.mapInPandas(reduce_sorted, "id string, sig long")
+    return restore(sigs)
 
 
 def hamming64(a: Column, b: Column) -> Column:
