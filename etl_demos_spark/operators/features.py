@@ -376,6 +376,20 @@ def poisson_bootstrap_ci(
         .cast("long")
         .alias("__v"),
     )
+    # Parallelism floor for the replica stage (r12, measured 7.2 → 2.5 s
+    # median at sf0.1, identical output — perf/ab_bootstrap_r12.json):
+    # the md5-per-(row, replica) hash is the query's honest dominant
+    # cost, but it inherits the SCAN's partitioning through the narrow
+    # explode — a single-row-group bench table plans ~3 partitions, so
+    # the 50× exploded hash stage ran on 3 of 32 cores. Round-robin
+    # repartition of the PRE-explode (id, value) rows is a few-MB
+    # shuffle (narrow rows, never the exploded 50×) and is retry-safe
+    # (sortBeforeRepartition; downstream sums are order-independent
+    # ints). Scale-gated: corpora whose scans already plan >= the
+    # session parallelism skip the shuffle entirely.
+    n_par = df.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < n_par:
+        base = base.repartition(n_par)
     reps = base.select("__id", "__v", b)
     key = F.concat(
         F.col("__id").cast("string"), F.lit(":"), F.col("b").cast("string")
