@@ -119,6 +119,84 @@ def phash_int(px) -> int:
     return sig
 
 
+def _sampled_gray_grids(pxs, n_rows: int, n_cols: int):
+    """Stack point-sampled grayscale grids for a BATCH of decoded pixel
+    arrays → (n, n_rows, n_cols) int64. Semantically identical to
+    ``_sample_grid(_gray_int(px), ...)`` per image, but (a) samples
+    FIRST and grays the 72 sampled pixels instead of the whole raster
+    (grayscale is pointwise, so sample∘gray ≡ gray∘sample exactly) and
+    (b) caches the sampling index vectors per (h, w) — the planted
+    corpus has ~13 distinct shapes, and per-image numpy call overhead
+    was the measured decode-stage floor (see _dhash_batch)."""
+    import numpy as np
+
+    out = np.empty((len(pxs), n_rows, n_cols), dtype=np.int64)
+    cache: dict = {}
+    for i, px in enumerate(pxs):
+        a = np.asarray(px)
+        h, w = a.shape[0], a.shape[1]
+        rc = cache.get((h, w))
+        if rc is None:
+            rows = (np.arange(n_rows) * h) // n_rows
+            cols = (np.arange(n_cols) * w) // n_cols
+            rc = cache[(h, w)] = (rows[:, None], cols)
+        s = a[rc[0], rc[1]]
+        if a.ndim == 3:
+            out[i] = s[..., :3].sum(axis=2, dtype=np.int64) // 3
+        else:
+            out[i] = s
+    return out
+
+
+def _dhash_batch(grids):
+    """Vectorized dHash-64 over stacked (n, GRID_H, GRID_W+1) grids —
+    bit-identical to ``dhash_int`` per row (pinned in
+    tests/test_image_dedup.py): the gradient-sign bits pack via one
+    uint64 weight dot, and the signed-int64 reinterpret IS the
+    two's-complement wrap dhash_int applies to bit 63. Replaces the
+    per-image 8×8 Python loop (measured 45 µs/image → the whole batch
+    in one shot; perf/ab_decode_vectorize_r12.json), per guide §4.2 —
+    heavy lifting in vectorized numpy inside the Arrow boundary."""
+    import numpy as np
+
+    bits = grids[:, :, :-1] > grids[:, :, 1:]
+    flat = bits.reshape(len(grids), GRID_H * GRID_W)
+    weights = np.uint64(1) << np.arange(GRID_H * GRID_W, dtype=np.uint64)
+    sig = (flat.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+    return sig.view(np.int64)
+
+
+def _phash_batch(grids):
+    """Vectorized pHash-63 over stacked (n, 8, 8) grids — bit-identical
+    to ``phash_int`` per row (pinned in tests): the integer DCT runs as
+    one batched int64 matmul (exact, |C| ≤ 2⁴⁴), and the rank-32
+    (value, bit) order statistic comes from sorting the composite key
+    ``val·64 + bit`` (monotone in (val, bit) because 0 ≤ bit < 64;
+    arithmetic right-shift by 6 recovers the value exactly, negatives
+    included). Bit weights stay in int64 (bit ≤ 62)."""
+    import numpy as np
+
+    t = np.array(DCT_T, dtype=np.int64)
+    c = t @ grids @ t.T  # (n, 8, 8), exact int64
+    vals = c.reshape(len(grids), 64)[:, 1:]  # AC coeffs; bit = column
+    key = vals * 64 + np.arange(63, dtype=np.int64)
+    thr = np.sort(key, axis=1)[:, 31] >> 6
+    bits = vals > thr[:, None]
+    weights = np.int64(1) << np.arange(63, dtype=np.int64)
+    return (bits * weights).sum(axis=1, dtype=np.int64)
+
+
+def _decode_grids(pdf, id_col, content_col, n_rows, n_cols):
+    """Decode one Arrow batch to (ids, grids) for the batched hashes."""
+    pxs = []
+    ids = []
+    for id_, content in zip(pdf[id_col], pdf[content_col]):
+        _, _, _, px = decode_image(bytes(content))
+        ids.append(int(id_))
+        pxs.append(px)
+    return ids, _sampled_gray_grids(pxs, n_rows, n_cols)
+
+
 def image_signatures(
     df: DataFrame,
     algo: str = "dhash",
@@ -127,21 +205,24 @@ def image_signatures(
 ) -> DataFrame:
     """Perceptual signatures over a binary image column: one Arrow-batch
     mapInPandas decode pass (in-repo PPM/PGM/BMP/PNG codecs), no
-    shuffle, content bytes never leave the executor. Output
-    ``(id, sig)`` with sig a long."""
+    shuffle, content bytes never leave the executor. Hashing runs
+    batched (one numpy pass per Arrow batch — _dhash_batch/_phash_batch,
+    pinned bit-identical to the scalar forms). Output ``(id, sig)``
+    with sig a long."""
     if algo not in ("dhash", "phash"):
         raise ValueError(f"unknown perceptual hash {algo!r}: dhash|phash")
-    hash_fn = dhash_int if algo == "dhash" else phash_int
+    dhash = algo == "dhash"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, sigs = [], []
-            for id_, content in zip(pdf[id_col], pdf[content_col]):
-                _, _, _, px = decode_image(bytes(content))
-                ids.append(int(id_))
-                sigs.append(hash_fn(px))
+            if not len(pdf):
+                continue
+            ids, grids = _decode_grids(
+                pdf, id_col, content_col, GRID_H, (GRID_W + 1) if dhash else 8
+            )
+            sigs = _dhash_batch(grids) if dhash else _phash_batch(grids)
             yield pd.DataFrame({"id": pd.array(ids, dtype="int64"),
-                                "sig": pd.array(sigs, dtype="int64")})
+                                "sig": sigs})
 
     return df.select(id_col, content_col).mapInPandas(run, "id long, sig long")
 
@@ -152,23 +233,28 @@ def image_signatures_both(
     content_col: str = "content",
 ) -> DataFrame:
     """Both perceptual signatures from ONE decode pass — ``(id, dsig,
-    psig)``. Decode is the family's scale bottleneck (pure-Python pixel
-    walk), so the composite pair join must not pay it twice; the two
-    hashes share the decoded array."""
+    psig)``. Decode is the family's scale bottleneck, so the composite
+    pair join must not pay it twice; the two hashes share the decoded
+    arrays, each hashed in one batched numpy pass."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, dsigs, psigs = [], [], []
+            if not len(pdf):
+                continue
+            pxs, ids = [], []
             for id_, content in zip(pdf[id_col], pdf[content_col]):
                 _, _, _, px = decode_image(bytes(content))
                 ids.append(int(id_))
-                dsigs.append(dhash_int(px))
-                psigs.append(phash_int(px))
+                pxs.append(px)
+            d_grids = _sampled_gray_grids(pxs, GRID_H, GRID_W + 1)
+            # the 8x8 pHash grid subsamples columns of the SAME images —
+            # but with its own floor indices, so sample independently
+            p_grids = _sampled_gray_grids(pxs, 8, 8)
             yield pd.DataFrame(
                 {
                     "id": pd.array(ids, dtype="int64"),
-                    "dsig": pd.array(dsigs, dtype="int64"),
-                    "psig": pd.array(psigs, dtype="int64"),
+                    "dsig": _dhash_batch(d_grids),
+                    "psig": _phash_batch(p_grids),
                 }
             )
 

@@ -51,8 +51,6 @@ from etl_demos_spark.operators.dedup import (
 from etl_demos_spark.operators.image_dedup import (
     DHASH_BITS,
     PHASH_BITS,
-    dhash_int,
-    phash_int,
 )
 from etl_demos_spark.operators.matutil import materialize_reused
 from etl_demos_spark.operators.multimodal import avi_frame_payloads, decode_image
@@ -88,11 +86,19 @@ def video_frame_signatures(
         raise ValueError(f"unknown perceptual hash {algo!r}: dhash|phash")
     if frame_stride < 1:
         raise ValueError(f"frame_stride must be >= 1, got {frame_stride}")
-    hash_fn = dhash_int if algo == "dhash" else phash_int
+    from etl_demos_spark.operators.image_dedup import (
+        GRID_H,
+        GRID_W,
+        _dhash_batch,
+        _phash_batch,
+        _sampled_gray_grids,
+    )
+
+    dhash = algo == "dhash"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, idxs, counts, sigs = [], [], [], []
+            ids, idxs, counts, pxs = [], [], [], []
             for id_, content in zip(pdf[id_col], pdf[content_col]):
                 frames = avi_frame_payloads(
                     bytes(content), kinds=(b"dc", b"db")
@@ -103,13 +109,22 @@ def video_frame_signatures(
                     ids.append(int(id_))
                     idxs.append(i)
                     counts.append(len(sampled))
-                    sigs.append(hash_fn(px))
+                    pxs.append(px)
+            if not pxs:
+                continue
+            # one batched hash pass over every decoded frame in the
+            # Arrow batch (the image_signatures r12 shape — pinned
+            # bit-identical to the scalar dhash_int/phash_int)
+            grids = _sampled_gray_grids(
+                pxs, GRID_H, (GRID_W + 1) if dhash else 8
+            )
+            sigs = _dhash_batch(grids) if dhash else _phash_batch(grids)
             yield pd.DataFrame(
                 {
                     "id": pd.array(ids, dtype="int64"),
                     "frame_idx": pd.array(idxs, dtype="int32"),
                     "n_frames": pd.array(counts, dtype="int32"),
-                    "sig": pd.array(sigs, dtype="int64"),
+                    "sig": sigs,
                 }
             )
 

@@ -360,3 +360,50 @@ def test_hamming_chunk_keys_full_width_mask(spark):
     )
     rows = hamming_chunk_keys(sigs, 64, 0).collect()
     assert {(r["id"], r["val"]) for r in rows} == {(1, -5), (2, -5), (3, 7)}
+
+
+def test_batched_hashes_match_scalar_reference():
+    """_dhash_batch/_phash_batch (the r12 vectorized decode-stage path)
+    must be bit-identical to the scalar dhash_int/phash_int on every
+    shape/mode the planted corpus and the codecs produce — including
+    the bit-63 two's-complement wrap and DCT threshold ties."""
+    import hashlib
+
+    import numpy as np
+
+    from etl_demos_spark.operators.image_dedup import (
+        GRID_H,
+        GRID_W,
+        _dhash_batch,
+        _phash_batch,
+        _sampled_gray_grids,
+        dhash_int,
+        phash_int,
+    )
+
+    rng = np.random.default_rng(11)
+    pxs = []
+    # planted-corpus-like shapes (gray + RGB, varying widths)
+    for i in range(64):
+        w = 4 + i % 13
+        if i % 2 == 0:
+            pxs.append(rng.integers(0, 256, (8, w), dtype=np.uint8))
+        else:
+            pxs.append(rng.integers(0, 256, (8, w, 3), dtype=np.uint8))
+    # adversarial: constant rasters (all DCT ties), extremes, RGBA,
+    # tall images, and a raster crafted to set dhash bit 63
+    pxs.append(np.zeros((8, 9), dtype=np.uint8))
+    pxs.append(np.full((8, 9), 255, dtype=np.uint8))
+    pxs.append(rng.integers(0, 256, (32, 48, 4), dtype=np.uint8))
+    hi = np.zeros((8, 9), dtype=np.uint8)
+    hi[7, 7] = 255  # g[7,7] > g[7,8] -> bit 63
+    pxs.append(hi)
+
+    d_grids = _sampled_gray_grids(pxs, GRID_H, GRID_W + 1)
+    p_grids = _sampled_gray_grids(pxs, 8, 8)
+    d_batch = _dhash_batch(d_grids)
+    p_batch = _phash_batch(p_grids)
+    for i, px in enumerate(pxs):
+        assert int(d_batch[i]) == dhash_int(px), f"dhash diverges at {i}"
+        assert int(p_batch[i]) == phash_int(px), f"phash diverges at {i}"
+    assert any(int(s) < 0 for s in d_batch)  # the bit-63 case fired
