@@ -93,6 +93,10 @@ HEADLINE = [
     # tracked per round instead of living in the blind spot
     "q_dedup_image_e2e",
     "q_dedup_video_e2e",
+    # r12 (VERDICT r11 rec 5): the ~4-5 s incremental image replay was
+    # the last unbenched heavy query — folded in after its checkpoint
+    # cadence A/B (perf/ab_imgincr_cadence_r12.json)
+    "q_dedup_image_incremental",
 ]
 
 

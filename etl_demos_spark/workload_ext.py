@@ -1307,7 +1307,6 @@ def q_dedup_image_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     winner per signature is the member first in processing order
     (ORDER BY id % 3, id). Registered _LATE r10; seats at r12 per
     _SEAT_PLAN."""
-    from etl_demos_spark.operators.dedup import materialize_reused
     from etl_demos_spark.operators.image_dedup import incremental_image_dedup
 
     corpus = _planted_image_corpus(spark, sf_dir)
@@ -1316,11 +1315,15 @@ def q_dedup_image_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in range(3):
         inc = corpus.filter(F.col("id") % 3 == m)
         kept, store = incremental_image_dedup(inc, store, "dhash", max_hamming=0)
-        # the kept frame feeds BOTH the store for the next increment and
-        # the final union; the store is re-probed next round — freeze
-        # both so increment m+1 never recomputes increment m's pipeline
-        kept = materialize_reused(kept)
-        store = materialize_reused(store)
+        # NO outer materialization of kept/store (r12,
+        # perf/ab_imgincr_cadence_r12.json: 5.14 → 4.06 s median
+        # interleaved, identical output): the operator already
+        # checkpoints the expensive stages internally (decoded
+        # new_sigs, the probed fresh set), so kept/store are cheap
+        # anti-join projections over checkpointed frames — freezing
+        # them again cost 2 extra eager jobs per increment. The union/
+        # probe plans stay linear in increments because their
+        # constituents are those internal checkpoints.
         kept_frames.append(kept)
     out = kept_frames[0]
     for f in kept_frames[1:]:

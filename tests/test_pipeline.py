@@ -122,6 +122,7 @@ def test_toposort_order_respects_refs(spark):
     assert order.index("dim_date") < order.index("f_default_event")
 
 
+@pytest.mark.slow
 def test_parallel_run_matches_sequential(spark, bank_sources, tmp_path_factory):
     wh = str(tmp_path_factory.mktemp("wh_par"))
     p = build_bank_pipeline(warehouse_dir=wh)

@@ -5,6 +5,8 @@ fixtures don't."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 from decimal import Decimal
 
@@ -615,6 +617,7 @@ def test_bottomk_merge_replayed_batch_is_idempotent(spark):
     )
 )
 @SET
+@pytest.mark.slow
 def test_merge_upsert_partitioned_equals_unpartitioned(spark, tmp_path_factory, batches):
     """The partition-scoped upsert must be row-for-row equivalent to the
     full-rewrite merge_upsert over ANY batch sequence (keys constrained
@@ -791,6 +794,7 @@ def _mk_day_df(spark, rows):
 
 @given(base=_crash_rows, upd=_crash_rows)
 @_CRASH_SET
+@pytest.mark.slow
 def test_crash_sweep_merge_upsert(spark, tmp_path_factory, base, upd):
     from etl_demos_spark.plans.incremental import merge_upsert
 
@@ -811,6 +815,7 @@ def test_crash_sweep_merge_upsert(spark, tmp_path_factory, base, upd):
 
 @given(base=_crash_rows, upd=_crash_rows)
 @_CRASH_SET
+@pytest.mark.slow
 def test_crash_sweep_merge_upsert_partitioned(spark, tmp_path_factory, base, upd):
     from etl_demos_spark.plans.incremental import merge_upsert_partitioned
 
@@ -835,6 +840,7 @@ def test_crash_sweep_merge_upsert_partitioned(spark, tmp_path_factory, base, upd
 
 @given(base=_crash_rows)
 @_CRASH_SET
+@pytest.mark.slow
 def test_crash_sweep_compact(spark, tmp_path_factory, base):
     """compact() must never lose rows at any crash boundary — its
     expected final content IS its input content."""
@@ -854,6 +860,7 @@ def test_crash_sweep_compact(spark, tmp_path_factory, base):
     )
 
 
+@pytest.mark.slow
 def test_crash_sweep_near_dedup_store(spark, tmp_path):
     """The streaming near-dup signature store's staging-then-swap: kill
     batch 2 at every shutil boundary under the store/out roots, then

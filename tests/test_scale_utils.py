@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import pyspark.sql.functions as F
 
 from etl_demos_spark.data import load_events
@@ -61,6 +63,7 @@ def test_merge_upsert(spark, tmp_path):
     assert spark.read.parquet(path).count() == 5
 
 
+@pytest.mark.slow
 def test_stateful_user_counts_stream(spark, tmp_path):
     src = str(tmp_path / "src")
     ev = load_events(spark, SF_DIR).select("user_id", "ts", "event_type")

@@ -3,6 +3,8 @@ Structured Streaming run (memory source → watermarked tumbling agg)."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 
 import pyspark.sql.functions as F
@@ -152,6 +154,7 @@ def test_rollup_cascade_rejects_non_nesting_levels(spark):
         win.rollup_cascade(ev, levels=("10 minutes", "25 minutes"))
 
 
+@pytest.mark.slow
 def test_stream_rollup_cascade_matches_batch(spark, tmp_path):
     """Every window emitted by the streaming cascade (fine append +
     incremental coarse invalidation/upsert) must carry exactly the batch
@@ -537,6 +540,7 @@ def test_near_dedup_processor_replay_is_idempotent(spark, tmp_path):
     assert final == {0, 1}
 
 
+@pytest.mark.slow
 def test_stream_first_response_matches_batch_join(spark, tmp_path):
     """The stateful CEP operator must emit exactly the batch temporal
     join's (user, a_ts, b_ts) set when events arrive in event-time
